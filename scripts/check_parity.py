@@ -1,0 +1,108 @@
+"""Local stand-in for the driver's correctness harness.
+
+Runs every registered query on Spark and (when an oracle exists) the
+oracle SQL on DuckDB against the same parquet tables, then compares
+row count, column names, and an order-insensitive multiset of values
+(columns sorted by name, doubles compared to 1e-9, like the driver's
+value-hash).
+
+Usage: python scripts/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from teleco_etl_pipeline_spark.plans.registry import all_queries
+from teleco_etl_pipeline_spark.session import get_spark
+from teleco_etl_pipeline_spark.sources.tables import TABLE_NAMES
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, bool):
+        return int(v)
+    return v
+
+
+def _multiset(rows, cols_order):
+    out = []
+    for r in rows:
+        out.append(tuple(_canon(r[i]) for i in cols_order))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="parity-check", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+
+    failures = []
+    for name, q in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = q.build(spark, sf_dir)
+            spark_cols = list(sdf.columns)
+            spark_rows = [list(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"✗ {name}: spark error: {e}")
+            continue
+        if q.oracle is None:
+            print(f"• {name}: rows-only ({len(spark_rows)} rows) — no oracle")
+            continue
+        try:
+            odf = con.execute(q.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"ORACLE ERROR: {e}"))
+            print(f"✗ {name}: oracle error: {e}")
+            continue
+        oracle_cols = list(odf.columns)
+        if sorted(spark_cols) != sorted(oracle_cols):
+            failures.append((name, f"schema: spark={spark_cols} oracle={oracle_cols}"))
+            print(f"✗ {name}: schema mismatch spark={spark_cols} oracle={oracle_cols}")
+            continue
+        if len(spark_rows) != len(odf):
+            failures.append((name, f"rows: spark={len(spark_rows)} oracle={len(odf)}"))
+            print(f"✗ {name}: row count spark={len(spark_rows)} oracle={len(odf)}")
+            continue
+        order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+        s_ms = _multiset(spark_rows, order)
+        o_rows = odf[[spark_cols[i] for i in order]].itertuples(index=False, name=None)
+        o_ms = sorted(
+            (tuple(_canon(v) for v in r) for r in o_rows),
+            key=lambda t: tuple(str(x) for x in t),
+        )
+        if s_ms != o_ms:
+            diff = next(
+                (i, a, b) for i, (a, b) in enumerate(zip(s_ms, o_ms)) if a != b
+            )
+            failures.append((name, f"values differ, first diff: {diff}"))
+            print(f"✗ {name}: VALUES differ ({len(s_ms)} rows); first diff {diff}")
+            continue
+        print(f"✓ {name}: {len(s_ms)} rows match")
+
+    print(f"\n{len(failures)} failures" if failures else "\nALL MATCH")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

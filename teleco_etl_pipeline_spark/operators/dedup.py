@@ -1,0 +1,352 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, and SimHash — all
+expressed as DataFrame programs with zero Python UDFs:
+
+- **exact**: md5 over normalized text → groupBy. One shuffle on the
+  hash; at 100 TB this is the cheapest possible dedup (hash is 16
+  bytes vs full text in the shuffle).
+- **n-gram Jaccard**: explode distinct word-shingles → self-join on
+  shingle → per-pair intersection counts → Jaccard via
+  |A∩B| / (|A|+|B|−|A∩B|). Exact but quadratic in colliding docs —
+  the correctness baseline for the sketch methods.
+- **MinHash+LSH**: k minhash signatures from xxhash64(seed, shingle)
+  aggregated with MIN (one shuffle), banded into b buckets, bucket
+  join → candidate pairs only. This is the 100 TB scale path: cost is
+  O(docs × shingles) + a join on (band, band_hash) whose fan-out is
+  controlled by band width; no quadratic blowup.
+- **SimHash**: 64-bit signature from per-bit majority vote of token
+  hashes; near-dup = small Hamming distance, candidates via 16-bit
+  band buckets (pigeonhole: ≤3 bit flips ⇒ one of 4 bands identical).
+
+Frequent-shingle guard: ``max_shingle_freq`` drops shingles appearing
+in more than N docs before the pair join — the classic skew-killer
+for LSH/Jaccard self-joins (a stopword shingle shared by 1M docs
+would otherwise create 10^12 candidate pairs).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from teleco_etl_pipeline_spark.operators.text import normalized_text, shingles, tokens
+from teleco_etl_pipeline_spark.plans.registry import query
+from teleco_etl_pipeline_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct normalized text,
+    keeper = min id, copies = group size."""
+    return (
+        docs.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+@query(
+    "exact_dedup",
+    r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*)    AS copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup via hash-groupBy (generalizes A4/A8/A11).",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact near-dup baseline)
+# ---------------------------------------------------------------------------
+
+
+def _doc_shingles(docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) exploded distinct word n-grams; drops docs
+    shorter than n tokens."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            shingles(tokens(text_col), n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram shingle sets for every
+    candidate pair sharing ≥1 shingle. Returns (doc_id_a, doc_id_b,
+    jaccard) with doc_id_a < doc_id_b and jaccard ≥ threshold."""
+    sh = _doc_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("shared"))
+                + 1e-9,
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, len(toks) - 2)]) AS shingles
+      FROM tok WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS set_size FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             COUNT(*) AS shared, ANY_VALUE(a.set_size) AS size_a, ANY_VALUE(b.set_size) AS size_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b,
+           ROUND(CAST(shared AS DOUBLE) / (size_a + size_b - shared) + 1e-9, 4) AS jaccard
+    FROM inter
+    WHERE ROUND(CAST(shared AS DOUBLE) / (size_a + size_b - shared) + 1e-9, 4) >= 0.12
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs (shingle self-join).",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Threshold applied on the ROUNDED value on both sides so FP noise
+    # at the boundary cannot flip membership between engines.
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.12, max_shingle_freq=None)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (scale path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """k minhash values per doc: MIN over xxhash64(seed_i, shingle).
+
+    One explode + one groupBy(doc_id) shuffle; the signature is k
+    longs regardless of document size — this is what makes the method
+    viable at 100 TB.
+    """
+    sh = _doc_shingles(docs, n, id_col, text_col)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH candidate generation + minhash similarity estimate.
+
+    bands=8 × rows=4 over 32 hashes ⇒ candidate probability
+    1-(1-s^4)^8 (s-curve centered near s≈0.5). Returns
+    (doc_id_a, doc_id_b, est_jaccard ≥ threshold).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, n, num_hashes).cache()
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+
+    band_rows = []
+    for b in range(bands):
+        cols = mh_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(c) for c in cols]).alias("band_hash"),
+            )
+        )
+    banded = reduce(lambda x, y: x.unionByName(y), band_rows)
+
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+    sa = sig.select(F.col("doc_id").alias("doc_id_a"), *[F.col(c).alias(f"a_{c}") for c in mh_cols])
+    sb = sig.select(F.col("doc_id").alias("doc_id_b"), *[F.col(c).alias(f"b_{c}") for c in mh_cols])
+    matches = sum(
+        (F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int") for c in mh_cols
+    )
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(matches / F.lit(num_hashes), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+@query(
+    "minhash_lsh_pairs",
+    None,  # sketch output is not SQL-expressible in the oracle — rows-only check
+    doc="MinHash+LSH near-dup candidates (scale path for Jaccard).",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=3, num_hashes=32, bands=8, threshold=0.25)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc: majority vote per bit over token hashes.
+
+    Expressed as explode(tokens) → 64 conditional sums → bit assembly;
+    all JVM-side, one shuffle on doc_id.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"v_{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = sum(
+        F.when(F.col(f"v_{i}") > 0, F.lit(1).cast("long") * (2**i)).otherwise(0)
+        for i in range(bits - 1)  # skip sign bit to stay in long range
+    )
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidates via pigeonhole banding (≤3 flips over 4 × 16-bit bands
+    ⇒ at least one band equal), then exact popcount verify.
+    """
+    sig = simhash_signatures(docs).cache()
+    width = 64 // bands
+    band_rows = []
+    for b in range(bands):
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                "simhash",
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_val"),
+            )
+        )
+    banded = reduce(lambda x, y: x.unionByName(y), band_rows)
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "doc_id_a", "doc_id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+@query(
+    "simhash_neardup",
+    None,  # hash-sketch output — rows-only check
+    doc="SimHash near-dup pairs (Hamming ≤ k via banded candidates).",
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, max_hamming=16, bands=4)

@@ -1,0 +1,183 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §7.5).
+
+Language-ID, quality scoring, token counting, and document
+fingerprinting over the ``documents`` table — all as pure Catalyst
+expressions (split / higher-order functions / regex / md5), so at
+100 TB they run inside whole-stage codegen with zero Python in the
+hot path and full column pruning (only ``text`` is read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from teleco_etl_pipeline_spark.plans.registry import query
+from teleco_etl_pipeline_spark.sources.tables import load_table
+
+# Cross-engine rounding tie stabilizer (see plans/relational.py EPS).
+EPS = 1e-9
+
+# A deliberately tiny, deterministic stopword set (parity with the
+# DuckDB oracle matters more than linguistic realism here; swap in a
+# real list per language in production).
+STOPWORDS = ("the", "a")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization: split(trim(text), '\\s+')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def stopword_count(toks: Column) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for fingerprint/dedup: lower + collapse spaces."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token array (no UDF):
+    transform(sequence(0, size-n), i -> array_join(slice(toks,i+1,n)))."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+@query(
+    "doc_token_stats",
+    r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+'))       AS n_tokens,
+           length(text)                                        AS n_chars_actual,
+           ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\s+')) + 1e-9, 4) AS avg_token_len
+    FROM documents
+    """,
+    doc="Token counting (whitespace tokenizer) + char stats — "
+    "training-data size accounting at scale.",
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("double")
+            / n_tok
+            + EPS,
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "doc_quality_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           ROUND(CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                 / len(toks) + 1e-9, 4)              AS stopword_ratio,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) + 1e-9, 4)
+                                                     AS distinct_ratio,
+           CASE WHEN len(toks) < 20 THEN 'too_short'
+                WHEN ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) + 1e-9, 4) < 0.2
+                     THEN 'repetitive'
+                ELSE 'ok' END                        AS quality_bucket
+    FROM t
+    """,
+    doc="Heuristic document quality scoring (length / stopword ratio / "
+    "repetition) — the filter stage of an LLM data pipeline.",
+)
+def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    d = d.select("doc_id", toks.alias("toks"))
+    n_tok = F.size("toks")
+    distinct_ratio = F.round(
+        F.size(F.array_distinct("toks")).cast("double") / n_tok + EPS, 4
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS))).cast("double")
+            / n_tok
+            + EPS,
+            4,
+        ).alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        F.when(n_tok < 20, "too_short")
+        .when(distinct_ratio < 0.2, "repetitive")
+        .otherwise("ok")
+        .alias("quality_bucket"),
+    )
+
+
+@query(
+    "doc_lang_id",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang AS lang_declared,
+           CASE WHEN CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                     / len(toks) >= 0.05 THEN 'en'
+                WHEN len(list_filter(toks, x -> x = 'spark')) > 0 THEN 'tech'
+                ELSE 'und' END AS lang_guess
+    FROM t
+    """,
+    doc="N-gram/stopword-heuristic language ID. The rule is tiny on "
+    "purpose — the point is a deterministic classifier evaluated "
+    "identically by Spark and the oracle; production swaps in bigger "
+    "marker tables via the same expressions.",
+)
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select("doc_id", F.col("lang").alias("lang_declared"), tokens("text").alias("toks"))
+    stop_ratio = (
+        F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS))).cast("double")
+        / F.size("toks")
+    )
+    has_spark = F.size(F.filter("toks", lambda x: x == "spark")) > 0
+    return d.select(
+        "doc_id",
+        "lang_declared",
+        F.when(stop_ratio >= 0.05, "en")
+        .when(has_spark, "tech")
+        .otherwise("und")
+        .alias("lang_guess"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+    doc="Canonical document fingerprint: md5 over normalized text "
+    "(lower + whitespace-collapse) — the exact-dedup key.",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(normalized_text("text")).alias("fingerprint"))

@@ -1,0 +1,138 @@
+"""Keyed upsert / merge / delete-insert operators (SURVEY.md §2.8).
+
+The reference's most load-bearing operators are Postgres
+``INSERT … ON CONFLICT DO UPDATE`` (M1, insert_data_into_bronze.sql:
+11-77), delete-then-insert (M3, Reprocessing.py:113-126) and
+predicate/keyed deletes (M4-M6). Plain Parquet has no in-place
+mutation, so these are expressed as *pure relational merges* that a
+caller then writes with ``safe_overwrite``:
+
+- ``merge_upsert``: full-outer join on the key, column-subset update
+  semantics (only ``update_cols`` take the source value on match —
+  the reference updates ~16 of 33 columns), record_type bookkeeping.
+- ``delete_then_insert``: anti-join on fix keys ∪ fixes.
+- ``anti_dedup``: drop staging rows already present in the target (M6).
+
+Scale notes: the merge join shuffles both sides on the key — at
+100 TB bucket both layer tables by the business key so the merge is
+shuffle-free; when the delta is small relative to the target,
+broadcast it (``broadcast_source=True``) and the merge becomes a
+map-only job. AQE handles skewed keys.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    record_type_col: str | None = None,
+    broadcast_source: bool = False,
+) -> DataFrame:
+    """Postgres ``ON CONFLICT DO UPDATE`` as a full-outer merge.
+
+    - unmatched source rows → inserted (record_type 'new')
+    - matched rows → ``update_cols`` from source, everything else kept
+      from target (record_type 'updated')
+    - unmatched target rows → unchanged (record_type 'existing')
+    """
+    data_cols = [c for c in target.columns if c not in keys]
+    if update_cols is None:
+        update_cols = data_cols
+    src = F.broadcast(source) if broadcast_source else source
+    # String-qualified refs ("t.c" / "s.c") survive self-joins where
+    # both sides share lineage (Spark's ambiguous-self-join check
+    # rejects attribute-based refs there).
+    t = target.alias("__t")
+    s = src.alias("__s")
+    tc = lambda c: F.col(f"__t.{c}")  # noqa: E731
+    sc = lambda c: F.col(f"__s.{c}")  # noqa: E731
+    cond = None
+    for k in keys:
+        clause = tc(k).eqNullSafe(sc(k))
+        cond = clause if cond is None else (cond & clause)
+    joined = t.join(s, on=cond, how="full_outer")
+
+    matched_t = tc(keys[0]).isNotNull()
+    matched_s = sc(keys[0]).isNotNull()
+    out_cols = [F.coalesce(tc(k), sc(k)).alias(k) for k in keys]
+    for c in data_cols:
+        if c in update_cols:
+            # on match take source; insert path takes source too
+            out_cols.append(F.coalesce(sc(c), tc(c)).alias(c))
+        else:
+            # column-subset semantics: keep target value on match
+            out_cols.append(
+                F.when(matched_t, tc(c)).otherwise(sc(c)).alias(c)
+            )
+    if record_type_col:
+        out_cols.append(
+            F.when(~matched_t, F.lit("new"))
+            .when(~matched_s, F.lit("existing"))
+            .otherwise(F.lit("updated"))
+            .alias(record_type_col)
+        )
+    return joined.select(*out_cols)
+
+
+def delete_then_insert(
+    target: DataFrame, fixes: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """M3: atomically replace target rows whose key appears in fixes."""
+    kept = target.join(
+        fixes.select(*keys).distinct(), on=list(keys), how="left_anti"
+    )
+    return kept.unionByName(fixes)
+
+
+def anti_dedup(staging: DataFrame, target: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """M6: drop staging rows already present in the target."""
+    return staging.join(target.select(*keys).distinct(), on=list(keys), how="left_anti")
+
+
+def delete_where(target: DataFrame, predicate) -> DataFrame:
+    """M4: predicate delete — keep rows NOT matching the predicate."""
+    return target.filter(~predicate)
+
+
+def safe_overwrite(df: DataFrame, path: str) -> None:
+    """Atomic-ish read-modify-write of a Parquet table that ``df`` may
+    lazily read from (Spark cannot overwrite a path it is reading).
+
+    Write to a temp sibling, then swap. On a real cluster with an
+    object store, use a table format with ACID (Delta/Iceberg) — this
+    helper is the plain-Parquet fallback (SURVEY.md §4.3).
+    """
+    parent = os.path.dirname(os.path.abspath(path))
+    tmp = tempfile.mkdtemp(prefix=".swap_", dir=parent)
+    tmp_path = os.path.join(tmp, "data")
+    df.write.mode("overwrite").parquet(tmp_path)
+    backup = path + ".old"
+    if os.path.exists(path):
+        os.rename(path, backup)
+    os.rename(tmp_path, path)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def overwrite_day_partition(
+    df: DataFrame, path: str, partition_col: str
+) -> None:
+    """M5: idempotent per-day write via dynamic partition overwrite."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

@@ -1,0 +1,52 @@
+"""Query registry: name → (spark builder, optional DuckDB oracle SQL).
+
+Every operator family from SURVEY.md §2 registers at least one query
+here; ``__spark_entry__.py`` exposes the registry to the driver's
+correctness harness. A query with ``oracle=None`` is non-SQL-
+expressible (driver records a weaker rows-only check).
+
+Contract (see __spark_entry__.py docstring): the Spark result and the
+oracle result must agree on row count, schema (column names) and
+order-insensitive value hash — so every computed column is aliased
+identically on both sides, double aggregates are rounded on both
+sides (FP summation order differs between engines), and timestamps
+are projected as epoch integers or dates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None, doc: str = ""):
+    """Decorator registering a (spark, sf_dir) -> DataFrame builder."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = Query(name=name, build=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def all_queries() -> dict[str, Query]:
+    # Import side-effect modules that populate the registry.
+    from teleco_etl_pipeline_spark.plans import relational  # noqa: F401
+    from teleco_etl_pipeline_spark.operators import dedup  # noqa: F401
+    from teleco_etl_pipeline_spark.operators import similarity  # noqa: F401
+    from teleco_etl_pipeline_spark.operators import text  # noqa: F401
+
+    return dict(_REGISTRY)

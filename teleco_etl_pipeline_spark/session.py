@@ -1,0 +1,66 @@
+"""SparkSession factory tuned for the engine.
+
+Scale posture: these settings are chosen for correctness on local[N]
+test runs while remaining the *right defaults* on a large cluster:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join
+  splitting, dynamic broadcast-join demotion/promotion) so the same
+  declarative plans survive a 1000× scale-up without re-tuning.
+- ``spark.sql.shuffle.partitions`` is only a pre-AQE upper bound; AQE
+  coalesces small post-shuffle partitions, so a value sized for the
+  cluster (cores × 2–4) is safe at any SF.
+- Arrow enabled for the few pandas bridges (Excel reports, ML
+  fallbacks) — never in the relational hot path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "teleco-etl-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` so tests and
+    bench share one code path; on a real cluster pass ``None`` and set
+    the master via spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    parts = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- Adaptive execution: the backbone of scale-portability ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- Shuffle sizing (pre-AQE bound) ---
+        .config("spark.sql.shuffle.partitions", str(parts))
+        # --- Broadcast: dims in the star schema are tiny; let
+        #     Catalyst broadcast them (10 MB default is fine, raise a
+        #     bit for the 9-column services dim at high SF) ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- Arrow for the pandas bridges only ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- Parquet: vectorized reader on, sane split size so a
+        #     100 TB scan parallelizes without tiny-task overhead ---
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- ANSI off: we rely on NULL-on-bad-cast semantics (the
+        #     reference's NULLIF/regex-scrub casts) ---
+        .config("spark.sql.ansi.enabled", "false")
+        # Quiet timezone semantics: store/compare in UTC everywhere.
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
