@@ -27,7 +27,7 @@ would otherwise create 10^12 candidate pairs).
 
 from __future__ import annotations
 
-from functools import reduce
+
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -77,9 +77,18 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_shingles(docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) exploded distinct word n-grams; drops docs
-    shorter than n tokens."""
+    shorter than n tokens.
+
+    The input is repartitioned first: document tables often arrive as
+    few large files (or one), and Spark's split granularity is
+    byte-based — a CPU-bound explode over a 1-split source would run
+    on a single core regardless of cluster size. This is the
+    compute-parallelism analogue of maxPartitionBytes.
+    """
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.select(
+        docs.repartition(parallelism, F.col(id_col))
+        .select(
             F.col(id_col).alias("doc_id"),
             shingles(tokens(text_col), n).alias("sh"),
         )
@@ -210,17 +219,20 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(docs, n, num_hashes).cache()
     mh_cols = [f"mh_{i}" for i in range(num_hashes)]
 
-    band_rows = []
-    for b in range(bands):
-        cols = mh_cols[b * rows_per_band : (b + 1) * rows_per_band]
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(c) for c in cols]).alias("band_hash"),
+    # Single-pass banding: posexplode an array of band hashes instead
+    # of a bands-way union (a union would re-scan the signature table
+    # once per band).
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(c) for c in mh_cols[b * rows_per_band : (b + 1) * rows_per_band]]
             )
-        )
-    banded = reduce(lambda x, y: x.unionByName(y), band_rows)
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
+    )
 
     a = banded.alias("a")
     b_ = banded.alias("b")
@@ -278,9 +290,14 @@ def simhash_signatures(
     Expressed as explode(tokens) → 64 conditional sums → bit assembly;
     all JVM-side, one shuffle on doc_id.
     """
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
-    ).withColumn("h", F.xxhash64("token"))
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(parallelism, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+        )
+        .withColumn("h", F.xxhash64("token"))
+    )
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -306,19 +323,17 @@ def simhash_neardup_pairs(
     """
     sig = simhash_signatures(docs).cache()
     width = 64 // bands
-    band_rows = []
-    for b in range(bands):
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                "simhash",
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("band_val"),
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                F.lit((1 << width) - 1)
             )
-        )
-    banded = reduce(lambda x, y: x.unionByName(y), band_rows)
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "band_val")
+    )
     a = banded.alias("a")
     b_ = banded.alias("b")
     cand = (
