@@ -1,0 +1,136 @@
+"""Layer catalog: explicit StructType schemas for every warehouse
+table (SURVEY.md §1.2-§1.3) and path management for Parquet layers.
+
+The reference keeps four Postgres schemas (public/staging, bronze,
+silver, gold) plus pipeline metadata (dags/DataWarehouse.py:37,
+dags/SQL/Bronze/DDL_BronzeTable.sql, dags/SQL/Silver/DDL_Silver_
+Table.sql, dags/SQL/Gold/DDL_gold.sql). Here each layer is a
+directory of Parquet tables; schemas are code, applied at read/write
+boundaries so drift is caught early.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Business columns (variant-A ingest shape, FIXTURES.md §1; bronze DDL
+# dags/SQL/Bronze/DDL_BronzeTable.sql:8-46)
+# ---------------------------------------------------------------------------
+
+SERVICE_COLS = [
+    "phone_service",
+    "multiple_lines",
+    "internet_service",
+    "online_security",
+    "online_backup",
+    "device_protection",
+    "tech_support",
+    "streaming_tv",
+    "streaming_movies",
+]
+
+_BUSINESS_FIELDS: list[tuple[str, T.DataType]] = [
+    ("customer_id", T.StringType()),
+    ("gender", T.StringType()),
+    ("senior_citizen", T.StringType()),
+    ("partner", T.StringType()),
+    ("dependents", T.StringType()),
+    ("country", T.StringType()),
+    ("state", T.StringType()),
+    ("city", T.StringType()),
+    ("zip_code", T.IntegerType()),
+    ("lat_long", T.StringType()),
+    ("latitude", T.DoubleType()),
+    ("longitude", T.DoubleType()),
+    *[(c, T.StringType()) for c in SERVICE_COLS],
+    ("paperless_billing", T.StringType()),
+    ("payment_method", T.StringType()),
+    ("contract", T.StringType()),
+    ("tenure_in_months", T.IntegerType()),
+    ("monthly_charges_amount", T.DoubleType()),
+    ("total_charges", T.DoubleType()),
+    ("churn_label", T.StringType()),
+    ("churn_value", T.IntegerType()),
+    ("churn_score", T.StringType()),  # may hold 'n/a' — scrubbed in gold
+    ("cltv", T.StringType()),  # may hold 'n/a'
+    ("churn_reason", T.StringType()),
+]
+
+BUSINESS_SCHEMA = T.StructType(
+    [T.StructField(n, t, True) for n, t in _BUSINESS_FIELDS]
+)
+
+# Staging reads everything as string (schema-on-read tolerance,
+# DataWarehouse.py:615 pandas inference ~ permissive).
+STAGING_SCHEMA = T.StructType(
+    [T.StructField(n, T.StringType(), True) for n, _ in _BUSINESS_FIELDS]
+)
+
+# Bronze = business cols + audit cols (DDL_BronzeTable.sql:42-44).
+BRONZE_SCHEMA = T.StructType(
+    list(BUSINESS_SCHEMA.fields)
+    + [
+        T.StructField("created_at", T.TimestampType(), True),
+        T.StructField("updated_at", T.TimestampType(), True),
+        T.StructField("record_type", T.StringType(), True),
+    ]
+)
+
+# Silver = cleaned business cols, no audit (DDL_Silver_Table.sql:3-38).
+SILVER_SCHEMA = BUSINESS_SCHEMA
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("file_name", T.StringType(), False),
+        T.StructField("file_path", T.StringType(), True),
+        T.StructField("file_size_bytes", T.LongType(), True),
+        T.StructField("row_count", T.LongType(), True),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("error_message", T.StringType(), True),
+        T.StructField("processed_at", T.TimestampType(), True),
+        T.StructField("created_at", T.TimestampType(), True),
+        T.StructField("run_id", T.StringType(), True),
+        T.StructField("checksum_md5", T.StringType(), True),
+    ]
+)
+
+WATERMARK_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("updated_at", T.TimestampType(), True),
+    ]
+)
+
+LAYERS = ("staging", "bronze", "silver", "gold", "meta", "quarantine")
+
+
+@dataclass
+class Warehouse:
+    """Path layout + table IO for one warehouse root directory."""
+
+    spark: SparkSession
+    root: str
+
+    def path(self, layer: str, table: str) -> str:
+        return os.path.join(self.root, layer, table)
+
+    def exists(self, layer: str, table: str) -> bool:
+        return os.path.exists(self.path(layer, table))
+
+    def read(self, layer: str, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(layer, table))
+
+    def write(self, df: DataFrame, layer: str, table: str, mode: str = "overwrite") -> None:
+        df.write.mode(mode).parquet(self.path(layer, table))
+
+    def overwrite_safe(self, df: DataFrame, layer: str, table: str) -> None:
+        """Overwrite a table that ``df`` may lazily read from."""
+        from teleco_etl_pipeline_spark.operators.upsert import safe_overwrite
+
+        safe_overwrite(df, self.path(layer, table))

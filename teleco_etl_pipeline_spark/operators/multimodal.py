@@ -1,0 +1,166 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata (BASELINE north-star operator family).
+
+The Spark-side contract is fully real and tested:
+- schema: ``binary`` payload + metadata struct (mime, width, height,
+  duration_ms, …)
+- partition-aware batch processing through ``mapInPandas`` (Arrow
+  batches, bounded memory — never collect, never per-row Python)
+- deterministic feature extraction over the raw bytes (length,
+  sha-like rolling checksum, magic-byte sniffing) that exercises the
+  full path without media libraries
+
+The actual media decode (PIL/librosa/ffmpeg) is STUBBED — those libs
+aren't in this container. ``decode_image_batch`` raises
+NotImplementedError unless ``fake=True``, in which case a
+deterministic fake decoder (seeded by payload bytes) produces the
+same shaped output a real decoder would, so downstream plumbing is
+testable end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("checksum", T.LongType(), True),
+        T.StructField("sniffed_type", T.StringType(), True),
+    ]
+)
+
+_MAGIC = {
+    b"\x89PNG": "image/png",
+    b"\xff\xd8\xff": "image/jpeg",
+    b"RIFF": "audio/wav",
+    b"\x1aE\xdf\xa3": "video/webm",
+}
+
+
+def sniff_mime(payload: bytes | None) -> str:
+    if not payload:
+        return "unknown"
+    for magic, mime in _MAGIC.items():
+        if payload.startswith(magic):
+            return mime
+    return "application/octet-stream"
+
+
+def _rolling_checksum(payload: bytes | None) -> int:
+    """Deterministic polynomial rolling hash over raw bytes."""
+    h = 0
+    for b in payload or b"":
+        h = (h * 131 + b) & 0x7FFFFFFFFFFFFFFF
+    return h
+
+
+def extract_binary_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas keeps memory bounded to one Arrow batch per core; at
+    100 TB the scan parallelizes by file split and no payload ever
+    crosses the driver.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: len(p) if p is not None else 0
+                    ),
+                    "checksum": pdf["payload"].map(_rolling_checksum),
+                    "sniffed_type": pdf["payload"].map(sniff_mime),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("pixels_mean", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_image_batch(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Image decode → (width, height, mean pixel) features.
+
+    STUB: real decode requires PIL/opencv (not in this container).
+    ``fake=True`` runs a deterministic fake decoder so the Spark
+    plumbing (schema, batching, partitioning) is fully exercised.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv; not available in this "
+            "environment — run with fake=True to exercise the plumbing"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": payloads.map(
+                        lambda p: 16 + (_rolling_checksum(p) % 64)
+                    ),
+                    "height": payloads.map(
+                        lambda p: 16 + ((_rolling_checksum(p) >> 8) % 64)
+                    ),
+                    "pixels_mean": payloads.map(
+                        lambda p: round((_rolling_checksum(p) % 25600) / 100.0, 2)
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame
+    timestamp, derived from metadata only (decode stubbed). Shows the
+    explode-by-timeline shape used for real frame extraction."""
+    return media.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)
+                ),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )

@@ -114,6 +114,7 @@ def safe_overwrite(df: DataFrame, path: str) -> None:
     helper is the plain-Parquet fallback (SURVEY.md §4.3).
     """
     parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix=".swap_", dir=parent)
     tmp_path = os.path.join(tmp, "data")
     df.write.mode("overwrite").parquet(tmp_path)

@@ -1,0 +1,210 @@
+"""Data-quality engine: rule predicates + reason tagging, good/bad
+split, error-rate circuit breaker, and the ported DQ-check corpus
+(SURVEY.md §2.2 P10-P12, §2.4 A10, §2.12 C2/C3, §5.3).
+
+Every rule is a (predicate, reason) pair evaluated in ONE pass over
+the frame — the annotated split is two filters on the same scan, and
+the error rate comes from a single aggregate, not two counts
+(reference does bad/total in two queries, DataWarehouse.py:455-463).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from teleco_etl_pipeline_spark.functions.scalars import error_details
+
+# Valid domains (dags/Reprocessing.py:41-44).
+VALID_GENDERS = ("Male", "Female")
+VALID_CONTRACTS = ("Month-to-month", "Month-to-Month", "One year", "Two year")
+VALID_INTERNET = ("DSL", "Fiber optic", "No")
+VALID_PAYMENT = (
+    "Electronic check",
+    "Mailed check",
+    "Bank transfer (automatic)",
+    "Credit card (automatic)",
+)
+
+ERROR_RATE_THRESHOLD = 10.0  # percent (DataWarehouse.py:465)
+
+
+@dataclass(frozen=True)
+class Rule:
+    reason: str
+    predicate: Column
+
+
+def churn_rules(df: DataFrame, check_domains: bool = False) -> list[Rule]:
+    """The ingest-time rule set (DataWarehouse.py:443-450 +
+    Reprocessing.py:74-103 when ``check_domains``).
+
+    Missing columns skip their rule (schema-drift tolerance,
+    DataWarehouse.py:628-631).
+    """
+    cols = set(df.columns)
+    rules: list[Rule] = []
+
+    def has(*need: str) -> bool:
+        return all(n in cols for n in need)
+
+    if has("customer_id"):
+        rules.append(
+            Rule(
+                "Missing Customer ID",
+                F.col("customer_id").isNull()
+                | (F.trim(F.col("customer_id").cast("string")) == ""),
+            )
+        )
+        # In-file duplicate marking, keep=False semantics: BOTH copies
+        # are flagged (DataWarehouse.py:449, see SURVEY §7.4.6). Null
+        # IDs are excluded from dup counting (pandas dropna before
+        # duplicated()).
+        w = Window.partitionBy("customer_id")
+        rules.append(
+            Rule(
+                "Duplicate Customer ID",
+                F.col("customer_id").isNotNull()
+                & (F.count(F.lit(1)).over(w) > 1),
+            )
+        )
+    if has("tenure_in_months"):
+        t = F.col("tenure_in_months").cast("double")
+        rules.append(Rule("Negative Tenure", t < 0))
+        rules.append(
+            Rule(
+                "Non-numeric Tenure",
+                F.col("tenure_in_months").isNotNull() & t.isNull(),
+            )
+        )
+    if has("monthly_charges_amount"):
+        m = F.col("monthly_charges_amount").cast("double")
+        rules.append(Rule("Negative Monthly Charges", m < 0))
+    if has("gender"):
+        g = F.initcap(F.trim(F.col("gender").cast("string")))
+        rules.append(
+            Rule("Invalid Gender", F.col("gender").isNotNull() & ~g.isin(*VALID_GENDERS))
+        )
+    if check_domains:
+        if has("contract"):
+            rules.append(
+                Rule(
+                    "Invalid Contract",
+                    F.col("contract").isNotNull()
+                    & ~F.col("contract").isin(*VALID_CONTRACTS),
+                )
+            )
+        if has("payment_method"):
+            rules.append(
+                Rule(
+                    "Invalid Payment Method",
+                    F.col("payment_method").isNotNull()
+                    & ~F.col("payment_method").isin(*VALID_PAYMENT),
+                )
+            )
+        if has("internet_service"):
+            rules.append(
+                Rule(
+                    "Invalid Internet Service",
+                    F.col("internet_service").isNotNull()
+                    & ~F.col("internet_service").isin(*VALID_INTERNET),
+                )
+            )
+    return rules
+
+
+def annotate(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """P11: add error_details (NULL for clean rows)."""
+    return df.withColumn(
+        "error_details",
+        error_details([(r.predicate, r.reason) for r in rules]),
+    )
+
+
+def split_good_bad(df: DataFrame, rules: list[Rule]) -> tuple[DataFrame, DataFrame]:
+    """One scan, two outputs: (good rows without the annotation
+    column, bad rows with error_details)."""
+    annotated = annotate(df, rules)
+    good = annotated.filter(F.col("error_details").isNull()).drop("error_details")
+    bad = annotated.filter(F.col("error_details").isNotNull())
+    return good, bad
+
+
+def error_rate(df: DataFrame, rules: list[Rule]) -> tuple[int, int, float]:
+    """A10/C3 in a single aggregate pass: (total, bad, pct)."""
+    bad_pred = None
+    for r in rules:
+        bad_pred = r.predicate if bad_pred is None else (bad_pred | r.predicate)
+    if bad_pred is None:
+        total = df.count()
+        return total, 0, 0.0
+    # Rules may contain window expressions (dup marking) which cannot
+    # nest inside an aggregate — project the flag first, then agg.
+    flagged = df.select(F.when(bad_pred, F.lit(1)).otherwise(0).alias("_bad"))
+    row = flagged.agg(
+        F.count(F.lit(1)).alias("total"), F.sum("_bad").alias("bad")
+    ).collect()[0]
+    total, bad = row[0], int(row[1] or 0)
+    pct = (100.0 * bad / total) if total else 0.0
+    return total, bad, pct
+
+
+class CircuitBreakerTripped(RuntimeError):
+    """C3: raised when bad-row rate exceeds the threshold — halts the
+    pipeline like the reference's raise (DataWarehouse.py:468-482)."""
+
+
+def check_circuit_breaker(
+    df: DataFrame, rules: list[Rule], threshold_pct: float = ERROR_RATE_THRESHOLD
+) -> tuple[int, int, float]:
+    total, bad, pct = error_rate(df, rules)
+    if pct > threshold_pct:
+        raise CircuitBreakerTripped(
+            f"error rate {pct:.2f}% exceeds threshold {threshold_pct}% "
+            f"({bad}/{total} rows)"
+        )
+    return total, bad, pct
+
+
+# ---------------------------------------------------------------------------
+# DQ-check corpus (DWH_Quality_Checks.sql ported; §5.3)
+# ---------------------------------------------------------------------------
+
+
+def run_layer_checks(df: DataFrame, key: str = "customer_id") -> dict[str, int]:
+    """The invariant battery the reference runs per layer: null keys,
+    duplicate keys, negative numerics. All values expected 0 after a
+    clean stage (SQLValueCheckOperator pass_value=0 semantics,
+    DataWarehouse.py:808-818)."""
+    cols = set(df.columns)
+    checks: dict[str, Column] = {}
+    if key in cols:
+        checks["null_key"] = F.count(F.when(F.col(key).isNull(), 1))
+    if "tenure_in_months" in cols:
+        checks["negative_tenure"] = F.count(
+            F.when(F.col("tenure_in_months").cast("double") < 0, 1)
+        )
+    if "monthly_charges_amount" in cols:
+        checks["negative_charges"] = F.count(
+            F.when(F.col("monthly_charges_amount").cast("double") < 0, 1)
+        )
+    if not checks:
+        return {}
+    row = df.agg(*[c.alias(n) for n, c in checks.items()]).collect()[0]
+    out = {n: row[n] for n in checks}
+    if key in cols:
+        out["duplicate_keys"] = (
+            df.groupBy(key).count().filter(F.col("count") > 1).count()
+        )
+    return out
+
+
+def assert_checks_pass(df: DataFrame, key: str = "customer_id") -> dict[str, int]:
+    """C2: value-check gate — every check must be 0."""
+    results = run_layer_checks(df, key)
+    failing = {k: v for k, v in results.items() if v != 0}
+    if failing:
+        raise AssertionError(f"DQ checks failed: {failing}")
+    return results

@@ -1,0 +1,42 @@
+"""Driver-contract smoke tests: entry/queries/oracle_sql shape."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+
+def _load_entry():
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("__spark_entry__", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_returns_rows(spark):
+    mod = _load_entry()
+    df = mod.entry(spark)
+    assert df.count() > 0
+
+
+def test_queries_and_oracles_consistent(spark, sf_dir):
+    mod = _load_entry()
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert len(qs) >= 30
+    assert set(oracles) <= set(qs)
+    # every oracle-less query is one of the declared sketch ops
+    assert set(qs) - set(oracles) == {
+        "minhash_lsh_pairs",
+        "simhash_neardup",
+        "embedding_lsh_pairs",
+    }
+
+
+def test_every_query_builds_valid_plan(spark, sf_dir):
+    mod = _load_entry()
+    for name, fn in mod.queries().items():
+        df = fn(spark, sf_dir)
+        df.explain()  # analysis succeeds
+        assert df.columns, name

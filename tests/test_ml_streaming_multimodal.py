@@ -1,0 +1,145 @@
+"""ML pipeline, streaming file source, and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from teleco_etl_pipeline_spark.catalog import Warehouse
+from teleco_etl_pipeline_spark.plans import ml
+from teleco_etl_pipeline_spark.plans.pipeline import run_warehouse
+from tests.conftest import write_ingest_csv
+
+
+@pytest.fixture()
+def gold_wh(tmp_path, spark):
+    staging_dir = tmp_path / "landing"
+    staging_dir.mkdir()
+    write_ingest_csv(str(staging_dir / "churn.csv"))
+    run_warehouse(spark, str(tmp_path / "wh"), str(staging_dir), run_date="2026-08-13")
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def test_train_and_infer(gold_wh, tmp_path):
+    models_dir = str(tmp_path / "models")
+    import os
+
+    os.makedirs(models_dir, exist_ok=True)
+    report = ml.train(gold_wh, models_dir, version="2026_08_13")
+    assert report["rows"] == 10
+    assert report["train_auc"] > 0.5  # separable synthetic labels
+
+    n = ml.run_batch_inference(gold_wh, models_dir, "2026-08-13")
+    assert n == 10
+    preds = gold_wh.read("gold", "churn_predictions")
+    assert preds.filter(F.col("churn_prediction").isin(0, 1)).count() == 10
+    probs = [float(r["churn_probability"]) for r in preds.collect()]
+    assert all(0.0 <= p <= 1.0 for p in probs)
+
+    # idempotent per-day rerun (M5): no duplicates
+    ml.run_batch_inference(gold_wh, models_dir, "2026-08-13")
+    assert gold_wh.read("gold", "churn_predictions").count() == 10
+
+
+def test_latest_model_wins(gold_wh, tmp_path):
+    models_dir = str(tmp_path / "models")
+    import os
+
+    os.makedirs(models_dir, exist_ok=True)
+    ml.train(gold_wh, models_dir, version="2026_01_01")
+    ml.train(gold_wh, models_dir, version="2026_06_01")
+    assert ml.latest_model_path(models_dir).endswith("churn_model_2026_06_01")
+
+
+def test_file_arrival_stream(spark, tmp_path):
+    from teleco_etl_pipeline_spark.streaming.file_stream import (
+        file_arrival_stream,
+        foreach_batch_upsert,
+    )
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    (watch / "a.csv").write_text("id,v\n1,x\n2,y\n")
+    (watch / "b.csv").write_text("id,v\n3,z\n")
+
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    seen: list[tuple] = []
+
+    def merge(batch_df, batch_id):
+        seen.extend((r["id"], r["v"], r["source_file"]) for r in batch_df.collect())
+
+    stream = file_arrival_stream(spark, str(watch), schema)
+    q = foreach_batch_upsert(
+        stream, str(tmp_path / "ckpt"), merge, available_now=True
+    )
+    q.awaitTermination(60)
+    assert sorted(seen) == [(1, "x", "a.csv"), (2, "y", "a.csv"), (3, "z", "b.csv")]
+
+    # exactly-once: a second drain sees nothing new
+    seen.clear()
+    q2 = foreach_batch_upsert(
+        file_arrival_stream(spark, str(watch), schema),
+        str(tmp_path / "ckpt"),
+        merge,
+        available_now=True,
+    )
+    q2.awaitTermination(60)
+    assert seen == []
+
+
+def test_streaming_watermarked_counts(spark, tmp_path):
+    """Event-time windowed agg with watermark over a rate-like stream
+    (batch-mode check of the plan shape on static data)."""
+    import datetime as dt
+
+    from teleco_etl_pipeline_spark.streaming.file_stream import watermarked_counts
+
+    events = spark.createDataFrame(
+        [
+            (dt.datetime(2026, 1, 1, 0, 1), "click"),
+            (dt.datetime(2026, 1, 1, 0, 2), "click"),
+            (dt.datetime(2026, 1, 1, 0, 15), "view"),
+        ],
+        ["ts", "event_type"],
+    )
+    out = {
+        (r["window_start"].minute, r["event_type"]): r["cnt"]
+        for r in watermarked_counts(events).collect()
+    }
+    assert out == {(0, "click"): 2, (10, "view"): 1}
+
+
+def test_multimodal_plumbing(spark):
+    from teleco_etl_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_batch,
+        extract_binary_features,
+        frame_sample_plan,
+    )
+
+    rows = [
+        (1, b"\x89PNG\r\n" + b"x" * 100, "image/png", (64, 64, None)),
+        (2, b"\xff\xd8\xff\xe0" + b"y" * 50, "image/jpeg", (32, 32, None)),
+        (3, b"RIFF" + b"z" * 200, "audio/wav", (None, None, 3500)),
+        (4, None, None, (None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r for r in extract_binary_features(media).collect()}
+    assert feats[1]["sniffed_type"] == "image/png"
+    assert feats[2]["sniffed_type"] == "image/jpeg"
+    assert feats[3]["sniffed_type"] == "audio/wav"
+    assert feats[4]["n_bytes"] == 0
+    assert feats[1]["n_bytes"] == 106
+
+    # decode is stubbed: raises without fake=True
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(media).collect()
+    decoded = {r["media_id"]: r for r in decode_image_batch(media, fake=True).collect()}
+    assert 16 <= decoded[1]["width"] < 80
+
+    frames = frame_sample_plan(media.filter(F.col("media_id") == 3), every_ms=1000)
+    assert frames.count() == 4  # 0,1000,2000,3000 for 3500ms

@@ -1,0 +1,150 @@
+"""Unit tests for engine operators (keys, upsert, dedup, similarity,
+text) over in-memory frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from teleco_etl_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from teleco_etl_pipeline_spark.operators.keys import add_surrogate_key
+from teleco_etl_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_bucketed_pairs,
+)
+from teleco_etl_pipeline_spark.operators.upsert import (
+    anti_dedup,
+    delete_then_insert,
+    merge_upsert,
+)
+
+
+def test_surrogate_keys_dense_and_deterministic(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], ["v"])
+    out = {r["v"]: r["k"] for r in add_surrogate_key(df, "k", ["v"]).collect()}
+    assert out == {"a": 1, "b": 2, "c": 3}
+    out2 = {r["v"]: r["k"] for r in add_surrogate_key(df, "k", ["v"], start_at=10).collect()}
+    assert out2 == {"a": 10, "b": 11, "c": 12}
+
+
+def test_merge_upsert_column_subset(spark):
+    target = spark.createDataFrame(
+        [(1, "old_u", "old_k"), (2, "keep_u", "keep_k")], ["id", "upd", "kept"]
+    )
+    source = spark.createDataFrame(
+        [(1, "new_u", "new_k"), (3, "ins_u", "ins_k")], ["id", "upd", "kept"]
+    )
+    out = {
+        r["id"]: r
+        for r in merge_upsert(
+            target, source, keys=["id"], update_cols=["upd"], record_type_col="rt"
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out[1]["upd"] == "new_u" and out[1]["kept"] == "old_k"  # subset!
+    assert out[1]["rt"] == "updated"
+    assert out[2]["upd"] == "keep_u" and out[2]["rt"] == "existing"
+    assert out[3]["upd"] == "ins_u" and out[3]["kept"] == "ins_k"
+    assert out[3]["rt"] == "new"
+
+
+def test_merge_upsert_idempotent(spark):
+    t = spark.createDataFrame([(1, "a")], ["id", "v"])
+    s = spark.createDataFrame([(1, "a")], ["id", "v"])
+    once = merge_upsert(t, s, keys=["id"])
+    twice = merge_upsert(once, s, keys=["id"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_delete_then_insert(spark):
+    t = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    fixes = spark.createDataFrame([(2, "B!"), (3, "c")], ["id", "v"])
+    out = {r["id"]: r["v"] for r in delete_then_insert(t, fixes, ["id"]).collect()}
+    assert out == {1: "a", 2: "B!", 3: "c"}
+
+
+def test_anti_dedup(spark):
+    staging = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    target = spark.createDataFrame([(2,)], ["id"])
+    assert sorted(r["id"] for r in anti_dedup(staging, target, ["id"]).collect()) == [1, 3]
+
+
+def test_exact_dedup_groups(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello  world"), (2, "Hello World"), (3, "different")],
+        ["doc_id", "text"],
+    )
+    out = {r["keeper_doc_id"]: r["copies"] for r in exact_dedup_groups(docs).collect()}
+    # normalization folds case+whitespace → docs 1,2 same group
+    assert out == {1: 2, 3: 1}
+
+
+def _near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("today", "tomorrow")),  # near-dup of 1
+            (3, "completely unrelated text about spark engines and parquet files here"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_ngram_jaccard_finds_neardup(spark):
+    pairs = ngram_jaccard_pairs(_near_dup_docs(spark), n=3, threshold=0.3).collect()
+    assert [(p["doc_id_a"], p["doc_id_b"]) for p in pairs] == [(1, 2)]
+    assert 0.5 < pairs[0]["jaccard"] < 1.0
+
+
+def test_minhash_lsh_finds_neardup(spark):
+    pairs = minhash_lsh_pairs(
+        _near_dup_docs(spark), n=3, num_hashes=32, bands=8, threshold=0.3
+    ).collect()
+    assert (1, 2) in [(p["doc_id_a"], p["doc_id_b"]) for p in pairs]
+
+
+def test_simhash_finds_neardup(spark):
+    pairs = simhash_neardup_pairs(_near_dup_docs(spark), max_hamming=16, bands=4)
+    got = [(p["doc_id_a"], p["doc_id_b"]) for p in pairs.collect()]
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def _vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),   # opposite
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk(spark):
+    out = brute_force_topk(_vectors(spark), [1.0, 0.0, 0.0, 0.0], k=2, exclude_ids=(0,)).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+    assert out[0]["cosine_sim"] > 0.99
+
+
+def test_embedding_neardup_and_lsh_agree(spark):
+    exact = embedding_neardup_pairs(_vectors(spark), threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in exact] == [(0, 1)]
+    lsh = lsh_bucketed_pairs(_vectors(spark), n_planes=4, threshold=0.9).collect()
+    # LSH candidates are a subset of exact pairs after verification
+    assert set((r["id_a"], r["id_b"]) for r in lsh) <= {(0, 1)}
+
+
+def test_lineage_annotations_no_python_udfs(spark, sf_dir):
+    """Guard: the relational+text catalog must stay UDF-free (plans
+    show no BatchEvalPython / PythonUDF nodes)."""
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    for name, q in all_queries().items():
+        plan = q.build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
