@@ -324,10 +324,15 @@ def q_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")  # ts is int64 nanos (nanosAsLong)
     lo_us = 1704412800_000000  # 2024-01-05 00:00:00 UTC
     hi_us = 1705017600_000000  # 2024-01-12 00:00:00 UTC
+    # Filter on the RAW column, not the derived `ts div 1000` — a
+    # plain comparison pushes to the parquet reader (PushedFilters +
+    # row-group stats pruning), an expression filter does not.
+    # Integer equivalences: ts_us > lo ⟺ ts ≥ (lo+1)·1000;
+    # ts_us ≤ hi ⟺ ts < (hi+1)·1000.
     ts_us = F.expr("ts div 1000")
-    return ev.filter((ts_us > lo_us) & (ts_us <= hi_us)).select(
-        "event_id", "user_id", ts_us.alias("ts_us"), "event_type"
-    )
+    return ev.filter(
+        (F.col("ts") >= (lo_us + 1) * 1000) & (F.col("ts") < (hi_us + 1) * 1000)
+    ).select("event_id", "user_id", ts_us.alias("ts_us"), "event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -728,3 +733,75 @@ def q_delete_then_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_md5_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", F.md5(F.col("text")).alias("checksum"))
+
+
+@query(
+    "tenure_months_calc",
+    """
+    SELECT o_orderkey,
+           CAST(date_part('year',  age(TIMESTAMP '2026-08-13 00:00:00', o_orderdate)) * 12
+              + date_part('month', age(TIMESTAMP '2026-08-13 00:00:00', o_orderdate)) AS INTEGER)
+             AS tenure_months
+    FROM orders
+    """,
+    doc="Calendar-month tenure parity (§2.9 date math, SURVEY trap "
+    "#5): Postgres EXTRACT(YEAR FROM age())*12 + EXTRACT(MONTH ...) "
+    "vs Spark floor(months_between) — verified equivalent on every "
+    "order date (churn_export_dag_cloude.py:348-351).",
+)
+def q_tenure_months_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.functions.scalars import tenure_months
+
+    o = _t(spark, sf_dir, "orders")
+    ref = F.lit("2026-08-13 00:00:00").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        tenure_months(F.col("o_orderdate"), ref).alias("tenure_months"),
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY o_orderpriority
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+    ) <= 3
+    """,
+    doc="Per-group top-k via window rank (the scale-friendly "
+    "grouped-topk pattern: one shuffle on the group key, per-group "
+    "heaps, no global sort).",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "initcap_norm",
+    """
+    SELECT DISTINCT
+           c_mktsegment,
+           upper(substr(lower(trim(c_mktsegment)), 1, 1))
+             || substr(lower(trim(c_mktsegment)), 2) AS segment_title
+    FROM customer
+    """,
+    doc="initcap string normalization (P14 — Reprocessing.py:81 "
+    "`.str.title()` on gender). DuckDB lacks initcap, so the oracle "
+    "spells it out — semantics match for single-word values.",
+)
+def q_initcap_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_mktsegment",
+        F.initcap(F.trim(F.col("c_mktsegment"))).alias("segment_title"),
+    ).distinct()
