@@ -106,7 +106,10 @@ def ngram_jaccard_pairs(
     """Exact Jaccard similarity over word n-gram shingle sets for every
     candidate pair sharing ≥1 shingle. Returns (doc_id_a, doc_id_b,
     jaccard) with doc_id_a < doc_id_b and jaccard ≥ threshold."""
-    sh = _doc_shingles(docs, n)
+    # The shingle explode is the expensive leaf and appears three
+    # times in this plan (sizes + both join sides) — cache it so the
+    # regex/transform work runs once.
+    sh = _doc_shingles(docs, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     if max_shingle_freq is not None:
         rare = (

@@ -200,3 +200,74 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_pairs(emb, n_planes=8, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed exact rerank
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Fit a k-means coarse quantizer and assign every vector to its
+    inverted list. Returns (assigned_df with ``ivf_list`` column,
+    centroids ndarray).
+
+    At 100 TB the assignment is one distributed pass; the centroid
+    table is tiny and lives on the driver/broadcast.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="_v", predictionCol="ivf_list").fit(feat)
+    assigned = model.transform(feat).drop("_v")
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """Probe the n_probe nearest inverted lists, exact-cosine rerank.
+
+    Scan cost drops from O(N·d) to O(N·n_probe/n_centroids·d); the
+    probed-list filter is a pushable IN predicate (partition the
+    assigned table by ivf_list at scale for partition pruning).
+    """
+    q = np.asarray(query_vec, dtype=float)
+    sims = (centroids @ q) / (
+        np.linalg.norm(centroids, axis=1) * np.linalg.norm(q) + 1e-12
+    )
+    probe = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    cand = assigned.filter(F.col("ivf_list").isin(probe))
+    return brute_force_topk(
+        cand, query_vec, k=k, id_col=id_col, vec_col=vec_col, exclude_ids=exclude_ids
+    )
+
+
+@query(
+    "embedding_ivf_topk",
+    None,  # clustering output — rows-only check
+    doc="IVF ANN: k-means coarse quantizer + n_probe inverted-list "
+    "scan + exact rerank (the partition-pruned scale path).",
+)
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    assigned, centroids = ivf_assign(emb, n_centroids=8)
+    return ivf_topk(assigned, centroids, qvec, k=10, n_probe=4, exclude_ids=(0,)).select(
+        "vec_id", "cosine_sim"
+    )

@@ -181,3 +181,36 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", F.md5(normalized_text("text")).alias("fingerprint"))
+
+
+# BPE-ish pre-tokenization: letter runs, digit runs, and individual
+# punctuation — the classic GPT-2-style pre-split shape (public
+# knowledge) that BPE merge tables operate on.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "doc_regex_tokens",
+    r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+'))               AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_pretokens,
+           len(regexp_extract_all(text, '[0-9]+'))                     AS digit_runs
+    FROM documents
+    """,
+    doc="Token counting two ways: whitespace tokenizer + BPE-ish "
+    "regex pre-tokenizer (letter runs / digit runs / punct) — the "
+    "pre-split a BPE merge table consumes.",
+)
+def q_doc_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(BPE_SPLIT_PATTERN), 0)
+        ).alias("bpe_pretokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)).alias(
+            "digit_runs"
+        ),
+    )

@@ -31,6 +31,7 @@ def test_queries_and_oracles_consistent(spark, sf_dir):
         "minhash_lsh_pairs",
         "simhash_neardup",
         "embedding_lsh_pairs",
+        "embedding_ivf_topk",
     }
 
 

@@ -148,3 +148,17 @@ def test_lineage_annotations_no_python_udfs(spark, sf_dir):
     for name, q in all_queries().items():
         plan = q.build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    """IVF with 4/8 probes must recover most of the exact top-10."""
+    from teleco_etl_pipeline_spark.operators.similarity import ivf_assign, ivf_topk
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+    from teleco_etl_pipeline_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, qvec, k=10, exclude_ids=(0,)).collect()}
+    assigned, centroids = ivf_assign(emb, n_centroids=8)
+    approx = {r["vec_id"] for r in ivf_topk(assigned, centroids, qvec, k=10, n_probe=4, exclude_ids=(0,)).collect()}
+    assert len(exact & approx) >= 5  # recall@10 ≥ 0.5 with half the lists probed
