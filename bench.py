@@ -37,6 +37,13 @@ BENCH_QUERIES = [
     "doc_quality_score",     # text analysis
     "embedding_topk",        # brute-force ANN
     "embedding_lsh_pairs",   # LSH ANN
+    "events_tumbling_hourly",  # event-time tumbling window
+    "events_sessionize",     # gap sessionization (2 windows + agg, 1 shuffle)
+    "events_json_props",     # JSON extraction + agg
+    "multimodal_features",   # Arrow-batched binary mapInPandas
+    "rollup_summary",        # Expand + rollup agg
+    "quantile_profile",      # exact percentiles
+    "salted_join_agg",       # skew-salted shuffle join
 ]
 
 

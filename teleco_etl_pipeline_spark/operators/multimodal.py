@@ -148,6 +148,85 @@ def decode_image_batch(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+def synthetic_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from ``documents``: payload =
+    format magic bytes (by doc_id mod 4) + UTF-8 text bytes, duration
+    from doc_id. Pure column expressions → reproducible on any engine,
+    which is what lets the binary mapInPandas path have a SQL oracle."""
+    mod = F.col("doc_id") % 4
+    magic = (
+        F.when(mod == 0, F.lit(b"\x89PNG"))
+        .when(mod == 1, F.lit(b"\xff\xd8\xff"))
+        .when(mod == 2, F.lit(b"RIFF"))
+        .otherwise(F.lit(b"\x1aE\xdf\xa3"))
+    )
+    duration_ms = ((F.col("doc_id") % 5) * 1000 + 500).cast("int")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(magic, F.encode(F.col("text"), "UTF-8")).alias("payload"),
+        F.when(mod == 1, F.lit("image/jpeg"))
+        .when(mod == 0, F.lit("image/png"))
+        .when(mod == 2, F.lit("audio/wav"))
+        .otherwise(F.lit("video/webm"))
+        .alias("mime"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            duration_ms.alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _register_queries() -> None:
+    # Local import: registry.all_queries() imports this module, so the
+    # decorator import stays function-scoped to avoid a cycle.
+    from teleco_etl_pipeline_spark.plans.registry import query
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    @query(
+        "multimodal_features",
+        """
+        SELECT doc_id AS media_id,
+               CAST(strlen(text) + CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 4 END
+                    AS INTEGER) AS n_bytes,
+               CASE doc_id % 4 WHEN 0 THEN 'image/png'
+                               WHEN 1 THEN 'image/jpeg'
+                               WHEN 2 THEN 'audio/wav'
+                               ELSE 'video/webm' END AS sniffed_type
+        FROM documents
+        """,
+        doc="Binary-column feature extraction (length + magic-byte "
+        "sniffing) through Arrow-batched mapInPandas over synthetic "
+        "media payloads — the multimodal slow-path plumbing, with a "
+        "real oracle because the payload construction is deterministic.",
+    )
+    def q_multimodal_features(spark, sf_dir):
+        media = synthetic_media_from_documents(load_table(spark, sf_dir, "documents"))
+        return extract_binary_features(media).select(
+            "media_id", "n_bytes", "sniffed_type"
+        )
+
+    @query(
+        "multimodal_frame_sample",
+        """
+        SELECT media_id, CAST(f AS INTEGER) AS frame_ts_ms FROM (
+            SELECT doc_id AS media_id,
+                   unnest(range(0, (doc_id % 5) * 1000 + 500, 1000)) AS f
+            FROM documents
+        )
+        """,
+        doc="Video frame-sampling plan: one row per sampled frame "
+        "timestamp via explode(sequence(...)) over metadata — the "
+        "timeline-explode shape real frame extraction hangs off.",
+    )
+    def q_multimodal_frame_sample(spark, sf_dir):
+        media = synthetic_media_from_documents(load_table(spark, sf_dir, "documents"))
+        return frame_sample_plan(media, every_ms=1000)
+
+
+_register_queries()
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame
     timestamp, derived from metadata only (decode stubbed). Shows the

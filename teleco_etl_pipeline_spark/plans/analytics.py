@@ -1,0 +1,142 @@
+"""OLAP analytics beyond the reference's flat GROUP BYs: rollup,
+pivot, exact quantiles, HLL sketches, and the skew-salted join.
+
+The reference has no grouping sets / cube / rollup / pivot / window
+percentiles (SURVEY.md §2.4 — verified absent); a warehouse user
+still expects them, so they are first-class here. Each query is one
+declarative plan: rollup/cube lower to a single Expand + partial-agg
+shuffle, pivot to a conditional aggregation (never N queries), exact
+percentiles to a single-pass sort-based agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from teleco_etl_pipeline_spark.plans.registry import query
+from teleco_etl_pipeline_spark.sources.tables import load_table
+from teleco_etl_pipeline_spark.plans.relational import EPS
+
+
+@query(
+    "rollup_summary",
+    """
+    SELECT r_name, n_name, COUNT(*) AS customer_cnt
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="Hierarchical ROLLUP totals (region → nation → grand total) "
+    "over the broadcast star join: one Expand node + one partial-agg "
+    "shuffle, not three queries.",
+)
+def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, n["n_nationkey"] == c["c_nationkey"])
+        .join(r, r["r_regionkey"] == n["n_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("customer_cnt"))
+    )
+
+
+@query(
+    "pivot_status_matrix",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS status_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="PIVOT (returnflag × linestatus count matrix) — lowers to one "
+    "conditional aggregation pass; explicit pivot values keep the "
+    "schema static (no pre-scan job, deterministic columns at scale).",
+)
+def q_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "status_f", "O": "status_o"})
+        # pivot leaves NULL where a cell has no rows; the oracle's
+        # FILTER count yields 0 — align.
+        .fillna(0, subset=["status_f", "status_o"])
+    )
+
+
+@query(
+    "quantile_profile",
+    f"""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25) + {EPS}, 2) AS price_q1,
+           ROUND(quantile_cont(l_extendedprice, 0.50) + {EPS}, 2) AS price_median,
+           ROUND(quantile_cont(l_extendedprice, 0.75) + {EPS}, 2) AS price_q3
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` "
+    "== DuckDB `quantile_cont`, both linear interpolation): "
+    "sort-based single-pass agg. At 100 TB swap for approx_percentile "
+    "(t-digest) — same plan shape, bounded memory.",
+)
+def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75]))
+    return li.groupBy("l_returnflag").agg(
+        F.round(pct.getItem(0) + EPS, 2).alias("price_q1"),
+        F.round(pct.getItem(1) + EPS, 2).alias("price_median"),
+        F.round(pct.getItem(2) + EPS, 2).alias("price_q3"),
+    )
+
+
+@query(
+    "approx_distinct_users",
+    None,  # HLL sketch — engine-specific estimates, rows-only check
+    doc="approx_count_distinct (HyperLogLog++) per event_type — the "
+    "bounded-memory cardinality path for 100 TB where exact "
+    "COUNT(DISTINCT) would shuffle every value. Rows-only: sketch "
+    "estimates are engine-specific by design (exact twin: "
+    "`count_distinct` query).",
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+@query(
+    "salted_join_agg",
+    """
+    SELECT s_nationkey,
+           COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_qty
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_nationkey
+    """,
+    doc="Skew-salted shuffle join (operators/skew.py:salted_join, "
+    "n_salt=8, deterministic xxhash64 salt) then aggregate — result "
+    "provably identical to the plain join (the oracle IS the plain "
+    "join). The pattern for hot-key joins AQE can't split.",
+)
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_suppkey", "s_suppkey"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(li, sup, on=["s_suppkey"], how="inner", n_salt=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "total_qty"
+        ),
+    )

@@ -1,0 +1,166 @@
+"""Event-time analytics over the ``events`` stream table.
+
+The reference is batch-only (SURVEY.md §2.10: no tumbling/sliding/
+session windows exist in it — `dags/Reprocessing.py:160-185` is a
+file sensor, `dags/churn_export_dag_cloude.py:369-371` a watermark
+range). These queries are the beyond-reference streaming-shaped
+family a training-data pipeline needs, expressed so the SAME plan
+runs batch today and under Structured Streaming with
+``withWatermark`` tomorrow:
+
+- tumbling windows  → integer bucket arithmetic on the event time
+  (groupBy bucket == ``F.window`` semantics, but the bucket key is a
+  pushable/pruneable long, which also makes it the natural partition
+  column at 100 TB)
+- hopping windows   → explode each row into the ``window/slide``
+  buckets that cover it (the standard Spark rewrite; row growth is
+  the overlap factor, here 2×)
+- session windows   → lag-gap + running-sum window functions (the
+  batch equivalent of ``F.session_window`` streaming state); one shuffle
+  on user_id serves both the window and the final groupBy because
+  hash-partitioning on a key subset satisfies the agg's required
+  clustering.
+
+``events.ts`` arrives as int64 epoch-nanoseconds (parquet
+TIMESTAMP(NANOS) via nanosAsLong — see sources/tables.py), so all
+window math is pure long arithmetic: JVM-codegen'd, no timezone
+traps, and directly comparable with DuckDB ``epoch_us``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from teleco_etl_pipeline_spark.plans.registry import query
+from teleco_etl_pipeline_spark.sources.tables import load_table
+
+HOUR_NS = 3_600 * 1_000_000_000
+HALF_HOUR_NS = 1_800 * 1_000_000_000
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@query(
+    "events_tumbling_hourly",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour event-time window per event_type (streaming "
+    "St-family). Bucket = integer div of the epoch — one shuffle with "
+    "map-side partial agg; at scale the bucket doubles as the "
+    "partition/pruning column.",
+)
+def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")  # ts: int64 nanos
+    win = (F.expr(f"ts div {HOUR_NS}") * 3600).alias("window_start_s")
+    return ev.groupBy(win, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "total_value"
+        ),
+    )
+
+
+@query(
+    "events_hopping_counts",
+    """
+    SELECT win_start_s, COUNT(*) AS n_events
+    FROM (
+        SELECT (epoch_us(ts) // 1800000000) * 1800 AS win_start_s FROM events
+        UNION ALL
+        SELECT (epoch_us(ts) // 1800000000) * 1800 - 1800 FROM events
+    )
+    GROUP BY win_start_s
+    """,
+    doc="Hopping window (1 h window, 30 min slide) via explode into "
+    "the 2 covering buckets — the canonical Spark rewrite of sliding "
+    "windows; row growth == overlap factor, then a plain partial-agg "
+    "shuffle.",
+)
+def q_events_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = F.expr(f"ts div {HALF_HOUR_NS}") * 1800
+    covering = F.array(base, base - 1800)
+    return (
+        ev.select(F.explode(covering).alias("win_start_s"))
+        .groupBy("win_start_s")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH marked AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts_us,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, session_seq,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           COUNT(*)   AS n_events
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+    doc="Gap-based sessionization (30 min inactivity), the batch "
+    "equivalent of F.session_window: lag-gap mark + running sum. "
+    "ONE shuffle on user_id serves the two window functions AND the "
+    "final groupBy (hash(user_id) satisfies the (user_id, seq) "
+    "clustering requirement).",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = ts_us - F.lag(ts_us).over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    seq = F.sum(is_new).over(
+        Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.select("user_id", ts_us.alias("ts_us"), seq.alias("session_seq"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "events_json_props",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY prop_k
+    """,
+    doc="Semi-structured extraction: JSON property pulled JVM-side "
+    "with get_json_object (no Python), then grouped. The extract is "
+    "inside whole-stage codegen; props stays a pruned single column "
+    "at the scan.",
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    prop_k = F.get_json_object("props", "$.k").cast("int").alias("prop_k")
+    return ev.groupBy(prop_k).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

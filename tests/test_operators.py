@@ -162,3 +162,36 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assigned, centroids = ivf_assign(emb, n_centroids=8)
     approx = {r["vec_id"] for r in ivf_topk(assigned, centroids, qvec, k=10, n_probe=4, exclude_ids=(0,)).collect()}
     assert len(exact & approx) >= 5  # recall@10 ≥ 0.5 with half the lists probed
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from teleco_etl_pipeline_spark.operators.skew import hot_keys, salted_join
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_suppkey", "s_suppkey"
+    ).select("s_suppkey", "l_quantity")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    plain = li.join(sup, "s_suppkey").groupBy("s_nationkey").count()
+    salted = (
+        salted_join(li, sup, on=["s_suppkey"], n_salt=4)
+        .groupBy("s_nationkey")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # anti-join semantics survive salting (no per-salt false positives)
+    missing = spark.createDataFrame([(-1, 0.0)], ["s_suppkey", "l_quantity"])
+    anti = salted_join(li.union(missing), sup, on=["s_suppkey"], how="left_anti", n_salt=4)
+    assert anti.count() == 1
+
+    top = hot_keys(li, ["s_suppkey"], top_n=3).collect()
+    assert len(top) == 3 and top[0]["n_rows"] >= top[-1]["n_rows"]
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest as _pytest
+    from teleco_etl_pipeline_spark.operators.skew import salted_join
+
+    df = spark.range(2)
+    with _pytest.raises(ValueError):
+        salted_join(df, df, on=["id"], how="full")
