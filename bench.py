@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "rollup_summary",        # Expand + rollup agg
     "quantile_profile",      # exact percentiles
     "salted_join_agg",       # skew-salted shuffle join
+    "asof_last_purchase",    # as-of join (union + window)
+    "banded_price_join",     # range→equi banded join
+    "shipping_priority",     # 3-way join + top-k (TPC-H Q3 shape)
 ]
 
 

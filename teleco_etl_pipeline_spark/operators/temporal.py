@@ -1,0 +1,163 @@
+"""Temporal join operators: as-of join and banded range join.
+
+Neither exists in the reference (SURVEY.md §2.3: "No theta/range/
+as-of/interval joins") or as a Spark built-in; both are staples of
+time-series/feature-store workloads, so the engine provides them as
+compositions of shuffle-friendly primitives — never a theta-join
+cross product, never a UDF:
+
+- ``asof_join``: the sort-merge formulation. Union both sides tagged,
+  one window pass per key ordered by time carries the latest right
+  value forward (`last(..., ignorenulls=True)`), filter back to left
+  rows. Cost = ONE shuffle of |L|+|R| on the key — the same plan a
+  native as-of join would produce; no per-row lookups, no explosion.
+  At 100 TB this beats the broadcast-bucketed alternatives whenever
+  both sides are large.
+- ``banded_range_join``: uniform-width interval join rewritten as an
+  equi-join on the band id (floor(x / width)) — the standard trick
+  that turns an O(|L|·|R|) theta join into a hash join. For bands
+  spanning k widths, explode the k candidate ids (overlap factor k,
+  same shape as the hopping-window rewrite in plans/events.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__side"  # 1 = right (state), 0 = left (probe)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For every left row, attach the most recent right-side
+    ``value_cols`` with ``right.ts <= left.ts`` (``<`` when
+    ``strict``) and equal keys; NULLs when no prior right row.
+
+    Left columns are preserved; right value columns are appended.
+    Within one (key, ts) tie the right row sorts before the left row
+    (inclusive semantics) or after (strict).
+    """
+    lcols = left.columns
+    l_tagged = left.withColumn(_SIDE, F.lit(0))
+    for v in value_cols:
+        l_tagged = l_tagged.withColumn(v, F.lit(None).cast(right.schema[v].dataType))
+    r_tagged = right.select(
+        *key_cols, ts_col, *value_cols, F.lit(1).alias(_SIDE)
+    )
+    for c in lcols:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # Inclusive: right(ts) must be visible to left(ts) at the same
+    # timestamp → sort right rows first (descending side). Strict:
+    # right rows last.
+    side_order = F.col(_SIDE).desc() if not strict else F.col(_SIDE).asc()
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *lcols,
+        F.col(_SIDE),
+        *[F.last(v, ignorenulls=True).over(w).alias(f"__asof_{v}") for v in value_cols],
+    )
+    out = filled.filter(F.col(_SIDE) == 0).drop(_SIDE)
+    for v in value_cols:
+        out = out.drop(v).withColumnRenamed(f"__asof_{v}", v)
+    return out
+
+
+def _register_queries() -> None:
+    from pyspark.sql import SparkSession
+
+    from teleco_etl_pipeline_spark.plans.registry import query
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    @query(
+        "asof_last_purchase",
+        """
+        SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+               COALESCE(p.value, -1.0) AS last_purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        doc="As-of join: each click annotated with the user's most "
+        "recent prior purchase value (feature-store point-in-time "
+        "lookup). Sort-merge formulation — one shuffle of |L|+|R|, "
+        "no explosion; oracle is DuckDB's native ASOF JOIN.",
+    )
+    def q_asof_last_purchase(spark: SparkSession, sf_dir: str):
+        ev = load_table(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        )
+        out = asof_join(
+            clicks, purchases, key_cols=["user_id"], ts_col="ts", value_cols=["value"]
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            # NULL-double hashes differ cross-engine (None vs NaN via
+            # pandas) — sentinel the no-prior-purchase case on both sides.
+            F.coalesce(F.col("value"), F.lit(-1.0)).alias("last_purchase_value"),
+        )
+
+    @query(
+        "banded_price_join",
+        """
+        SELECT band_label, COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN (SELECT band_id, 'band_' || band_id AS band_label
+              FROM (SELECT unnest(range(0, 12)) AS band_id)) b
+          ON l.l_extendedprice >= band_id * 10000
+         AND l.l_extendedprice <  (band_id + 1) * 10000
+        GROUP BY band_label
+        """,
+        doc="Range/interval join rewritten as an equi-join on the "
+        "computed band id (floor(price/width)) — O(|L|·|R|) theta "
+        "join → hash join; the oracle runs the literal range "
+        "predicate to prove equivalence.",
+    )
+    def q_banded_price_join(spark: SparkSession, sf_dir: str):
+        li = load_table(spark, sf_dir, "lineitem")
+        bands = spark.range(12).select(
+            F.col("id").alias("band_id"),
+            F.concat(F.lit("band_"), F.col("id").cast("string")).alias("band_label"),
+        )
+        joined = banded_range_join(li, bands, "l_extendedprice", width=10000.0)
+        return joined.groupBy("band_label").agg(F.count(F.lit(1)).alias("n_items"))
+
+
+_register_queries()
+
+
+def banded_range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    band_id_col: str = "band_id",
+    width: float = 1.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``fact`` rows to uniform bands ``[band_id*width,
+    (band_id+1)*width)`` as a pure equi-join on the computed band id.
+    ``bands`` must be keyed by ``band_id_col``; tiny band tables
+    broadcast automatically."""
+    keyed = fact.withColumn(
+        band_id_col, F.floor(F.col(value_col) / F.lit(width)).cast("long")
+    )
+    return keyed.join(bands, band_id_col, how)

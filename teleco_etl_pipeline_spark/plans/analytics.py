@@ -96,6 +96,67 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "shipping_priority",
+    """
+    SELECT o_orderkey,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+             AS revenue,
+           epoch_us(o_orderdate) AS orderdate_us,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H-Q3-shaped shipping priority: selective filters pushed "
+    "to all three scans, filtered customer broadcast into the "
+    "orders⋈lineitem shuffle join, decimal-exact revenue, "
+    "TakeOrderedAndProject top-10 (no global sort).",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cut = "1998-01-01 00:00:00"
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    ords = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cut).cast("timestamp")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit(cut).cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+    return (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .join(F.broadcast(cust), ords["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            # parquet NTZ timestamp → TZ cast is identity under the
+            # session's UTC timezone
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
     "approx_distinct_users",
     None,  # HLL sketch — engine-specific estimates, rows-only check
     doc="approx_count_distinct (HyperLogLog++) per event_type — the "

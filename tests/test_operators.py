@@ -195,3 +195,42 @@ def test_salted_join_rejects_right_outer(spark):
     df = spark.range(2)
     with _pytest.raises(ValueError):
         salted_join(df, df, on=["id"], how="full")
+
+
+def test_asof_join_inclusive_and_strict(spark):
+    from teleco_etl_pipeline_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], ["k", "ts", "tag"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 6, 60.0)], ["k", "ts", "v"]
+    )
+    inc = {
+        r["tag"]: r["v"]
+        for r in asof_join(left, right, ["k"], "ts", ["v"]).collect()
+    }
+    # ts=10 sees the ts=10 right row (inclusive); ts=20 the latest (15);
+    # k=2 ts=5 has no right row at or before it.
+    assert inc == {"a": 100.0, "b": 150.0, "c": None}
+    strict = {
+        r["tag"]: r["v"]
+        for r in asof_join(left, right, ["k"], "ts", ["v"], strict=True).collect()
+    }
+    assert strict == {"a": None, "b": 150.0, "c": None}
+
+
+def test_banded_range_join_equals_range_predicate(spark):
+    from teleco_etl_pipeline_spark.operators.temporal import banded_range_join
+
+    fact = spark.createDataFrame(
+        [(0, 3.0), (1, 9.99), (2, 10.0), (3, 25.5), (4, 99.0)], ["id", "x"]
+    )
+    bands = spark.range(3).select(
+        F.col("id").alias("band_id"), (F.col("id") * 10).alias("lo")
+    )
+    got = {
+        (r["id"], r["band_id"])
+        for r in banded_range_join(fact, bands, "x", width=10.0).collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 1), (3, 2)}  # 99.0 has no band
