@@ -202,3 +202,34 @@ def test_gold_quality_gate_catches_orphans(staged):
     wh.overwrite_safe(dim, "gold", "dim_customer")
     with pytest.raises(AssertionError, match="orphan"):
         medallion.gold_quality_gate(wh)
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Two tables co-bucketed on the join key: sort-merge join plan
+    must contain zero Exchange (bucketing provides the partitioning)
+    and zero Sort (sortBy provides the ordering)."""
+    from teleco_etl_pipeline_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    left = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+        "a", F.col("k") * 2
+    )
+    right = spark.range(0, 500).withColumnRenamed("id", "k").withColumn(
+        "b", F.col("k") + 1
+    )
+    wh.write_bucketed(left, "silver", "t_left", ["k"], n_buckets=8, sorted_by=["k"])
+    wh.write_bucketed(right, "silver", "t_right", ["k"], n_buckets=8, sorted_by=["k"])
+
+    l, r = wh.read_bucketed("silver", "t_left"), wh.read_bucketed("silver", "t_right")
+    joined = l.hint("merge").join(r, "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 500
+
+    # control: the same data read as plain parquet DOES shuffle
+    plain = (
+        spark.read.parquet(wh.path("silver", "t_left__bucketed"))
+        .hint("merge")
+        .join(spark.read.parquet(wh.path("silver", "t_right__bucketed")), "k")
+    )
+    assert "Exchange" in plain._jdf.queryExecution().executedPlan().toString()
