@@ -1,0 +1,84 @@
+"""Physical-plan regression tests: lock in the properties that make
+the catalog scale (predicate pushdown, column pruning, broadcast
+joins, bounded shuffles, no cartesian products). A query that still
+returns correct rows but loses one of these would be quietly 100×
+slower at 100 TB — so the plan shape itself is under test."""
+
+from __future__ import annotations
+
+import pytest
+
+from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    q = all_queries()[name]
+    return q.build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+# The one sanctioned all-pairs plan: the exact near-dup BASELINE is
+# O(n²) by definition; its scale path is lsh_bucketed_pairs /
+# minhash_lsh_pairs (bucketed equi-joins).
+ALLPAIRS_BASELINES = {"embedding_neardup"}
+
+
+def test_no_cartesian_or_nested_loop_anywhere(spark, sf_dir):
+    """No query in the catalog may plan a cartesian product or a
+    non-broadcast nested-loop join (except declared all-pairs
+    baselines)."""
+    for name, q in all_queries().items():
+        if name in ALLPAIRS_BASELINES:
+            continue
+        plan = q.build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_watermark_filter_pushes_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "watermark_window")
+    assert "PushedFilters: [" in plan
+    # the raw-column comparisons must reach the reader (not post-scan)
+    assert "GreaterThanOrEqual(ts" in plan and "LessThan(ts" in plan
+
+
+def test_pricing_summary_prunes_and_pushes(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    # shipdate predicate reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 16-column table scans only the 7 needed
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "star_join")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region
+    assert "SortMergeJoin" not in plan
+
+
+def test_shipping_priority_shape(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "shipping_priority")
+    assert "BroadcastHashJoin" in plan  # filtered customer side
+    assert "TakeOrderedAndProject" in plan  # top-k without global sort
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_sessionize")
+    assert plan.count("Exchange") == 1  # windows + agg share hash(user_id)
+
+
+def test_tumbling_window_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_tumbling_hourly")
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert plan.count("Exchange") == 1
+
+
+@pytest.mark.parametrize("name", ["semi_join", "anti_join"])
+def test_exists_forms_stay_joins(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "LeftSemi" in plan or "LeftAnti" in plan
