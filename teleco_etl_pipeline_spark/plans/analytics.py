@@ -146,9 +146,11 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "revenue",
-            # parquet NTZ timestamp → TZ cast is identity under the
-            # session's UTC timezone
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+            # NTZ epoch via timestampdiff — session-timezone-independent
+            # (unix_micros(cast) would shift under a non-UTC driver session)
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+            ).alias("orderdate_us"),
             "o_orderpriority",
         )
         .orderBy(F.desc("revenue"), "o_orderkey")
