@@ -45,6 +45,35 @@ def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cube_summary",
+    """
+    SELECT c_mktsegment, n_name,
+           COUNT(*) AS customer_cnt,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY CUBE (c_mktsegment, n_name)
+    """,
+    doc="CUBE over two independent dimensions (segment × nation): all "
+    "4 grouping sets in one Expand + single partial-agg shuffle — "
+    "the dashboard-rollup shape, never 4 separate scans.",
+)
+def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        c.join(n, n["n_nationkey"] == c["c_nationkey"])
+        .cube("c_mktsegment", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("customer_cnt"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_bal"),
+        )
+    )
+
+
+@query(
     "pivot_status_matrix",
     """
     SELECT l_returnflag,
