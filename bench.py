@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "asof_last_purchase",    # as-of join (union + window)
     "banded_price_join",     # range→equi banded join
     "shipping_priority",     # 3-way join + top-k (TPC-H Q3 shape)
+    "local_supplier_volume", # 6-table join (TPC-H Q5 shape)
 ]
 
 
