@@ -45,11 +45,14 @@ def normalize_columns(
 def safe_int(col: Column | str) -> Column:
     """``CAST(NULLIF(TRIM(x::TEXT), '') AS INTEGER)`` (P5).
 
-    Spark's non-ANSI cast already yields NULL on garbage; the NULLIF
-    keeps the empty-string path explicit and oracle-matchable.
+    ``try_cast`` yields NULL on garbage in BOTH ANSI modes, so the
+    expression is session-conf-independent (a plain ``.cast`` throws
+    CAST_INVALID_INPUT under Spark 4's ANSI default when the caller's
+    session — not ours — runs the plan). The NULLIF keeps the
+    empty-string path explicit and oracle-matchable.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.nullif(F.trim(c.cast("string")), F.lit("")).cast("int")
+    return F.nullif(F.trim(c.cast("string")), F.lit("")).try_cast("int")
 
 
 def scrub_numeric(col: Column | str, target: str = "double") -> Column:
@@ -61,7 +64,9 @@ def scrub_numeric(col: Column | str, target: str = "double") -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     scrubbed = F.regexp_replace(c.cast("string"), r"[^0-9.]", "")
-    return F.nullif(scrubbed, F.lit("")).cast(target)
+    # try_cast: scrubbed strings can still be malformed ('1.2.3');
+    # NULL-on-garbage must hold even under an ANSI caller session.
+    return F.nullif(scrubbed, F.lit("")).try_cast(target)
 
 
 def tenure_months(start: Column | str, now: Column | str) -> Column:

@@ -101,9 +101,9 @@ def all_checks() -> list[Check]:
         C("staging", "negative_values",
           lambda wh: wh.read("staging", "staging_churn").agg(
               _cnt_if(
-                  (F.col("tenure_in_months").cast("double") < 0)
-                  | (F.col("monthly_charges_amount").cast("double") < 0)
-                  | (F.col("total_charges").cast("double") < 0)
+                  (F.col("tenure_in_months").try_cast("double") < 0)
+                  | (F.col("monthly_charges_amount").try_cast("double") < 0)
+                  | (F.col("total_charges").try_cast("double") < 0)
               ).alias("negative_values")),
           expect=_scalar_zero, ref=":55-59"),
         C("staging", "duplicate_customer_ids",
@@ -147,8 +147,8 @@ def all_checks() -> list[Check]:
         C("bronze", "churn_score_out_of_range",
           lambda wh: wh.read("bronze", "churn_raw").agg(
               _cnt_if(
-                  (F.col("churn_score").cast("double") < 0)
-                  | (F.col("churn_score").cast("double") > 100)
+                  (F.col("churn_score").try_cast("double") < 0)
+                  | (F.col("churn_score").try_cast("double") > 100)
               ).alias("invalid_churn_score")),
           expect=_scalar_zero, ref=":120-122"),
         C("bronze", "churn_label_distribution",

@@ -159,7 +159,9 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    prop_k = F.get_json_object("props", "$.k").cast("int").alias("prop_k")
+    # try_cast: JSON-extracted strings are attacker-controlled shape;
+    # a non-numeric $.k must become NULL, not an ANSI cast error.
+    prop_k = F.get_json_object("props", "$.k").try_cast("int").alias("prop_k")
     return ev.groupBy(prop_k).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),

@@ -123,13 +123,13 @@ def _bronze_projection(staging: DataFrame) -> DataFrame:
                 ).alias("lat_long")
             )
         elif c in ("latitude", "longitude"):
-            cols.append(F.col(c).cast("double").alias(c))
+            cols.append(F.col(c).try_cast("double").alias(c))
         elif c == "tenure_in_months":
-            cols.append(F.col(c).cast("int").alias(c))
+            cols.append(F.col(c).try_cast("int").alias(c))
         elif c in ("monthly_charges_amount", "total_charges"):
-            cols.append(F.col(c).cast("double").alias(c))
+            cols.append(F.col(c).try_cast("double").alias(c))
         elif c == "churn_value":
-            cols.append(F.col(c).cast("int").alias(c))
+            cols.append(F.col(c).try_cast("int").alias(c))
         else:
             cols.append(F.col(c).cast("string").alias(c))
     now = F.current_timestamp()
@@ -368,9 +368,9 @@ def build_fact(wh: Warehouse, run_date: str | None = None) -> int:
             F.col("sv.service_key"),
             scrub_numeric(F.col("s.tenure_in_months"), "int").alias("tenure_months"),
             F.col("s.monthly_charges_amount")
-            .cast("decimal(10,2)")
+            .try_cast("decimal(10,2)")
             .alias("monthly_charges"),
-            F.col("s.total_charges").cast("decimal(12,2)").alias("total_charges"),
+            F.col("s.total_charges").try_cast("decimal(12,2)").alias("total_charges"),
             F.when(
                 F.col("s.churn_label").isin("1", "1.0", "Yes", "Y", "True", "true"),
                 "1",

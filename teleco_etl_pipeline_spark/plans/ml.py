@@ -41,11 +41,11 @@ def build_training_frame(wh: Warehouse) -> DataFrame:
         .join(cr, F.col("f.churn_reason_key") == F.col("cr.churn_reason_key"), "left")
         .select(
             F.col("f.customer_key"),
-            *[F.col(c).cast("double").alias(c) for c in NUMERIC],
+            *[F.col(c).try_cast("double").alias(c) for c in NUMERIC],
             F.replace(F.coalesce(F.col("ct.contract_type"), F.lit("unknown")), F.lit("n/a"), F.lit("unknown")).alias("contract_type"),
             F.coalesce(F.col("pm.payment_method"), F.lit("unknown")).alias("payment_method"),
             F.coalesce(F.col("cr.churn_reason"), F.lit("unknown")).alias("churn_reason"),
-            F.col("f.churn_flag").cast("int").alias("label"),
+            F.col("f.churn_flag").try_cast("int").alias("label"),
         )
         .filter(F.col("tenure_months").isNotNull() & F.col("monthly_charges").isNotNull())
         .filter(F.col("label").isin(0, 1))

@@ -71,7 +71,9 @@ def churn_rules(df: DataFrame, check_domains: bool = False) -> list[Rule]:
             )
         )
     if has("tenure_in_months"):
-        t = F.col("tenure_in_months").cast("double")
+        # try_cast: the Non-numeric rule below RELIES on garbage→NULL,
+        # which a plain cast turns into CAST_INVALID_INPUT under ANSI.
+        t = F.col("tenure_in_months").try_cast("double")
         rules.append(Rule("Negative Tenure", t < 0))
         rules.append(
             Rule(
@@ -80,7 +82,7 @@ def churn_rules(df: DataFrame, check_domains: bool = False) -> list[Rule]:
             )
         )
     if has("monthly_charges_amount"):
-        m = F.col("monthly_charges_amount").cast("double")
+        m = F.col("monthly_charges_amount").try_cast("double")
         rules.append(Rule("Negative Monthly Charges", m < 0))
     if has("gender"):
         g = F.initcap(F.trim(F.col("gender").cast("string")))
@@ -184,11 +186,11 @@ def run_layer_checks(df: DataFrame, key: str = "customer_id") -> dict[str, int]:
         checks["null_key"] = F.count(F.when(F.col(key).isNull(), 1))
     if "tenure_in_months" in cols:
         checks["negative_tenure"] = F.count(
-            F.when(F.col("tenure_in_months").cast("double") < 0, 1)
+            F.when(F.col("tenure_in_months").try_cast("double") < 0, 1)
         )
     if "monthly_charges_amount" in cols:
         checks["negative_charges"] = F.count(
-            F.when(F.col("monthly_charges_amount").cast("double") < 0, 1)
+            F.when(F.col("monthly_charges_amount").try_cast("double") < 0, 1)
         )
     if not checks:
         return {}

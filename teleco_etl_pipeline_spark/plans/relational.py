@@ -304,7 +304,7 @@ def q_scrub_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(-1),
         ).alias("safe_int_or_default"),
-        F.col("value").cast("int").alias("value_int"),
+        F.col("value").try_cast("int").alias("value_int"),
     )
 
 
