@@ -31,7 +31,7 @@ BENCH_QUERIES = [
     "semi_join",
     "anti_join",
     "exact_dedup",           # hash dedup
-    "ngram_jaccard_pairs",   # shingle self-join
+    "ngram_jaccard_guarded",  # shingle self-join, skew guard ON (100 TB default)
     "minhash_lsh_pairs",     # sketch dedup
     "simhash_neardup",
     "doc_quality_score",     # text analysis

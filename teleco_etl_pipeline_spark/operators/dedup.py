@@ -110,8 +110,13 @@ def ngram_jaccard_pairs(
     # times in this plan (sizes + both join sides) — cache it so the
     # regex/transform work runs once.
     sh = _doc_shingles(docs, n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     if max_shingle_freq is not None:
+        # Frequency guard BEFORE sizes AND the self-join: numerator
+        # (intersection) and denominator (set sizes) must use the same
+        # shingle universe, otherwise Jaccard is systematically
+        # underestimated whenever the guard fires. With the guard on,
+        # the result is the exact Jaccard of the frequency-filtered
+        # shingle sets.
         rare = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -119,6 +124,7 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -176,6 +182,46 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Threshold applied on the ROUNDED value on both sides so FP noise
     # at the boundary cannot flip membership between engines.
     return ngram_jaccard_pairs(docs, n=3, threshold=0.12, max_shingle_freq=None)
+
+
+@query(
+    "ngram_jaccard_guarded",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, len(toks) - 2)]) AS shingles
+      FROM tok WHERE len(toks) >= 3
+    ), ex0 AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), keep AS (
+      SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 4
+    ), ex AS (
+      SELECT e.doc_id, e.shingle,
+             COUNT(*) OVER (PARTITION BY e.doc_id) AS set_size
+      FROM ex0 e JOIN keep k USING (shingle)
+    ), inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             COUNT(*) AS shared, ANY_VALUE(a.set_size) AS size_a, ANY_VALUE(b.set_size) AS size_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b,
+           ROUND(CAST(shared AS DOUBLE) / (size_a + size_b - shared) + 1e-9, 4) AS jaccard
+    FROM inter
+    WHERE ROUND(CAST(shared AS DOUBLE) / (size_a + size_b - shared) + 1e-9, 4) >= 0.12
+    """,
+    doc="Jaccard near-dup with the frequent-shingle skew guard ON — "
+    "the 100 TB default (a stop-shingle shared by 1M docs would "
+    "create 10^12 candidate pairs without it). Exact Jaccard of the "
+    "frequency-filtered shingle sets; oracle applies the same filter.",
+)
+def q_ngram_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.12, max_shingle_freq=4)
 
 
 # ---------------------------------------------------------------------------
@@ -321,9 +367,19 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Candidates via pigeonhole banding (≤3 flips over 4 × 16-bit bands
-    ⇒ at least one band equal), then exact popcount verify.
+    Candidates via pigeonhole banding, then exact popcount verify.
+    Recall guarantee requires ``bands >= max_hamming + 1``: with at
+    most ``max_hamming`` differing bits spread over ``bands`` bands,
+    at least one band is untouched — fewer bands would silently drop
+    pairs whose flips land in every band.
     """
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall for Hamming <= "
+            f"{max_hamming}; need bands >= max_hamming + 1"
+        )
+    if 64 % bands != 0:
+        raise ValueError(f"bands={bands} must divide 64")
     sig = simhash_signatures(docs).cache()
     width = 64 // bands
     band_vals = F.array(
@@ -367,4 +423,8 @@ def simhash_neardup_pairs(
 )
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(docs, max_hamming=16, bands=4)
+    # max_hamming=3 with bands=4 honors the pigeonhole bound
+    # (bands >= max_hamming + 1); the round-1 registration
+    # (max_hamming=16, bands=4) silently missed pairs at distance 4-16
+    # whose flips hit all four bands.
+    return simhash_neardup_pairs(docs, max_hamming=3, bands=4)

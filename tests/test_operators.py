@@ -110,10 +110,38 @@ def test_minhash_lsh_finds_neardup(spark):
 
 
 def test_simhash_finds_neardup(spark):
-    pairs = simhash_neardup_pairs(_near_dup_docs(spark), max_hamming=16, bands=4)
+    # bands=32 >= max_hamming+1=17: the pigeonhole recall bound holds.
+    pairs = simhash_neardup_pairs(_near_dup_docs(spark), max_hamming=16, bands=32)
     got = [(p["doc_id_a"], p["doc_id_b"]) for p in pairs.collect()]
     assert (1, 2) in got
     assert (1, 3) not in got
+
+
+def test_simhash_rejects_unsound_banding(spark):
+    # 4 bands can only guarantee recall for Hamming <= 3; asking for
+    # 16 must be an error, not silently-partial results (round-1 bug).
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands"):
+        simhash_neardup_pairs(_near_dup_docs(spark), max_hamming=16, bands=4)
+
+
+def test_jaccard_guard_uses_consistent_universe(spark):
+    # 'a b c' appears in all 4 docs (df=4) and is dropped by the
+    # guard (max freq 3). Post-filter doc1={'b c d','c d e'},
+    # doc2={'b c d','c d f'} -> jaccard 1/3. The round-1 bug divided
+    # the post-filter intersection by PRE-filter sizes (1/5 = 0.2).
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "a b c x y"), (4, "a b c z w")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (p["doc_id_a"], p["doc_id_b"]): p["jaccard"]
+        for p in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.3, max_shingle_freq=3
+        ).collect()
+    }
+    assert pairs == {(1, 2): 0.3333}
 
 
 def _vectors(spark):
