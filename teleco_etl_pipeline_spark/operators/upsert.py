@@ -53,8 +53,12 @@ def merge_upsert(
     # String-qualified refs ("t.c" / "s.c") survive self-joins where
     # both sides share lineage (Spark's ambiguous-self-join check
     # rejects attribute-based refs there).
-    t = target.alias("__t")
-    s = src.alias("__s")
+    # Presence sentinels, NOT key nullness, detect the match: the join
+    # is null-safe, so a NULL-keyed target row can legitimately match
+    # a NULL-keyed source row — keys[0] IS NOT NULL would misclassify
+    # that pair as an insert and drop the target's kept columns.
+    t = target.withColumn("__present", F.lit(1)).alias("__t")
+    s = src.withColumn("__present", F.lit(1)).alias("__s")
     tc = lambda c: F.col(f"__t.{c}")  # noqa: E731
     sc = lambda c: F.col(f"__s.{c}")  # noqa: E731
     cond = None
@@ -63,8 +67,8 @@ def merge_upsert(
         cond = clause if cond is None else (cond & clause)
     joined = t.join(s, on=cond, how="full_outer")
 
-    matched_t = tc(keys[0]).isNotNull()
-    matched_s = sc(keys[0]).isNotNull()
+    matched_t = tc("__present").isNotNull()
+    matched_s = sc("__present").isNotNull()
     out_cols = [F.coalesce(tc(k), sc(k)).alias(k) for k in keys]
     for c in data_cols:
         if c in update_cols:
@@ -115,10 +119,21 @@ def safe_overwrite(df: DataFrame, path: str) -> None:
     """
     parent = os.path.dirname(os.path.abspath(path))
     os.makedirs(parent, exist_ok=True)
+    backup = path + ".old"
+    # Self-heal a previous crash between the two renames below:
+    # backup present + live path missing ⇒ the table vanished mid-swap
+    # → restore it; backup present + live path present ⇒ stale backup
+    # from a crash after the swap → discard it. Without this, the next
+    # os.rename(path, backup) raises into a non-empty dir and every
+    # subsequent overwrite is wedged.
+    if os.path.exists(backup):
+        if os.path.exists(path):
+            shutil.rmtree(backup)
+        else:
+            os.rename(backup, path)
     tmp = tempfile.mkdtemp(prefix=".swap_", dir=parent)
     tmp_path = os.path.join(tmp, "data")
     df.write.mode("overwrite").parquet(tmp_path)
-    backup = path + ".old"
     if os.path.exists(path):
         os.rename(path, backup)
     os.rename(tmp_path, path)

@@ -61,6 +61,56 @@ def test_merge_upsert_idempotent(spark):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
 
 
+def test_merge_upsert_null_keyed_match(spark):
+    # eqNullSafe means a NULL-keyed target row MATCHES a NULL-keyed
+    # source row: column-subset semantics must hold for it too
+    # (round-1 detected matches via keys[0] IS NOT NULL, which
+    # classified this pair as an insert and leaked source 'kept').
+    target = spark.createDataFrame(
+        [(None, "old_u", "old_k"), (1, "u1", "k1")],
+        "id int, upd string, kept string",
+    )
+    source = spark.createDataFrame(
+        [(None, "new_u", "new_k")], "id int, upd string, kept string"
+    )
+    out = {
+        r["id"]: r
+        for r in merge_upsert(
+            target, source, keys=["id"], update_cols=["upd"], record_type_col="rt"
+        ).collect()
+    }
+    assert out[None]["upd"] == "new_u"
+    assert out[None]["kept"] == "old_k"  # kept from target, not source
+    assert out[None]["rt"] == "updated"
+    assert out[1]["rt"] == "existing"
+
+
+def test_safe_overwrite_self_heals(spark, tmp_path):
+    from teleco_etl_pipeline_spark.operators.upsert import safe_overwrite
+
+    path = str(tmp_path / "tbl")
+    backup = path + ".old"
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    safe_overwrite(df, path)
+
+    # Crash window A: died after moving live→backup, before tmp→live.
+    import os
+    import shutil
+
+    os.rename(path, backup)
+    assert not os.path.exists(path)
+    df2 = spark.createDataFrame([(2, "b")], ["id", "v"])
+    safe_overwrite(df2, path)  # must restore backup, then overwrite
+    assert not os.path.exists(backup)
+    assert {r["id"] for r in spark.read.parquet(path).collect()} == {2}
+
+    # Crash window B: died after the swap, leaving a stale backup.
+    shutil.copytree(path, backup)
+    safe_overwrite(df, path)  # must discard the stale backup
+    assert not os.path.exists(backup)
+    assert {r["id"] for r in spark.read.parquet(path).collect()} == {1}
+
+
 def test_delete_then_insert(spark):
     t = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
     fixes = spark.createDataFrame([(2, "B!"), (3, "c")], ["id", "v"])
