@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "multimodal_features",   # Arrow-batched binary mapInPandas
     "rollup_summary",        # Expand + rollup agg
     "quantile_profile",      # exact percentiles
+    "approx_quantile_profile",  # KLL-sketch percentiles (100 TB path)
     "salted_join_agg",       # skew-salted shuffle join
     "asof_last_purchase",    # as-of join (union + window)
     "banded_price_join",     # range→equi banded join

@@ -125,6 +125,27 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_quantile_profile",
+    None,  # sketch estimates differ per engine — rows-only check;
+    # tests/test_analytics_extra.py bounds it against the exact twin.
+    doc="approx_percentile (t-digest-style KLL sketch) twin of "
+    "quantile_profile — the 100 TB path: bounded memory per group, "
+    "mergeable partial aggregates, no per-group sort. accuracy=10000 "
+    "⇒ rank error ≤ 0.01%.",
+)
+def q_approx_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile_approx(
+        "l_extendedprice", F.lit([0.25, 0.5, 0.75]), F.lit(10000)
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(pct.getItem(0) + EPS, 2).alias("price_q1"),
+        F.round(pct.getItem(1) + EPS, 2).alias("price_median"),
+        F.round(pct.getItem(2) + EPS, 2).alias("price_q3"),
+    )
+
+
+@query(
     "shipping_priority",
     """
     SELECT o_orderkey,

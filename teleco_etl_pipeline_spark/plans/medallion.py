@@ -82,22 +82,33 @@ def load_staging(
     present = [c for c in BUSINESS_COLS if c in raw.columns]
     raw = raw.select(*present, *[c for c in raw.columns if c not in BUSINESS_COLS])
     rules = quality.churn_rules(raw)
-    good, bad = quality.split_good_bad(raw, rules)
+    # Cache the annotated frame: every downstream action (stats agg,
+    # quarantine write, staging write) would otherwise re-run the CSV
+    # scan + rule evaluation — round 1 paid that scan four times.
+    annotated = quality.annotate(raw, rules).cache()
+    good = annotated.filter(F.col("error_details").isNull()).drop("error_details")
+    bad = annotated.filter(F.col("error_details").isNotNull())
 
-    stats = {"input": raw.count(), "rejected": bad.count()}
+    # One pass for both counts (the A10 conditional-agg trick).
+    row = annotated.agg(
+        F.count(F.lit(1)).alias("input"),
+        F.coalesce(
+            F.sum(F.when(F.col("error_details").isNotNull(), 1)), F.lit(0)
+        ).alias("rejected"),
+    ).collect()[0]
+    stats = {"input": row["input"], "rejected": int(row["rejected"])}
     if stats["rejected"]:
         wh.write(bad, "quarantine", quarantine_table, mode="append")
 
     if wh.exists("bronze", "churn_raw"):
         bronze = wh.read("bronze", "churn_raw")
-        before = good.count()
         good = anti_dedup(good, bronze, keys=["customer_id"])
-        stats["dup_vs_bronze"] = before - good.count()
-    else:
-        stats["dup_vs_bronze"] = 0
 
     wh.write(good, "staging", "staging_churn")  # S12 truncate-load
-    stats["staged"] = stats["input"] - stats["rejected"] - stats["dup_vs_bronze"]
+    # Count the WRITTEN table: parquet footer metadata, no recompute.
+    stats["staged"] = wh.read("staging", "staging_churn").count()
+    stats["dup_vs_bronze"] = stats["input"] - stats["rejected"] - stats["staged"]
+    annotated.unpersist()
     return stats
 
 

@@ -18,10 +18,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from teleco_etl_pipeline_spark.catalog import Warehouse
+from teleco_etl_pipeline_spark.plans.registry import query
+from teleco_etl_pipeline_spark.sources.tables import load_table
 
 CATEGORICAL = ["contract_type", "payment_method", "churn_reason"]
 NUMERIC = ["tenure_months", "monthly_charges", "total_charges", "cltv", "churn_score"]
@@ -153,3 +155,71 @@ def run_batch_inference(
     return wh.read("gold", "churn_predictions").filter(
         F.col("model_run_date") == F.lit(model_run_date).cast("date")
     ).count()
+
+
+# ---------------------------------------------------------------------------
+# Inference-contract query (oracle-backed)
+# ---------------------------------------------------------------------------
+
+# Deterministic "StringIndexer": fixed category→index mapping, the
+# closed-form analogue of the fitted LabelEncoder (unknown → -1,
+# ml_churn_pipeline.py:281-292).
+_SEGMENT_INDEX = {
+    "AUTOMOBILE": 0,
+    "BUILDING": 1,
+    "FURNITURE": 2,
+    "HOUSEHOLD": 3,
+    "MACHINERY": 4,
+}
+
+
+@query(
+    "ml_inference_contract",
+    """
+    SELECT c_custkey AS customer_key,
+           CAST(ROUND(1.0 / (1.0 + exp(-(
+                 c_acctbal / 5000.0
+                 - 0.1 * (CASE c_mktsegment
+                            WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+                            WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3
+                            WHEN 'MACHINERY' THEN 4 ELSE -1 END)
+                 + 0.02 * c_nationkey - 0.3))) + 1e-9, 4) AS DOUBLE)
+             AS churn_probability,
+           CAST((1.0 / (1.0 + exp(-(
+                 c_acctbal / 5000.0
+                 - 0.1 * (CASE c_mktsegment
+                            WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+                            WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3
+                            WHEN 'MACHINERY' THEN 4 ELSE -1 END)
+                 + 0.02 * c_nationkey - 0.3))) >= 0.5) AS INTEGER)
+             AS churn_prediction,
+           '2026-08-13' AS model_run_date
+    FROM customer
+    """,
+    doc="ML9 inference contract, oracle-checked: feature assembly "
+    "(numeric scaling + deterministic category indexing) → linear "
+    "model → sigmoid probability rounded to 4dp → {0,1} prediction → "
+    "run-date stamp — the exact output contract of "
+    "run_batch_inference (reference ml_churn_pipeline.py:311-317). "
+    "The learned-model path (GBT/RF) is pytest-covered; this twin "
+    "replaces the opaque fitted weights with fixed ones so the "
+    "inference PLUMBING has a cross-engine correctness row.",
+)
+def q_ml_inference_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.lit(-1)
+    for name, idx in _SEGMENT_INDEX.items():
+        seg = F.when(F.col("c_mktsegment") == name, idx).otherwise(seg)
+    z = (
+        F.col("c_acctbal") / F.lit(5000.0)
+        - F.lit(0.1) * seg
+        + F.lit(0.02) * F.col("c_nationkey")
+        - F.lit(0.3)
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return c.select(
+        F.col("c_custkey").alias("customer_key"),
+        F.round(prob + 1e-9, 4).alias("churn_probability"),
+        (prob >= 0.5).cast("int").alias("churn_prediction"),
+        F.lit("2026-08-13").alias("model_run_date"),
+    )
