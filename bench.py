@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "banded_price_join",     # range→equi banded join
     "shipping_priority",     # 3-way join + top-k (TPC-H Q3 shape)
     "local_supplier_volume", # 6-table join (TPC-H Q5 shape)
+    "nation_volume_shipping",  # dual-nation join (TPC-H Q7 shape)
+    "large_volume_customers",  # agg-in-join semi filter (TPC-H Q18 shape)
 ]
 
 

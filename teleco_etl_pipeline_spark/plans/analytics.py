@@ -273,6 +273,144 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nation_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(CAST(SUM(volume) AS DOUBLE), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(YEAR FROM l_shipdate) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H-Q7-shaped volume shipping: the two single-nation dim "
+    "chains (nation→supplier, nation→customer) broadcast; only "
+    "lineitem⋈orders shuffles; the cross-direction OR predicate is "
+    "evaluated after both nation joins, never as a cartesian term; "
+    "shipdate range pushed to the parquet scan.",
+)
+def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    nations = ("NATION_1", "NATION_2")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*nations)
+    )
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    # Nation filter applied BEFORE the fact joins: supplier/customer
+    # shrink to two nations' worth of rows and broadcast.
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .select("c_custkey", "cust_nation")
+    )
+    ords = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    )
+    volume = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1]))
+            | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(volume, 2).alias("revenue"))
+    )
+
+
+@query(
+    "large_volume_customers",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           epoch_us(o_orderdate) AS orderdate_us,
+           ROUND(o_totalprice + 1e-9, 2) AS total_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY total_price DESC, orderdate_us, o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H-Q18-shaped large-volume customers: agg-in-join — the "
+    "HAVING subquery becomes a pre-aggregated key set left-semi-"
+    "joined into lineitem (partial map-side agg, 16-byte keys in the "
+    "shuffle), customer broadcasts, top-100 via "
+    "TakeOrderedAndProject.",
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_dec).alias("__qty"))
+        .filter(F.col("__qty") > 300)
+        .select("l_orderkey")
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum(qty_dec).cast("double"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+            ).alias("orderdate_us"),
+            F.round(F.col("o_totalprice") + 1e-9, 2).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total_price"), "orderdate_us", "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
     "approx_distinct_users",
     None,  # HLL sketch — engine-specific estimates, rows-only check
     doc="approx_count_distinct (HyperLogLog++) per event_type — the "

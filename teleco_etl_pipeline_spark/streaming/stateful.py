@@ -96,3 +96,58 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def _make_running_totals_processor():
+    """Build the Spark-4 StatefulProcessor lazily (the class only
+    exists on pyspark >= 4.0)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """transformWithState twin of _update_running_totals: typed
+        per-key ValueState instead of a raw state tuple, plus
+        first-class TTL/timer support if eviction is ever needed."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", RUNNING_TOTALS_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotalsProcessor()
+
+
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` variant of running_user_totals
+    (Spark 4's successor API): named typed state slots via the
+    processor handle, optional per-state TTL, and timer callbacks —
+    the recommended target for new custom stateful operators.
+
+    Runtime requirement: the transformWithState Python runner talks
+    protobuf to the JVM, so ``google.protobuf`` must be installed
+    (ships with ``pyspark[connect]``); the applyInPandasWithState twin
+    has no such dependency.
+    """
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_running_totals_processor(),
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -33,6 +33,7 @@ def test_queries_and_oracles_consistent(spark, sf_dir):
         "embedding_lsh_pairs",
         "embedding_ivf_topk",
         "approx_distinct_users",
+        "approx_quantile_profile",
     }
 
 

@@ -173,6 +173,55 @@ def test_session_window_matches_lag_cumsum_sessionize(spark):
     assert native_sig == manual_sig
 
 
+def test_transform_with_state_accumulates_across_batches(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 API): same cumulative
+    semantics as the applyInPandasWithState twin."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's Python runner speaks protobuf to the "
+        "JVM; the lib is absent in this container (works where "
+        "pyspark[connect] deps are installed)",
+    )
+    from teleco_etl_pipeline_spark.streaming.stateful import running_user_totals_tws
+
+    watch = tmp_path / "ev"
+    watch.mkdir()
+    (watch / "b1.csv").write_text("user_id,value\n1,10.0\n1,5.0\n2,1.0\n")
+    (watch / "b2.csv").write_text("user_id,value\n1,2.5\n3,7.0\n")
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema(schema)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(watch))
+    )
+    emitted: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        emitted.extend(
+            (batch_id, r["user_id"], r["n_events"], r["total_value"])
+            for r in batch_df.collect()
+        )
+
+    q = (
+        running_user_totals_tws(stream)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    finals = {}
+    for _bid, uid, n, tot in sorted(emitted):
+        finals[uid] = (n, tot)
+    assert finals == {1: (3, 17.5), 2: (1, 1.0), 3: (1, 7.0)}
+
+
 def test_apply_in_pandas_with_state_accumulates_across_batches(spark, tmp_path):
     """applyInPandasWithState: per-key state must persist across
     micro-batches (one file per trigger → 2 batches)."""
