@@ -188,26 +188,33 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         CAST(b.embedding AS DOUBLE[])) + 1e-9, 4) AS cosine_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])) + 1e-9, 4) >= 0.8
+                                       CAST(b.embedding AS DOUBLE[])) + 1e-9, 4) >= 0.35
     """,
-    doc="Exact embedding-cosine near-dup pairs (all-pairs verify path).",
+    doc="Exact embedding-cosine near-dup pairs (all-pairs verify "
+    "path). Threshold 0.35: the synthetic embeddings are near-random "
+    "(max pairwise cosine ≈ 0.51 at sf0.01), so a production-style "
+    "0.8 would always return the empty set — 0.35 keeps a few "
+    "hundred pairs so the correctness row checks real values.",
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.8)
+    return embedding_neardup_pairs(emb, threshold=0.35)
 
 
 @query(
     "embedding_lsh_pairs",
     None,  # LSH bucketing not oracle-expressible — rows-only check
     doc="Sign-LSH bucketed near-dup candidates + exact verify "
-    "(the 100 TB ANN path).",
+    "(the 100 TB ANN path). 4 planes / threshold 0.35 tuned to the "
+    "near-random synthetic embeddings (see embedding_neardup) so the "
+    "bucketed path emits a non-trivial subset of the exact twin's "
+    "pairs rather than a guaranteed-empty set.",
 )
 def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # dim passed explicitly: plan construction must not run a job
     # (the testdata embeddings are 64-d; see TESTDATA.md).
-    return lsh_bucketed_pairs(emb, n_planes=8, threshold=0.8, dim=64)
+    return lsh_bucketed_pairs(emb, n_planes=4, threshold=0.35, dim=64)
 
 
 # ---------------------------------------------------------------------------

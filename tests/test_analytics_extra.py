@@ -5,6 +5,22 @@ from __future__ import annotations
 from teleco_etl_pipeline_spark.plans.registry import all_queries
 
 
+def test_lsh_pairs_subset_of_exact_neardups(spark, sf_dir):
+    """Sign-LSH candidates are exact-cosine-verified, so every emitted
+    pair must appear in the all-pairs exact twin (recall < 1 is
+    expected; precision must be 1)."""
+    qs = all_queries()
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in qs["embedding_neardup"].build(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in qs["embedding_lsh_pairs"].build(spark, sf_dir).collect()
+    }
+    assert lsh <= exact
+
+
 def test_approx_quantiles_close_to_exact(spark, sf_dir):
     qs = all_queries()
     exact = {
