@@ -117,13 +117,19 @@ def ngram_jaccard_pairs(
         # underestimated whenever the guard fires. With the guard on,
         # the result is the exact Jaccard of the frequency-filtered
         # shingle sets.
-        rare = (
+        #
+        # The guard ships the FREQUENT set, not the rare set: stop-
+        # shingles are few by construction (that's why they're worth
+        # dropping), so `frequent` broadcasts and the filter is a
+        # map-side anti join — no shuffle of the full (doc, shingle)
+        # table on the shingle string.
+        frequent = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_freq)
+            .filter(F.col("df") > max_shingle_freq)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle")
+        sh = sh.join(F.broadcast(frequent), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")

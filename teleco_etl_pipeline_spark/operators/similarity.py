@@ -214,7 +214,10 @@ def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # dim passed explicitly: plan construction must not run a job
     # (the testdata embeddings are 64-d; see TESTDATA.md).
-    return lsh_bucketed_pairs(emb, n_planes=4, threshold=0.35, dim=64)
+    # 6 planes = 64 buckets: at sf0.1 (5k vectors) 4 planes left ~16
+    # buckets and ~800k candidate pairs; 64 buckets cut candidates 4×
+    # while still emitting a non-trivial share of the ≥0.35 pairs.
+    return lsh_bucketed_pairs(emb, n_planes=6, threshold=0.35, dim=64)
 
 
 # ---------------------------------------------------------------------------
