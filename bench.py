@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "local_supplier_volume", # 6-table join (TPC-H Q5 shape)
     "nation_volume_shipping",  # dual-nation join (TPC-H Q7 shape)
     "large_volume_customers",  # agg-in-join semi filter (TPC-H Q18 shape)
+    "customer_distribution", # outer-join histogram (TPC-H Q13 shape)
+    "cumulative_spend",      # frame-bounded running window
 ]
 
 

@@ -411,6 +411,212 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H-Q13-shaped customer order-count histogram: the filter "
+    "lives IN the outer-join condition (an o_orderpriority WHERE "
+    "clause would wrongly drop null-extended rows), then two "
+    "aggregation levels — per-customer COUNT of non-null keys, then "
+    "the distribution. Shuffles only on c_custkey then c_count.",
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            ords,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "promo_revenue_pct",
+    """
+    SELECT ROUND(CAST(
+             100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                               ELSE 0 END)
+             / SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             + 1e-9, 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    doc="TPC-H-Q14-shaped promo revenue share: conditional aggregate "
+    "ratio in one pass; part broadcasts into the date-pruned lineitem "
+    "scan; decimal-exact sums before the final double division.",
+)
+def q_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                (
+                    F.lit(100.00)
+                    * F.sum(
+                        F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                    / F.sum(disc_price)
+                ).cast("double")
+                + 1e-9,
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "idle_rich_customers",
+    """
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H-Q22-shaped idle high-balance customers: uncorrelated "
+    "scalar AVG subquery (computed once, broadcast into the filter) + "
+    "NOT EXISTS as a left-anti join on the distinct order custkeys — "
+    "no correlated re-execution, two broadcast exchanges, one final "
+    "shuffle on c_nationkey.",
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    # DataFrame.scalar() (Spark 4): a real uncorrelated scalar
+    # subquery — one separate tiny job, result inlined as a literal
+    # into the filter. No 1-row join (which Catalyst would plan as a
+    # BroadcastNestedLoopJoin the plan-quality suite bans).
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    return (
+        cust.filter(F.col("c_acctbal") > avg_bal.scalar())
+        .join(ords, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "cumulative_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           epoch_us(o_orderdate) AS orderdate_us,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2)
+             AS running_spend
+    FROM orders
+    """,
+    doc="Running per-customer spend: frame-bounded cumulative window "
+    "(ROWS UNBOUNDED PRECEDING) with a deterministic (date, key) "
+    "order; decimal accumulation so both engines agree bit-for-bit. "
+    "One shuffle on o_custkey, sort within partitions.",
+)
+def q_cumulative_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ords = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ords.select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+        ).alias("orderdate_us"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"),
+            2,
+        ).alias("running_spend"),
+    )
+
+
+@query(
+    "priority_set_ops",
+    """
+    SELECT 'both' AS tag, o_orderpriority FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'f_only' AS tag, o_orderpriority FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+    doc="Set operators (INTERSECT / EXCEPT, U1 family extension): "
+    "Spark plans both as hash aggregates + semi/anti joins over the "
+    "same pre-filtered scans; no sort-based set logic.",
+)
+def q_priority_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = load_table(spark, sf_dir, "orders")
+    f_side = ords.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    o_side = ords.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    both = f_side.intersect(o_side).select(
+        F.lit("both").alias("tag"), "o_orderpriority"
+    )
+    f_only = f_side.subtract(o_side).select(  # subtract == EXCEPT DISTINCT
+        F.lit("f_only").alias("tag"), "o_orderpriority"
+    )
+    return both.unionByName(f_only)
+
+
+@query(
     "approx_distinct_users",
     None,  # HLL sketch — engine-specific estimates, rows-only check
     doc="approx_count_distinct (HyperLogLog++) per event_type — the "
