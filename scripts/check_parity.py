@@ -6,11 +6,12 @@ row count, column names, and an order-insensitive multiset of values
 (columns sorted by name, doubles compared to 1e-9, like the driver's
 value-hash).
 
-Usage: python scripts/check_parity.py [sf_dir] [query ...]
+Usage: python scripts/check_parity.py [--json OUT] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -44,10 +45,20 @@ def _multiset(rows, cols_order):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    records: dict[str, dict] = {}
     spark = get_spark(app_name="parity-check", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    # The driver's harness runs a vanilla Spark 4 session where ANSI
+    # mode defaults ON — mimic it so this sweep catches any cast that
+    # relies on the engine session's ansi=false.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     con = duckdb.connect()
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -64,24 +75,33 @@ def main() -> int:
             spark_rows = [list(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
+            records[name] = {"status": "spark_error", "err": str(e)[:500]}
             print(f"✗ {name}: spark error: {e}")
             continue
         if q.oracle is None:
+            records[name] = {"status": "rows_only", "spark_rows": len(spark_rows)}
             print(f"• {name}: rows-only ({len(spark_rows)} rows) — no oracle")
             continue
         try:
             odf = con.execute(q.oracle).fetchdf()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"ORACLE ERROR: {e}"))
+            records[name] = {"status": "oracle_error", "err": str(e)[:500]}
             print(f"✗ {name}: oracle error: {e}")
             continue
         oracle_cols = list(odf.columns)
         if sorted(spark_cols) != sorted(oracle_cols):
             failures.append((name, f"schema: spark={spark_cols} oracle={oracle_cols}"))
+            records[name] = {"status": "schema_mismatch"}
             print(f"✗ {name}: schema mismatch spark={spark_cols} oracle={oracle_cols}")
             continue
         if len(spark_rows) != len(odf):
             failures.append((name, f"rows: spark={len(spark_rows)} oracle={len(odf)}"))
+            records[name] = {
+                "status": "rowcount_mismatch",
+                "spark_rows": len(spark_rows),
+                "oracle_rows": len(odf),
+            }
             print(f"✗ {name}: row count spark={len(spark_rows)} oracle={len(odf)}")
             continue
         order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
@@ -96,10 +116,25 @@ def main() -> int:
                 (i, a, b) for i, (a, b) in enumerate(zip(s_ms, o_ms)) if a != b
             )
             failures.append((name, f"values differ, first diff: {diff}"))
+            records[name] = {"status": "value_mismatch", "rows": len(s_ms)}
             print(f"✗ {name}: VALUES differ ({len(s_ms)} rows); first diff {diff}")
             continue
+        records[name] = {"status": "match", "rows": len(s_ms)}
         print(f"✓ {name}: {len(s_ms)} rows match")
 
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "tool": "scripts/check_parity.py",
+                    "results": records,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
     print(f"\n{len(failures)} failures" if failures else "\nALL MATCH")
     return 1 if failures else 0
 
