@@ -1,0 +1,220 @@
+"""Deterministic sampling, splitting, and data-mixing operators for
+training-data pipelines (SURVEY.md §7.5 beyond-reference scope).
+
+A 100 TB corpus pipeline needs *reproducible* sampling: train/test
+splits that never leak when the job re-runs, per-source stratified
+sampling, and source rebalancing ("data mixing") with fixed target
+proportions. Spark's ``DataFrame.sample`` is seed-stable only within
+one partitioning of one dataset, so these operators derive membership
+from a content hash of a key column instead:
+
+    bucket(key) = int(md5(key || salt)[:8 hex], 16) % buckets
+
+Properties that matter at scale:
+
+- **Pure map-side**: split/sample are a projection + filter — no
+  shuffle, no driver round-trip, safe under repartitioning, and rows
+  keep their assignment when the corpus is re-sharded or appended to.
+- **Cross-engine reproducible**: md5 is standardized, so the exact
+  same membership can be recomputed by any other engine (the DuckDB
+  oracles here do exactly that) or by a downstream consumer
+  validating the split.
+- **Salt** separates independent decisions (the mix hash must not
+  correlate with the split hash, or the "test" slice would be
+  systematically over/under-mixed).
+
+``balanced_mix`` additionally needs per-source row counts: one tiny
+aggregate (|sources| rows), a window over that aggregate, and a
+broadcast join back — the 100 TB fact table is scanned once and never
+shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from teleco_etl_pipeline_spark.plans.registry import query
+from teleco_etl_pipeline_spark.sources.tables import load_table
+
+#: Bucket granularity — 1e6 gives 0.0001% rate resolution, enough to
+#: express any realistic mixing weight while keeping the modulus well
+#: inside the 32-bit hash prefix's range (no bias: 2^32 % 1e6 skews
+#: bucket probabilities by < 0.024%, and identically in both engines).
+BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column | str, salt: str = "", buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets) from md5(key || salt).
+
+    The 8-hex-char (32-bit) prefix is parsed base-16 JVM-side via
+    ``conv``; DuckDB mirrors it as ``CAST(concat('0x', substr(md5(k),
+    1, 8)) AS BIGINT)``.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    keyed = c.cast("string")
+    if salt:
+        keyed = F.concat(keyed, F.lit(salt))
+    return (
+        F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("bigint") % buckets
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Assign every row a stable ``split`` label with the given
+    fractions (e.g. ``{"train": .8, "valid": .1, "test": .1}``).
+
+    Fractions are cumulated onto the bucket range, so a row's label
+    is a pure function of its key — appending data or re-running the
+    job never moves a row across splits (the property that prevents
+    test-set leakage in incremental corpus builds).
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    b = hash_bucket(key_col, salt=salt)
+    expr: Column | None = None
+    cum = 0.0
+    items = list(splits.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        thr = int(cum * BUCKETS)
+        expr = (
+            F.when(b < thr, F.lit(name))
+            if expr is None
+            else expr.when(b < thr, F.lit(name))
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows (uniform across any
+    stratum, since the hash is independent of every other column).
+    Map-side filter only — no shuffle, no state."""
+    thr = int(fraction * BUCKETS)
+    return df.filter(hash_bucket(key_col, salt=salt) < thr)
+
+
+def balanced_mix(
+    df: DataFrame, key_col: str, source_col: str, salt: str = "mix"
+) -> DataFrame:
+    """Rebalance a multi-source corpus so every source contributes
+    ~equally: each source is down-sampled at rate min_count/count.
+
+    Plan shape (scale-critical): per-source counts are one partial-agg
+    shuffle producing |sources| rows; the min is a window over that
+    tiny aggregate (single-partition window over ~dozens of rows, NOT
+    over the fact table); rates broadcast-join back onto the corpus.
+    The corpus itself is scanned once, filtered map-side.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    rates = counts.select(
+        F.col(source_col),
+        (
+            F.min("__n").over(Window.partitionBy()).cast("double")
+            / F.col("__n")
+            * BUCKETS
+        )
+        .cast("bigint")
+        .alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(hash_bucket(key_col, salt=salt) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+# DuckDB equivalent of hash_bucket for the oracles below.
+_DUCK_BUCKET = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR){salt}), 1, 8)) "
+    "AS BIGINT) % 1000000"
+)
+
+
+@query(
+    "doc_split_assign",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_DUCK_BUCKET.format(salt="")} < 800000 THEN 'train'
+                WHEN {_DUCK_BUCKET.format(salt="")} < 900000 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic 80/10/10 train/valid/test split: md5-bucket "
+    "membership, pure map-side, append-stable (no test-set leakage "
+    "on corpus growth). Cross-engine reproducible by construction — "
+    "the oracle recomputes the identical assignment in DuckDB.",
+)
+def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_split(
+        docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+
+
+@query(
+    "doc_stratified_sample",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE {_DUCK_BUCKET.format(salt=" || 'samp'")} < 300000
+    GROUP BY source
+    """,
+    doc="Deterministic 30% sample with per-source accounting: the "
+    "hash-threshold filter runs map-side before the single count "
+    "shuffle; the 'samp' salt decorrelates it from the split hash.",
+)
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        stratified_sample(docs, "doc_id", 0.3, salt="samp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "doc_balanced_mix",
+    f"""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), r AS (
+      SELECT source,
+             CAST(CAST(MIN(n) OVER () AS DOUBLE) / n * 1000000 AS BIGINT) AS thr
+      FROM c
+    )
+    SELECT d.source, COUNT(*) AS n_kept
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE {_DUCK_BUCKET.format(salt=" || 'mix'")} < r.thr
+    GROUP BY d.source
+    """,
+    doc="Source-balanced data mixing: down-sample every source to "
+    "~the smallest source's volume. Counts aggregate is tiny "
+    "(|sources| rows), min is a window over THAT (never the fact "
+    "table), rates broadcast back — corpus scanned once, no fact "
+    "shuffle before the final count.",
+)
+def q_doc_balanced_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        balanced_mix(docs, "doc_id", "source", salt="mix")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )

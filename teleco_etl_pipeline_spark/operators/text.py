@@ -214,3 +214,99 @@ def q_doc_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "digit_runs"
         ),
     )
+
+
+# --- PII redaction -------------------------------------------------
+#
+# Patterns deliberately restricted to syntax that Java regex (Spark)
+# and RE2 (DuckDB) interpret identically: character classes, bounded
+# repetition, \b word boundaries — no lookaround (RE2 has none).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("idnum", r"\b\d{6,}\b", "<ID>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII pattern with its placeholder, in declaration
+    order (email before phone before bare id runs, so a phone number
+    inside an already-redacted email can't double-fire)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """One match-count column per PII pattern (n_email, n_phone,
+    n_idnum) — `size(regexp_extract_all(...))`, pure codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+@query(
+    "doc_pii_redaction",
+    r"""
+    WITH seeded AS (
+      -- The synthetic corpus contains no PII, so inject a
+      -- deterministic email/phone into a keyed subset of documents —
+      -- same trick as the multimodal oracle's synthetic payloads.
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com now'
+                  WHEN doc_id % 5 = 0
+                  THEN text || ' call 555-867-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+           len(regexp_extract_all(text, '\b\d{6,}\b')) AS n_idnum,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                 '\b\d{6,}\b', '<ID>', 'g')) AS clean_md5
+    FROM seeded
+    """,
+    doc="PII scrubbing for corpus publication: regex redaction of "
+    "emails/phones/id-runs with per-pattern match counts and an md5 "
+    "over the redacted text proving byte-identical output across "
+    "engines. All codegen'd regexp_replace — no UDF at 100 TB.",
+)
+def q_doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-867-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    return seeded.select(
+        "doc_id",
+        *pii_counts("text"),
+        F.md5(redact_pii("text")).alias("clean_md5"),
+    )

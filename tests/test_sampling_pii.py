@@ -1,0 +1,115 @@
+"""Deterministic sampling/split/mix + PII redaction operators.
+
+The correctness properties that matter for corpus builds:
+- split assignment is a pure function of the key (append-stable, so
+  growing the corpus never moves a row across splits);
+- stratified sampling hits the requested rate within binomial noise
+  and is independent of the strata;
+- balanced_mix equalizes per-source volume;
+- redaction removes every match of every pattern.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from teleco_etl_pipeline_spark.operators.sampling import (
+    balanced_mix,
+    deterministic_split,
+    hash_bucket,
+    stratified_sample,
+)
+from teleco_etl_pipeline_spark.operators.text import (
+    PII_PATTERNS,
+    pii_counts,
+    redact_pii,
+)
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_split_fractions_and_disjointness(spark, docs):
+    out = deterministic_split(
+        docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+    counts = dict(
+        out.groupBy("split").count().rdd.map(lambda r: (r["split"], r["count"])).collect()
+    )
+    n = sum(counts.values())
+    assert n == docs.count()
+    # 80/10/10 within generous binomial noise for a small corpus.
+    assert abs(counts.get("train", 0) / n - 0.8) < 0.1
+    assert counts.get("valid", 0) > 0 and counts.get("test", 0) > 0
+
+
+def test_split_is_append_stable(spark, docs):
+    """Assignment computed on a subset equals assignment computed on
+    the full corpus — the no-leakage property."""
+    splits = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    full = deterministic_split(docs, "doc_id", splits).select("doc_id", "split")
+    subset = deterministic_split(
+        docs.filter(F.col("doc_id") % 3 == 0), "doc_id", splits
+    ).select("doc_id", F.col("split").alias("split_sub"))
+    joined = full.join(subset, "doc_id")
+    assert joined.filter(F.col("split") != F.col("split_sub")).count() == 0
+
+
+def test_split_fractions_must_sum_to_one(docs):
+    with pytest.raises(ValueError):
+        deterministic_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_stratified_sample_rate_and_salt_independence(spark, docs):
+    kept = stratified_sample(docs, "doc_id", 0.3, salt="samp")
+    rate = kept.count() / docs.count()
+    assert 0.2 < rate < 0.4
+    # A different salt draws a genuinely different subset.
+    other = stratified_sample(docs, "doc_id", 0.3, salt="other")
+    a = {r[0] for r in kept.select("doc_id").collect()}
+    b = {r[0] for r in other.select("doc_id").collect()}
+    assert a != b
+
+
+def test_hash_bucket_range(spark):
+    df = spark.range(1000).select(hash_bucket(F.col("id"), buckets=100).alias("b"))
+    mn, mx = df.agg(F.min("b"), F.max("b")).first()
+    assert 0 <= mn and mx <= 99
+
+
+def test_balanced_mix_equalizes_sources(spark, docs):
+    mixed = balanced_mix(docs, "doc_id", "source")
+    per_src = [r["n"] for r in mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()]
+    orig_min = docs.groupBy("source").count().agg(F.min("count")).first()[0]
+    # Every source lands within noise of the smallest source's count.
+    assert max(per_src) <= 2 * orig_min
+    assert min(per_src) >= 1
+
+
+def test_redact_pii_removes_every_pattern(spark):
+    rows = [
+        ("mail me at alice.smith+x@example.co.uk today",),
+        ("call 555-867-5309 or 415.555.1234 now",),
+        ("account 12345678 balance",),
+        ("clean text stays clean",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    out = df.select(
+        redact_pii("text").alias("clean"), *pii_counts("text")
+    ).collect()
+    for r in out:
+        for _, pat, _ in PII_PATTERNS:
+            import re
+
+            assert not re.search(pat, r["clean"]), (pat, r["clean"])
+    # Counts hit the expected matches.
+    assert out[0]["n_email"] == 1
+    assert out[1]["n_phone"] == 2
+    assert out[2]["n_idnum"] == 1
+    assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_idnum"] == 0
+    # Placeholders actually landed.
+    assert "<EMAIL>" in out[0]["clean"]
+    assert "<PHONE>" in out[1]["clean"]
+    assert "<ID>" in out[2]["clean"]
