@@ -13,9 +13,13 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
+from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    from teleco_etl_pipeline_spark.formats import TableFormat
 
 # ---------------------------------------------------------------------------
 # Business columns (variant-A ingest shape, FIXTURES.md §1; bronze DDL
@@ -112,10 +116,24 @@ LAYERS = ("staging", "bronze", "silver", "gold", "meta", "quarantine")
 
 @dataclass
 class Warehouse:
-    """Path layout + table IO for one warehouse root directory."""
+    """Path layout + table IO for one warehouse root directory.
+
+    All storage goes through a pluggable ``TableFormat`` (formats.py):
+    the default is plain Parquet; setting
+    ``SPARK_GRAFT_TABLE_FORMAT=delta`` (or passing ``fmt=``) switches
+    every layer table to an ACID format with native MERGE/DELETE —
+    pipeline code is unchanged either way.
+    """
 
     spark: SparkSession
     root: str
+    fmt: "TableFormat | None" = None
+
+    def __post_init__(self) -> None:
+        if self.fmt is None:
+            from teleco_etl_pipeline_spark.formats import get_format
+
+            self.fmt = get_format()
 
     def path(self, layer: str, table: str) -> str:
         return os.path.join(self.root, layer, table)
@@ -124,16 +142,29 @@ class Warehouse:
         return os.path.exists(self.path(layer, table))
 
     def read(self, layer: str, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(layer, table))
+        return self.fmt.read(self.spark, self.path(layer, table))
 
     def write(self, df: DataFrame, layer: str, table: str, mode: str = "overwrite") -> None:
-        df.write.mode(mode).parquet(self.path(layer, table))
+        self.fmt.write(df, self.path(layer, table), mode=mode)
 
     def overwrite_safe(self, df: DataFrame, layer: str, table: str) -> None:
         """Overwrite a table that ``df`` may lazily read from."""
-        from teleco_etl_pipeline_spark.operators.upsert import safe_overwrite
+        self.fmt.overwrite_atomic(df, self.path(layer, table))
 
-        safe_overwrite(df, self.path(layer, table))
+    def upsert_into(
+        self,
+        source: DataFrame,
+        layer: str,
+        table: str,
+        keys: list[str],
+        update_cols: list[str] | None = None,
+    ) -> None:
+        """Keyed MERGE into a layer table (M1 semantics). Plain
+        Parquet emulates it relationally + swap; Delta runs a native
+        transactional MERGE."""
+        self.fmt.upsert(
+            self.spark, self.path(layer, table), source, keys, update_cols
+        )
 
     # -- bucketed tables: shuffle elimination for repeated key joins --
 

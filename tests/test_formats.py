@@ -1,0 +1,81 @@
+"""TableFormat strategy: parquet behavior, env switching, and the
+Delta gate (delta-spark is absent in this container, so Delta is
+exercised through its unavailability contract)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from teleco_etl_pipeline_spark.catalog import Warehouse
+from teleco_etl_pipeline_spark.formats import (
+    DeltaFormat,
+    ParquetFormat,
+    get_format,
+)
+
+
+def test_get_format_default_and_env(monkeypatch):
+    assert isinstance(get_format(), ParquetFormat)
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "parquet")
+    assert get_format().name == "parquet"
+    with pytest.raises(ValueError, match="unknown table format"):
+        get_format("orc-acid")
+
+
+def test_delta_gate_is_explicit():
+    """Without delta-spark installed, DeltaFormat must fail at
+    construction with actionable guidance — never at first write."""
+    try:
+        import delta  # noqa: F401
+
+        pytest.skip("delta-spark installed; gate not exercisable")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="delta-spark"):
+        DeltaFormat()
+
+
+def test_warehouse_routes_through_format(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    assert wh.fmt.name == "parquet"
+    df = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    wh.write(df, "bronze", "t")
+    assert wh.read("bronze", "t").count() == 5
+
+
+def test_parquet_upsert_into_column_subset(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], ["k", "name", "v"]
+    )
+    wh.write(base, "bronze", "t")
+    src = spark.createDataFrame(
+        [(2, "B-new", 99), (3, "c", 30)], ["k", "name", "v"]
+    )
+    # Only v updates on match; name keeps the target value.
+    wh.upsert_into(src, "bronze", "t", keys=["k"], update_cols=["v"])
+    rows = {
+        r["k"]: (r["name"], r["v"])
+        for r in wh.read("bronze", "t").collect()
+    }
+    assert rows[1] == ("a", 10)  # untouched
+    assert rows[2] == ("b", 99)  # v updated, name kept
+    assert rows[3] == ("c", 30)  # inserted
+
+
+def test_parquet_upsert_into_creates_missing_table(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    src = spark.createDataFrame([(1, 10)], ["k", "v"])
+    wh.upsert_into(src, "bronze", "fresh", keys=["k"])
+    assert wh.read("bronze", "fresh").count() == 1
+
+
+def test_parquet_delete_where_in_place(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.range(10).select(F.col("id").alias("k"))
+    wh.write(df, "bronze", "t")
+    wh.fmt.delete_where(spark, wh.path("bronze", "t"), F.col("k") >= 7)
+    assert wh.read("bronze", "t").count() == 7
