@@ -661,3 +661,118 @@ def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty"
         ),
     )
+
+
+@query(
+    "order_gap_stats",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             epoch_us(o_orderdate)
+               - lag(epoch_us(o_orderdate))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS gap_us
+      FROM orders
+    )
+    SELECT o_custkey,
+           COUNT(gap_us)              AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM g
+    WHERE gap_us IS NOT NULL
+    GROUP BY o_custkey
+    """,
+    doc="Inter-order gap analysis per customer: LAG over a "
+    "deterministic (date, key) order, then min/max/count of the "
+    "deltas. One shuffle on o_custkey serves BOTH the window sort "
+    "and the downstream groupBy (same key ⇒ Catalyst reuses the "
+    "partitioning, no second Exchange). Gaps in epoch micros via the "
+    "tz-independent TIMESTAMP_NTZ diff.",
+)
+def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", (us - F.lag(us).over(w)).alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("o_custkey").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+@query(
+    "balance_deciles",
+    """
+    WITH d AS (
+      SELECT c_acctbal,
+             ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer
+    )
+    SELECT decile,
+           COUNT(*) AS n,
+           MIN(c_acctbal) AS lo,
+           MAX(c_acctbal) AS hi
+    FROM d
+    GROUP BY decile
+    """,
+    doc="NTILE decile profile of customer balances with a unique "
+    "(value, key) tiebreak so bucket membership is deterministic "
+    "across engines. NOTE the global ORDER BY window is a "
+    "single-partition sort — fine for dims, wrong for a 100 TB "
+    "fact; the scale path for quantile bucketing is "
+    "approx_percentile edges + a map-side bucket join "
+    "(see approx_quantile_profile).",
+)
+def q_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    d = load_table(spark, sf_dir, "customer").select(
+        "c_acctbal", F.ntile(10).over(w).alias("decile")
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+    )
+
+
+@query(
+    "grouping_sets_summary",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(GROUPING(o_orderstatus)   AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+    doc="Explicit GROUPING SETS (finer control than ROLLUP/CUBE — "
+    "exactly the three requested granularities, not the lattice) "
+    "with GROUPING() flags disambiguating real NULLs from subtotal "
+    "rows. Lowers to one Expand + one partial-agg shuffle, same as "
+    "rollup_summary.",
+)
+def q_grouping_sets_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = load_table(spark, sf_dir, "orders")
+    return (
+        ords.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        )
+    )
