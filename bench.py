@@ -53,6 +53,11 @@ BENCH_QUERIES = [
     "large_volume_customers",  # agg-in-join semi filter (TPC-H Q18 shape)
     "customer_distribution", # outer-join histogram (TPC-H Q13 shape)
     "cumulative_spend",      # frame-bounded running window
+    "sole_return_suppliers", # semi+anti self-joins (TPC-H Q21 shape)
+    "small_quantity_revenue",  # per-key avg subquery join (TPC-H Q17 shape)
+    "order_gap_stats",       # LAG window + agg, shared single shuffle
+    "doc_balanced_mix",      # hash-sampled source rebalance
+    "doc_pii_redaction",     # multi-regex scrub at corpus scale
 ]
 
 

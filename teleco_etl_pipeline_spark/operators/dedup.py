@@ -101,11 +101,34 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = 1000,
+    max_shingle_freq: int | float | None = 0.01,
+    guard_sample_fraction: float | None = None,
+    min_guard_floor: int = 100,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram shingle sets for every
     candidate pair sharing ≥1 shingle. Returns (doc_id_a, doc_id_b,
-    jaccard) with doc_id_a < doc_id_b and jaccard ≥ threshold."""
+    jaccard) with doc_id_a < doc_id_b and jaccard ≥ threshold.
+
+    ``max_shingle_freq``: an int is an absolute document-frequency
+    cap; a float in (0, 1) is a FRACTION of the corpus ("a shingle in
+    >1% of documents is a stop-shingle") — the right default, since
+    an absolute cap silently changes meaning as the corpus grows. The
+    corpus count enters the plan as a scalar subquery, so building
+    the plan never runs a job. ``min_guard_floor`` keeps the
+    fractional cap sane on small corpora: a stop-shingle must ALSO
+    exceed this absolute document count (1% of 300 documents is 3 —
+    dropping df>3 shingles there would shred recall, not guard skew).
+
+    ``guard_sample_fraction``: estimate document frequencies on a
+    deterministic md5-sampled subset of documents (threshold scaled
+    by the same fraction) instead of counting the full shingle table.
+    Stop-shingles are heavy hitters by definition, so a 10% sample
+    identifies them with high confidence while the guard's side job
+    shrinks 10× — at 100 TB that pass is ~an extra scan of the
+    exploded shingles, which is worth trimming. Sampling is by md5
+    bucket (operators/sampling.py), so the estimated frequent set is
+    reproducible across engines and runs.
+    """
     # The shingle explode is the expensive leaf and appears three
     # times in this plan (sizes + both join sides) — cache it so the
     # regex/transform work runs once.
@@ -123,10 +146,36 @@ def ngram_jaccard_pairs(
         # dropping), so `frequent` broadcasts and the filter is a
         # map-side anti join — no shuffle of the full (doc, shingle)
         # table on the shingle string.
+        if isinstance(max_shingle_freq, float):
+            if not 0.0 < max_shingle_freq < 1.0:
+                raise ValueError(
+                    "fractional max_shingle_freq must be in (0, 1), "
+                    f"got {max_shingle_freq}"
+                )
+            thr = F.greatest(
+                docs.agg(
+                    (F.count(F.lit(1)) * F.lit(max_shingle_freq)).alias("t")
+                ).scalar(),
+                F.lit(float(min_guard_floor)),
+            )
+        else:
+            thr = F.lit(max_shingle_freq)
+        freq_src = sh
+        if guard_sample_fraction is not None:
+            from teleco_etl_pipeline_spark.operators.sampling import (
+                hash_bucket,
+            )
+
+            sampled = docs.filter(
+                hash_bucket("doc_id", salt="guard")
+                < int(guard_sample_fraction * 1_000_000)
+            )
+            freq_src = _doc_shingles(sampled, n)
+            thr = thr * F.lit(guard_sample_fraction)
         frequent = (
-            sh.groupBy("shingle")
+            freq_src.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_freq)
+            .filter(F.col("df") > thr)
             .select("shingle")
         )
         sh = sh.join(F.broadcast(frequent), "shingle", "left_anti")
@@ -204,7 +253,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ex0 AS (
       SELECT doc_id, unnest(shingles) AS shingle FROM sh
     ), keep AS (
-      SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) <= 4
+      SELECT shingle FROM ex0 GROUP BY 1
+      HAVING COUNT(*) <= (SELECT COUNT(*) * 0.01 FROM documents)
     ), ex AS (
       SELECT e.doc_id, e.shingle,
              COUNT(*) OVER (PARTITION BY e.doc_id) AS set_size
@@ -222,12 +272,21 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Jaccard near-dup with the frequent-shingle skew guard ON — "
     "the 100 TB default (a stop-shingle shared by 1M docs would "
-    "create 10^12 candidate pairs without it). Exact Jaccard of the "
-    "frequency-filtered shingle sets; oracle applies the same filter.",
+    "create 10^12 candidate pairs without it). The cap is RELATIVE "
+    "(shingle in >1% of the corpus ⇒ stop-shingle, threshold via an "
+    "in-plan scalar subquery), so the guard means the same thing at "
+    "every corpus size — an absolute cap silently tightens as data "
+    "grows. Exact Jaccard of the frequency-filtered shingle sets; "
+    "oracle applies the identical relative filter.",
 )
 def q_ngram_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.12, max_shingle_freq=4)
+    # min_guard_floor=1: the synthetic corpus is small and has no
+    # true stop-shingles, so the floor is lowered to make the guard
+    # provably fire against the oracle; production keeps the default.
+    return ngram_jaccard_pairs(
+        docs, n=3, threshold=0.12, max_shingle_freq=0.01, min_guard_floor=1
+    )
 
 
 # ---------------------------------------------------------------------------

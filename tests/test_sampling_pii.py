@@ -113,3 +113,52 @@ def test_redact_pii_removes_every_pattern(spark):
     assert "<EMAIL>" in out[0]["clean"]
     assert "<PHONE>" in out[1]["clean"]
     assert "<ID>" in out[2]["clean"]
+
+
+def test_sampled_guard_finds_heavy_shingles(spark):
+    """The md5-sample frequency estimator must drop a clear stop-
+    shingle (present in every doc) exactly like the exact counter."""
+    from teleco_etl_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 40 docs sharing one stop phrase + unique tails; two true
+    # near-dups that only agree beyond the stop phrase.
+    stop = "the quick brown fox jumps over"
+    rows = [(i, f"{stop} unique tail {i} alpha beta gamma {i}") for i in range(40)]
+    rows.append((100, "real duplicate content here repeated words exact match body"))
+    rows.append((101, "real duplicate content here repeated words exact match body x"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # threshold=0.15 is LOW enough that, unguarded, the stop phrase
+    # alone pairs every tail doc with every other (jaccard ≈ 0.25) —
+    # so the assertions below prove the guard changed the outcome.
+    unguarded = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.15, max_shingle_freq=None
+    ).count()
+    assert unguarded > 100  # stop-phrase explosion without the guard
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.15, max_shingle_freq=0.5, min_guard_floor=2
+        ).collect()
+    }
+    sampled = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.15, max_shingle_freq=0.5,
+            guard_sample_fraction=0.5, min_guard_floor=2,
+        ).collect()
+    }
+    assert (100, 101) in exact
+    assert (100, 101) in sampled
+    # The stop-phrase-only docs must not pair up under either guard.
+    assert all(a >= 100 for a, _ in exact)
+    assert all(a >= 100 for a, _ in sampled)
+
+
+def test_fractional_guard_validates_range(spark):
+    from teleco_etl_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fractional max_shingle_freq"):
+        ngram_jaccard_pairs(docs, max_shingle_freq=1.5)
