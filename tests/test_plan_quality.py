@@ -82,3 +82,61 @@ def test_tumbling_window_partial_agg(spark, sf_dir):
 def test_exists_forms_stay_joins(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "LeftSemi" in plan or "LeftAnti" in plan
+
+
+def test_disjunctive_pushdown_splits_conjuncts(spark, sf_dir):
+    """Q19 shape: the OR-of-ANDs must decompose into single-side
+    pushed filters (quantity range on lineitem, brand/size on part)
+    with only the cross-side disjunction left as join residual."""
+    plan = _plan(spark, sf_dir, "disjunctive_revenue")
+    assert "PushedFilters: [" in plan
+    # the disjunction of quantity ranges reaches the lineitem scan
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan
+    # the brand/size disjunction reaches the part scan (string is
+    # truncated by toString, so match the stable prefix)
+    assert "Or(Or(And(EqualTo(p_brand" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_shape_semi_anti_no_extra_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sole_return_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_order_gap_window_and_agg_share_one_exchange(spark, sf_dir):
+    """LAG window on o_custkey and the downstream groupBy must reuse
+    the same hash partitioning — exactly one Exchange."""
+    plan = _plan(spark, sf_dir, "order_gap_stats")
+    assert plan.count("Exchange") == 1
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "grouping_sets_summary")
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_balanced_mix_broadcasts_rates_not_fact(spark, sf_dir):
+    """The per-source rate table must broadcast back onto the corpus
+    (one tiny agg; the documents scan itself joins map-side)."""
+    plan = _plan(spark, sf_dir, "doc_balanced_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_split_and_redaction_are_map_side_only(spark, sf_dir):
+    """Pure per-row operators must not shuffle at all."""
+    for name in ("doc_split_assign", "doc_pii_redaction"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+        # '*(1)' prefix = the stage runs inside whole-stage codegen
+        assert "*(1)" in plan, name
+
+
+def test_small_quantity_brand_filter_reaches_both_passes(spark, sf_dir):
+    """Q17 shape: the brand restriction must semi-join-prune BOTH the
+    revenue side and the per-part average side (never aggregate
+    averages for the other ~96% of parts)."""
+    plan = _plan(spark, sf_dir, "small_quantity_revenue")
+    assert plan.count("LeftSemi") >= 2
