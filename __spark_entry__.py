@@ -61,6 +61,8 @@ _RECORD_ORDER = [
     "doc_stratified_sample",
     "doc_balanced_mix",
     "doc_pii_redaction",
+    "neardup_clusters",
+    "doc_chunking",
     # -- new in round 2: analytic plan shapes -----------------------
     "nation_volume_shipping",
     "large_volume_customers",
@@ -94,8 +96,6 @@ _RECORD_ORDER = [
     "latest_per_key",
     "topk_orders",
     "surrogate_keys",
-    "union_summary",
-    "conditional_projection",
     "error_rate",
     "quantile_profile",
     # -- previously-green LLM-pipeline family (slot 50) -------------
@@ -117,6 +117,8 @@ _RECORD_LAST = [
     "dup_finder",  # dup-detect twin of window_dup_flag
     "minmax_profile",  # A5 twin of quantile_profile's extremes
     "grouped_counts",  # A3 twin of pricing_summary's grouped aggs
+    "union_summary",  # U1 twin of priority_set_ops' set algebra
+    "conditional_projection",  # P2-P8 twin of scrub_cast's projection
 ]
 
 

@@ -493,3 +493,132 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (max_hamming=16, bands=4) silently missed pairs at distance 4-16
     # whose flips hit all four bands.
     return simhash_neardup_pairs(docs, max_hamming=3, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# Cluster resolution (connected components over the near-dup pair graph)
+# ---------------------------------------------------------------------------
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve pairwise near-dup edges into clusters: every document
+    gets the MIN doc id of its connected component as ``cluster_id``,
+    plus ``cluster_size`` and an ``is_keeper`` flag (1 for the
+    representative). Pair lists alone under-dedup: if A~B and B~C but
+    A!~C, keeping "one of each pair" retains two of the three — the
+    transitive closure is what a dedup pass actually drops against.
+
+    Min-label propagation: each round, every node adopts the minimum
+    label among itself and its neighbors. Per round that is one
+    groupBy(src) shuffle + one join on node; rounds needed = graph
+    diameter. Near-dup components are dense by construction (documents
+    similar to a common template are usually similar to each other),
+    so the diameter is small — single digits even at corpus scale.
+    Lineage is truncated every round with ``localCheckpoint`` —
+    without it the plan doubles per iteration and the driver ends up
+    analyzing a plan tree exponential in rounds. For adversarial
+    chain-shaped graphs the O(log n)-round alternating star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") drops into the same loop shape.
+
+    Convergence is detected by counting changed labels (labels only
+    ever decrease, so a round with zero changes is the fixpoint);
+    ``max_iter`` bounds the worst case.
+    """
+    sym = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    # Symmetrize: min-labels must flow both directions of each edge.
+    edges = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    ).select(
+        id_col,
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_keeper"),
+    )
+
+
+@query(
+    "neardup_clusters",
+    r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, len(toks) - 2)]) AS shingles
+      FROM tok WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS set_size FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             COUNT(*) AS shared, ANY_VALUE(a.set_size) AS size_a, ANY_VALUE(b.set_size) AS size_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_id_a, doc_id_b FROM inter
+      WHERE ROUND(CAST(shared AS DOUBLE) / (size_a + size_b - shared) + 1e-9, 4) >= 0.12
+    ), edges AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+    ), reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+    ), comp AS (
+      SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           CAST(doc_id = cluster_id AS INT) AS is_keeper
+    FROM comp
+    """,
+    doc="Connected components over the exact-Jaccard near-dup graph: "
+    "cluster id = component min, with size and keeper flag. The "
+    "transitive-closure step a pair list alone cannot express; "
+    "oracle computes the same closure via a recursive CTE.",
+)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.12, max_shingle_freq=None)
+    return neardup_clusters(pairs, docs)

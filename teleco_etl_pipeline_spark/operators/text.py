@@ -216,6 +216,86 @@ def q_doc_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Document chunking ---------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    the context-length packing step of a training-data pipeline.
+
+    Chunk k covers tokens [k·stride, k·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the last chunk is short rather
+    than padded. Expressed as explode(sequence) over a per-row chunk
+    count + slice/array_join — pure codegen, so at 100 TB the explode
+    fan-out (~n_tokens/stride rows per doc) is the only cost and no
+    text ever crosses a shuffle unless a downstream op asks for it.
+
+    Output is one row per chunk with the token span and an md5 of the
+    chunk text (byte-identical across engines) rather than the text
+    itself — callers that need the text re-derive it from the span.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size("toks")
+    num_chunks = (
+        F.greatest(F.ceil((n - chunk_tokens) / F.lit(float(stride))), F.lit(0)) + 1
+    )
+    start = F.col("chunk_id") * stride
+    chunk = F.slice("toks", start + 1, chunk_tokens)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0).cast("long"), num_chunks - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            start.alias("start_token"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "doc_chunking",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             GREATEST(CAST(CEIL((len(toks) - 32) / 24.0) AS BIGINT), 0) + 1 AS num_chunks
+      FROM t
+    )
+    SELECT doc_id,
+           k AS chunk_id,
+           k * 24 AS start_token,
+           len(toks[k*24 + 1 : k*24 + 32]) AS n_chunk_tokens,
+           md5(array_to_string(toks[k*24 + 1 : k*24 + 32], ' ')) AS chunk_md5
+    FROM c, unnest(generate_series(0, num_chunks - 1)) AS u(k)
+    """,
+    doc="Overlapping token-window chunking (32-token windows, 8-token "
+    "overlap) — context-length packing for training data; md5 per "
+    "chunk proves byte-identical splits across engines.",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=32, overlap=8)
+
+
 # --- PII redaction -------------------------------------------------
 #
 # Patterns deliberately restricted to syntax that Java regex (Spark)

@@ -312,3 +312,73 @@ def test_banded_range_join_equals_range_predicate(spark):
         for r in banded_range_join(fact, bands, "x", width=10.0).collect()
     }
     assert got == {(0, 0), (1, 0), (2, 1), (3, 2)}  # 99.0 has no band
+
+
+def test_neardup_clusters_transitive_closure(spark):
+    from teleco_etl_pipeline_spark.operators.dedup import neardup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    # Chain 1~2, 2~3 (1 and 3 never paired directly) + pair 4~5 + singleton 6.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["doc_id_a", "doc_id_b"]
+    )
+    out = {r["doc_id"]: r for r in neardup_clusters(pairs, docs).collect()}
+    assert {d: out[d]["cluster_id"] for d in out} == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+    assert {d: out[d]["cluster_size"] for d in out} == {1: 3, 2: 3, 3: 3, 4: 2, 5: 2, 6: 1}
+    assert [d for d in out if out[d]["is_keeper"] == 1] == [1, 4, 6]
+
+
+def test_neardup_clusters_long_chain_converges(spark):
+    from teleco_etl_pipeline_spark.operators.dedup import neardup_clusters
+
+    n = 8  # diameter 7 — exercises multi-round propagation
+    docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_id_a", "doc_id_b"]
+    )
+    out = neardup_clusters(pairs, docs).collect()
+    assert all(r["cluster_id"] == 0 and r["cluster_size"] == n for r in out)
+
+
+def test_chunk_documents_spans_and_content(spark):
+    from teleco_etl_pipeline_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, words), (2, "a b")], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 tokens, stride 3 -> starts 0,3,6; chunk at 6 reaches
+    # token 9, so the windows cover every token with no extra chunk.
+    assert [(r["start_token"], r["n_chunk_tokens"]) for r in by_doc[1]] == [
+        (0, 4), (3, 4), (6, 4)
+    ]
+    # Consecutive chunks overlap by exactly `overlap` tokens, and the
+    # last chunk ends exactly at the token count (full coverage).
+    assert all(
+        b["start_token"] == a["start_token"] + a["n_chunk_tokens"] - 1
+        for a, b in zip(by_doc[1], by_doc[1][1:])
+    )
+    last = by_doc[1][-1]
+    assert last["start_token"] + last["n_chunk_tokens"] == 10
+    # doc 2 is shorter than one chunk -> single unpadded chunk.
+    assert [(r["start_token"], r["n_chunk_tokens"]) for r in by_doc[2]] == [(0, 2)]
+
+    import hashlib
+
+    expect = hashlib.md5("w0 w1 w2 w3".encode()).hexdigest()
+    assert by_doc[1][0]["chunk_md5"] == expect
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from teleco_etl_pipeline_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
