@@ -63,6 +63,7 @@ _RECORD_ORDER = [
     "doc_pii_redaction",
     "neardup_clusters",
     "doc_chunking",
+    "doc_pack_windows",
     # -- new in round 2: analytic plan shapes -----------------------
     "nation_volume_shipping",
     "large_volume_customers",
@@ -81,6 +82,9 @@ _RECORD_ORDER = [
     "order_gap_stats",
     "balance_deciles",
     "grouping_sets_summary",
+    "market_share",
+    "supplier_class_counts",
+    "heavy_part_shippers",
     # -- previously-green core, one per load-bearing family ---------
     "pricing_summary",
     "star_join",
@@ -90,13 +94,9 @@ _RECORD_ORDER = [
     "anti_join",
     "correlated_scalar",
     "upsert_merge",
-    "delete_then_insert",
     "watermark_window",
     "window_dup_flag",
-    "latest_per_key",
     "topk_orders",
-    "surrogate_keys",
-    "error_rate",
     "quantile_profile",
     # -- previously-green LLM-pipeline family (slot 50) -------------
     "exact_dedup",
@@ -119,6 +119,10 @@ _RECORD_LAST = [
     "grouped_counts",  # A3 twin of pricing_summary's grouped aggs
     "union_summary",  # U1 twin of priority_set_ops' set algebra
     "conditional_projection",  # P2-P8 twin of scrub_cast's projection
+    "delete_then_insert",  # M3 twin of upsert_merge's keyed merge
+    "latest_per_key",  # W1 twin of window_dup_flag's keyed window
+    "surrogate_keys",  # W2 twin (r01-green; rotate back next round)
+    "error_rate",  # A10 twin of pricing_summary's agg (r01-green)
 ]
 
 

@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     "sole_return_suppliers", # semi+anti self-joins (TPC-H Q21 shape)
     "small_quantity_revenue",  # per-key avg subquery join (TPC-H Q17 shape)
     "order_gap_stats",       # LAG window + agg, shared single shuffle
+    "market_share",          # 7-table dual-nation ratio (TPC-H Q8 shape)
+    "product_profit",        # LIKE-filtered nation×year profit (Q9 shape)
+    "returned_item_report",  # quarter top-20 customers (Q10 shape)
+    "supplier_class_counts",  # NOT IN null-aware anti + count-distinct (Q16 shape)
+    "heavy_part_shippers",   # nested IN-agg-IN semi joins (TPC-H Q20 shape)
     "doc_balanced_mix",      # hash-sampled source rebalance
     "doc_pii_redaction",     # multi-regex scrub at corpus scale
 ]

@@ -218,3 +218,75 @@ def q_doc_balanced_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+
+
+def pack_context_windows(
+    docs: DataFrame,
+    budget_tokens: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate each shard's documents
+    (in stable id order) into one token stream and cut it every
+    ``budget_tokens`` — each document is assigned the window holding
+    its first token (documents may straddle a cut; the trainer's
+    loader handles the carry, exactly as concat-and-split pretraining
+    pipelines do).
+
+    Scale shape: the shard id is the md5 bucket of the document key,
+    so the one shuffle this needs — the running token sum — hash-
+    partitions uniformly regardless of corpus skew, and each shard
+    packs independently (embarrassingly parallel across shards; pick
+    ``n_shards`` ≈ a few × cluster cores). The running sum is the only
+    sequential dependency and it is bounded per shard, never global.
+    Assignment is a pure function of (key, text) — append-stable and
+    cross-engine reproducible like every operator in this module.
+    """
+    from teleco_etl_pipeline_spark.operators.text import tokens
+
+    d = docs.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("n_tokens"),
+        hash_bucket(id_col, salt=salt, buckets=n_shards).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(start / budget_tokens).alias("window_id"),
+        (start % budget_tokens).alias("offset_in_window"),
+    )
+
+
+@query(
+    "doc_pack_windows",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 8))
+                  AS BIGINT) % 8 AS shard
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                  AS BIGINT) - n_tokens AS start_tok
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           start_tok // 256 AS window_id,
+           start_tok % 256 AS offset_in_window
+    FROM c
+    """,
+    doc="Sequence packing for pretraining: per-shard concatenate-and-"
+    "cut into 256-token windows; md5-sharded so the single running-"
+    "sum shuffle is uniform and shards pack independently at any "
+    "corpus size.",
+)
+def q_doc_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_context_windows(docs, budget_tokens=256, n_shards=8)

@@ -402,3 +402,291 @@ def q_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(10)
     )
+
+
+@query(
+    "market_share",
+    """
+    WITH vol AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part      ON p_partkey = l_partkey
+      JOIN supplier  ON s_suppkey = l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      JOIN orders    ON o_orderkey = l_orderkey
+      JOIN customer  ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region    ON r_regionkey = n1.n_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END)
+                      / SUM(volume) AS DOUBLE) + 1e-9, 4) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+    doc="TPC-H-Q8-shaped market share: one nation's fraction of "
+    "region revenue per year — a conditional-sum ratio on top of the "
+    "catalog's deepest join tree (two facts + five dims, both nation "
+    "roles). All dims broadcast; the only shuffles are the "
+    "orders⋈customer and lineitem⋈orders fact joins and the final "
+    "tiny per-year aggregate. Decimal-exact sums before the double "
+    "division, per the engine's cross-engine ratio rule.",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), "n_regionkey"
+    )
+    reg = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    # Customer side resolves to ASIA custkeys via broadcast dims, then
+    # the two fact joins shuffle on their own keys.
+    asia_cust = cust.join(
+        F.broadcast(n1.join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))),
+        F.col("c_nationkey") == F.col("c_nkey"),
+    ).select("c_custkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                (
+                    F.sum(
+                        F.when(
+                            F.col("supp_nation") == "NATION_7", _disc_price()
+                        ).otherwise(F.lit(0))
+                    )
+                    / F.sum(_disc_price())
+                ).cast("double")
+                + 1e-9,
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "product_profit",
+    """
+    SELECT n_name AS nation,
+           EXTRACT(YEAR FROM l_shipdate) AS o_year,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+             AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H-Q9-shaped product profit by supplier nation and year: "
+    "an unanchored LIKE '%red%' (Catalyst lowers it to a pushable "
+    "StringContains filter on the broadcast part side) over a "
+    "fact⋈3-dim tree, grouped on (nation, year). One lineitem "
+    "shuffle for the final aggregate; everything else broadcasts.",
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(_disc_price()).cast("double"), 2).alias("profit")
+        )
+    )
+
+
+@query(
+    "returned_item_report",
+    """
+    SELECT c_custkey, c_name, n_name AS nation,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+             AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H-Q10-shaped returned-item report: top 20 customers by "
+    "returned revenue in one quarter. Date-pruned orders join "
+    "return-filtered lineitem on orderkey, then one shuffle up to "
+    "customer grain; nation broadcasts; the LIMIT plans as "
+    "TakeOrderedAndProject (no global sort) with a c_custkey "
+    "tiebreak so the cut is deterministic across engines.",
+)
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1995-10-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(_disc_price()).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "supplier_class_counts",
+    """
+    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 9, 13)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    """,
+    doc="TPC-H-Q16-shaped supplier counts per part class with a NOT IN "
+    "exclusion subquery. NOT IN is NOT a plain anti join — it must "
+    "drop every probe row if the subquery yields a NULL — so the "
+    "Spark side uses the null-aware anti-join pattern "
+    "(`key == sub OR isnull(key == sub)`, left_anti, broadcast "
+    "build), which Catalyst plans as a BroadcastHashJoin with "
+    "isNullAwareAntiJoin rather than a nested-loop scan. "
+    "COUNT(DISTINCT) adds the two-phase distinct-aggregate shape.",
+)
+def q_supplier_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 5, 9, 13)
+        )
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    bad_sup = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    eq = F.col("l_suppkey") == F.col("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_sup), eq | F.isnull(eq), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "heavy_part_shippers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 400
+    )
+    """,
+    doc="TPC-H-Q20-shaped nested-subquery supplier filter: an IN over "
+    "an aggregate-with-HAVING whose input is itself IN-filtered by a "
+    "dim predicate — the doubly-nested decorrelation shape. Lowers "
+    "to: part filter broadcast-semi into lineitem, one groupBy "
+    "shuffle on l_suppkey, HAVING on the decimal-exact quantity sum, "
+    "then a semi join into supplier. l_quantity is integral, so the "
+    "double sum is order-independent and the HAVING boundary is "
+    "engine-stable.",
+)
+def q_heavy_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    small_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    heavy = (
+        li.join(
+            F.broadcast(small_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 400)
+        .select("l_suppkey")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name")
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+    )

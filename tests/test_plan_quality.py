@@ -140,3 +140,34 @@ def test_small_quantity_brand_filter_reaches_both_passes(spark, sf_dir):
     averages for the other ~96% of parts)."""
     plan = _plan(spark, sf_dir, "small_quantity_revenue")
     assert plan.count("LeftSemi") >= 2
+
+
+def test_q16_not_in_plans_null_aware_hash_join(spark, sf_dir):
+    """NOT IN must lower to a null-aware BROADCAST HASH anti join
+    (the trailing `true` flag), never a nested-loop scan — Spark only
+    recognizes the `eq | isnull(eq)` single-column pattern, so this
+    locks that rewrite in."""
+    plan = _plan(spark, sf_dir, "supplier_class_counts")
+    assert "LeftAnti, BuildRight, true" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_topk_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "returned_item_report")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q20_nested_semis_single_agg_shuffle(spark, sf_dir):
+    """Both IN subqueries must be semi joins; the only shuffle that
+    scales with lineitem is the per-supplier aggregate."""
+    plan = _plan(spark, sf_dir, "heavy_part_shippers")
+    assert plan.count("LeftSemi") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_fact_predicates_push_to_scans(spark, sf_dir):
+    """The deepest join tree in the catalog: date range must reach the
+    orders scan and the type filter the part scan."""
+    plan = _plan(spark, sf_dir, "market_share")
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(p_type,ECONOMY)" in plan

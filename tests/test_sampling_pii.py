@@ -162,3 +162,26 @@ def test_fractional_guard_validates_range(spark):
 
     with _pytest.raises(ValueError, match="fractional max_shingle_freq"):
         ngram_jaccard_pairs(docs, max_shingle_freq=1.5)
+
+
+def test_pack_context_windows_sequential_within_shard(spark):
+    from teleco_etl_pipeline_spark.operators.sampling import pack_context_windows
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([5, 3, 4, 6, 2])],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        pack_context_windows(docs, budget_tokens=8, n_shards=1).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # Single shard -> one concatenated stream cut every 8 tokens:
+    # starts 0,5,8,12,18 -> windows 0,0,1,1,2; offsets 0,5,0,4,2.
+    assert [r["shard"] for r in rows] == [0] * 5
+    assert [(r["window_id"], r["offset_in_window"]) for r in rows] == [
+        (0, 0), (0, 5), (1, 0), (1, 4), (2, 2)
+    ]
+    # Start offsets reconstruct the exact running token stream.
+    starts = [r["window_id"] * 8 + r["offset_in_window"] for r in rows]
+    toks = [r["n_tokens"] for r in rows]
+    assert starts == [sum(toks[:i]) for i in range(len(toks))]
