@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "heavy_part_shippers",   # nested IN-agg-IN semi joins (TPC-H Q20 shape)
     "doc_balanced_mix",      # hash-sampled source rebalance
     "doc_pii_redaction",     # multi-regex scrub at corpus scale
+    "doc_chunking",          # overlapping token windows, zero-shuffle
+    "doc_pack_windows",      # sharded concat-and-cut sequence packing
 ]
 
 

@@ -171,3 +171,18 @@ def test_q8_fact_predicates_push_to_scans(spark, sf_dir):
     plan = _plan(spark, sf_dir, "market_share")
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "EqualTo(p_type,ECONOMY)" in plan
+
+
+def test_chunking_is_map_side_codegen(spark, sf_dir):
+    """Chunking = project + generate only: zero shuffles, inside
+    whole-stage codegen."""
+    plan = _plan(spark, sf_dir, "doc_chunking")
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+
+
+def test_packing_single_shard_shuffle(spark, sf_dir):
+    """Sequence packing may shuffle exactly once — on the shard id."""
+    plan = _plan(spark, sf_dir, "doc_pack_windows")
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(shard" in plan
