@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "returned_item_report",  # quarter top-20 customers (Q10 shape)
     "supplier_class_counts",  # NOT IN null-aware anti + count-distinct (Q16 shape)
     "heavy_part_shippers",   # nested IN-agg-IN semi joins (TPC-H Q20 shape)
+    "min_cost_supplier",     # window-min argmin, single fact scan (Q2 shape)
     "doc_balanced_mix",      # hash-sampled source rebalance
     "doc_pii_redaction",     # multi-regex scrub at corpus scale
     "doc_chunking",          # overlapping token windows, zero-shuffle

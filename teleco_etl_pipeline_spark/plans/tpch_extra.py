@@ -1,20 +1,35 @@
-"""Additional TPC-H-derived plan shapes (Q4/Q11/Q12/Q15/Q17/Q19/Q21).
+"""Additional TPC-H-derived plan shapes
+(Q2/Q4/Q8/Q9/Q10/Q11/Q12/Q15/Q16/Q17/Q19/Q20/Q21).
+
+Together with plans/analytics.py (Q1/Q3/Q5/Q7/Q13/Q14/Q18/Q22
+shapes) this completes the TPC-H analytic pattern family; Q6's
+no-join filtered aggregate shape is subsumed by the conditional
+aggregate queries in plans/relational.py.
 
 Each query here exists for its PLAN SHAPE, not its business meaning —
-together with plans/analytics.py they give the catalog one tested
-instance of every major analytic join/subquery pattern a warehouse
-user writes. The testdata has no ``partsupp`` table and lineitem
+the catalog keeps one tested instance of every major analytic
+join/subquery pattern a warehouse user writes. The testdata has no
+``partsupp`` table and lineitem
 carries no commit/receipt dates or ship modes, so predicates are
 adapted to the columns that exist while keeping each query's
 structural signature (the thing Catalyst actually plans) intact:
 
+- Q2  → correlated-MIN join-back (keep rows equal to their group's
+  aggregate)
 - Q4  → EXISTS-driven semi join feeding an aggregation
+- Q8  → conditional-sum ratio over a two-fact, five-dim join tree
+- Q9  → unanchored LIKE dim filter under a (nation, year) aggregate
+- Q10 → date-pruned fact⋈fact rollup to customer grain + top-k
 - Q11 → GROUP BY ... HAVING against a global scalar subquery
 - Q12 → conditional two-way counts on a fact↔fact join
 - Q15 → aggregate, then equality against the aggregate's own MAX
   (scalar subquery over a derived table)
+- Q16 → NOT IN as a broadcast null-aware hash anti join +
+  COUNT(DISTINCT)
 - Q17 → per-key average subquery joined back to the same fact
 - Q19 → OR-of-ANDs disjunctive predicate across join inputs
+- Q20 → IN over an aggregate-with-HAVING itself IN-filtered
+  (doubly-nested decorrelation)
 - Q21 → EXISTS + NOT-EXISTS self-joins on the same fact
 
 Scale notes are per-query; the global rules: dims broadcast, facts
@@ -689,4 +704,67 @@ def q_heavy_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "supplier")
         .select("s_suppkey", "s_name")
         .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+    )
+
+
+@query(
+    "min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   + 1e-9, 4) AS unit_cost
+      FROM lineitem
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT l_partkey, MIN(unit_cost) AS min_cost FROM cost GROUP BY 1
+    )
+    SELECT p_partkey, s_name, unit_cost
+    FROM cost
+    JOIN best ON cost.l_partkey = best.l_partkey
+             AND cost.unit_cost = best.min_cost
+    JOIN part     ON p_partkey = cost.l_partkey
+    JOIN supplier ON s_suppkey = cost.l_suppkey
+    WHERE p_size <= 5
+    """,
+    doc="TPC-H-Q2-shaped cheapest-supplier lookup: per-(part, "
+    "supplier) unit cost, then keep only rows equal to their part's "
+    "minimum (ties kept, as in the SQL join-back). The oracle writes "
+    "the classic aggregate-and-join-back; the Spark side decorrelates "
+    "to a window MIN over the cost aggregate instead, because the "
+    "join-back form makes Catalyst aggregate the fact TWICE (no "
+    "common-subexpression sharing across the self-reference) while "
+    "the window form scans lineitem once and only reshuffles the "
+    "tiny (part, supplier) aggregate. Equality on a ROUND()ed double "
+    "from decimal-exact sums cast to double BEFORE dividing — "
+    "bit-identical IEEE value in both engines.",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            + 1e-9,
+            4,
+        ).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        cost.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "s_name", "unit_cost")
     )

@@ -186,3 +186,11 @@ def test_packing_single_shard_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "doc_pack_windows")
     assert plan.count("Exchange") == 1
     assert "hashpartitioning(shard" in plan
+
+
+def test_q2_argmin_scans_fact_once(spark, sf_dir):
+    """The window-MIN decorrelation must scan lineitem ONCE (the
+    join-back form would aggregate the fact twice) — 3 scans total:
+    lineitem + the two broadcast dims."""
+    plan = _plan(spark, sf_dir, "min_cost_supplier")
+    assert plan.count("FileScan parquet") == 3
