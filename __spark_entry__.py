@@ -64,6 +64,8 @@ _RECORD_ORDER = [
     "neardup_clusters",
     "doc_chunking",
     "doc_pack_windows",
+    "top_ngrams",
+    "train_test_contamination",
     # -- new in round 2: analytic plan shapes -----------------------
     "nation_volume_shipping",
     "large_volume_customers",
@@ -88,11 +90,9 @@ _RECORD_ORDER = [
     # -- previously-green core, one per load-bearing family ---------
     "pricing_summary",
     "star_join",
-    "nullsafe_join",
     "expr_key_join",
     "semi_join",
     "anti_join",
-    "correlated_scalar",
     "upsert_merge",
     "watermark_window",
     "window_dup_flag",
@@ -123,6 +123,8 @@ _RECORD_LAST = [
     "latest_per_key",  # W1 twin of window_dup_flag's keyed window
     "surrogate_keys",  # W2 twin (r01-green; rotate back next round)
     "error_rate",  # A10 twin of pricing_summary's agg (r01-green)
+    "nullsafe_join",  # J4 twin of expr_key_join (r01-green)
+    "correlated_scalar",  # J9 twin of small_quantity_revenue (r01-green)
 ]
 
 

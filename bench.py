@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "doc_pii_redaction",     # multi-regex scrub at corpus scale
     "doc_chunking",          # overlapping token windows, zero-shuffle
     "doc_pack_windows",      # sharded concat-and-cut sequence packing
+    "top_ngrams",            # corpus heavy-hitter n-gram counts
+    "train_test_contamination",  # cross-split fingerprint collisions
 ]
 
 

@@ -290,3 +290,46 @@ def pack_context_windows(
 def q_doc_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return pack_context_windows(docs, budget_tokens=256, n_shards=8)
+
+
+@query(
+    "train_test_contamination",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             md5(array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:8], ' ')) AS fp,
+             CASE WHEN {_DUCK_BUCKET.format(salt="")} < 800000 THEN 'train'
+                  WHEN {_DUCK_BUCKET.format(salt="")} < 900000 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT t.fp AS fp, t.doc_id AS train_doc_id, e.doc_id AS test_doc_id
+    FROM f t JOIN f e ON t.fp = e.fp
+    WHERE t.split = 'train' AND e.split = 'test'
+    """,
+    doc="Train/test decontamination: flag training documents whose "
+    "loose fingerprint (md5 of the first 8 tokens — catches templated "
+    "near-copies exact hashing misses) collides with a held-out test "
+    "document. The join key is a 16-byte hash, never text, so the "
+    "shuffle is minimal; in production the fingerprint table is "
+    "materialized once (bronze pattern) rather than recomputed per "
+    "check, and the held-out side is usually small enough to "
+    "broadcast.",
+)
+def q_train_test_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(tokens("text"), 1, 8), " ")).alias("fp"),
+    )
+    d = deterministic_split(
+        docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+    train = d.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "fp"
+    )
+    test = d.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), "fp"
+    )
+    return train.join(test, "fp").select("fp", "train_doc_id", "test_doc_id")

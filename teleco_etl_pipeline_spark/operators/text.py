@@ -390,3 +390,45 @@ def q_doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         *pii_counts("text"),
         F.md5(redact_pii("text")).alias("clean_md5"),
     )
+
+
+@query(
+    "top_ngrams",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                   for i in generate_series(1, len(toks) - 2)])) AS shingle
+      FROM tok WHERE len(toks) >= 3
+    )
+    SELECT shingle, COUNT(*) AS df
+    FROM sh GROUP BY 1
+    ORDER BY df DESC, shingle
+    LIMIT 20
+    """,
+    doc="Corpus-level top-k n-gram document frequencies — the "
+    "heavy-hitter count that feeds stop-shingle lists (the dedup "
+    "guard) and corpus analytics. Partial counts combine map-side "
+    "before the one shuffle on the shingle, and the LIMIT plans as "
+    "TakeOrderedAndProject with a shingle tiebreak, so the global "
+    "top-k never materializes a full sort at any corpus size.",
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    parallelism = d.sparkSession.sparkContext.defaultParallelism
+    toks = tokens("text")
+    return (
+        # Repartition first: CPU-bound explode over a few-file table
+        # must not run on one core (see dedup._doc_shingles).
+        d.repartition(parallelism, F.col("doc_id"))
+        .select(toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(F.explode(shingles(F.col("toks"), 3)).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("shingle"))
+        .limit(20)
+    )
