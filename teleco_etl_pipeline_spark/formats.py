@@ -42,6 +42,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from teleco_etl_pipeline_spark.operators.upsert import (
+    delete_where as relational_delete_where,
+    heal_interrupted_swap,
     merge_upsert,
     safe_overwrite,
 )
@@ -87,6 +89,7 @@ class ParquetFormat(TableFormat):
     name = "parquet"
 
     def read(self, spark: SparkSession, path: str) -> DataFrame:
+        heal_interrupted_swap(path)
         return spark.read.parquet(path)
 
     def write(self, df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -103,6 +106,10 @@ class ParquetFormat(TableFormat):
         keys: Sequence[str],
         update_cols: Sequence[str] | None = None,
     ) -> None:
+        # Heal BEFORE the existence check: after a crash mid-swap the
+        # table lives only at path+'.old', and treating that as "first
+        # write" would replace the whole table with the source delta.
+        heal_interrupted_swap(path)
         if os.path.exists(path):
             merged = merge_upsert(
                 self.read(spark, path), source, keys, update_cols=update_cols
@@ -112,7 +119,11 @@ class ParquetFormat(TableFormat):
             self.write(source, path)
 
     def delete_where(self, spark: SparkSession, path: str, predicate: Column) -> None:
-        self.overwrite_atomic(self.read(spark, path).filter(~predicate), path)
+        # Shared helper: SQL DELETE semantics (NULL predicate keeps the
+        # row), matching DeltaFormat's native DELETE.
+        self.overwrite_atomic(
+            relational_delete_where(self.read(spark, path), predicate), path
+        )
 
 
 class DeltaFormat(TableFormat):

@@ -528,7 +528,8 @@ def neardup_clusters(
 
     Convergence is detected by counting changed labels (labels only
     ever decrease, so a round with zero changes is the fixpoint);
-    ``max_iter`` bounds the worst case.
+    exhausting ``max_iter`` before the fixpoint raises rather than
+    returning silently split components.
     """
     sym = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
     # Symmetrize: min-labels must flow both directions of each edge.
@@ -536,6 +537,7 @@ def neardup_clusters(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
     labels = docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -562,6 +564,18 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Returning here would silently split one true component into
+        # several clusters (each with its own is_keeper row) — wrong
+        # answers, not slow ones. Fail loudly instead; chain-shaped
+        # graphs deeper than max_iter need more rounds or the
+        # O(log n) star-contraction variant.
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); the pair graph has "
+            f"diameter > {max_iter} — raise max_iter or switch to "
+            "star contraction"
+        )
     edges.unpersist()
     from pyspark.sql import Window
 

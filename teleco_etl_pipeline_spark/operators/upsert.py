@@ -105,8 +105,35 @@ def anti_dedup(staging: DataFrame, target: DataFrame, keys: Sequence[str]) -> Da
 
 
 def delete_where(target: DataFrame, predicate) -> DataFrame:
-    """M4: predicate delete — keep rows NOT matching the predicate."""
-    return target.filter(~predicate)
+    """M4: predicate delete — keep rows NOT matching the predicate.
+
+    SQL DELETE only removes rows where the predicate is TRUE; a NULL
+    predicate (e.g. ``score > 100`` on a NULL score) must KEEP the
+    row. A bare ``filter(~predicate)`` would drop it — NULL negates
+    to NULL, which filter discards — so the predicate is coalesced to
+    false first.
+    """
+    return target.filter(~F.coalesce(predicate, F.lit(False)))
+
+
+def heal_interrupted_swap(path: str) -> None:
+    """Recover a table left mid-swap by a crashed ``safe_overwrite``:
+    backup present + live path missing ⇒ the table vanished between
+    the two renames → restore it; backup present + live path present
+    ⇒ stale backup from a crash after the swap → discard it. Without
+    this, the next ``os.rename(path, backup)`` raises into a
+    non-empty dir (wedging every subsequent overwrite) — and worse,
+    any caller that branches on ``os.path.exists(path)`` (e.g. an
+    upsert's create-vs-merge decision) would treat the vanished table
+    as first write and silently drop the pre-crash data. Idempotent;
+    call it before ANY existence check on a swap-managed path.
+    """
+    backup = path + ".old"
+    if os.path.exists(backup):
+        if os.path.exists(path):
+            shutil.rmtree(backup)
+        else:
+            os.rename(backup, path)
 
 
 def safe_overwrite(df: DataFrame, path: str) -> None:
@@ -120,17 +147,7 @@ def safe_overwrite(df: DataFrame, path: str) -> None:
     parent = os.path.dirname(os.path.abspath(path))
     os.makedirs(parent, exist_ok=True)
     backup = path + ".old"
-    # Self-heal a previous crash between the two renames below:
-    # backup present + live path missing ⇒ the table vanished mid-swap
-    # → restore it; backup present + live path present ⇒ stale backup
-    # from a crash after the swap → discard it. Without this, the next
-    # os.rename(path, backup) raises into a non-empty dir and every
-    # subsequent overwrite is wedged.
-    if os.path.exists(backup):
-        if os.path.exists(path):
-            shutil.rmtree(backup)
-        else:
-            os.rename(backup, path)
+    heal_interrupted_swap(path)
     tmp = tempfile.mkdtemp(prefix=".swap_", dir=parent)
     tmp_path = os.path.join(tmp, "data")
     df.write.mode("overwrite").parquet(tmp_path)

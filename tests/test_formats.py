@@ -79,3 +79,38 @@ def test_parquet_delete_where_in_place(spark, tmp_path):
     wh.write(df, "bronze", "t")
     wh.fmt.delete_where(spark, wh.path("bronze", "t"), F.col("k") >= 7)
     assert wh.read("bronze", "t").count() == 7
+
+
+def test_parquet_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate is NULL are
+    KEPT (matching Delta's native DELETE), not silently dropped by
+    the ~predicate filter."""
+    path = str(tmp_path / "t")
+    fmt = ParquetFormat()
+    df = spark.createDataFrame(
+        [(1, 150.0), (2, 50.0), (3, None)], ["id", "score"]
+    )
+    fmt.write(df, path)
+    fmt.delete_where(spark, path, F.col("score") > 100.0)
+    left = {r["id"] for r in fmt.read(spark, path).collect()}
+    assert left == {2, 3}  # NULL-score row survives
+
+
+def test_parquet_upsert_heals_interrupted_swap(spark, tmp_path):
+    """If a previous safe_overwrite crashed between its two renames
+    (table only at path+'.old'), the next upsert must restore and
+    MERGE — not treat the path as a first write and drop the table."""
+    import os
+
+    path = str(tmp_path / "t")
+    fmt = ParquetFormat()
+    fmt.write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), path)
+    os.rename(path, path + ".old")  # simulate the crash window
+    fmt.upsert(
+        spark,
+        path,
+        spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"]),
+        keys=["id"],
+    )
+    out = {r["id"]: r["v"] for r in fmt.read(spark, path).collect()}
+    assert out == {1: "a", 2: "B", 3: "c"}  # pre-crash row 1 survives

@@ -382,3 +382,16 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_neardup_clusters_raises_on_nonconvergence(spark):
+    import pytest
+
+    from teleco_etl_pipeline_spark.operators.dedup import neardup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["doc_id_a", "doc_id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(chain, docs, max_iter=2)
