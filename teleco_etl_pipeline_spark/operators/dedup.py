@@ -513,18 +513,22 @@ def neardup_clusters(
     A!~C, keeping "one of each pair" retains two of the three — the
     transitive closure is what a dedup pass actually drops against.
 
-    Min-label propagation: each round, every node adopts the minimum
-    label among itself and its neighbors. Per round that is one
-    groupBy(src) shuffle + one join on node; rounds needed = graph
-    diameter. Near-dup components are dense by construction (documents
-    similar to a common template are usually similar to each other),
-    so the diameter is small — single digits even at corpus scale.
-    Lineage is truncated every round with ``localCheckpoint`` —
-    without it the plan doubles per iteration and the driver ends up
-    analyzing a plan tree exponential in rounds. For adversarial
-    chain-shaped graphs the O(log n)-round alternating star
-    contraction (Kiveris et al., "Connected Components in MapReduce
-    and Beyond") drops into the same loop shape.
+    Min-label propagation with pointer jumping: each round every node
+    adopts the minimum label among itself and its neighbors (one
+    groupBy shuffle + one join), then jumps to its label's own label
+    (one more self-join) — the classic path-compression trick, so a
+    chain collapses exponentially and convergence takes O(log
+    diameter) rounds instead of O(diameter). Near-dup components are
+    usually dense (documents near a common template are near each
+    other), but templated doc SERIES produce exactly the chain shape
+    where plain propagation needs diameter rounds — the jump step is
+    what makes ``max_iter=20`` safely cover graphs millions of nodes
+    deep (2^20). Lineage is truncated every round with
+    ``localCheckpoint`` — without it the plan doubles per iteration
+    and the driver ends up analyzing a plan tree exponential in
+    rounds. The alternating star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") is the
+    equivalent-complexity alternative with the same loop shape.
 
     Convergence is detected by counting changed labels (labels only
     ever decrease, so a round with zero changes is the fixpoint);
@@ -545,11 +549,27 @@ def neardup_clusters(
             .agg(F.min("label").alias("nbr_min"))
             .withColumnRenamed("src", "node")
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        # Pointer jump: follow your label's own label. label(u) <= u
+        # always, so the jump only ever improves, and chained labels
+        # halve in path length every round (the log-diameter bound).
+        jump_tbl = stepped.select(
+            F.col("node").alias("lnode"), F.col("label").alias("llabel")
+        )
+        new_labels = (
+            stepped.join(jump_tbl, F.col("label") == F.col("lnode"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("llabel", "label")).alias(
                     "label"
                 ),
             )
@@ -572,9 +592,9 @@ def neardup_clusters(
         # O(log n) star-contraction variant.
         raise RuntimeError(
             f"neardup_clusters did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); the pair graph has "
-            f"diameter > {max_iter} — raise max_iter or switch to "
-            "star contraction"
+            f"({changed} labels still changing); with pointer jumping "
+            f"that means component paths longer than ~2^{max_iter} — "
+            "raise max_iter"
         )
     edges.unpersist()
     from pyspark.sql import Window

@@ -328,15 +328,16 @@ def test_neardup_clusters_transitive_closure(spark):
     assert [d for d in out if out[d]["is_keeper"] == 1] == [1, 4, 6]
 
 
-def test_neardup_clusters_long_chain_converges(spark):
+def test_neardup_clusters_long_chain_converges_in_log_rounds(spark):
     from teleco_etl_pipeline_spark.operators.dedup import neardup_clusters
 
-    n = 8  # diameter 7 — exercises multi-round propagation
+    n = 40  # diameter 39 — plain propagation would need 39 rounds;
+    # pointer jumping must close it within 8 (2^8 >> 40).
     docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], ["doc_id_a", "doc_id_b"]
     )
-    out = neardup_clusters(pairs, docs).collect()
+    out = neardup_clusters(pairs, docs, max_iter=8).collect()
     assert all(r["cluster_id"] == 0 and r["cluster_size"] == n for r in out)
 
 
