@@ -396,3 +396,37 @@ def test_neardup_clusters_raises_on_nonconvergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         neardup_clusters(chain, docs, max_iter=2)
+
+
+def test_day_partition_overwrite_and_pruned_read(spark, tmp_path):
+    """M5 semantics + the 100 TB read lever: dynamic partition
+    overwrite must replace ONLY the touched day, and a day-filtered
+    read must prune at the PARTITION level (PartitionFilters on the
+    scan), never scan-then-filter."""
+    from teleco_etl_pipeline_spark.operators.upsert import (
+        overwrite_day_partition,
+    )
+
+    path = str(tmp_path / "by_day")
+    d1 = spark.createDataFrame(
+        [("2024-01-01", 1, "a"), ("2024-01-02", 2, "b")], ["day", "id", "v"]
+    )
+    overwrite_day_partition(d1, path, "day")
+    # Rewrite day 2 only — day 1 must survive untouched (idempotent
+    # per-day reprocessing, the reference's daily correction loop).
+    fix = spark.createDataFrame([("2024-01-02", 2, "B!")], ["day", "id", "v"])
+    overwrite_day_partition(fix, path, "day")
+    out = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert out == {1: "a", 2: "B!"}
+
+    scan = (
+        spark.read.parquet(path)
+        .filter(F.col("day") == "2024-01-02")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(day" in scan
+    # the day predicate must appear as a partition filter, not a
+    # pushed data filter (the column isn't in the data files at all)
+    assert "(day" in scan.split("PartitionFilters:")[1].splitlines()[0]
