@@ -66,6 +66,8 @@ _RECORD_ORDER = [
     "doc_pack_windows",
     "top_ngrams",
     "train_test_contamination",
+    "doc_repetition_stats",
+    "doc_wordshape_filter",
     # -- new in round 2: analytic plan shapes -----------------------
     "nation_volume_shipping",
     "large_volume_customers",
@@ -91,8 +93,6 @@ _RECORD_ORDER = [
     "pricing_summary",
     "star_join",
     "expr_key_join",
-    "semi_join",
-    "anti_join",
     "upsert_merge",
     "watermark_window",
     "window_dup_flag",
@@ -105,6 +105,8 @@ _RECORD_ORDER = [
 # (registration order), declared near-twins after them, rows-only
 # sketches last.
 _RECORD_LAST = [
+    "semi_join",  # J6 r01-green; semi shape in-window via heavy_part_shippers
+    "anti_join",  # J7 r01-green; anti shape in-window via sole_return_suppliers
     "md5_checksum",  # §2.9 scalar twin of tenure_months_calc
     "initcap_norm",  # §2.9 scalar twin
     "conditional_counts",  # A2 twin of grouped_counts

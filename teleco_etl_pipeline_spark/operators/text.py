@@ -432,3 +432,229 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), F.col("shingle"))
         .limit(20)
     )
+
+
+# --- Repetition statistics (Gopher-style quality signals) ----------
+
+
+def ngrams_all(toks: Column, n: int) -> Column:
+    """ALL word n-gram occurrences (unlike :func:`shingles`, which
+    de-duplicates) — repetition metrics need the multiplicity.
+    Documents shorter than ``n`` tokens yield an empty array (guarded
+    explicitly: ``sequence(0, size-n)`` would count DOWN for
+    ``size < n`` and fabricate junk grams)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document repetition signals in the style of the Gopher
+    data-quality rules (Rae et al. 2021, public): fraction of
+    duplicated words, characters claimed by the single most frequent
+    bigram, and characters inside duplicated trigrams. Documents
+    dominated by boilerplate or looping text score high and get
+    ``repetition_flag = true``.
+
+    Shape at 100 TB: words, bigrams and trigrams are exploded ONCE
+    into a tagged (kind, gram) stream, so the whole computation is a
+    single shuffle on (doc_id, kind, gram) with map-side partial
+    counts, followed by a map-side-combinable re-agg down to doc_id.
+    No per-doc quadratic work (contrast a naive
+    ``filter(grams, g -> ...)`` per distinct gram), no Python.
+
+    Char accounting: a bigram string "a b" carries one joining space,
+    a trigram two — subtracted so fractions are over non-whitespace
+    characters, with the denominator the total word characters. The
+    top-bigram metric counts only bigrams occurring MORE THAN ONCE:
+    in a short document the single most frequent bigram trivially
+    claims a large fraction even with zero repetition, which would
+    make the flag fire on length, not on looping text.
+    """
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    toks = tokens("text")
+    tagged = F.concat(
+        F.transform(
+            F.col("toks"), lambda w: F.struct(F.lit(1).alias("kind"), w.alias("gram"))
+        ),
+        F.transform(
+            ngrams_all(F.col("toks"), 2),
+            lambda g: F.struct(F.lit(2).alias("kind"), g.alias("gram")),
+        ),
+        F.transform(
+            ngrams_all(F.col("toks"), 3),
+            lambda g: F.struct(F.lit(3).alias("kind"), g.alias("gram")),
+        ),
+    )
+    freq = (
+        docs.repartition(parallelism, F.col("doc_id"))
+        .select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(tagged).alias("t"))
+        .select("doc_id", F.col("t.kind").alias("kind"), F.col("t.gram").alias("gram"))
+        .groupBy("doc_id", "kind", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("glen", F.length("gram"))
+    )
+    is_word = F.col("kind") == 1
+    per_doc = freq.groupBy("doc_id").agg(
+        F.sum(F.when(is_word, F.col("cnt"))).alias("n_words"),
+        F.sum(F.when(is_word, F.col("cnt") * F.col("glen"))).alias("word_chars"),
+        F.coalesce(
+            F.sum(F.when(is_word & (F.col("cnt") > 1), F.col("cnt"))), F.lit(0)
+        ).alias("dup_words"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("kind") == 2) & (F.col("cnt") > 1),
+                    F.col("cnt") * (F.col("glen") - 1),
+                )
+            ),
+            F.lit(0),
+        ).alias("top_bigram_chars"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("kind") == 3) & (F.col("cnt") > 1),
+                    F.col("cnt") * (F.col("glen") - 2),
+                )
+            ),
+            F.lit(0),
+        ).alias("dup_trigram_chars"),
+    )
+    dup_word_frac = F.round(
+        F.col("dup_words").cast("double") / F.col("n_words") + EPS, 4
+    )
+    top_bigram_char_frac = F.round(
+        F.col("top_bigram_chars").cast("double") / F.col("word_chars") + EPS, 4
+    )
+    dup_trigram_char_frac = F.round(
+        F.col("dup_trigram_chars").cast("double") / F.col("word_chars") + EPS, 4
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        dup_word_frac.alias("dup_word_frac"),
+        top_bigram_char_frac.alias("top_bigram_char_frac"),
+        dup_trigram_char_frac.alias("dup_trigram_char_frac"),
+    ).withColumn(
+        "repetition_flag",
+        (F.col("dup_word_frac") > 0.6)
+        | (F.col("top_bigram_char_frac") > 0.2)
+        | (F.col("dup_trigram_char_frac") > 0.3),
+    )
+
+
+@query(
+    "doc_repetition_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id, 1 AS kind, unnest(w) AS gram FROM t
+      UNION ALL
+      SELECT doc_id, 2 AS kind,
+             unnest([array_to_string(w[i:i+1], ' ')
+                     for i in generate_series(1, len(w) - 1)]) AS gram
+      FROM t WHERE len(w) >= 2
+      UNION ALL
+      SELECT doc_id, 3 AS kind,
+             unnest([array_to_string(w[i:i+2], ' ')
+                     for i in generate_series(1, len(w) - 2)]) AS gram
+      FROM t WHERE len(w) >= 3
+    ), f AS (
+      SELECT doc_id, kind, gram, length(gram) AS glen, COUNT(*) AS cnt
+      FROM g GROUP BY doc_id, kind, gram
+    ), d AS (
+      SELECT doc_id,
+        CAST(SUM(cnt) FILTER (WHERE kind = 1) AS BIGINT) AS n_words,
+        SUM(cnt * glen) FILTER (WHERE kind = 1)          AS word_chars,
+        COALESCE(SUM(cnt) FILTER (WHERE kind = 1 AND cnt > 1), 0) AS dup_words,
+        COALESCE(MAX(cnt * (glen - 1)) FILTER (WHERE kind = 2 AND cnt > 1), 0)
+                                                         AS top_bigram_chars,
+        COALESCE(SUM(cnt * (glen - 2)) FILTER (WHERE kind = 3 AND cnt > 1), 0)
+                                                         AS dup_trigram_chars
+      FROM f GROUP BY doc_id
+    )
+    SELECT doc_id, n_words,
+           dup_word_frac, top_bigram_char_frac, dup_trigram_char_frac,
+           (dup_word_frac > 0.6 OR top_bigram_char_frac > 0.2
+            OR dup_trigram_char_frac > 0.3) AS repetition_flag
+    FROM (
+      SELECT doc_id, n_words,
+             ROUND(CAST(dup_words AS DOUBLE) / n_words + 1e-9, 4) AS dup_word_frac,
+             ROUND(CAST(top_bigram_chars AS DOUBLE) / word_chars + 1e-9, 4)
+                                                                  AS top_bigram_char_frac,
+             ROUND(CAST(dup_trigram_chars AS DOUBLE) / word_chars + 1e-9, 4)
+                                                                  AS dup_trigram_char_frac
+      FROM d
+    ) s
+    """,
+    doc="Gopher-style repetition quality signals (duplicated words, "
+    "top-bigram char fraction, duplicated-trigram char fraction) — "
+    "single tagged explode, one shuffle, no per-doc quadratic work.",
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_wordshape_filter",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           n_words, mean_word_len, alpha_word_frac,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3 AND 10
+            AND alpha_word_frac > 0.8) AS keep
+    FROM (
+      SELECT doc_id,
+             len(w) AS n_words,
+             ROUND(CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                        AS DOUBLE) / len(w) + 1e-9, 4) AS mean_word_len,
+             ROUND(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                        AS DOUBLE) / len(w) + 1e-9, 4) AS alpha_word_frac
+      FROM t
+    ) s
+    """,
+    doc="Gopher-style word-shape gate (doc length, mean word length, "
+    "alphabetic-word fraction) — zero-shuffle column expressions, "
+    "whole-stage codegen end to end.",
+)
+def q_doc_wordshape_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select("doc_id", tokens("text").alias("w"))
+    n_words = F.size("w")
+    mean_word_len = F.round(
+        F.aggregate(
+            F.col("w"), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / n_words
+        + EPS,
+        4,
+    )
+    alpha_word_frac = F.round(
+        F.size(F.filter("w", lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / n_words
+        + EPS,
+        4,
+    )
+    out = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_word_frac.alias("alpha_word_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("alpha_word_frac") > 0.8),
+    )

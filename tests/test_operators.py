@@ -430,3 +430,84 @@ def test_day_partition_overwrite_and_pruned_read(spark, tmp_path):
     # the day predicate must appear as a partition filter, not a
     # pushed data filter (the column isn't in the data files at all)
     assert "(day" in scan.split("PartitionFilters:")[1].splitlines()[0]
+
+
+def test_repetition_stats_crafted_docs(spark):
+    from teleco_etl_pipeline_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 identical words: every word duplicated; bigram "x x"
+            # appears 3x (6 chars of 4 total word chars > 1 → capped
+            # by nothing: fraction 6/4 = 1.5); trigram "x x x" 2x.
+            (1, "x x x x"),
+            # all-distinct words: no repetition anywhere
+            (2, "alpha beta gamma delta"),
+            # looped phrase: "spam ham spam ham spam ham"
+            (3, "spam ham spam ham spam ham"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+
+    r1 = rows[1]
+    assert r1["n_words"] == 4
+    assert r1["dup_word_frac"] == 1.0
+    # top bigram "x x": 3 occurrences × 3 chars each ("x x" minus the
+    # space = 2 chars) = 6 over 4 word chars
+    assert r1["top_bigram_char_frac"] == 1.5
+    assert r1["repetition_flag"]
+
+    r2 = rows[2]
+    assert r2["dup_word_frac"] == 0.0
+    assert r2["dup_trigram_char_frac"] == 0.0
+    assert not r2["repetition_flag"]
+
+    r3 = rows[3]
+    # every word appears 3x
+    assert r3["dup_word_frac"] == 1.0
+    # trigrams: "spam ham spam" ×2 (13 chars − 2 spaces = 11) and
+    # "ham spam ham" ×2 (12 − 2 = 10) → dup chars 2*11 + 2*10 = 42
+    # over word chars 3*4 + 3*3 = 21
+    assert r3["dup_trigram_char_frac"] == round(42 / 21 + 1e-9, 4)
+    assert r3["repetition_flag"]
+
+
+def test_repetition_stats_short_doc_no_junk_grams(spark):
+    from teleco_etl_pipeline_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "two words")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # 1-word doc: no bigrams/trigrams may be fabricated by the
+    # descending-sequence trap (sequence(0, size-n) with size < n)
+    assert rows[1]["top_bigram_char_frac"] == 0.0
+    assert rows[1]["dup_trigram_char_frac"] == 0.0
+    assert rows[2]["dup_trigram_char_frac"] == 0.0
+    assert not rows[1]["repetition_flag"]
+
+
+def test_wordshape_filter_thresholds(spark):
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+    import os
+    import tempfile
+
+    # Build a tiny documents.parquet so the registered query runs on
+    # crafted data: one doc passing all gates, one too short, one
+    # with non-alphabetic words.
+    with tempfile.TemporaryDirectory() as d:
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(["word"] * 60)),        # keep
+                (2, "short doc"),                     # too few words
+                (3, " ".join(["123"] * 60)),          # non-alpha
+            ],
+            ["doc_id", "text"],
+        )
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = all_queries()["doc_wordshape_filter"].build(spark, d)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[1]["keep"]
+        assert not rows[2]["keep"]
+        assert rows[3]["alpha_word_frac"] == 0.0 and not rows[3]["keep"]
