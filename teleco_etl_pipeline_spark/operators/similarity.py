@@ -289,3 +289,91 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, centroids, qvec, k=10, n_probe=4, exclude_ids=(0,)).select(
         "vec_id", "cosine_sim"
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via cluster-then-compare
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.9,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public): k-means-cluster the embeddings, compare pairs only
+    WITHIN a cluster, and drop every vector that has a semantically
+    near-identical neighbor with a smaller id (the canonical
+    representative is the minimum id of its duplicate group that
+    itself survives transitively — matching the paper's "keep one
+    per ε-ball" greedy rule under ascending-id order).
+
+    Returns (id, cluster, keep, dup_of): ``dup_of`` is the smallest
+    same-cluster id whose cosine ≥ threshold, NULL for survivors.
+
+    Scale shape: identical to the IVF inverted-list layout —
+    pairwise work is confined to clusters (O(Σ|c|²) instead of
+    O(N²); with n_clusters ≈ √N and balanced clusters that is ≈ N^1.5
+    dot products, each cluster's self-join co-partitioned on the
+    cluster id). The k-means fit itself is sampled/distributed via
+    pyspark.ml; at 100 TB fit on a sample, then assign is one
+    broadcast-centroid map pass (no shuffle).
+    """
+    if n_clusters == 1:
+        # Degenerate case (useful as the exact-greedy baseline in
+        # tests): no quantizer to fit, everything in one list.
+        assigned = emb.withColumn("cluster", F.lit(0))
+    else:
+        assigned, _ = ivf_assign(
+            emb, n_centroids=n_clusters, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+        assigned = assigned.withColumnRenamed("ivf_list", "cluster")
+    a = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    sim = F.round(
+        cosine_similarity_col(F.col("va"), F.col("vb")) + 1e-9, 4
+    )
+    # Smaller-id neighbor ≥ threshold → this vector is a duplicate.
+    dup_of = (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(sim >= threshold)
+        .groupBy(F.col("id_b").alias(id_col))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        assigned.select(id_col, "cluster")
+        .join(dup_of, [id_col], "left")
+        .select(
+            id_col,
+            "cluster",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )
+
+
+@query(
+    "embedding_semantic_dedup",
+    None,  # k-means clustering — not oracle-expressible, rows-only
+    doc="SemDeDup semantic deduplication: k-means clusters + "
+    "within-cluster cosine, keep-min-id-per-ε-ball. The cluster "
+    "restriction bounds pairwise work to inverted lists (the same "
+    "layout as IVF ANN); threshold 0.35 tuned to the near-random "
+    "synthetic embeddings (see embedding_neardup).",
+)
+def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_clusters=8, threshold=0.35)

@@ -511,3 +511,44 @@ def test_wordshape_filter_thresholds(spark):
         assert rows[1]["keep"]
         assert not rows[2]["keep"]
         assert rows[3]["alpha_word_frac"] == 0.0 and not rows[3]["keep"]
+
+
+def test_semantic_dedup_single_cluster_matches_exact_greedy(spark):
+    from teleco_etl_pipeline_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),    # dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.01, 0.999, 0.0, 0.0]),  # dup of 2
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # One cluster → must equal exact greedy dedup over all pairs.
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, n_clusters=1, threshold=0.9).collect()}
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    removed_exact = {b for (_, b) in exact_pairs}
+    assert {v for v, r in out.items() if not r["keep"]} == removed_exact
+    for v, r in out.items():
+        if not r["keep"]:
+            assert (r["dup_of"], v) in exact_pairs
+            assert r["dup_of"] < v
+
+
+def test_semantic_dedup_clustered_subset_of_exact(spark, sf_dir):
+    """Clustered removals must be a subset of exact greedy removals
+    (clustering can only MISS cross-cluster pairs, never invent
+    duplicates — the verify step is exact cosine)."""
+    from teleco_etl_pipeline_spark.operators.similarity import semantic_dedup
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, n_clusters=8, threshold=0.35)
+    removed = {r["vec_id"] for r in out.filter("NOT keep").collect()}
+    exact = embedding_neardup_pairs(emb, threshold=0.35)
+    removed_exact = {r["id_b"] for r in exact.collect()}
+    assert removed <= removed_exact
+    assert len(removed) > 0  # threshold tuned so the path is exercised
