@@ -104,3 +104,55 @@ def archive_file(path: str, archive_dir: str, suffix: str) -> str:
     dest = os.path.join(archive_dir, f"{base}_archived_{suffix}{ext}")
     shutil.move(path, dest)
     return dest
+
+
+# --- JSONL corpus I/O (LLM-pipeline interchange format) ------------
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    lenient: bool = True,
+) -> DataFrame:
+    """JSON-Lines corpus source — the de-facto interchange format for
+    LLM training data (one JSON object per line, splittable, so a
+    100 TB directory of .jsonl/.jsonl.gz shards scans fully parallel;
+    gzip shards parallelize across FILES, not within one, so shard
+    small at write time).
+
+    ``schema`` should be passed in production: schema inference runs
+    an extra full scan of the data before the real read. ``lenient``
+    keeps malformed lines instead of dropping them, surfacing the
+    raw text in ``_corrupt_record`` so the quarantine path (S8) can
+    route them — the same annotate-don't-drop contract as the CSV
+    ingest rules.
+    """
+    reader = spark.read
+    if schema is not None:
+        if lenient and "_corrupt_record" not in [f.name for f in schema.fields]:
+            from pyspark.sql.types import StringType, StructField
+
+            schema = schema.add(StructField("_corrupt_record", StringType()))
+        reader = reader.schema(schema)
+    mode = "PERMISSIVE" if lenient else "FAILFAST"
+    return reader.option("mode", mode).option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "gzip",
+    shards: int | None = None,
+) -> None:
+    """JSONL corpus sink. ``shards`` repartitions before write so the
+    output file count (and thus downstream read parallelism for gzip,
+    which is not splittable) is an explicit choice, not an accident
+    of the upstream plan's partitioning."""
+    out = df.repartition(shards) if shards else df
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -114,3 +114,51 @@ def test_parquet_upsert_heals_interrupted_swap(spark, tmp_path):
     )
     out = {r["id"]: r["v"] for r in fmt.read(spark, path).collect()}
     assert out == {1: "a", 2: "B", 3: "c"}  # pre-crash row 1 survives
+
+
+def test_jsonl_round_trip_and_corrupt_record_quarantine(spark, tmp_path):
+    import json
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from teleco_etl_pipeline_spark.sources.files import read_jsonl, write_jsonl
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bonjour", "fr")],
+        ["doc_id", "text", "lang"],
+    )
+    out = str(tmp_path / "corpus")
+    write_jsonl(docs, out, compression=None, shards=2)
+    back = read_jsonl(spark, out)
+    assert sorted((r["doc_id"], r["text"], r["lang"]) for r in back.collect()) == [
+        (1, "hello world", "en"),
+        (2, "bonjour", "fr"),
+    ]
+
+    # Malformed line: lenient read surfaces it via _corrupt_record
+    # instead of silently dropping the row.
+    bad_dir = str(tmp_path / "bad")
+    os.makedirs(bad_dir)
+    with open(os.path.join(bad_dir, "part-0.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 3, "text": "ok", "lang": "en"}) + "\n")
+        f.write("{not json at all\n")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    rows = read_jsonl(spark, bad_dir, schema=schema).collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 1 and good[0]["doc_id"] == 3
+    assert len(bad) == 1 and bad[0]["_corrupt_record"].startswith("{not json")
+
+    # gzip shard write: file count honors the explicit shard choice
+    gz = str(tmp_path / "gz")
+    write_jsonl(docs, gz, compression="gzip", shards=1)
+    parts = [p for p in os.listdir(gz) if p.startswith("part-")]
+    assert len(parts) == 1 and parts[0].endswith(".gz")
+    assert back.schema["doc_id"].dataType == LongType()
