@@ -381,6 +381,122 @@ def minhash_lsh_pairs(
     )
 
 
+def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, band_hash) from a signature frame — recomputing
+    band hashes from the k-long signature is a cheap map pass; only
+    the signatures need persisting."""
+    rows_per_band = num_hashes // bands
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(c) for c in mh_cols[b * rows_per_band : (b + 1) * rows_per_band]]
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(band_hashes).alias("band", "band_hash"))
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Incremental near-dup: score a NEW batch of documents against a
+    PERSISTED MinHash signature index (the output of
+    :func:`minhash_signatures`, written as a table) plus each other —
+    without ever touching the corpus text again.
+
+    This is the daily-ingest shape at 100 TB: the index is k longs
+    per document (~256 B at k=32) instead of the document bytes, so
+    the "compare against everything seen so far" step reads the tiny
+    index table, and only the new batch pays the shingle explode.
+    With ``broadcast_new`` (the default — a daily batch is small
+    relative to the corpus), the corpus side is probed by a
+    broadcast-hash join: NO shuffle of the corpus index at all, just
+    one map pass over it. Set it False when the batch itself is huge.
+
+    ``corpus_sigs`` must not already contain the new doc ids (ids are
+    the join identity). Returns
+    ``(doc_id_new, doc_id_other, pair_kind, est_jaccard)`` where
+    ``pair_kind`` is ``corpus`` (vs indexed docs) or ``new`` (within
+    the batch, doc_id_new < doc_id_other); with identical parameters
+    the result equals the full :func:`minhash_lsh_pairs` over
+    corpus ∪ batch restricted to pairs touching the batch — xxhash64
+    signatures are deterministic, so incremental vs full recompute
+    is a pure restriction, not an approximation drift.
+
+    After scoring, fold the batch into the index with a plain
+    ``unionByName`` append (idempotent under doc_id dedup).
+    """
+    assert num_hashes % bands == 0
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    new_sigs = minhash_signatures(new_docs, n, num_hashes).cache()
+    new_banded = _banded(new_sigs, num_hashes, bands)
+    corpus_banded = _banded(corpus_sigs, num_hashes, bands)
+
+    nb = F.broadcast(new_banded) if broadcast_new else new_banded
+    cand_corpus = (
+        nb.alias("a")
+        .join(
+            corpus_banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_new"),
+            F.col("b.doc_id").alias("doc_id_other"),
+            F.lit("corpus").alias("pair_kind"),
+        )
+        .distinct()
+    )
+    cand_new = (
+        new_banded.alias("a")
+        .join(
+            new_banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_new"),
+            F.col("b.doc_id").alias("doc_id_other"),
+            F.lit("new").alias("pair_kind"),
+        )
+        .distinct()
+    )
+    cand = cand_corpus.unionByName(cand_new)
+
+    all_sigs = corpus_sigs.unionByName(new_sigs)
+    sa = new_sigs.select(
+        F.col("doc_id").alias("doc_id_new"),
+        *[F.col(c).alias(f"a_{c}") for c in mh_cols],
+    )
+    sb = all_sigs.select(
+        F.col("doc_id").alias("doc_id_other"),
+        *[F.col(c).alias(f"b_{c}") for c in mh_cols],
+    )
+    matches = sum(
+        (F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int") for c in mh_cols
+    )
+    return (
+        cand.join(sa, "doc_id_new")
+        .join(sb, "doc_id_other")
+        .select(
+            "doc_id_new",
+            "doc_id_other",
+            "pair_kind",
+            F.round(matches / F.lit(num_hashes), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 @query(
     "minhash_lsh_pairs",
     None,  # sketch output is not SQL-expressible in the oracle — rows-only check

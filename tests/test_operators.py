@@ -552,3 +552,87 @@ def test_semantic_dedup_clustered_subset_of_exact(spark, sf_dir):
     removed_exact = {r["id_b"] for r in exact.collect()}
     assert removed <= removed_exact
     assert len(removed) > 0  # threshold tuned so the path is exercised
+
+
+def test_minhash_incremental_equals_full_restriction(spark):
+    """Incremental (new batch vs persisted index) must equal the full
+    recompute restricted to pairs touching the batch — signatures are
+    deterministic xxhash64, so there is no drift."""
+    from teleco_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely unrelated text about spark engines and parquet files here"
+    corpus_docs = spark.createDataFrame(
+        [(1, base), (3, other)], ["doc_id", "text"]
+    )
+    new_docs = spark.createDataFrame(
+        [
+            (10, base.replace("today", "tomorrow")),   # near-dup of corpus 1
+            (11, other.replace("here", "now")),         # near-dup of corpus 3
+            (12, other.replace("here", "soon")),        # near-dup of 11 (new-new)
+        ],
+        ["doc_id", "text"],
+    )
+    # bands=16 (2 rows/band): recall high enough that every
+    # crafted near-dup pair collides in some band
+    params = dict(n=3, num_hashes=32, bands=16, threshold=0.25)
+
+    corpus_sigs = minhash_signatures(corpus_docs, n=3, num_hashes=32)
+    inc = minhash_lsh_pairs_incremental(new_docs, corpus_sigs, **params).collect()
+    got = {
+        (r["doc_id_new"], r["doc_id_other"], r["pair_kind"]): r["est_jaccard"]
+        for r in inc
+    }
+
+    full = minhash_lsh_pairs(
+        corpus_docs.unionByName(new_docs), **params
+    ).collect()
+    # restrict full-recompute pairs to those touching the new batch,
+    # reoriented to the incremental contract (new id first)
+    new_ids = {10, 11, 12}
+    expect = {}
+    for r in full:
+        a, b = r["doc_id_a"], r["doc_id_b"]
+        if a in new_ids and b in new_ids:
+            expect[(min(a, b), max(a, b), "new")] = r["est_jaccard"]
+        elif b in new_ids:
+            expect[(b, a, "corpus")] = r["est_jaccard"]
+        elif a in new_ids:
+            expect[(a, b, "corpus")] = r["est_jaccard"]
+    assert got == expect
+    assert (10, 1, "corpus") in got      # cross-index near-dup found
+    assert (11, 12, "new") in got        # in-batch near-dup found
+
+    # the broadcast-off path is the same relation
+    inc2 = minhash_lsh_pairs_incremental(
+        new_docs, corpus_sigs, broadcast_new=False, **params
+    ).collect()
+    assert {
+        (r["doc_id_new"], r["doc_id_other"], r["pair_kind"]): r["est_jaccard"]
+        for r in inc2
+    } == got
+
+
+def test_minhash_incremental_index_round_trips_parquet(spark, tmp_path):
+    """The index contract: signatures persisted to parquet and read
+    back score identically (the daily-ingest loop's storage path)."""
+    from teleco_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus_docs = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    new_docs = spark.createDataFrame(
+        [(2, base.replace("today", "tomorrow"))], ["doc_id", "text"]
+    )
+    idx_path = str(tmp_path / "minhash_index")
+    minhash_signatures(corpus_docs, n=3, num_hashes=32).write.parquet(idx_path)
+    sigs = spark.read.parquet(idx_path)
+    out = minhash_lsh_pairs_incremental(
+        new_docs, sigs, n=3, num_hashes=32, bands=8, threshold=0.25
+    ).collect()
+    assert [(r["doc_id_new"], r["doc_id_other"]) for r in out] == [(2, 1)]
