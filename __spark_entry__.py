@@ -68,6 +68,8 @@ _RECORD_ORDER = [
     "train_test_contamination",
     "doc_repetition_stats",
     "doc_wordshape_filter",
+    "bpe_pair_counts",
+    "doc_length_band_filter",
     # -- new in round 2: analytic plan shapes -----------------------
     "nation_volume_shipping",
     "large_volume_customers",
@@ -94,8 +96,6 @@ _RECORD_ORDER = [
     "star_join",
     "expr_key_join",
     "upsert_merge",
-    "watermark_window",
-    "window_dup_flag",
     "topk_orders",
     "quantile_profile",
     # -- previously-green LLM-pipeline family (slot 50) -------------
@@ -105,6 +105,8 @@ _RECORD_ORDER = [
 # (registration order), declared near-twins after them, rows-only
 # sketches last.
 _RECORD_LAST = [
+    "watermark_window",  # P13 r01-green; filter shapes in-window broadly
+    "window_dup_flag",  # A11 r01-green; window shapes in-window via cumulative_spend
     "semi_join",  # J6 r01-green; semi shape in-window via heavy_part_shippers
     "anti_join",  # J7 r01-green; anti shape in-window via sole_return_suppliers
     "md5_checksum",  # §2.9 scalar twin of tenure_months_calc

@@ -658,3 +658,87 @@ def q_doc_wordshape_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("mean_word_len").between(3, 10)
         & (F.col("alpha_word_frac") > 0.8),
     )
+
+
+@query(
+    "bpe_pair_counts",
+    r"""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents
+    ), wf AS (
+      SELECT w, COUNT(*) AS freq FROM words GROUP BY 1
+    ), pairs AS (
+      SELECT unnest([w[i:i+1] for i in generate_series(1, length(w) - 1)]) AS pair,
+             freq
+      FROM wf WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY 1
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+    """,
+    doc="BPE merge-table induction, step 1: corpus-weighted adjacent "
+    "symbol-pair counts. The pair explode runs over the DISTINCT "
+    "vocabulary (carrying word frequencies), not the raw token "
+    "stream — the classic BPE-training trick that turns a "
+    "trillion-token corpus into a million-row vocab before the "
+    "expensive per-character work. Two shuffles (word freq, pair "
+    "sum), both map-side combined; top-k is TakeOrderedAndProject.",
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    parallelism = d.sparkSession.sparkContext.defaultParallelism
+    wf = (
+        d.repartition(parallelism, F.col("doc_id"))
+        .select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    char_pairs = F.transform(
+        F.sequence(F.lit(0), F.length("w") - 2),
+        lambda i: F.col("w").substr(i + 1, F.lit(2)),
+    )
+    pairs = (
+        wf.filter(F.length("w") >= 2)
+        .select(F.explode(char_pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    return pairs.orderBy(F.col("pair_count").desc(), F.col("pair")).limit(20)
+
+
+@query(
+    "doc_length_band_filter",
+    r"""
+    WITH b AS (
+      SELECT ROUND(quantile_cont(length(text), 0.05) + 1e-9, 6) AS lo,
+             ROUND(quantile_cont(length(text), 0.95) + 1e-9, 6) AS hi
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           (length(text) BETWEEN (SELECT lo FROM b) AND (SELECT hi FROM b)) AS keep
+    FROM documents
+    """,
+    doc="Corpus-RELATIVE length filter: keep documents between the "
+    "5th and 95th length percentile. Absolute length cutoffs go "
+    "stale as a corpus mixes sources; the percentile bounds enter "
+    "the plan as scalar subqueries, so this is one aggregate pass + "
+    "one filter pass, no driver round-trip baked into the plan. "
+    "Bounds are rounded on both engines before the comparison so an "
+    "interpolation ulp cannot flip membership at the boundary.",
+)
+def q_doc_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lo = d.agg(
+        F.round(F.percentile(F.length("text"), F.lit(0.05)) + EPS, 6).alias("lo")
+    ).scalar()
+    hi = d.agg(
+        F.round(F.percentile(F.length("text"), F.lit(0.95)) + EPS, 6).alias("hi")
+    ).scalar()
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.length("text").between(lo, hi).alias("keep"),
+    )
