@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "doc_pack_windows",      # sharded concat-and-cut sequence packing
     "top_ngrams",            # corpus heavy-hitter n-gram counts
     "train_test_contamination",  # cross-split fingerprint collisions
+    "doc_repetition_stats",  # Gopher repetition signals, tagged explode
+    "bpe_pair_counts",       # vocab-weighted symbol-pair counts
+    "doc_length_band_filter",  # corpus-relative percentile band
+    "embedding_semantic_dedup",  # SemDeDup cluster-bounded cosine
 ]
 
 

