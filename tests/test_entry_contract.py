@@ -32,6 +32,7 @@ def test_queries_and_oracles_consistent(spark, sf_dir):
         "simhash_neardup",
         "embedding_lsh_pairs",
         "embedding_ivf_topk",
+        "embedding_semantic_dedup",
         "approx_distinct_users",
         "approx_quantile_profile",
     }

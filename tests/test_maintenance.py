@@ -1,0 +1,78 @@
+"""Table-maintenance operators: small-file compaction + range
+clustering (layout for row-group data skipping)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from teleco_etl_pipeline_spark.operators.maintenance import (
+    cluster_by,
+    compact,
+    table_bytes,
+)
+
+
+def _parquet_files(path):
+    return sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def test_compact_reduces_file_count_and_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    df.repartition(64).write.parquet(path)
+    assert len(_parquet_files(path)) == 64
+    before = sorted(r["k"] for r in spark.read.parquet(path).collect())
+
+    n = compact(spark, path, target_file_bytes=1 << 40)  # everything fits one
+    files = _parquet_files(path)
+    assert n == 1 and len(files) == 1
+    assert sorted(r["k"] for r in spark.read.parquet(path).collect()) == before
+
+    # idempotent: recompacting an already-compact table is a no-op shape
+    assert compact(spark, path, target_file_bytes=1 << 40) == 1
+    assert len(_parquet_files(path)) == 1
+
+
+def test_compact_sizes_by_target_bytes(spark, tmp_path):
+    path = str(tmp_path / "sized")
+    spark.range(50_000).write.parquet(path)
+    nbytes = table_bytes(spark, path)
+    target = max(1, nbytes // 4)
+    n = compact(spark, path, target_file_bytes=target)
+    assert n == -(-nbytes // target)
+    assert len(_parquet_files(path)) == n
+
+
+def test_cluster_by_produces_disjoint_file_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "clustered")
+    # round-robin repartition → every file initially spans the full
+    # key range (no file-level pruning possible before clustering)
+    spark.range(20_000).withColumnRenamed("id", "k").repartition(8).write.parquet(path)
+
+    nbytes = table_bytes(spark, path)
+    cluster_by(spark, path, keys=["k"], target_file_bytes=max(1, nbytes // 4))
+    files = _parquet_files(path)
+    assert len(files) >= 4
+
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # contiguous, non-overlapping key ranges across files → any
+    # engine's min/max pruning can skip all but one file per point
+    # lookup
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+
+    got = sorted(r["k"] for r in spark.read.parquet(path).collect())
+    assert got == list(range(20_000))
