@@ -70,6 +70,7 @@ _RECORD_ORDER = [
     "doc_wordshape_filter",
     "bpe_pair_counts",
     "doc_length_band_filter",
+    "corpus_curation",  # composed quality→dedup→near-dup→split pipeline
     # -- new in round 2: analytic plan shapes -----------------------
     "nation_volume_shipping",
     "large_volume_customers",
@@ -98,13 +99,12 @@ _RECORD_ORDER = [
     "upsert_merge",
     "topk_orders",
     "quantile_profile",
-    # -- previously-green LLM-pipeline family (slot 50) -------------
-    "exact_dedup",
 ]
 # Past-window ordering: remaining oracle-backed prev-green first
 # (registration order), declared near-twins after them, rows-only
 # sketches last.
 _RECORD_LAST = [
+    "exact_dedup",  # r01-green; exercised in-window via corpus_curation
     "watermark_window",  # P13 r01-green; filter shapes in-window broadly
     "window_dup_flag",  # A11 r01-green; window shapes in-window via cumulative_spend
     "semi_join",  # J6 r01-green; semi shape in-window via heavy_part_shippers
