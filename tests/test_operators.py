@@ -636,3 +636,20 @@ def test_minhash_incremental_index_round_trips_parquet(spark, tmp_path):
         new_docs, sigs, n=3, num_hashes=32, bands=8, threshold=0.25
     ).collect()
     assert [(r["doc_id_new"], r["doc_id_other"]) for r in out] == [(2, 1)]
+
+
+def test_semantic_dedup_arrow_matches_declarative(spark, sf_dir):
+    """The applyInPandas/BLAS execution and the declarative self-join
+    execution are the SAME logical operator — identical output rows,
+    including dup_of attribution (block smaller than the cluster size
+    so the blocked matmul path is exercised across block boundaries)."""
+    from teleco_etl_pipeline_spark.operators.similarity import semantic_dedup
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fast = semantic_dedup(emb, n_clusters=8, threshold=0.35, arrow=True, block=64)
+    slow = semantic_dedup(emb, n_clusters=8, threshold=0.35, arrow=False)
+    to_rows = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], r["cluster"], r["keep"], r["dup_of"]) for r in df.collect()
+    )
+    assert to_rows(fast) == to_rows(slow)
