@@ -6,7 +6,9 @@ constants, push predicates, and prune columns through all of it.
 """
 
 from teleco_etl_pipeline_spark.functions.scalars import (
+    epoch_us,
     normalize_columns,
+    ntz_lit,
     safe_int,
     scrub_numeric,
     tenure_months,
@@ -14,7 +16,9 @@ from teleco_etl_pipeline_spark.functions.scalars import (
 )
 
 __all__ = [
+    "epoch_us",
     "normalize_columns",
+    "ntz_lit",
     "safe_int",
     "scrub_numeric",
     "tenure_months",

@@ -42,6 +42,36 @@ def normalize_columns(
     return df.toDF(*new_names)
 
 
+def epoch_us(col: Column | str) -> Column:
+    """Epoch microseconds of an event-time column — the engine's
+    canonical cross-engine time projection (== DuckDB ``epoch_us``).
+
+    The harness events table carries ``ts`` as parquet timestamp[us]
+    without timezone, which Spark reads as TIMESTAMP_NTZ. Computed as
+    pure NTZ interval arithmetic from the NTZ epoch — deliberately
+    NOT ``unix_micros(cast(ts as timestamp))``, which routes through
+    the session timezone and silently shifts the result when a
+    caller-provided session (the driver's) isn't UTC; DuckDB's
+    ``epoch_us`` on naive timestamps has no such dependence, and
+    neither does this. Projection-only: filters must compare the raw
+    column against TIMESTAMP_NTZ literals (see ``ntz_lit``) so they
+    still push to the parquet scan.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND", F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"), c
+    )
+
+
+def ntz_lit(ts: str) -> Column:
+    """TIMESTAMP_NTZ literal from ``'YYYY-MM-DD HH:MM:SS'`` — the
+    pushdown-safe comparand for event-time range filters: a plain
+    ``ts > TIMESTAMP_NTZ '...'`` reaches the parquet reader as a
+    PushedFilter with row-group min/max pruning, while any expression
+    over ``ts`` (cast, unix_micros) does not."""
+    return F.expr(f"TIMESTAMP_NTZ '{ts}'")
+
+
 def safe_int(col: Column | str) -> Column:
     """``CAST(NULLIF(TRIM(x::TEXT), '') AS INTEGER)`` (P5).
 

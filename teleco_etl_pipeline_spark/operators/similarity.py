@@ -102,12 +102,50 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 
 def lsh_bucket_col(vec_col: Column, planes: np.ndarray) -> Column:
-    """b-bit sign-LSH bucket id as a long: bit_i = sign(v · plane_i)."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        dot = _dot(vec_col, _query_vec_literal(plane))
-        bucket = bucket + F.when(dot > 0, F.lit(1).cast("long") * (2**i)).otherwise(0)
-    return bucket
+    """b-bit sign-LSH bucket id as a long: bit_i = sign(v · plane_i).
+
+    One Arrow-batched BLAS matmul against the (b × dim) plane matrix
+    per batch — the ``_assign_nearest`` pattern. The previous
+    implementation folded one interpreted ``aggregate``/``zip_with``
+    dot product per plane per row; Spark's higher-order functions are
+    interpreted per lambda call, measured ~30× slower than the
+    matmul, and the cost scaled with n_planes (the r02 4→6-plane bump
+    doubled the query's wall time). Here the per-batch cost is one
+    (rows × dim) @ (dim × b) product regardless of b.
+    """
+    planes64 = np.ascontiguousarray(planes, dtype=np.float64)
+    pows = (1 << np.arange(len(planes64), dtype=np.int64)).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def bucket(v: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy()).astype(np.float64)
+        bits = (x @ planes64.T) > 0
+        return pd.Series((bits @ pows).astype(np.int64))
+
+    return bucket(vec_col)
+
+
+def lsh_table_buckets_col(vec_col: Column, planes_tables: np.ndarray) -> Column:
+    """array<long> of h sign-LSH bucket ids, one per hash table.
+
+    ``planes_tables`` has shape (h, b, dim); all h×b plane dots run
+    in the SAME single matmul per Arrow batch (stacked to
+    (h·b, dim)), so multi-table costs no extra Python round-trips —
+    only the posexplode fan-out downstream.
+    """
+    h, b, dim = planes_tables.shape
+    stacked = np.ascontiguousarray(
+        planes_tables.reshape(h * b, dim), dtype=np.float64
+    )
+    pows = (1 << np.arange(b, dtype=np.int64)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy()).astype(np.float64)
+        bits = (x @ stacked.T).reshape(len(x), h, b) > 0
+        return pd.Series(list((bits @ pows).astype(np.int64)))
+
+    return buckets(vec_col)
 
 
 def lsh_bucketed_pairs(
@@ -118,14 +156,23 @@ def lsh_bucketed_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Near-dup pairs via sign-LSH buckets + exact cosine verify.
 
     Same output contract as ``embedding_neardup_pairs`` but only
     same-bucket candidates are scored (cos ≥ 0.9 pairs collide in all
-    8 bits with p ≈ (1-θ/π)^8 ≈ 0.58 per table; production uses
-    multiple tables/probes — here one table demonstrates the plan
-    shape the judge can scale).
+    8 bits with p ≈ (1-θ/π)^8 ≈ 0.58 per table).
+
+    ``n_tables > 1`` is the production recall knob: h independent
+    plane sets, a pair is a candidate if it collides in ANY table.
+    Implemented as ONE bucket pass (all h·b plane dots in a single
+    matmul per Arrow batch — ``lsh_table_buckets_col``), posexplode
+    to (table, bucket), equi-join on BOTH, then distinct (id_a,id_b)
+    before the exact rerank so a pair colliding in several tables is
+    scored once. Still a single shuffle family: row growth is the
+    overlap factor h, the same shape as the hopping-window rewrite.
+    Per-table miss rate (1-p) is independent, so recall = 1-(1-p)^h.
 
     Pass ``dim`` explicitly in production: the fallback probes the
     first row, which triggers a job DURING PLAN BUILD — on a cold
@@ -133,17 +180,40 @@ def lsh_bucketed_pairs(
     """
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
-    planes = hyperplanes(dim, n_planes, seed)
-    with_bucket = emb.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket_col(F.col(vec_col), planes).alias("bucket")
-    )
+    if n_tables == 1:
+        planes = hyperplanes(dim, n_planes, seed)
+        with_bucket = emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        )
+        join_keys = ["bucket"]
+    else:
+        planes_tables = np.stack(
+            [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+        )
+        exploded = emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.posexplode(
+                lsh_table_buckets_col(F.col(vec_col), planes_tables)
+            ).alias("tbl", "bucket"),
+        )
+        with_bucket = exploded
+        join_keys = ["tbl", "bucket"]
     a = with_bucket.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("bucket")
+        *join_keys, F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
     b = with_bucket.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("bucket")
+        *join_keys, F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
-    cand = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    cand = a.join(b, join_keys).filter(F.col("id_a") < F.col("id_b"))
+    if n_tables > 1:
+        # Dedup candidates BEFORE the d-dim rerank: a pair that
+        # collides in k tables must cost one cosine, not k.
+        cand = cand.select("id_a", "id_b", "va", "vb").dropDuplicates(
+            ["id_a", "id_b"]
+        )
     return cand.select(
         "id_a",
         "id_b",
@@ -202,14 +272,85 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, threshold=0.35)
 
 
+def _sql_vec(plane: np.ndarray) -> str:
+    """DuckDB DOUBLE[] literal from a plane vector (repr round-trips
+    float64 exactly — both engines see bit-identical planes)."""
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+def _sql_bucket(planes: np.ndarray, vec_expr: str) -> str:
+    """DuckDB expression for the b-bit sign-LSH bucket id."""
+    bits = [
+        f"{1 << i} * (CASE WHEN list_dot_product({vec_expr}, {_sql_vec(p)}) > 0"
+        " THEN 1 ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+_LSH_DIM, _LSH_PLANES, _LSH_TABLES, _LSH_THRESH = 64, 6, 3, 0.35
+
+
+def _lsh_pairs_oracle_sql() -> str:
+    """Single-table sign-LSH oracle: the hyperplanes are
+    deterministic driver-side literals (``hyperplanes(64, 6, 42)``),
+    so DuckDB reproduces bucketing + candidate join + exact rerank
+    end-to-end — the whole ANN path is oracle-backed, not rows-only."""
+    bucket = _sql_bucket(
+        hyperplanes(_LSH_DIM, _LSH_PLANES, 42), "CAST(embedding AS DOUBLE[])"
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bucket} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, c.v) + 1e-9, 4) AS cosine_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, c.v) + 1e-9, 4) >= {_LSH_THRESH}
+    """
+
+
+def _lsh_multiprobe_oracle_sql() -> str:
+    """Multi-table variant: h bucket definitions, UNION ALL of the h
+    per-table self-joins, DISTINCT pairs, exact rerank — mirrors the
+    Spark plan's posexplode/equi-join/dropDuplicates exactly."""
+    branches = []
+    for t in range(_LSH_TABLES):
+        bucket = _sql_bucket(
+            hyperplanes(_LSH_DIM, _LSH_PLANES, 42 + 1000 * t), "v"
+        )
+        branches.append(
+            f"SELECT vec_id, v, {t} AS tbl, {bucket} AS bucket FROM vecs"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS ({union}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+                       AND a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b,
+           ROUND(list_cosine_similarity(va.v, vb.v) + 1e-9, 4) AS cosine_sim
+    FROM cand
+    JOIN vecs va ON va.vec_id = id_a
+    JOIN vecs vb ON vb.vec_id = id_b
+    WHERE ROUND(list_cosine_similarity(va.v, vb.v) + 1e-9, 4) >= {_LSH_THRESH}
+    """
+
+
 @query(
     "embedding_lsh_pairs",
-    None,  # LSH bucketing not oracle-expressible — rows-only check
+    _lsh_pairs_oracle_sql(),
     doc="Sign-LSH bucketed near-dup candidates + exact verify "
-    "(the 100 TB ANN path). 4 planes / threshold 0.35 tuned to the "
+    "(the 100 TB ANN path). 6 planes / threshold 0.35 tuned to the "
     "near-random synthetic embeddings (see embedding_neardup) so the "
     "bucketed path emits a non-trivial subset of the exact twin's "
-    "pairs rather than a guaranteed-empty set.",
+    "pairs rather than a guaranteed-empty set. Oracle-backed: the "
+    "deterministic plane literals are baked into the DuckDB SQL, so "
+    "bucket bits, candidate join, and rerank are all value-checked.",
 )
 def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -218,7 +359,29 @@ def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6 planes = 64 buckets: at sf0.1 (5k vectors) 4 planes left ~16
     # buckets and ~800k candidate pairs; 64 buckets cut candidates 4×
     # while still emitting a non-trivial share of the ≥0.35 pairs.
-    return lsh_bucketed_pairs(emb, n_planes=6, threshold=0.35, dim=64)
+    return lsh_bucketed_pairs(
+        emb, n_planes=_LSH_PLANES, threshold=_LSH_THRESH, dim=_LSH_DIM
+    )
+
+
+@query(
+    "embedding_lsh_multiprobe",
+    _lsh_multiprobe_oracle_sql(),
+    doc="Multi-table sign-LSH (h=3 independent plane sets, recall "
+    "1-(1-p)^h vs a single table's p): one matmul computes all h·b "
+    "bits per Arrow batch, posexplode to (table, bucket), candidate "
+    "dedup before the exact rerank. tests/test_similarity.py "
+    "measures recall vs the exact embedding_neardup twin.",
+)
+def q_embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_pairs(
+        emb,
+        n_planes=_LSH_PLANES,
+        threshold=_LSH_THRESH,
+        dim=_LSH_DIM,
+        n_tables=_LSH_TABLES,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -378,11 +541,13 @@ def semantic_dedup(
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     public): k-means-cluster the embeddings, compare pairs only
-    WITHIN a cluster, and drop every vector that has a semantically
-    near-identical neighbor with a smaller id (the canonical
-    representative is the minimum id of its duplicate group that
-    itself survives transitively — matching the paper's "keep one
-    per ε-ball" greedy rule under ascending-id order).
+    WITHIN a cluster, and drop every vector that has ANY
+    same-cluster ε-neighbor with a smaller id — whether or not that
+    neighbor is itself kept (standard SemDeDup practice: the drop
+    test is local, not transitive, so e.g. in a chain a–b–c with
+    only adjacent pairs ≥ threshold, b and c are both dropped even
+    though c's witness b was dropped too). Survivors are exactly the
+    vectors whose smaller-id neighborhood is empty.
 
     Returns (id, cluster, keep, dup_of): ``dup_of`` is the smallest
     same-cluster id whose cosine ≥ threshold, NULL for survivors.

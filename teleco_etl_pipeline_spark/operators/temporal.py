@@ -107,10 +107,12 @@ def _register_queries() -> None:
         out = asof_join(
             clicks, purchases, key_cols=["user_id"], ts_col="ts", value_cols=["value"]
         )
+        from teleco_etl_pipeline_spark.functions import epoch_us
+
         return out.select(
             "event_id",
             "user_id",
-            F.expr("ts div 1000").alias("ts_us"),
+            epoch_us("ts").alias("ts_us"),
             # NULL-double hashes differ cross-engine (None vs NaN via
             # pandas) — sentinel the no-prior-purchase case on both sides.
             F.coalesce(F.col("value"), F.lit(-1.0)).alias("last_purchase_value"),

@@ -21,10 +21,12 @@ runs batch today and under Structured Streaming with
   hash-partitioning on a key subset satisfies the agg's required
   clustering.
 
-``events.ts`` arrives as int64 epoch-nanoseconds (parquet
-TIMESTAMP(NANOS) via nanosAsLong — see sources/tables.py), so all
-window math is pure long arithmetic: JVM-codegen'd, no timezone
-traps, and directly comparable with DuckDB ``epoch_us``.
+``events.ts`` arrives as parquet timestamp[us] → Spark
+TIMESTAMP_NTZ (normalized in sources/tables.py). Window math
+projects it to epoch micros once (``functions.epoch_us``, UTC
+session — identical to DuckDB ``epoch_us``) and then stays pure long
+arithmetic: JVM-codegen'd, no timezone traps. ``div`` (integer
+division) keeps bucket edges exact — no double rounding.
 """
 
 from __future__ import annotations
@@ -32,12 +34,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from teleco_etl_pipeline_spark.functions import epoch_us
 from teleco_etl_pipeline_spark.plans.registry import query
 from teleco_etl_pipeline_spark.sources.tables import load_table
 
-HOUR_NS = 3_600 * 1_000_000_000
-HALF_HOUR_NS = 1_800 * 1_000_000_000
+HOUR_US = 3_600 * 1_000_000
+HALF_HOUR_US = 1_800 * 1_000_000
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+# epoch-us of ts as a SQL fragment for integer-div bucket arithmetic
+# (NTZ interval arithmetic — session-timezone-independent, see
+# functions.epoch_us)
+_TS_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
 
 
 @query(
@@ -56,8 +64,8 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
     "partition/pruning column.",
 )
 def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")  # ts: int64 nanos
-    win = (F.expr(f"ts div {HOUR_NS}") * 3600).alias("window_start_s")
+    ev = load_table(spark, sf_dir, "events")
+    win = (F.expr(f"{_TS_US} div {HOUR_US}") * 3600).alias("window_start_s")
     return ev.groupBy(win, "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
@@ -84,7 +92,7 @@ def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    base = F.expr(f"ts div {HALF_HOUR_NS}") * 1800
+    base = F.expr(f"{_TS_US} div {HALF_HOUR_US}") * 1800
     covering = F.array(base, base - 1800)
     return (
         ev.select(F.explode(covering).alias("win_start_s"))
@@ -125,7 +133,7 @@ def q_events_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    ts_us = F.expr("ts div 1000")
+    ts_us = epoch_us("ts")
     w = Window.partitionBy("user_id").orderBy("ts")
     gap = ts_us - F.lag(ts_us).over(w)
     is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)

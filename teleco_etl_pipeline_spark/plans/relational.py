@@ -8,8 +8,8 @@ same plans scale from sf0.001 to a 1000-executor 100 TB cluster.
 
 Oracle-parity rules (see plans/registry.py): identical aliases on
 both sides; doubles produced by aggregation are rounded on both
-sides; timestamps projected as epoch micros (``ts div 1000`` on the
-Spark nanosAsLong longs == DuckDB ``epoch_us``) or DATE.
+sides; timestamps projected as epoch micros (``functions.epoch_us``
+on the TIMESTAMP_NTZ event time == DuckDB ``epoch_us``) or DATE.
 """
 
 from __future__ import annotations
@@ -321,18 +321,17 @@ def q_scrub_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Predicate pushes to the parquet scan.",
 )
 def q_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")  # ts is int64 nanos (nanosAsLong)
-    lo_us = 1704412800_000000  # 2024-01-05 00:00:00 UTC
-    hi_us = 1705017600_000000  # 2024-01-12 00:00:00 UTC
-    # Filter on the RAW column, not the derived `ts div 1000` — a
+    from teleco_etl_pipeline_spark.functions import epoch_us, ntz_lit
+
+    ev = _t(spark, sf_dir, "events")
+    # Filter on the RAW ts column against TIMESTAMP_NTZ literals — a
     # plain comparison pushes to the parquet reader (PushedFilters +
-    # row-group stats pruning), an expression filter does not.
-    # Integer equivalences: ts_us > lo ⟺ ts ≥ (lo+1)·1000;
-    # ts_us ≤ hi ⟺ ts < (hi+1)·1000.
-    ts_us = F.expr("ts div 1000")
+    # row-group stats pruning); an expression over ts (cast,
+    # unix_micros) does not. epoch_us is projection-only.
     return ev.filter(
-        (F.col("ts") >= (lo_us + 1) * 1000) & (F.col("ts") < (hi_us + 1) * 1000)
-    ).select("event_id", "user_id", ts_us.alias("ts_us"), "event_type")
+        (F.col("ts") > ntz_lit("2024-01-05 00:00:00"))
+        & (F.col("ts") <= ntz_lit("2024-01-12 00:00:00"))
+    ).select("event_id", "user_id", epoch_us("ts").alias("ts_us"), "event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -548,6 +547,8 @@ def q_window_dup_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DataWarehouse.py:94-97 'ORDER BY created_at DESC LIMIT 1' per key.",
 )
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.functions import epoch_us
+
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
@@ -556,7 +557,7 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("event_id").alias("last_event_id"),
-            F.expr("ts div 1000").alias("last_ts_us"),
+            epoch_us("ts").alias("last_ts_us"),
             "event_type",
         )
     )
@@ -670,8 +671,10 @@ def q_union_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from teleco_etl_pipeline_spark.operators.upsert import merge_upsert
 
+    from teleco_etl_pipeline_spark.functions import epoch_us, ntz_lit
+
     ev = _t(spark, sf_dir, "events")
-    cut_ns = 1705708800_000000000  # 2024-01-20 00:00:00 UTC in nanos
+    cut = ntz_lit("2024-01-20 00:00:00")  # pushdown-safe NTZ comparand
 
     def _snapshot(df: DataFrame) -> DataFrame:
         return df.groupBy("user_id").agg(
@@ -679,11 +682,11 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_value"
             ),
             F.count(F.lit(1)).alias("event_cnt"),
-            F.min(F.expr("ts div 1000")).alias("first_seen_us"),
+            F.min(epoch_us("ts")).alias("first_seen_us"),
         )
 
-    target = _snapshot(ev.filter(F.col("ts") < cut_ns))
-    src = _snapshot(ev.filter(F.col("ts") >= cut_ns))
+    target = _snapshot(ev.filter(F.col("ts") < cut))
+    src = _snapshot(ev.filter(F.col("ts") >= cut))
     return merge_upsert(
         target,
         src,

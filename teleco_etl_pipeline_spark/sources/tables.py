@@ -34,13 +34,39 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
-        # natively; read it as an int64 nanosecond epoch instead. The
-        # conf is session-level and runtime-settable, so this works on
-        # any caller-provided SparkSession (incl. the driver's).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = _normalize_event_time(df)
+    return df
+
+
+def _normalize_event_time(df: DataFrame) -> DataFrame:
+    """Guarantee ``events.ts`` is TIMESTAMP_NTZ regardless of datagen
+    vintage.
+
+    Current harness data ships ``ts`` as parquet timestamp[us] (no
+    tz), which Spark reads natively as TIMESTAMP_NTZ — the fast path
+    is a no-op, so range filters on ``ts`` still reach the parquet
+    reader as PushedFilters. Older generators wrote timestamp[ns],
+    which Spark can only surface as an int64 nanosecond epoch
+    (``nanosAsLong``); that legacy shape is converted here (us
+    truncation, UTC wall clock) so every downstream plan sees one
+    type. TIMESTAMP (LTZ) inputs are re-labelled NTZ — a same-instant
+    cast under the engine's UTC session (session.py).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, TimestampNTZType):
+        return df
+    if isinstance(dt, LongType):  # legacy int64 epoch-nanos
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    if isinstance(dt, TimestampType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    raise TypeError(f"events.ts has unsupported type {dt}")
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -37,8 +37,9 @@ def session_windows(
 ) -> DataFrame:
     """Gap-based session aggregation via the built-in session_window.
 
-    ``ts_col`` must be a real timestamp; the engine's int64-nanos
-    event time converts with ``F.timestamp_micros(ts div 1000)``.
+    ``ts_col`` must be a real timestamp; the events table's
+    TIMESTAMP_NTZ event time converts with ``ts.cast("timestamp")``
+    (same instant under the engine's UTC session).
     Pass ``watermark`` (e.g. "1 hour") when ``events`` is a stream so
     closed sessions finalize and their state is evicted.
     """

@@ -155,7 +155,7 @@ def test_session_window_matches_lag_cumsum_sessionize(spark):
 
     sf_dir = "/root/testdata/sf0.001"
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts"), "value"
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
     native = session_windows(ev, gap="30 minutes")
     manual = all_queries()["events_sessionize"].build(spark, sf_dir)

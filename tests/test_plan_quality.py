@@ -37,8 +37,9 @@ def test_no_cartesian_or_nested_loop_anywhere(spark, sf_dir):
 def test_watermark_filter_pushes_to_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "watermark_window")
     assert "PushedFilters: [" in plan
-    # the raw-column comparisons must reach the reader (not post-scan)
-    assert "GreaterThanOrEqual(ts" in plan and "LessThan(ts" in plan
+    # the raw-column NTZ-literal comparisons must reach the reader
+    # (not post-scan; an expression over ts would not push)
+    assert "GreaterThan(ts" in plan and "LessThanOrEqual(ts" in plan
 
 
 def test_pricing_summary_prunes_and_pushes(spark, sf_dir):
