@@ -17,6 +17,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -370,7 +372,7 @@ def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Multi-table sign-LSH (h=3 independent plane sets, recall "
     "1-(1-p)^h vs a single table's p): one matmul computes all h·b "
     "bits per Arrow batch, posexplode to (table, bucket), candidate "
-    "dedup before the exact rerank. tests/test_similarity.py "
+    "dedup before the exact rerank. tests/test_operators.py:221 "
     "measures recall vs the exact embedding_neardup twin.",
 )
 def q_embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,11 +511,110 @@ def ivf_topk(
     )
 
 
+# The driver's correctness harness compares Spark vs oracle at
+# sf=0.01 only, so data-FITTED oracles (IVF centroids) are baked from
+# that vintage. Overridable for ad-hoc sweeps at another SF.
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _ivf_fit_replica(
+    sf_dir: str,
+    n_centroids: int,
+    seed: int,
+    fit_sample: int,
+    max_iter: int,
+):
+    """Replicate ``ivf_assign``'s deterministic fit without Spark:
+    same md5-bucket sample ordering (``hash_bucket(id, salt='ivf-fit')``
+    then id, ascending), same float32→float64 widening, same
+    ``_lloyd_fit`` — so the centroids are BIT-IDENTICAL to what the
+    engine fits on the same parquet. Returns (ids, vecs, centroids)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = t.column("vec_id").to_numpy()
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+
+    def bucket(i: int) -> int:
+        # hash_bucket: conv(substr(md5(cast(id as string) || salt), 1, 8), 16, 10) % 1e6
+        digest = hashlib.md5((str(int(i)) + "ivf-fit").encode()).hexdigest()
+        return int(digest[:8], 16) % 1_000_000
+
+    order = sorted(range(len(ids)), key=lambda r: (bucket(ids[r]), int(ids[r])))
+    x = vecs[order[:fit_sample]]
+    return ids, vecs, _lloyd_fit(x, n_centroids, seed, max_iter)
+
+
+def _ivf_topk_oracle_sql(
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    k: int = 10,
+    seed: int = 42,
+    fit_sample: int = 4096,
+    max_iter: int = 10,
+    query_id: int = 0,
+) -> str | None:
+    """IVF oracle with the fitted centroids baked in as DOUBLE[]
+    literals (the ``_sql_vec`` pattern proven for LSH hyperplanes).
+
+    The assignment mirrors ``_assign_nearest``: score_j = ||c_j||² -
+    2·v·c_j, argmin with first-min tie-break (numpy argmin ≡ DuckDB
+    ``list_indexof(list, list_aggregate(list, 'min'))``, both return
+    the FIRST minimal index). The probed lists and the query vector's
+    id are driver-side constants in both engines. Known fragility
+    (same as the LSH sign test): Spark's BLAS dot vs DuckDB's
+    sequential ``list_dot_product`` could differ in the last ulp and
+    flip an argmin only on a near-exact centroid-distance tie —
+    astronomically unlikely on random data."""
+    try:
+        ids, vecs, cents = _ivf_fit_replica(
+            _ORACLE_SF_DIR, n_centroids, seed, fit_sample, max_iter
+        )
+    except Exception:  # noqa: BLE001 — no testdata ⇒ rows-only row
+        return None
+    q = vecs[np.nonzero(ids == query_id)[0][0]]
+    sims = (cents @ q) / (np.linalg.norm(cents, axis=1) * np.linalg.norm(q) + 1e-12)
+    probe = ", ".join(str(int(i)) for i in np.argsort(-sims)[:n_probe])
+    cents_sq = (cents**2).sum(axis=1)
+    dists = ",\n           ".join(
+        f"{float(cs)!r} - 2 * list_dot_product(ve, {_sql_vec(c)})"
+        for cs, c in zip(cents_sq, cents)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    d AS (
+      SELECT vec_id, ve,
+          [{dists}] AS dists
+      FROM v
+    ),
+    a AS (
+      SELECT vec_id, ve,
+             list_indexof(dists, list_aggregate(dists, 'min')) - 1 AS ivf_list
+      FROM d
+    )
+    SELECT a.vec_id AS vec_id,
+           ROUND(list_cosine_similarity(a.ve, q.ve) + 1e-9, 4) AS cosine_sim
+    FROM a, (SELECT ve FROM v WHERE vec_id = {query_id}) q
+    WHERE a.ivf_list IN ({probe}) AND a.vec_id <> {query_id}
+    ORDER BY cosine_sim DESC, a.vec_id ASC
+    LIMIT {k}
+    """
+
+
 @query(
     "embedding_ivf_topk",
-    None,  # clustering output — rows-only check
+    _ivf_topk_oracle_sql(),
     doc="IVF ANN: k-means coarse quantizer + n_probe inverted-list "
-    "scan + exact rerank (the partition-pruned scale path).",
+    "scan + exact rerank (the partition-pruned scale path). Oracle-"
+    "backed since r5: the deterministic sample-fit (md5-ordered "
+    "TakeOrdered + seeded Lloyd) is replicated fit-side in numpy and "
+    "the centroids baked into the DuckDB SQL as literals, so the "
+    "quantizer assignment, probed-list filter, and exact rerank are "
+    "all value-checked — not just row counts.",
 )
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -30,8 +30,6 @@ def test_queries_and_oracles_consistent(spark, sf_dir):
     assert set(qs) - set(oracles) == {
         "minhash_lsh_pairs",
         "simhash_neardup",
-        "embedding_lsh_pairs",
-        "embedding_ivf_topk",
         "embedding_semantic_dedup",
         "approx_distinct_users",
         "approx_quantile_profile",
