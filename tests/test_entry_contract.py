@@ -28,8 +28,6 @@ def test_queries_and_oracles_consistent(spark, sf_dir):
     assert set(oracles) <= set(qs)
     # every oracle-less query is one of the declared sketch ops
     assert set(qs) - set(oracles) == {
-        "minhash_lsh_pairs",
-        "simhash_neardup",
         "embedding_semantic_dedup",
         "approx_distinct_users",
         "approx_quantile_profile",
