@@ -770,15 +770,71 @@ def semantic_dedup(
     )
 
 
+def _semdedup_oracle_sql(
+    n_clusters: int = 8,
+    threshold: float = 0.35,
+    seed: int = 42,
+    fit_sample: int = 4096,
+    max_iter: int = 10,
+) -> str | None:
+    """SemDeDup oracle: same baked-centroid assignment as the IVF
+    oracle, then the within-cluster min-smaller-id ε-neighbor as a
+    plain self-join + LEFT JOIN — the declarative twin of the Arrow
+    path, in DuckDB."""
+    try:
+        _, _, cents = _ivf_fit_replica(
+            _ORACLE_SF_DIR, n_clusters, seed, fit_sample, max_iter
+        )
+    except Exception:  # noqa: BLE001 — no testdata ⇒ rows-only row
+        return None
+    cents_sq = (cents**2).sum(axis=1)
+    dists = ",\n           ".join(
+        f"{float(cs)!r} - 2 * list_dot_product(ve, {_sql_vec(c)})"
+        for cs, c in zip(cents_sq, cents)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    d AS (
+      SELECT vec_id, ve,
+          [{dists}] AS dists
+      FROM v
+    ),
+    a AS (
+      SELECT vec_id, ve,
+             CAST(list_indexof(dists, list_aggregate(dists, 'min')) - 1 AS INT)
+               AS cluster
+      FROM d
+    ),
+    dup AS (
+      SELECT y.vec_id AS vec_id, MIN(x.vec_id) AS dup_of
+      FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE ROUND(list_cosine_similarity(x.ve, y.ve) + 1e-9, 4) >= {threshold}
+      GROUP BY y.vec_id
+    )
+    SELECT a.vec_id AS vec_id, a.cluster AS cluster,
+           dup.dup_of IS NULL AS keep,
+           COALESCE(dup.dup_of, -1) AS dup_of
+    FROM a LEFT JOIN dup ON a.vec_id = dup.vec_id
+    """
+
+
 @query(
     "embedding_semantic_dedup",
-    None,  # k-means clustering — not oracle-expressible, rows-only
+    _semdedup_oracle_sql(),
     doc="SemDeDup semantic deduplication: k-means clusters + "
     "within-cluster cosine, keep-min-id-per-ε-ball. The cluster "
     "restriction bounds pairwise work to inverted lists (the same "
     "layout as IVF ANN); threshold 0.35 tuned to the near-random "
-    "synthetic embeddings (see embedding_neardup).",
+    "synthetic embeddings (see embedding_neardup). Oracle-backed "
+    "since r5 via the IVF oracle's baked-centroid assignment plus a "
+    "declarative within-cluster min-id self-join in DuckDB.",
 )
 def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, n_clusters=8, threshold=0.35)
+    out = semantic_dedup(emb, n_clusters=8, threshold=0.35)
+    # Driver-facing projection: a nullable int column round-trips as
+    # pandas NaN on the oracle side (value-hash poison) — sentinel -1
+    # for "survivor" on BOTH engines; the operator itself keeps NULL.
+    return out.select(
+        "vec_id", "cluster", "keep", F.coalesce("dup_of", F.lit(-1)).alias("dup_of")
+    )

@@ -27,8 +27,10 @@ def test_queries_and_oracles_consistent(spark, sf_dir):
     assert len(qs) >= 30
     assert set(oracles) <= set(qs)
     # every oracle-less query is one of the declared sketch ops
+    # The only queries without oracles are the two true sketches
+    # (HLL / KLL): their outputs are estimator-internal and not
+    # reproducible in DuckDB; both have exact oracle-backed twins.
     assert set(qs) - set(oracles) == {
-        "embedding_semantic_dedup",
         "approx_distinct_users",
         "approx_quantile_profile",
     }
