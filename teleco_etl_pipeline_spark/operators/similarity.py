@@ -297,7 +297,16 @@ def _lsh_pairs_oracle_sql() -> str:
     """Single-table sign-LSH oracle: the hyperplanes are
     deterministic driver-side literals (``hyperplanes(64, 6, 42)``),
     so DuckDB reproduces bucketing + candidate join + exact rerank
-    end-to-end — the whole ANN path is oracle-backed, not rows-only."""
+    end-to-end — the whole ANN path is oracle-backed, not rows-only.
+
+    Known accepted fragility (ADVICE r4): the sign test ``dot > 0``
+    has no epsilon guard, so a dot product within ~1 ulp of zero
+    could round to different signs under numpy's pairwise/BLAS
+    summation vs DuckDB's sequential ``list_dot_product`` and flip a
+    bucket bit. An epsilon boundary would have the same crossing
+    probability (FP error is absolute, ~machine_eps·Σ|terms|, at any
+    threshold), so we keep the plain sign test and accept the
+    astronomically-unlikely mismatch on random data."""
     bucket = _sql_bucket(
         hyperplanes(_LSH_DIM, _LSH_PLANES, 42), "CAST(embedding AS DOUBLE[])"
     )

@@ -34,25 +34,57 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events" and _events_ts_is_nanos(path):
+        # A timestamp[ns] footer throws PARQUET_TYPE_ILLEGAL unless
+        # Spark is told to surface it as an int64 nanosecond epoch —
+        # set BEFORE the read so the LongType normalization branch is
+        # actually reachable for that vintage.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     if name == "events":
         df = _normalize_event_time(df)
     return df
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """Footer sniff: does ``ts`` carry parquet timestamp[ns]? One
+    driver-side metadata read (no data pages) — negligible even when
+    the table is a 100 TB directory, since only one footer is read."""
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            if not parts:
+                return False
+            path = os.path.join(path, sorted(parts)[0])
+        return str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
+    except Exception:  # noqa: BLE001 — unreadable footer ⇒ let Spark decide
+        return False
+
+
+# NTZ epoch anchor: interval arithmetic on TIMESTAMP_NTZ never
+# consults spark.sql.session.timeZone, unlike LTZ↔NTZ casts which
+# render wall-clock through it (the engine must assume NOTHING about
+# the harness session's timezone — see functions.epoch_us).
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
 def _normalize_event_time(df: DataFrame) -> DataFrame:
-    """Guarantee ``events.ts`` is TIMESTAMP_NTZ regardless of datagen
-    vintage.
+    """Guarantee ``events.ts`` is TIMESTAMP_NTZ (UTC wall clock)
+    regardless of datagen vintage.
 
     Current harness data ships ``ts`` as parquet timestamp[us] (no
     tz), which Spark reads natively as TIMESTAMP_NTZ — the fast path
     is a no-op, so range filters on ``ts`` still reach the parquet
     reader as PushedFilters. Older generators wrote timestamp[ns],
-    which Spark can only surface as an int64 nanosecond epoch
-    (``nanosAsLong``); that legacy shape is converted here (us
-    truncation, UTC wall clock) so every downstream plan sees one
-    type. TIMESTAMP (LTZ) inputs are re-labelled NTZ — a same-instant
-    cast under the engine's UTC session (session.py).
+    surfaced as an int64 nanosecond epoch via ``nanosAsLong`` (set in
+    :func:`load_table`). Both fallbacks convert via exact MICROSECOND
+    interval arithmetic against the NTZ epoch — session-timezone-
+    independent by construction, where a bare ``cast('timestamp_ntz')``
+    would render wall clock through ``spark.sql.session.timeZone``
+    and silently shift event times under a non-UTC harness session.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
@@ -62,10 +94,12 @@ def _normalize_event_time(df: DataFrame) -> DataFrame:
         return df
     if isinstance(dt, LongType):  # legacy int64 epoch-nanos
         return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            "ts", F.expr(f"timestampadd(MICROSECOND, ts div 1000, {_NTZ_EPOCH})")
         )
-    if isinstance(dt, TimestampType):
-        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    if isinstance(dt, TimestampType):  # LTZ instant → UTC wall clock
+        return df.withColumn(
+            "ts", F.expr(f"timestampadd(MICROSECOND, unix_micros(ts), {_NTZ_EPOCH})")
+        )
     raise TypeError(f"events.ts has unsupported type {dt}")
 
 

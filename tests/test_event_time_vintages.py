@@ -1,0 +1,77 @@
+"""events.ts vintage normalization must be session-timezone-
+independent (the harness runs a vanilla session whose timezone the
+engine cannot assume — ADVICE r4 flagged bare NTZ casts rendering
+wall clock through spark.sql.session.timeZone).
+
+Three datagen vintages of events.parquet exist in the wild:
+  timestamp[us] (current — read natively as NTZ, no-op fast path),
+  timestamp[ns] (legacy — readable only as int64 via nanosAsLong),
+  timestamp[us, tz=UTC] (LTZ — must pin to the UTC instant).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from teleco_etl_pipeline_spark.sources.tables import (
+    _events_ts_is_nanos,
+    load_table,
+)
+
+_WALL = dt.datetime(2023, 11, 14, 22, 13, 20, 123456)  # UTC wall clock
+_EPOCH_NS = 1_700_000_000_123_456_789
+
+
+def _write_events(dirpath: str, arr: pa.Array) -> None:
+    pq.write_table(
+        pa.table({"ts": arr, "user_id": pa.array([1], type=pa.int64())}),
+        os.path.join(dirpath, "events.parquet"),
+    )
+
+
+@pytest.fixture()
+def hostile_tz(spark):
+    """Run the body under a deliberately non-UTC session timezone."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        yield spark
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_ns_vintage_normalizes_to_utc_ntz(hostile_tz, tmp_path):
+    spark = hostile_tz
+    _write_events(
+        str(tmp_path),
+        pa.array([_EPOCH_NS], type=pa.int64()).cast(pa.timestamp("ns")),
+    )
+    assert _events_ts_is_nanos(str(tmp_path / "events.parquet"))
+    df = load_table(spark, str(tmp_path), "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    assert df.collect()[0].ts == _WALL  # us truncation of the ns epoch
+
+
+def test_ltz_vintage_pins_utc_instant(hostile_tz, tmp_path):
+    spark = hostile_tz
+    _write_events(
+        str(tmp_path), pa.array([_WALL], type=pa.timestamp("us", tz="UTC"))
+    )
+    df = load_table(spark, str(tmp_path), "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    # Under the old bare cast this would read 17:13 New-York wall time.
+    assert df.collect()[0].ts == _WALL
+
+
+def test_current_vintage_is_noop_ntz(hostile_tz, tmp_path):
+    spark = hostile_tz
+    _write_events(str(tmp_path), pa.array([_WALL], type=pa.timestamp("us")))
+    assert not _events_ts_is_nanos(str(tmp_path / "events.parquet"))
+    df = load_table(spark, str(tmp_path), "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    assert df.collect()[0].ts == _WALL
