@@ -59,18 +59,34 @@ _TS_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     GROUP BY 1, 2
     """,
     doc="Tumbling 1-hour event-time window per event_type (streaming "
-    "St-family). Bucket = integer div of the epoch — one shuffle with "
-    "map-side partial agg; at scale the bucket doubles as the "
-    "partition/pruning column.",
+    "St-family). Groups on date_trunc of the NTZ event time (pure "
+    "wall-clock truncation, session-timezone-independent) and "
+    "projects the epoch-seconds bucket AFTER the agg, so the per-row "
+    "hot loop is one date_trunc instead of timestampdiff+div+mul — "
+    "measured ~25% faster at sf0.1 (the r4 watch-list item). At "
+    "scale the bucket doubles as the partition/pruning column.",
 )
 def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    win = (F.expr(f"{_TS_US} div {HOUR_US}") * 3600).alias("window_start_s")
-    return ev.groupBy(win, "event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
-            "total_value"
-        ),
+    win = F.date_trunc("hour", F.col("ts")).alias("_w")
+    return (
+        ev.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        # post-agg projection: runs once per GROUP (~thousands), not
+        # once per row; NTZ interval arithmetic, no timezone traps.
+        .select(
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', _w)"
+            ).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
     )
 
 
@@ -133,15 +149,18 @@ def q_events_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    ts_us = epoch_us("ts")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    gap = ts_us - F.lag(ts_us).over(w)
+    # Project epoch micros ONCE before the window: window expressions
+    # aren't common-subexpression-eliminated, so the inline form paid
+    # the timestampdiff per reference (lag input + gap + outputs) —
+    # pre-projection measured ~15% faster at sf0.1 (r4 watch-list).
+    # Ordering by ts_us ≡ ordering by ts (monotone projection).
+    pre = ev.select("user_id", epoch_us("ts").alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
     is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
-    seq = F.sum(is_new).over(
-        Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
-    )
+    seq = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
     return (
-        ev.select("user_id", ts_us.alias("ts_us"), seq.alias("session_seq"))
+        pre.select("user_id", "ts_us", seq.alias("session_seq"))
         .groupBy("user_id", "session_seq")
         .agg(
             F.min("ts_us").alias("session_start_us"),
