@@ -506,8 +506,11 @@ def ivf_topk(
     """Probe the n_probe nearest inverted lists, exact-cosine rerank.
 
     Scan cost drops from O(N·d) to O(N·n_probe/n_centroids·d); the
-    probed-list filter is a pushable IN predicate (partition the
-    assigned table by ivf_list at scale for partition pruning).
+    probed-list filter is a pushable IN predicate — write the
+    assigned table ``partitionBy("ivf_list")`` at scale and the probe
+    becomes a PARTITION filter reading only n_probe directories
+    (exercised by tests/test_operators.py::
+    test_ivf_partitioned_layout_prunes_probed_read).
     """
     q = np.asarray(query_vec, dtype=float)
     sims = (centroids @ q) / (

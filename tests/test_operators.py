@@ -679,3 +679,46 @@ def test_semantic_dedup_arrow_matches_declarative(spark, sf_dir):
         (r["vec_id"], r["cluster"], r["keep"], r["dup_of"]) for r in df.collect()
     )
     assert to_rows(fast) == to_rows(slow)
+
+
+def test_ivf_partitioned_layout_prunes_probed_read(spark, sf_dir, tmp_path):
+    """The 100 TB IVF claim exercised, not just stated: writing the
+    assigned table partitionBy("ivf_list") must make the probed-list
+    IN-filter a PARTITION filter on the read (only n_probe of the
+    n_centroids list directories scanned), and the pruned read must
+    return exactly the same top-k as the in-memory probed scan."""
+    import numpy as np
+
+    from teleco_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+    )
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    assigned, centroids = ivf_assign(emb, n_centroids=8)
+    path = str(tmp_path / "ivf_lists")
+    assigned.write.partitionBy("ivf_list").parquet(path)
+
+    sims = (centroids @ np.asarray(qvec)) / (
+        np.linalg.norm(centroids, axis=1) * np.linalg.norm(qvec) + 1e-12
+    )
+    probe = [int(i) for i in np.argsort(-sims)[:4]]
+
+    stored = spark.read.parquet(path)
+    pruned = stored.filter(F.col("ivf_list").isin(probe))
+    scan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in scan
+    # the probed-list predicate must prune at the partition level —
+    # ivf_list is a directory key, not a data column in the files
+    assert "ivf_list" in scan.split("PartitionFilters:")[1].splitlines()[0]
+
+    on_disk = brute_force_topk(pruned, qvec, k=10, exclude_ids=(0,)).collect()
+    in_mem = ivf_topk(
+        assigned, centroids, qvec, k=10, n_probe=4, exclude_ids=(0,)
+    ).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in on_disk] == [
+        (r["vec_id"], r["cosine_sim"]) for r in in_mem
+    ]
