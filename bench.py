@@ -72,6 +72,12 @@ BENCH_QUERIES = [
     "bpe_pair_counts",       # vocab-weighted symbol-pair counts
     "doc_length_band_filter",  # corpus-relative percentile band
     "embedding_semantic_dedup",  # SemDeDup cluster-bounded cosine
+    # -- widened in r5 (oracle-ified scale paths + composed pipeline;
+    #    suite total is therefore not directly comparable to r≤4 —
+    #    compare per-query values across rounds instead) ------------
+    "embedding_ivf_topk",    # IVF probed ANN (timer excludes the sample fit, which runs at plan build)
+    "embedding_lsh_multiprobe",  # multi-table sign-LSH (recall knob)
+    "corpus_curation",       # composed quality→dedup→near-dup→split
 ]
 
 
