@@ -195,3 +195,39 @@ def test_q2_argmin_scans_fact_once(spark, sf_dir):
     lineitem + the two broadcast dims."""
     plan = _plan(spark, sf_dir, "min_cost_supplier")
     assert plan.count("FileScan parquet") == 3
+
+
+def test_minhash_signature_agg_combines_map_side(spark, sf_dir):
+    """The 32 per-seed MINs must partial-aggregate before the doc_id
+    shuffle — at 100 TB the shuffle then carries k longs per doc, not
+    the exploded (doc, shingle) stream."""
+    plan = _plan(spark, sf_dir, "minhash_lsh_pairs")
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_votes_combine_map_side(spark, sf_dir):
+    """Per-bit majority votes are partial SUMs before the doc_id
+    shuffle (token stream reduced to 60 longs map-side)."""
+    plan = _plan(spark, sf_dir, "simhash_neardup")
+    assert "partial_sum" in plan
+
+
+def test_hopping_window_single_shuffle_partial_agg(spark, sf_dir):
+    """The overlap explode is map-side; one Exchange with map-side
+    combine does the rest."""
+    plan = _plan(spark, sf_dir, "events_hopping_counts")
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
+
+
+def test_lsh_bits_computed_via_arrow_matmul(spark, sf_dir):
+    """LSH bucket bits must come from Arrow-batched matmul UDFs
+    (ArrowEvalPython nodes), never from interpreted per-plane
+    higher-order folds — the r2 regression: per-lambda aggregate()
+    cost scaled with n_planes, measured ~30x the matmul. (The exact
+    rerank legitimately uses a Catalyst fold per CANDIDATE pair; the
+    guard is that the per-ROW bit computation stays in Arrow.)"""
+    for name in ("embedding_lsh_pairs", "embedding_lsh_multiprobe"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("ArrowEvalPython") >= 1, name
