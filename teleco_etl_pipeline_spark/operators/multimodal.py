@@ -161,6 +161,10 @@ def synthetic_media_from_documents(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit(b"\x1aE\xdf\xa3"))
     )
     duration_ms = ((F.col("doc_id") % 5) * 1000 + 500).cast("int")
+    # Deterministic pixel dims (spanning below/above typical resize
+    # targets) so metadata-only planning ops are oracle-checkable.
+    width = (F.lit(160) + (F.col("doc_id") % 13) * 96).cast("int")
+    height = (F.lit(120) + (F.col("doc_id") % 11) * 72).cast("int")
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.concat(magic, F.encode(F.col("text"), "UTF-8")).alias("payload"),
@@ -170,11 +174,105 @@ def synthetic_media_from_documents(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("video/webm"))
         .alias("mime"),
         F.struct(
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
+            width.alias("width"),
+            height.alias("height"),
             duration_ms.alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+def resize_plan(media: DataFrame, max_w: int = 512, max_h: int = 384) -> DataFrame:
+    """Fit-within resize *plan* from metadata only: output dims for a
+    downscale into (max_w, max_h) preserving aspect ratio, upscales
+    suppressed. Returns (media_id, width, height, out_w, out_h,
+    downscaled).
+
+    The 100 TB point: this is pure integer column arithmetic over the
+    metadata struct — the expensive payload decode+resample is only
+    owed to rows where ``downscaled`` is true, so the pipeline filters
+    on a metadata predicate BEFORE touching a single payload byte
+    (binary columns are pruned at the parquet scan). Integer-rational
+    math (compare max_w·h vs max_h·w, floor-divide) instead of a
+    double scale factor keeps the dims bit-identical across engines.
+    """
+    w, h = F.col("meta.width"), F.col("meta.height")
+    fits = (w <= max_w) & (h <= max_h)
+    # min(max_w/w, max_h/h) chosen rationally: width-bound wins iff
+    # max_w·h <= max_h·w; floor-divisions stay in exact integer math.
+    width_bound = (F.lit(max_w) * h) <= (F.lit(max_h) * w)
+    out_w = F.when(fits, w).otherwise(
+        F.when(width_bound, F.lit(max_w)).otherwise((w * max_h).cast("long") / h)
+    )
+    out_h = F.when(fits, h).otherwise(
+        F.when(width_bound, ((h * max_w).cast("long") / w)).otherwise(F.lit(max_h))
+    )
+    return media.select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.greatest(F.floor(out_w), F.lit(1)).cast("int").alias("out_w"),
+        F.greatest(F.floor(out_h), F.lit(1)).cast("int").alias("out_h"),
+        (~fits).alias("downscaled"),
+    )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_w", T.IntegerType(), True),
+        T.StructField("out_h", T.IntegerType(), True),
+        T.StructField("pixels_mean", T.DoubleType(), True),
+    ]
+)
+
+
+def resize_image_batch(
+    media: DataFrame, max_w: int = 512, max_h: int = 384, fake: bool = False
+) -> DataFrame:
+    """Payload-path resize: decode → resample → re-encode features,
+    batched through ``mapInPandas`` (Arrow, bounded memory).
+
+    STUB: real resampling requires PIL/opencv (not in this
+    container). ``fake=True`` uses the deterministic fake decoder's
+    dims and applies the SAME fit-within integer math as
+    :func:`resize_plan`, so the payload path and the metadata plan
+    are cross-checkable (asserted in tests/test_ml_streaming_
+    multimodal.py)."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL/opencv; not available in this "
+            "environment — run with fake=True to exercise the plumbing"
+        )
+
+    def _fit(w: int, h: int) -> tuple[int, int]:
+        if w <= max_w and h <= max_h:
+            return w, h
+        if max_w * h <= max_h * w:
+            return max_w, max(1, (h * max_w) // w)
+        return max(1, (w * max_h) // h), max_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            dims = [
+                _fit(
+                    16 + (_rolling_checksum(p) % 64),
+                    16 + ((_rolling_checksum(p) >> 8) % 64),
+                )
+                for p in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": [d[0] for d in dims],
+                    "out_h": [d[1] for d in dims],
+                    "pixels_mean": payloads.map(
+                        lambda p: round((_rolling_checksum(p) % 25600) / 100.0, 2)
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
 def _register_queries() -> None:
@@ -222,6 +320,40 @@ def _register_queries() -> None:
     def q_multimodal_frame_sample(spark, sf_dir):
         media = synthetic_media_from_documents(load_table(spark, sf_dir, "documents"))
         return frame_sample_plan(media, every_ms=1000)
+
+    @query(
+        "multimodal_resize_plan",
+        """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 CAST(160 + (doc_id % 13) * 96 AS INTEGER) AS width,
+                 CAST(120 + (doc_id % 11) * 72 AS INTEGER) AS height
+          FROM documents
+        )
+        SELECT media_id, width, height,
+               CAST(GREATEST(
+                 CASE WHEN width <= 512 AND height <= 384 THEN width
+                      WHEN 512 * height <= 384 * width THEN 512
+                      ELSE (width * 384) // height END, 1) AS INTEGER) AS out_w,
+               CAST(GREATEST(
+                 CASE WHEN width <= 512 AND height <= 384 THEN height
+                      WHEN 512 * height <= 384 * width THEN (height * 512) // width
+                      ELSE 384 END, 1) AS INTEGER) AS out_h,
+               NOT (width <= 512 AND height <= 384) AS downscaled
+        FROM m
+        """,
+        doc="Metadata-only fit-within resize planning: output dims "
+        "and a downscale flag from the metadata struct alone, so the "
+        "expensive payload decode+resample is owed only to rows the "
+        "plan marks downscaled — the binary column is never read for "
+        "the rest (metadata predicate prunes decode work). Integer-"
+        "rational math keeps dims bit-identical across engines; the "
+        "payload-path twin (resize_image_batch, mapInPandas) applies "
+        "the same math and is cross-checked in tests.",
+    )
+    def q_multimodal_resize_plan(spark, sf_dir):
+        media = synthetic_media_from_documents(load_table(spark, sf_dir, "documents"))
+        return resize_plan(media, max_w=512, max_h=384)
 
 
 _register_queries()

@@ -270,3 +270,57 @@ def test_apply_in_pandas_with_state_accumulates_across_batches(spark, tmp_path):
     assert len(user1) == 2
     assert user1[-1] == (3, 17.5)
     assert user1[0][0] < 3  # first batch saw a strict subset
+
+
+def test_resize_plan_and_payload_path_agree(spark):
+    """The metadata resize PLAN and the payload-path mapInPandas stub
+    apply the same fit-within integer math: feeding the plan the fake
+    decoder's dims must reproduce the batch output exactly. Also
+    covers the edge cases: upscale suppression (small image passes
+    through) and extreme aspect ratio (dim clamps to >= 1)."""
+    from pyspark.sql import functions as F
+
+    from teleco_etl_pipeline_spark.operators.multimodal import (
+        decode_image_batch,
+        resize_image_batch,
+        resize_plan,
+        synthetic_media_from_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} payload text") for i in range(24)], ["doc_id", "text"]
+    )
+    media = synthetic_media_from_documents(docs)
+
+    # payload path (fake decode dims → fit-within)
+    sized = {
+        r["media_id"]: (r["out_w"], r["out_h"])
+        for r in resize_image_batch(media, max_w=48, max_h=40, fake=True).collect()
+    }
+    # metadata plan fed the SAME fake-decoded dims
+    decoded = decode_image_batch(media, fake=True).select(
+        "media_id",
+        F.struct(
+            F.col("width"), F.col("height"), F.lit(None).cast("int").alias("duration_ms")
+        ).alias("meta"),
+    )
+    planned = {
+        r["media_id"]: (r["out_w"], r["out_h"])
+        for r in resize_plan(decoded, max_w=48, max_h=40).collect()
+    }
+    assert sized == planned and len(sized) == 24
+
+    # upscale suppression + >=1 clamp on a degenerate aspect ratio
+    crafted = spark.createDataFrame(
+        [(1, 10, 10, None), (2, 10000, 1, None)],
+        "media_id long, width int, height int, duration_ms int",
+    ).select(
+        "media_id",
+        F.struct("width", "height", "duration_ms").alias("meta"),
+    )
+    out = {
+        r["media_id"]: (r["out_w"], r["out_h"], r["downscaled"])
+        for r in resize_plan(crafted, max_w=512, max_h=384).collect()
+    }
+    assert out[1] == (10, 10, False)      # no upscale
+    assert out[2] == (512, 1, True)       # floor(1*512/10000)=0 → clamp 1
