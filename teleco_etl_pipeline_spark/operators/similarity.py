@@ -8,7 +8,7 @@
   index).
 - ``embedding_neardup_pairs``: all-pairs cosine ≥ τ via self-join —
   exact, quadratic; keep for small/medium N or post-LSH verify.
-- ``lsh_bucketed_topk``: random-hyperplane LSH — the 100 TB path.
+- ``lsh_bucketed_pairs``: random-hyperplane LSH — the 100 TB path.
   Deterministic hyperplanes are generated driver-side (seeded numpy)
   and baked into the plan as literals; each vector gets a b-bit
   bucket; candidates = same-bucket (multi-probe over h tables), then

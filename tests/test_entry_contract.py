@@ -42,3 +42,20 @@ def test_every_query_builds_valid_plan(spark, sf_dir):
         df = fn(spark, sf_dir)
         df.explain()  # analysis succeeds
         assert df.columns, name
+
+
+def test_bench_queries_all_registered():
+    """bench.py must never KeyError at driver time (the round-3
+    failure mode was a bench crash): every headline name resolves in
+    the registry."""
+    import importlib.util
+
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
+    spec = importlib.util.spec_from_file_location("bench", path)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [n for n in bench.BENCH_QUERIES if n not in all_queries()]
+    assert not missing, missing
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
