@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = all_queries()
     missing = [n for n in _RECORD_ORDER if n not in qs]
     assert not missing, f"_RECORD_ORDER names unknown queries: {missing}"
+    stale = [n for n in _RECORD_LAST if n not in qs]
+    assert not stale, f"_RECORD_LAST names unknown queries: {stale}"
 
     def tier(q) -> tuple[int, int]:
         if q.name in _RECORD_ORDER:

@@ -424,16 +424,21 @@ def minhash_lsh_pairs(
     )
 
 
-def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _banded(
+    sig: DataFrame, num_hashes: int, bands: int, hash_family: str = "xxhash64"
+) -> DataFrame:
     """(doc_id, band, band_hash) from a signature frame — recomputing
     band hashes from the k-long signature is a cheap map pass; only
-    the signatures need persisting."""
+    the signatures need persisting. The family must match the one the
+    signatures were built with (band hashes are part of the index
+    identity)."""
     rows_per_band = num_hashes // bands
     mh_cols = [f"mh_{i}" for i in range(num_hashes)]
     band_hashes = F.array(
         *[
-            F.xxhash64(
-                *[F.col(c) for c in mh_cols[b * rows_per_band : (b + 1) * rows_per_band]]
+            _combo_hash(
+                [F.col(c) for c in mh_cols[b * rows_per_band : (b + 1) * rows_per_band]],
+                hash_family,
             )
             for b in range(bands)
         ]
@@ -449,6 +454,7 @@ def minhash_lsh_pairs_incremental(
     bands: int = 8,
     threshold: float = 0.5,
     broadcast_new: bool = True,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Incremental near-dup: score a NEW batch of documents against a
     PERSISTED MinHash signature index (the output of
@@ -479,9 +485,11 @@ def minhash_lsh_pairs_incremental(
     """
     assert num_hashes % bands == 0
     mh_cols = [f"mh_{i}" for i in range(num_hashes)]
-    new_sigs = minhash_signatures(new_docs, n, num_hashes).cache()
-    new_banded = _banded(new_sigs, num_hashes, bands)
-    corpus_banded = _banded(corpus_sigs, num_hashes, bands)
+    new_sigs = minhash_signatures(
+        new_docs, n, num_hashes, hash_family=hash_family
+    ).cache()
+    new_banded = _banded(new_sigs, num_hashes, bands, hash_family)
+    corpus_banded = _banded(corpus_sigs, num_hashes, bands, hash_family)
 
     nb = F.broadcast(new_banded) if broadcast_new else new_banded
     cand_corpus = (

@@ -59,3 +59,19 @@ def test_bench_queries_all_registered():
     missing = [n for n in bench.BENCH_QUERIES if n not in all_queries()]
     assert not missing, missing
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
+
+
+def test_record_window_is_exact_and_disjoint():
+    """The 50-slot recording window must stay exactly 50 (the driver
+    records the first 50 of queries() order), disjoint from the
+    past-window list, with no typo'd names in either."""
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    mod = _load_entry()
+    order, last = mod._RECORD_ORDER, mod._RECORD_LAST
+    reg = set(all_queries())
+    assert len(order) == 50 and len(set(order)) == 50
+    assert not set(order) & set(last)
+    assert set(order) <= reg and set(last) <= reg
+    # queries() must lead with exactly the window
+    assert list(mod.queries())[:50] == order

@@ -324,3 +324,44 @@ def test_resize_plan_and_payload_path_agree(spark):
     }
     assert out[1] == (10, 10, False)      # no upscale
     assert out[2] == (512, 1, True)       # floor(1*512/10000)=0 → clamp 1
+
+
+def test_resize_plan_invariants_dense_grid(spark):
+    """Fit-within invariants over a dense grid of dims, verified in
+    ONE Spark job: output within the target box (unless the input
+    already fits), dims never below 1, no upscaling, and aspect ratio
+    preserved to within integer rounding (cross-multiplied bound)."""
+    from pyspark.sql import functions as F
+
+    from teleco_etl_pipeline_spark.operators.multimodal import resize_plan
+
+    MAX_W, MAX_H = 512, 384
+    dims = [
+        (i, w, h)
+        for i, (w, h) in enumerate(
+            (w, h)
+            for w in [1, 2, 3, 17, 100, 383, 384, 385, 511, 512, 513, 1000, 7919]
+            for h in [1, 2, 3, 19, 99, 383, 384, 385, 511, 512, 513, 999, 7907]
+        )
+    ]
+    media = spark.createDataFrame(dims, "media_id long, w int, h int").select(
+        "media_id",
+        F.struct(
+            F.col("w").alias("width"),
+            F.col("h").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    rows = resize_plan(media, max_w=MAX_W, max_h=MAX_H).collect()
+    assert len(rows) == len(dims)
+    for r in rows:
+        w, h, ow, oh = r["width"], r["height"], r["out_w"], r["out_h"]
+        assert ow >= 1 and oh >= 1, r
+        if w <= MAX_W and h <= MAX_H:
+            assert (ow, oh) == (w, h) and not r["downscaled"], r
+        else:
+            assert r["downscaled"] and ow <= MAX_W and oh <= MAX_H, r
+            assert ow <= w and oh <= h, r  # never upscale
+            # aspect preserved to integer rounding:
+            # |ow/oh - w/h| bounded by one rounding step on each axis
+            assert abs(ow * h - oh * w) <= max(w, h), r

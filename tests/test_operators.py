@@ -3,6 +3,7 @@ text) over in-memory frames."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from teleco_etl_pipeline_spark.operators.dedup import (
@@ -580,10 +581,11 @@ def test_semantic_dedup_clustered_subset_of_exact(spark, sf_dir):
     assert len(removed) > 0  # threshold tuned so the path is exercised
 
 
-def test_minhash_incremental_equals_full_restriction(spark):
+@pytest.mark.parametrize("family", ["xxhash64", "md5"])
+def test_minhash_incremental_equals_full_restriction(spark, family):
     """Incremental (new batch vs persisted index) must equal the full
     recompute restricted to pairs touching the batch — signatures are
-    deterministic xxhash64, so there is no drift."""
+    deterministic (either hash family), so there is no drift."""
     from teleco_etl_pipeline_spark.operators.dedup import (
         minhash_lsh_pairs_incremental,
         minhash_signatures,
@@ -604,9 +606,11 @@ def test_minhash_incremental_equals_full_restriction(spark):
     )
     # bands=16 (2 rows/band): recall high enough that every
     # crafted near-dup pair collides in some band
-    params = dict(n=3, num_hashes=32, bands=16, threshold=0.25)
+    params = dict(n=3, num_hashes=32, bands=16, threshold=0.25, hash_family=family)
 
-    corpus_sigs = minhash_signatures(corpus_docs, n=3, num_hashes=32)
+    corpus_sigs = minhash_signatures(
+        corpus_docs, n=3, num_hashes=32, hash_family=family
+    )
     inc = minhash_lsh_pairs_incremental(new_docs, corpus_sigs, **params).collect()
     got = {
         (r["doc_id_new"], r["doc_id_other"], r["pair_kind"]): r["est_jaccard"]
