@@ -195,21 +195,24 @@ def resize_plan(media: DataFrame, max_w: int = 512, max_h: int = 384) -> DataFra
     math (compare max_w·h vs max_h·w, floor-divide) instead of a
     double scale factor keeps the dims bit-identical across engines.
     """
-    w, h = F.col("meta.width"), F.col("meta.height")
+    # Widen BEFORE multiplying: int32 products overflow (ANSI error /
+    # silent wrap) for dims past ~2^31/max_target even though each
+    # dim alone fits an int.
+    w, h = F.col("meta.width").cast("long"), F.col("meta.height").cast("long")
     fits = (w <= max_w) & (h <= max_h)
     # min(max_w/w, max_h/h) chosen rationally: width-bound wins iff
     # max_w·h <= max_h·w; floor-divisions stay in exact integer math.
     width_bound = (F.lit(max_w) * h) <= (F.lit(max_h) * w)
     out_w = F.when(fits, w).otherwise(
-        F.when(width_bound, F.lit(max_w)).otherwise((w * max_h).cast("long") / h)
+        F.when(width_bound, F.lit(max_w)).otherwise((w * max_h) / h)
     )
     out_h = F.when(fits, h).otherwise(
-        F.when(width_bound, ((h * max_w).cast("long") / w)).otherwise(F.lit(max_h))
+        F.when(width_bound, (h * max_w) / w).otherwise(F.lit(max_h))
     )
     return media.select(
         "media_id",
-        w.alias("width"),
-        h.alias("height"),
+        w.cast("int").alias("width"),
+        h.cast("int").alias("height"),
         F.greatest(F.floor(out_w), F.lit(1)).cast("int").alias("out_w"),
         F.greatest(F.floor(out_h), F.lit(1)).cast("int").alias("out_h"),
         (~fits).alias("downscaled"),
