@@ -128,6 +128,16 @@ def ngram_jaccard_pairs(
     exploded shingles, which is worth trimming. Sampling is by md5
     bucket (operators/sampling.py), so the estimated frequent set is
     reproducible across engines and runs.
+
+    Join-key representation (measured, sf0.1, local[32]): joining on
+    a 60-bit md5 prefix of the shingle instead of the string is ~20%
+    faster (1.34 s vs 1.66 s median) but stops being EXACT once the
+    corpus holds ~2^30 distinct shingles (birthday bound) — certain
+    at 100 TB; a collision-safe 120-bit two-long key measured SLOWER
+    than the strings (2.06 s — double-width shuffle tuple + two
+    conv/substring per shingle). Short word-shingle strings with the
+    frequency guard are both exact and the fastest safe option, so
+    the string join stays.
     """
     # The shingle explode is the expensive leaf and appears three
     # times in this plan (sizes + both join sides) — cache it so the
