@@ -43,6 +43,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # current-vintage row in the committed LOCAL_PARITY_r05.json
 # full-catalog sweep (same three-way check, sf0.01, ANSI session).
 _RECORD_ORDER = [
+    # -- NEW this round (zero prior evidence anywhere) --------------
+    "heavy_hitter_tokens",
+    "tfidf_top_terms",
+    "neardup_keep_best",
     # -- oracle-ified this round (were rows-only; must record with
     #    their new value-checked oracles) --------------------------
     "embedding_ivf_topk",
@@ -97,14 +101,19 @@ _RECORD_ORDER = [
     "salted_join_agg",
     "shipping_priority",
     "tenure_months_calc",
-    "topk_per_group",
-    "union_summary",
-    "approx_distinct_users",  # HLL sketch — rows-only by design
 ]
 # Past-window ordering: the displaced multi-round-green core records
 # next if the driver ever widens its window; true sketches without
-# oracles sort last (tier 3 in queries()).
+# oracles sort last (tier 3 in queries()). topk_per_group,
+# union_summary and approx_distinct_users rotated out for the three
+# new round-5 ops: the first two have current LOCAL_PARITY_r05
+# matches and driver-green pass-shape twins (topk_orders r4,
+# priority_set_ops r4); approx_distinct_users is rows-only by
+# design, so its driver row value-checks nothing.
 _RECORD_LAST = [
+    "topk_per_group",
+    "union_summary",
+    "approx_distinct_users",  # HLL sketch — rows-only by design
     "scrub_cast",
     "asof_last_purchase",
     "banded_price_join",

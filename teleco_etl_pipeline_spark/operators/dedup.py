@@ -975,3 +975,92 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.12, max_shingle_freq=None)
     return neardup_clusters(pairs, docs)
+
+
+# ---------------------------------------------------------------------------
+# Canonical selection: the corpus a dedup pass actually keeps
+# ---------------------------------------------------------------------------
+
+
+def neardup_keep_best(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Pick ONE surviving document per near-dup cluster — the highest
+    ``quality_col`` (ties → lowest id) — and return the deduplicated
+    corpus. This is the step pair/cluster reports stop short of:
+    ``is_keeper`` in :func:`neardup_clusters` keeps the min-id member
+    (cheap, arbitrary), while a curation pass wants the BEST member
+    (longest text, highest quality score, newest crawl...).
+
+    One join (clusters are doc_id-keyed, co-partitioned with docs by
+    the join) + one ``row_number`` window partitioned by cluster —
+    each cluster's members rank within a single task, so the cost at
+    100 TB is one shuffle on cluster_id with cluster-sized (tiny)
+    partitions, independent of corpus size.
+    """
+    from pyspark.sql import Window
+
+    joined = clusters.join(docs.select(id_col, quality_col), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cluster_id", "cluster_size", quality_col)
+    )
+
+
+@query(
+    "neardup_keep_best",
+    r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, len(toks) - 2)]) AS shingles
+      FROM tok WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS set_size FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             COUNT(*) AS shared, ANY_VALUE(a.set_size) AS size_a, ANY_VALUE(b.set_size) AS size_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_id_a, doc_id_b FROM inter
+      WHERE ROUND(CAST(shared AS DOUBLE) / (size_a + size_b - shared) + 1e-9, 4) >= 0.12
+    ), edges AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+    ), reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+    ), comp AS (
+      SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    ), sized AS (
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM comp
+    )
+    SELECT s.doc_id, s.cluster_id, s.cluster_size, d.n_chars
+    FROM sized s JOIN documents d USING (doc_id)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY s.cluster_id
+                               ORDER BY d.n_chars DESC, s.doc_id ASC) = 1
+    """,
+    doc="Canonical selection: the deduplicated corpus itself — one "
+    "best (max n_chars, tie min id) survivor per near-dup cluster. "
+    "Oracle recomputes the transitive closure via recursive CTE and "
+    "picks the identical survivor with QUALIFY.",
+)
+def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.12, max_shingle_freq=None)
+    return neardup_keep_best(neardup_clusters(pairs, docs), docs)

@@ -1,0 +1,233 @@
+"""Frequency analytics for training-data pipelines: exact distributed
+heavy hitters (two-pass Misra-Gries) and per-document TF-IDF terms.
+
+Reference parity: the reference's profiling queries are simple
+``GROUP BY ... ORDER BY count DESC`` reports over Postgres
+(`dags/SQL/DWH_Quality_Checks.sql` record-count family); these
+operators are the beyond-reference scale path for the same question
+("what dominates this corpus?") when the group-key space (token
+vocabulary) is itself too large to shuffle comfortably.
+
+Scale design
+------------
+``heavy_hitter_tokens`` is the textbook two-pass exact heavy-hitters
+plan (Misra-Gries candidates + exact recount):
+
+* Pass 1 never shuffles: each input partition folds its tokens into a
+  bounded Misra-Gries summary (``k`` counters) inside one Arrow-batched
+  ``mapInPandas``; only the ≤ k surviving candidate tokens per
+  partition leave the executor. The per-batch work is a vectorized
+  ``value_counts`` followed by a summary merge (MG summaries are
+  mergeable: add counts, then subtract the (k+1)-th largest and drop
+  non-positive — Agarwal et al., "Mergeable Summaries", PODS'12).
+* Pass 2 re-scans and recounts ONLY the candidates: a broadcast
+  left-semi join keeps shuffle volume proportional to the candidate
+  set (≤ k × partitions tokens), not to the distinct-token space. A
+  naive ``GROUP BY token`` shuffles the full vocabulary — at 100 TB of
+  text that is the long tail of billions of rare n-grams, almost all
+  of which the HAVING clause immediately discards.
+
+The output is provably EXACT, not approximate: any token with true
+count > N/(k+1) survives in at least one partition summary (a token
+absent from a partition's MG summary has partition count ≤ n_p/(k+1);
+absent from all summaries ⇒ total ≤ Σ n_p/(k+1) = N/(k+1)), and the
+final filter keeps count·k > N, i.e. count > N/k ≥ N/(k+1). So the
+candidate set is a superset of every token the filter could keep, and
+pass 2's counts are exact — which is why a plain SQL oracle can
+value-check the sketch path bit-for-bit.
+
+``tfidf_top_terms`` is pure Catalyst: explode → two hash aggregations
+(doc-term tf, then term df reusing the first) → scalar doc count →
+window top-k per document. The df table is vocabulary-sized — small
+for word tokens, potentially large for n-grams — so the tf↔df join is
+left to AQE to pick broadcast vs shuffle at runtime rather than
+hard-coding ``F.broadcast``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from teleco_etl_pipeline_spark.operators.text import EPS, tokens
+from teleco_etl_pipeline_spark.plans.registry import query
+from teleco_etl_pipeline_spark.sources.tables import load_table
+
+
+def _merge_mg(counters: dict[str, int], batch: dict[str, int], k: int) -> dict[str, int]:
+    """Merge a batch's exact counts into a Misra-Gries summary of
+    capacity ``k`` (add, then shrink by the (k+1)-th largest).
+
+    Reference copy of the merge step for unit-testing the undercount
+    bound; :func:`misra_gries_candidates` inlines this logic in its
+    ``mapInPandas`` closure so the serialized function stays free of
+    module-global references (see comment there)."""
+    for t, c in batch.items():
+        counters[t] = counters.get(t, 0) + int(c)
+    if len(counters) > k:
+        cut = sorted(counters.values(), reverse=True)[k]
+        counters = {t: c - cut for t, c in counters.items() if c > cut}
+    return counters
+
+
+def misra_gries_candidates(
+    tok: DataFrame, k: int, token_col: str = "token"
+) -> DataFrame:
+    """Per-partition Misra-Gries candidate tokens (capacity ``k``).
+
+    Returns a DataFrame with one ``token`` column: the union over
+    partitions of each partition's summary keys — guaranteed to
+    contain every token with global frequency > N/(k+1). Python cost
+    is one vectorized ``value_counts`` per Arrow batch plus an O(k)
+    dict merge; memory is bounded at k counters per partition
+    regardless of input size.
+    """
+
+    # Self-contained closure: the executors' Python workers may not
+    # have this repo on their path (the harness controls PYTHONPATH),
+    # so the function must reference nothing from this module —
+    # cloudpickle serializes closure cells by value but module
+    # globals by reference. Hence the MG merge (_merge_mg) is inlined
+    # rather than called.
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for t, c in pdf[token_col].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {t: c - cut for t, c in counters.items() if c > cut}
+        yield pd.DataFrame({token_col: list(counters)})
+
+    return tok.mapInPandas(summarize, schema=f"{token_col} string")
+
+
+def heavy_hitter_tokens(
+    docs: DataFrame, k: int = 30, text_col: str = "text"
+) -> DataFrame:
+    """Exact tokens with frequency > N/k, via MG candidates + recount.
+
+    Two passes over the token stream by design (see module docstring):
+    re-scanning 100 TB twice is cheaper than shuffling a billion-term
+    vocabulary once. Integer threshold arithmetic (``cnt * k > N``)
+    avoids any FP boundary between engines.
+    """
+    tok = docs.select(F.explode(tokens(text_col)).alias("token"))
+    cand = misra_gries_candidates(tok, k).distinct()
+    counts = (
+        tok.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("n_total"))
+        .select("token", "cnt")
+        .orderBy(F.desc("cnt"), F.asc("token"))
+    )
+
+
+@query(
+    "heavy_hitter_tokens",
+    r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), tot AS (SELECT COUNT(*) AS n_total FROM tok)
+    SELECT token, COUNT(*) AS cnt
+    FROM tok
+    GROUP BY token
+    HAVING COUNT(*) * 30 > (SELECT n_total FROM tot)
+    ORDER BY cnt DESC, token ASC
+    """,
+    doc="Exact heavy hitters (freq > N/30) via per-partition "
+    "Misra-Gries candidates + broadcast-semi recount — shuffle "
+    "volume bounded by the candidate set, not the vocabulary. The "
+    "oracle is the naive full GROUP BY, proving the sketch path is "
+    "exact, not approximate.",
+)
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heavy_hitter_tokens(load_table(spark, sf_dir, "documents"), k=30)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_n`` terms per document by smoothed TF-IDF.
+
+    idf = ln((N+1)/(df+1)) + 1 (sklearn's smooth_idf — strictly
+    positive, never divides by zero). Scores are rounded to 4 dp with
+    the catalog-wide EPS nudge before ranking so cross-engine FP noise
+    in ``ln`` cannot flip a rank; ties break on token ASC. The window
+    partitions by document, so ranking never shuffles more than one
+    document's terms to a single task.
+    """
+    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # Vocabulary-sized; join strategy left to AQE (broadcast for word
+    # vocabs, shuffle for open-ended n-gram spaces).
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1)
+                + EPS,
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select("doc_id", "token", "tfidf")
+        .orderBy("doc_id", "token")
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * (ln((nd.n_docs + 1.0) / (df.df + 1.0)) + 1)
+                   + 1e-9, 4) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN nd
+    )
+    SELECT doc_id, token, tfidf
+    FROM (
+      SELECT doc_id, token, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token ASC) AS rn
+      FROM scored
+    )
+    WHERE rn <= 3
+    ORDER BY doc_id, token
+    """,
+    doc="Per-document top-3 TF-IDF terms (smoothed idf): explode → "
+    "tf agg → df agg → windowed top-k, all JVM-side.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), top_n=3)

@@ -1,0 +1,135 @@
+"""Frequency analytics: Misra-Gries heavy hitters + TF-IDF + canonical
+near-dup selection (operators/freq.py, operators/dedup.py keep_best)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from teleco_etl_pipeline_spark.operators.dedup import neardup_keep_best
+from teleco_etl_pipeline_spark.operators.freq import (
+    _merge_mg,
+    heavy_hitter_tokens,
+    misra_gries_candidates,
+    tfidf_top_terms,
+)
+from teleco_etl_pipeline_spark.operators.text import tokens
+
+
+def test_merge_mg_bounds_size_and_undercount():
+    # Feed a known stream in two batches; the summary never exceeds k
+    # counters and undercounts any item by at most n/(k+1).
+    stream = ["a"] * 50 + ["b"] * 30 + ["c"] * 10 + [f"x{i}" for i in range(20)]
+    k = 4
+    half = len(stream) // 2
+    counters: dict[str, int] = {}
+    for part in (stream[:half], stream[half:]):
+        batch: dict[str, int] = {}
+        for t in part:
+            batch[t] = batch.get(t, 0) + 1
+        counters = _merge_mg(counters, batch, k)
+    n = len(stream)
+    assert len(counters) <= k
+    for t, true_cnt in (("a", 50), ("b", 30)):
+        assert t in counters
+        assert counters[t] <= true_cnt
+        assert true_cnt - counters[t] <= n / (k + 1)
+
+
+@pytest.mark.parametrize("parts", [1, 3, 7])
+def test_mg_candidates_superset_of_heavy_hitters(spark, parts):
+    # Skewed corpus: "hot" dominates; rare tokens form a long tail.
+    rows = [("hot " * 40 + f"rare{i} tail{i % 5}",) for i in range(60)]
+    docs = spark.createDataFrame(rows, "text string")
+    tok = docs.select(F.explode(tokens("text")).alias("token")).repartition(parts)
+    n = tok.count()
+    k = 10
+    cand = {r.token for r in misra_gries_candidates(tok, k).distinct().collect()}
+    truth = {
+        r.token
+        for r in tok.groupBy("token")
+        .count()
+        .filter(F.col("count") * (k + 1) > n)
+        .collect()
+    }
+    assert truth <= cand, f"missing heavy hitters: {truth - cand}"
+
+
+@pytest.mark.parametrize("parts", [1, 5])
+def test_heavy_hitters_exact_vs_naive(spark, parts, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(parts)
+    )
+    k = 30
+    got = {(r.token, r.cnt) for r in heavy_hitter_tokens(docs, k=k).collect()}
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    n = tok.count()
+    want = {
+        (r.token, r["count"])
+        for r in tok.groupBy("token").count().filter(F.col("count") * k > n).collect()
+    }
+    assert got == want
+
+
+def test_tfidf_top_terms_distinctive_token_wins(spark):
+    # "zebra" appears only in doc 1 → highest idf there; "common" is
+    # in every doc → lowest idf.
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra zebra common common"),
+            (2, "apple apple common"),
+            (3, "banana banana common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, top_n=1).collect()
+    best = {r.doc_id: r.token for r in out}
+    assert best == {1: "zebra", 2: "apple", 3: "banana"}
+
+
+def test_tfidf_rank_window_bounds_rows(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a a")], "doc_id long, text string"
+    )
+    out = tfidf_top_terms(docs, top_n=3)
+    per_doc = {r.doc_id: r["cnt"] for r in out.groupBy("doc_id").count().withColumnRenamed("count", "cnt").collect()}
+    assert per_doc[1] == 3
+    assert per_doc[2] == 1  # doc 2 has a single distinct token
+
+
+def test_neardup_keep_best_picks_max_quality(spark):
+    clusters = spark.createDataFrame(
+        [
+            (10, 10, 3, 0),
+            (11, 10, 3, 0),
+            (12, 10, 3, 0),
+            (20, 20, 1, 1),
+        ],
+        "doc_id long, cluster_id long, cluster_size long, is_keeper int",
+    )
+    docs = spark.createDataFrame(
+        [(10, 5), (11, 9), (12, 9), (20, 2)], "doc_id long, n_chars long"
+    )
+    out = {
+        r.cluster_id: (r.doc_id, r.n_chars)
+        for r in neardup_keep_best(clusters, docs).collect()
+    }
+    # Cluster 10: docs 11 and 12 tie on n_chars=9 → lowest id (11) wins.
+    assert out == {10: (11, 9), 20: (20, 2)}
+
+
+def test_neardup_keep_best_one_row_per_cluster(spark, sf_dir):
+    from teleco_etl_pipeline_spark.operators.dedup import (
+        neardup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.12, max_shingle_freq=None)
+    clusters = neardup_clusters(pairs, docs)
+    kept = neardup_keep_best(clusters, docs)
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    assert kept.count() == n_clusters
+    # Survivors are a subset of the corpus and unique per cluster.
+    assert kept.select("cluster_id").distinct().count() == n_clusters
