@@ -63,21 +63,42 @@ _MAGIC = {
 }
 
 
-def sniff_mime(payload: bytes | None) -> str:
-    if not payload:
-        return "unknown"
-    for magic, mime in _MAGIC.items():
-        if payload.startswith(magic):
-            return mime
-    return "application/octet-stream"
+# Both helpers are factory-made closures rather than plain module
+# functions: their qualnames (`_fn.<locals>.f`) are not addressable
+# as module attributes, so cloudpickle serializes them BY VALUE into
+# any mapInPandas closure that references them. A plain module-level
+# def would pickle by reference and fail to unpickle on executor
+# Python workers that don't have this repo on their path (the
+# external harness controls cwd/PYTHONPATH, not us).
 
 
-def _rolling_checksum(payload: bytes | None) -> int:
-    """Deterministic polynomial rolling hash over raw bytes."""
-    h = 0
-    for b in payload or b"":
-        h = (h * 131 + b) & 0x7FFFFFFFFFFFFFFF
-    return h
+def _sniff_fn():
+    magic = dict(_MAGIC)
+
+    def sniff(payload: bytes | None) -> str:
+        if not payload:
+            return "unknown"
+        for m, mime in magic.items():
+            if payload.startswith(m):
+                return mime
+        return "application/octet-stream"
+
+    return sniff
+
+
+def _checksum_fn():
+    def cks(payload: bytes | None) -> int:
+        """Deterministic polynomial rolling hash over raw bytes."""
+        h = 0
+        for b in payload or b"":
+            h = (h * 131 + b) & 0x7FFFFFFFFFFFFFFF
+        return h
+
+    return cks
+
+
+sniff_mime = _sniff_fn()
+_rolling_checksum = _checksum_fn()
 
 
 def extract_binary_features(media: DataFrame) -> DataFrame:
@@ -87,7 +108,6 @@ def extract_binary_features(media: DataFrame) -> DataFrame:
     100 TB the scan parallelizes by file split and no payload ever
     crosses the driver.
     """
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame(

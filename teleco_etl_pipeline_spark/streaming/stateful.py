@@ -72,17 +72,30 @@ RUNNING_TOTALS_STATE = T.StructType(
 )
 
 
-def _update_running_totals(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
-) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
-    )
+def _update_running_totals_fn():
+    """Factory-made closure (see operators/multimodal.py): pickled by
+    value so executor workers need not import this repo."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return update
+
+
+_update_running_totals = _update_running_totals_fn()
 
 
 def running_user_totals(stream: DataFrame) -> DataFrame:
