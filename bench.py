@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "embedding_ivf_topk",    # IVF probed ANN (timer excludes the sample fit, which runs at plan build)
     "embedding_lsh_multiprobe",  # multi-table sign-LSH (recall knob)
     "corpus_curation",       # composed quality→dedup→near-dup→split
+    "heavy_hitter_tokens",   # two-pass Misra-Gries exact heavy hitters
+    "tfidf_top_terms",       # tf/df aggs + per-doc windowed top-k
+    "neardup_keep_best",     # cluster canonical selection (timer excludes the CC label iterations, which run at plan build like the IVF fit)
 ]
 
 

@@ -124,10 +124,11 @@ def heavy_hitter_tokens(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    # Scalar subquery, not a crossJoin — keeps the plan free of
+    # nested-loop joins (catalog-wide invariant, test_plan_quality).
+    n_total = tok.agg(F.count(F.lit(1)).alias("n_total")).scalar()
     return (
-        counts.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") * k > F.col("n_total"))
+        counts.filter(F.col("cnt") * k > n_total)
         .select("token", "cnt")
         .orderBy(F.desc("cnt"), F.asc("token"))
     )
@@ -176,19 +177,15 @@ def tfidf_top_terms(
     # Vocabulary-sized; join strategy left to AQE (broadcast for word
     # vocabs, shuffle for open-ended n-gram spaces).
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(df_, "token")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "tfidf",
-            F.round(
-                F.col("tf")
-                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1)
-                + EPS,
-                4,
-            ),
-        )
+    # Scalar subquery (see heavy_hitter_tokens): N lands in the idf
+    # expression without any join node.
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs")).scalar()
+    scored = tf.join(df_, "token").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1) / (F.col("df") + 1)) + 1) + EPS,
+            4,
+        ),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
