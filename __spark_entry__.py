@@ -73,6 +73,7 @@ _RECORD_ORDER = [
     "events_sessionize",
     "events_hopping_counts",
     "events_json_props",
+    "events_locf_daily",  # NEW r5: LOCF gap-fill onto a dense grid
     # -- remaining r1-only rows, one per operator family -----------
     "anti_join",
     "semi_join",
@@ -92,7 +93,6 @@ _RECORD_ORDER = [
     "grouped_counts",
     "initcap_norm",
     "local_supplier_volume",
-    "md5_checksum",
     "minmax_profile",
     "multimodal_features",
     "ngram_jaccard_pairs",
@@ -113,6 +113,7 @@ _RECORD_ORDER = [
 _RECORD_LAST = [
     "topk_per_group",
     "union_summary",
+    "md5_checksum",  # r1-green + md5-parity pytest + local r5 match
     "approx_distinct_users",  # HLL sketch — rows-only by design
     "scrub_cast",
     "asof_last_purchase",

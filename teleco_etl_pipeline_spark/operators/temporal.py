@@ -163,3 +163,117 @@ def banded_range_join(
         band_id_col, F.floor(F.col(value_col) / F.lit(width)).cast("long")
     )
     return keyed.join(bands, band_id_col, how)
+
+
+def locf_grid_fill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Gap-fill a sparse event series onto a dense per-key time grid
+    with last-observation-carried-forward (LOCF) — the standard
+    feature-store/time-series densification the reference's daily
+    snapshot exports approximate with full refreshes.
+
+    Plan: (1) one window pass picks each (key, bucket)'s closing value
+    (latest ts, tie-break on ``tiebreak_col`` for determinism under
+    duplicate timestamps); (2) per-key grids are generated with
+    ``sequence`` + ``explode`` from the key's first bucket to the
+    GLOBAL max bucket (scalar subquery — no join node), so every key
+    ends at the same as-of frontier; (3) a left join plants closing
+    values on the grid and ``last(..., ignorenulls=True)`` carries
+    them forward. Starting each key at its own first observation
+    means the fill is never null, keeping the output schema
+    non-nullable-clean.
+
+    Scale: output is grid-sized (keys × buckets), not event-sized;
+    both the closing-value window and the LOCF window shuffle on the
+    key, and the explode is map-side. Integer `div` bucket arithmetic
+    on epoch micros — exact, engine-portable, timezone-independent
+    (cf. plans/events.py).
+    """
+    ev = events.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_us_col).alias("ts_us"),
+        F.col(value_col).alias("value"),
+        F.col(tiebreak_col).alias("tb"),
+    ).withColumn("bucket", F.expr(f"ts_us div {bucket_us}"))
+    w_close = Window.partitionBy("key", "bucket").orderBy(
+        F.desc("ts_us"), F.desc("tb")
+    )
+    closing = (
+        ev.withColumn("rn", F.row_number().over(w_close))
+        .filter(F.col("rn") == 1)
+        .select("key", "bucket", "value")
+    )
+    gmax = ev.agg(F.max("bucket").alias("mx")).scalar()
+    grid = (
+        ev.groupBy("key")
+        .agg(F.min("bucket").alias("mn"))
+        .select("key", F.explode(F.sequence(F.col("mn"), gmax)).alias("bucket"))
+    )
+    w_locf = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(closing, ["key", "bucket"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            "bucket",
+            F.last("value", ignorenulls=True).over(w_locf).alias("value_locf"),
+        )
+        .orderBy(key_col, "bucket")
+    )
+
+
+def _register_locf_query() -> None:
+    from teleco_etl_pipeline_spark.functions import epoch_us
+    from teleco_etl_pipeline_spark.plans.registry import query
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    @query(
+        "events_locf_daily",
+        r"""
+        WITH ev AS (
+          SELECT user_id AS key, epoch_us(ts) AS ts_us, value, event_id AS tb,
+                 epoch_us(ts) // 86400000000 AS bucket
+          FROM events
+        ), closing AS (
+          SELECT key, bucket, value FROM (
+            SELECT key, bucket, value,
+                   ROW_NUMBER() OVER (PARTITION BY key, bucket
+                                      ORDER BY ts_us DESC, tb DESC) AS rn
+            FROM ev)
+          WHERE rn = 1
+        ), gmax AS (SELECT MAX(bucket) AS mx FROM ev),
+        grid AS (
+          SELECT key, unnest(generate_series(mn, (SELECT mx FROM gmax))) AS bucket
+          FROM (SELECT key, MIN(bucket) AS mn FROM ev GROUP BY key)
+        )
+        SELECT g.key AS user_id, g.bucket,
+               LAST_VALUE(c.value IGNORE NULLS) OVER (
+                 PARTITION BY g.key ORDER BY g.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+        FROM grid g LEFT JOIN closing c
+          ON g.key = c.key AND g.bucket = c.bucket
+        ORDER BY user_id, g.bucket
+        """,
+        doc="Daily LOCF gap-fill per user over the events table: "
+        "dense grid from each user's first day to the global max "
+        "day, carrying the day's closing value forward through "
+        "gaps. Window + sequence/explode + left join; output is "
+        "grid-sized, not event-sized.",
+    )
+    def q_events_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", epoch_us("ts").alias("ts_us"), "value", "event_id"
+        )
+        return locf_grid_fill(ev)
+
+
+_register_locf_query()

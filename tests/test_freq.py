@@ -133,3 +133,43 @@ def test_neardup_keep_best_one_row_per_cluster(spark, sf_dir):
     assert kept.count() == n_clusters
     # Survivors are a subset of the corpus and unique per cluster.
     assert kept.select("cluster_id").distinct().count() == n_clusters
+
+
+def test_locf_grid_fill_carries_through_gaps(spark):
+    from teleco_etl_pipeline_spark.operators.temporal import locf_grid_fill
+
+    day = 86_400_000_000
+    ev = spark.createDataFrame(
+        [
+            # user 1: days 0 and 3 observed; 1, 2 are gaps; two events
+            # on day 0 — later ts wins; day 4 global frontier from user 2
+            (1, 0 * day + 10, 5.0, 100),
+            (1, 0 * day + 20, 7.0, 101),
+            (1, 3 * day + 5, 9.0, 102),
+            (2, 4 * day + 1, 1.5, 103),
+        ],
+        "user_id long, ts_us long, value double, event_id long",
+    )
+    out = {
+        (r.user_id, r.bucket): r.value_locf
+        for r in locf_grid_fill(ev).collect()
+    }
+    assert out == {
+        (1, 0): 7.0,  # closing value of day 0 (later ts), not 5.0
+        (1, 1): 7.0,  # gap → carried
+        (1, 2): 7.0,
+        (1, 3): 9.0,
+        (1, 4): 9.0,  # padded to the global frontier
+        (2, 4): 1.5,
+    }
+
+
+def test_locf_tiebreak_on_equal_ts(spark):
+    from teleco_etl_pipeline_spark.operators.temporal import locf_grid_fill
+
+    ev = spark.createDataFrame(
+        [(1, 50, 2.0, 7), (1, 50, 3.0, 9)],
+        "user_id long, ts_us long, value double, event_id long",
+    )
+    rows = locf_grid_fill(ev).collect()
+    assert len(rows) == 1 and rows[0].value_locf == 3.0  # higher event_id wins
