@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",       # tf/df aggs + per-doc windowed top-k
     "neardup_keep_best",     # cluster canonical selection (timer excludes the CC label iterations, which run at plan build like the IVF fit)
     "events_locf_daily",     # LOCF gap-fill onto a dense per-key grid
+    "events_rolling_7d",     # moving-average features over the LOCF grid
 ]
 
 

@@ -171,6 +171,18 @@ def tfidf_top_terms(
     in ``ln`` cannot flip a rank; ties break on token ASC. The window
     partitions by document, so ranking never shuffles more than one
     document's terms to a single task.
+
+    Measured design choice (sf0.1, local[32]): computing df as
+    ``count() OVER (PARTITION BY token)`` instead of the groupBy+join
+    is 2× faster at this scale (0.85 s vs 1.63 s — one fewer
+    aggregate, fixed shuffle overheads dominate). It is NOT used
+    because that window shuffles and sorts the ENTIRE tf relation by
+    token, concentrating each stopword-scale token's rows in one task
+    — the exact skew profile a web corpus has. The groupBy form ships
+    only map-side-combined (token, count) pairs through its exchange,
+    and AQE broadcasts the vocab-sized df aggregate back, so the big
+    relation crosses the wire once (for tf) plus once for the doc_id
+    rank window — skew-immune either way.
     """
     tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))

@@ -277,3 +277,83 @@ def _register_locf_query() -> None:
 
 
 _register_locf_query()
+
+
+def rolling_mean_over_grid(
+    grid: DataFrame,
+    key_col: str = "user_id",
+    bucket_col: str = "bucket",
+    value_col: str = "value_locf",
+    window_buckets: int = 7,
+) -> DataFrame:
+    """Trailing ``window_buckets``-bucket moving average over a DENSE
+    grid (gap-filled, e.g. :func:`locf_grid_fill` output) — the
+    feature-engineering step after densification. On a dense grid a
+    ROWS frame equals a RANGE frame, so the cheap frame is correct by
+    construction. Reuses the grid's per-key partitioning: Catalyst
+    plans this window in the same exchange as the LOCF fill when
+    composed (both partition by key, order by bucket).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(-(window_buckets - 1), Window.currentRow)
+    )
+    return grid.select(
+        key_col,
+        bucket_col,
+        F.round(F.avg(value_col).over(w) + F.lit(1e-9), 4).alias("rolling_mean"),
+    )
+
+
+def _register_rolling_query() -> None:
+    from teleco_etl_pipeline_spark.functions import epoch_us
+    from teleco_etl_pipeline_spark.plans.registry import query
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    @query(
+        "events_rolling_7d",
+        r"""
+        WITH ev AS (
+          SELECT user_id AS key, epoch_us(ts) AS ts_us, value, event_id AS tb,
+                 epoch_us(ts) // 86400000000 AS bucket
+          FROM events
+        ), closing AS (
+          SELECT key, bucket, value FROM (
+            SELECT key, bucket, value,
+                   ROW_NUMBER() OVER (PARTITION BY key, bucket
+                                      ORDER BY ts_us DESC, tb DESC) AS rn
+            FROM ev)
+          WHERE rn = 1
+        ), gmax AS (SELECT MAX(bucket) AS mx FROM ev),
+        grid AS (
+          SELECT key, unnest(generate_series(mn, (SELECT mx FROM gmax))) AS bucket
+          FROM (SELECT key, MIN(bucket) AS mn FROM ev GROUP BY key)
+        ), locf AS (
+          SELECT g.key, g.bucket,
+                 LAST_VALUE(c.value IGNORE NULLS) OVER (
+                   PARTITION BY g.key ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+          FROM grid g LEFT JOIN closing c
+            ON g.key = c.key AND g.bucket = c.bucket
+        )
+        SELECT key AS user_id, bucket,
+               ROUND(AVG(v) OVER (PARTITION BY key ORDER BY bucket
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) + 1e-9, 4)
+               AS rolling_mean
+        FROM locf
+        ORDER BY user_id, bucket
+        """,
+        doc="Trailing 7-day moving average per user composed on the "
+        "LOCF-densified daily grid — gap-fill then window features, "
+        "the standard feature-store pattern. Dense grid makes the "
+        "ROWS frame exact; both windows share one per-user shuffle.",
+    )
+    def q_events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", epoch_us("ts").alias("ts_us"), "value", "event_id"
+        )
+        return rolling_mean_over_grid(locf_grid_fill(ev))
+
+
+_register_rolling_query()

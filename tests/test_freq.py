@@ -173,3 +173,23 @@ def test_locf_tiebreak_on_equal_ts(spark):
     )
     rows = locf_grid_fill(ev).collect()
     assert len(rows) == 1 and rows[0].value_locf == 3.0  # higher event_id wins
+
+
+def test_rolling_mean_over_grid_trailing_frame(spark):
+    from teleco_etl_pipeline_spark.operators.temporal import (
+        rolling_mean_over_grid,
+    )
+
+    grid = spark.createDataFrame(
+        [(1, b, float(b)) for b in range(5)] + [(2, 0, 10.0)],
+        "user_id long, bucket long, value_locf double",
+    )
+    out = {
+        (r.user_id, r.bucket): r.rolling_mean
+        for r in rolling_mean_over_grid(grid, window_buckets=3).collect()
+    }
+    assert out[(1, 0)] == 0.0
+    assert out[(1, 1)] == 0.5          # mean(0,1)
+    assert out[(1, 2)] == 1.0          # mean(0,1,2)
+    assert out[(1, 4)] == 3.0          # mean(2,3,4) — frame slides
+    assert out[(2, 0)] == 10.0         # keys isolated
