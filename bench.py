@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "neardup_keep_best",     # cluster canonical selection (timer excludes the CC label iterations, which run at plan build like the IVF fit)
     "events_locf_daily",     # LOCF gap-fill onto a dense per-key grid
     "events_rolling_7d",     # moving-average features over the LOCF grid
+    "doc_unigram_logprob",   # self-trained unigram LM quality score
+    "events_funnel",         # ordered click→purchase funnel report
 ]
 
 

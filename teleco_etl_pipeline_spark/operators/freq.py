@@ -240,3 +240,67 @@ def tfidf_top_terms(
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"), top_n=3)
+
+
+def unigram_logprob_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean negative log2 unigram probability — the
+    self-trained language-model quality score (the cheap end of
+    CCNet's perplexity filtering: fluent/typical docs score low,
+    gibberish and boilerplate-with-rare-symbols score high).
+
+    Two aggregations over one exploded token stream: global unigram
+    probabilities p(t) = count(t)/N (the "LM fit"), then each doc's
+    token-frequency-weighted mean of -log2 p(t). The per-doc tf join
+    to the vocab-sized probability table is AQE-decided (broadcast
+    for word vocabs); N arrives as a scalar subquery. Everything is
+    JVM-side; the only shuffles move map-combined (token, count) and
+    (doc, token, tf) pairs — never raw text.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    n_total = tok.agg(F.count(F.lit(1)).alias("n")).scalar()
+    # -log2 p with the catalog EPS/rounding contract; weighted mean
+    # via sum(tf * bits) / sum(tf).
+    bits = -F.log2(F.col("cnt") / n_total)
+    return (
+        tf.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * bits) / F.sum("tf") + EPS, 4
+            ).alias("mean_bits")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_unigram_logprob",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), vocab AS (
+      SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_total FROM tok)
+    SELECT tf.doc_id,
+           ROUND(SUM(tf.tf * -log2(vocab.cnt / (SELECT n_total FROM n)))
+                 / SUM(tf.tf) + 1e-9, 4) AS mean_bits
+    FROM tf JOIN vocab USING (token)
+    GROUP BY tf.doc_id
+    ORDER BY tf.doc_id
+    """,
+    doc="Self-trained unigram LM quality score per document (mean "
+    "-log2 p(token), tf-weighted) — the distributed shape of "
+    "CCNet-style perplexity filtering with the LM fit and the "
+    "scoring pass in one job.",
+)
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_logprob_score(load_table(spark, sf_dir, "documents"))

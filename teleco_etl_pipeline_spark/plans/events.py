@@ -193,3 +193,55 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "events_funnel",
+    """
+    WITH first_click AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS first_click_us
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), converted AS (
+      SELECT DISTINCT c.user_id
+      FROM first_click c
+      JOIN events p
+        ON p.user_id = c.user_id
+       AND p.event_type = 'purchase'
+       AND epoch_us(p.ts) >= c.first_click_us
+    )
+    SELECT (SELECT COUNT(*) FROM first_click) AS n_click_users,
+           (SELECT COUNT(*) FROM converted) AS n_converted,
+           ROUND(100.0 * (SELECT COUNT(*) FROM converted)
+                 / (SELECT COUNT(*) FROM first_click) + 1e-9, 4)
+           AS conv_rate_pct
+    """,
+    doc="Ordered two-step funnel (click → later purchase by the same "
+    "user): per-user first-click reduction, then a LEFT-SEMI join "
+    "with the time condition as a residual predicate on the user_id "
+    "hash join — never a theta join. Scalar subqueries assemble the "
+    "one-row report, so no driver-side arithmetic and no nested-loop "
+    "join nodes.",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(epoch_us("ts")).alias("first_click_us"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", epoch_us("ts").alias("p_us")
+    )
+    converted = first_click.join(
+        purchases,
+        (first_click["user_id"] == purchases["user_id"])
+        & (purchases["p_us"] >= first_click["first_click_us"]),
+        "left_semi",
+    )
+    n_click = first_click.agg(F.count(F.lit(1)).alias("n")).scalar()
+    n_conv = converted.agg(F.count(F.lit(1)).alias("n")).scalar()
+    return spark.range(1).select(
+        n_click.alias("n_click_users"),
+        n_conv.alias("n_converted"),
+        F.round(100.0 * n_conv / n_click + F.lit(1e-9), 4).alias("conv_rate_pct"),
+    )

@@ -193,3 +193,31 @@ def test_rolling_mean_over_grid_trailing_frame(spark):
     assert out[(1, 2)] == 1.0          # mean(0,1,2)
     assert out[(1, 4)] == 3.0          # mean(2,3,4) — frame slides
     assert out[(2, 0)] == 10.0         # keys isolated
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    from teleco_etl_pipeline_spark.operators.freq import unigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common rare1 rare2"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.mean_bits for r in unigram_logprob_score(docs).collect()}
+    # Doc 2 mixes in singleton tokens → higher mean surprisal.
+    assert out[2] > out[1]
+    # Doc 1 is all p=6/8 tokens: -log2(0.75) ≈ 0.415 bits.
+    assert abs(out[1] - 0.415) < 0.001
+
+
+def test_events_funnel_counts_ordered_conversions(spark, sf_dir):
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    row = all_queries()["events_funnel"].build(spark, sf_dir).collect()[0]
+    assert row.n_click_users > 0
+    assert 0 <= row.n_converted <= row.n_click_users
+    assert abs(
+        row.conv_rate_pct - round(100.0 * row.n_converted / row.n_click_users + 1e-9, 4)
+    ) < 1e-6
