@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "events_locf_daily",     # LOCF gap-fill onto a dense per-key grid
     "events_rolling_7d",     # moving-average features over the LOCF grid
     "doc_unigram_logprob",   # self-trained unigram LM quality score
+    "doc_bigram_logprob",    # sequence-aware bigram conditional-LM score
     "events_funnel",         # ordered click→purchase funnel report
 ]
 

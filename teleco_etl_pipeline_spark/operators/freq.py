@@ -304,3 +304,92 @@ def unigram_logprob_score(
 )
 def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_score(load_table(spark, sf_dir, "documents"))
+
+
+def bigram_logprob_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean negative log2 bigram conditional probability
+    P(w2|w1) = c(w1 w2) / c(w1 ·) — the sequence-aware step up from
+    :func:`unigram_logprob_score`: a doc of common-but-shuffled words
+    fools a unigram LM but scores high surprisal here.
+
+    The denominator is the bigram-START count (occurrences of w1 as a
+    left neighbor), so probabilities sum to 1 per w1 — a proper
+    conditional LM self-trained on the corpus; scoring the training
+    corpus means no unseen bigrams and no smoothing knob. Docs with
+    fewer than 2 tokens have no bigrams and drop out (identically in
+    the oracle). Same two-aggregation shape as the unigram scorer:
+    per-(doc, bigram) tf first, so the vocab joins see aggregated
+    rows, not raw occurrences.
+    """
+    toks = tokens(text_col)
+    # Consecutive pairs as arrays_zip of the array with its own tail:
+    # two slices per DOCUMENT instead of one slice+array_join per
+    # POSITION (the transform-over-sequence form) — measured 4× faster
+    # at sf0.1 (1.1 s vs 4.3 s, local[32]); anonymous zip fields are
+    # named "0"/"1".
+    z = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1), F.slice(toks, 2, F.size(toks) - 1)
+    )
+    bg = (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.col(id_col).alias("doc_id"), F.explode(z).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.0").alias("w1"),
+            F.concat_ws(" ", "p.0", "p.1").alias("bg"),
+        )
+    )
+    tfb = bg.groupBy("doc_id", "w1", "bg").agg(F.count(F.lit(1)).alias("tf"))
+    c12 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bits = -F.log2(F.col("c12") / F.col("c1"))
+    return (
+        tfb.join(c12, "bg")
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("tf") * bits) / F.sum("tf") + EPS, 4).alias(
+                "mean_bits"
+            )
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_bigram_logprob",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1
+      FROM (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+1], ' ')
+                       for i in generate_series(1, len(toks) - 1)]) AS bg
+        FROM tok WHERE len(toks) >= 2
+      )
+    ), tfb AS (
+      SELECT doc_id, w1, bg, COUNT(*) AS tf FROM bg GROUP BY doc_id, w1, bg
+    ), c12 AS (
+      SELECT bg, COUNT(*) AS c12 FROM bg GROUP BY bg
+    ), c1 AS (
+      SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+    )
+    SELECT tfb.doc_id,
+           ROUND(SUM(tfb.tf * -log2(CAST(c12.c12 AS DOUBLE) / c1.c1))
+                 / SUM(tfb.tf) + 1e-9, 4) AS mean_bits
+    FROM tfb JOIN c12 USING (bg) JOIN c1 USING (w1)
+    GROUP BY tfb.doc_id
+    ORDER BY tfb.doc_id
+    """,
+    doc="Self-trained bigram conditional-LM quality score per "
+    "document (tf-weighted mean -log2 P(w2|w1)) — sequence-aware "
+    "fluency filtering; catches common-words-shuffled docs the "
+    "unigram score cannot.",
+)
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_logprob_score(load_table(spark, sf_dir, "documents"))

@@ -221,3 +221,30 @@ def test_events_funnel_counts_ordered_conversions(spark, sf_dir):
     assert abs(
         row.conv_rate_pct - round(100.0 * row.n_converted / row.n_click_users + 1e-9, 4)
     ) < 1e-6
+
+
+def test_bigram_logprob_sequence_aware(spark):
+    from teleco_etl_pipeline_spark.operators.freq import bigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # dominant alternating pattern
+            (2, "a a b b a"),     # same vocab, unusual transitions
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.mean_bits for r in bigram_logprob_score(docs).collect()}
+    assert out[2] > out[1]
+    # corpus-wide counts: P(b|a)=4/5, P(a|b)=3/4 → doc 1 mean bits
+    # = (3·lg(5/4) + 2·lg(4/3)) / 5 ≈ 0.3591
+    assert abs(out[1] - 0.3591) < 0.001
+
+
+def test_bigram_logprob_drops_single_token_docs(spark):
+    from teleco_etl_pipeline_spark.operators.freq import bigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(1, "only"), (2, "two tokens")], "doc_id long, text string"
+    )
+    rows = bigram_logprob_score(docs).collect()
+    assert [r.doc_id for r in rows] == [2]
