@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "events_rolling_7d",     # moving-average features over the LOCF grid
     "doc_unigram_logprob",   # self-trained unigram LM quality score
     "doc_bigram_logprob",    # sequence-aware bigram conditional-LM score
+    "doc_weighted_sample",   # Efraimidis-Spirakis weighted sample, TakeOrdered
     "events_funnel",         # ordered click→purchase funnel report
 ]
 

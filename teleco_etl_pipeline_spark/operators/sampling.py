@@ -333,3 +333,72 @@ def q_train_test_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("test_doc_id"), "fp"
     )
     return train.join(test, "fp").select("fp", "train_doc_id", "test_doc_id")
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wswr",
+) -> DataFrame:
+    """Exactly-``n`` weighted sample WITHOUT replacement, deterministic
+    and single-pass: Efraimidis–Spirakis keys key_i = u_i^(1/w_i) with
+    u_i a uniform derived from md5(id || salt), take the n largest.
+    Inclusion probability is proportional-to-weight at each of the n
+    sequential draws — the quality-weighted corpus-mixing primitive
+    ("sample 10M docs, favoring high quality, reproducibly").
+
+    Scale shape: one projection + TakeOrderedAndProject — every
+    partition keeps its local top-n and the driver merges; no
+    shuffle of the corpus, no RNG state (engine-independent md5
+    uniforms, the same trick as deterministic_split).
+
+    Known accepted fragility (the LSH-sign argument): pow/division
+    FP between engines could reorder two keys within ~1 ulp; with
+    continuous uniforms a tie at the n-th order statistic is
+    astronomically unlikely.
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    key = F.pow(u, 1.0 / w)
+    return (
+        df.withColumn("es_key", F.round(key + F.lit(1e-9), 6))
+        .orderBy(F.desc("es_key"), F.asc(id_col))
+        .limit(n)
+        .select(id_col, weight_col, "es_key")
+    )
+
+
+@query(
+    "doc_weighted_sample",
+    r"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ROUND(pow(
+               CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'wswr')), 1, 15)) AS BIGINT)
+                 / 1152921504606846976.0,
+               1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) + 1e-9, 6) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, n_chars, es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id ASC
+    LIMIT 25
+    """,
+    doc="Deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis keys from md5 uniforms, weight = doc "
+    "length): top-25 by key via TakeOrderedAndProject — no corpus "
+    "shuffle, no RNG state, engine-reproducible.",
+)
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_sample_without_replacement(
+        load_table(spark, sf_dir, "documents"), n=25, weight_col="n_chars"
+    )

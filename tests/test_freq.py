@@ -248,3 +248,29 @@ def test_bigram_logprob_drops_single_token_docs(spark):
     )
     rows = bigram_logprob_score(docs).collect()
     assert [r.doc_id for r in rows] == [2]
+
+
+def test_weighted_sample_deterministic_and_exact_n(spark, sf_dir):
+    from teleco_etl_pipeline_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = weighted_sample_without_replacement(docs, 25, "n_chars").collect()
+    b = weighted_sample_without_replacement(docs.repartition(7), 25, "n_chars").collect()
+    assert len(a) == 25
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]  # partition-invariant
+
+
+def test_weighted_sample_key_monotone_in_weight(spark):
+    from teleco_etl_pipeline_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    light = spark.createDataFrame([(i, 10) for i in range(50)], "doc_id long, n_chars long")
+    heavy = spark.createDataFrame([(i, 1000) for i in range(50)], "doc_id long, n_chars long")
+    kl = {r.doc_id: r.es_key for r in weighted_sample_without_replacement(light, 50, "n_chars").collect()}
+    kh = {r.doc_id: r.es_key for r in weighted_sample_without_replacement(heavy, 50, "n_chars").collect()}
+    # u^(1/w) is increasing in w for u in (0,1): same id, larger
+    # weight -> key at least as large (rounded).
+    assert all(kh[i] >= kl[i] for i in kl)
