@@ -1064,3 +1064,157 @@ def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.12, max_shingle_freq=None)
     return neardup_keep_best(neardup_clusters(pairs, docs), docs)
+
+
+# ---------------------------------------------------------------------------
+# C4-style frequent-span scrub (cross-document line/boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def frequent_ngram_scrub(
+    docs: DataFrame,
+    n: int = 3,
+    min_freq: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every token position covered by a word ``n``-gram whose
+    corpus-wide occurrence count is ≥ ``min_freq`` — the distributed
+    shape of C4's duplicated-three-sentence-span removal (Raffel et
+    al. 2020 §2.2) generalized from sentence spans to token n-grams,
+    which is the right granularity for corpora without sentence
+    markers. Returns (doc_id, scrubbed_text, n_removed) for EVERY
+    input document (a fully-boilerplate doc comes back with empty
+    text, ready for a downstream min-length gate).
+
+    Unlike the within-document repetition gates
+    (:func:`~teleco_etl_pipeline_spark.operators.text.repetition_stats`),
+    the frequency here is CROSS-document: a span is boilerplate
+    because the corpus repeats it, not because one page does.
+
+    Plan shape (all Catalyst, no Python):
+
+    1. one explode producing (doc, start, gram) via
+       ``transform(sequence(...), i -> array_join(slice(toks,i,n)))``;
+    2. gram frequencies: one map-combined groupBy whose shuffle moves
+       (gram, partial_count) pairs — never document text;
+    3. frequent-gram semi-join marks covered starts, one
+       ``explode(sequence(start, start+n-1))`` + distinct turns them
+       into covered (doc, pos) pairs — integers, not strings;
+    4. a left-anti join drops covered positions and
+       ``array_sort(collect_list(struct(pos, w)))`` reassembles the
+       survivors (per-document state is bounded by document length).
+
+    At 100 TB the gram-count shuffle dominates; it is the same
+    aggregate :func:`heavy_hitter_tokens` bounds with Misra-Gries
+    candidates, and the identical two-pass trick applies here when
+    the n-gram vocabulary outgrows the shuffle (min_freq thresholds
+    are heavy-hitter predicates). Kept as the direct groupBy so the
+    oracle can value-check the semantics bit-for-bit.
+    """
+    toks = tokens(text_col)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    grams = (
+        base.filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.array_join(F.slice("toks", i, n), " ").alias("gram"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+    )
+    frequent = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_freq)
+        .select("gram")
+    )
+    covered = (
+        grams.join(frequent, "gram", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    pos = base.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    kept = (
+        pos.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("scrubbed_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return (
+        base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_frequent_ngram_scrub",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), gram AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(toks) - 2)) AS start,
+             unnest([array_to_string(toks[i:i+2], ' ')
+                     for i in generate_series(1, len(toks) - 2)]) AS gram
+      FROM tok WHERE len(toks) >= 3
+    ), freq AS (
+      SELECT gram FROM gram GROUP BY gram HAVING COUNT(*) >= 5
+    ), covered AS (
+      SELECT DISTINCT g.doc_id, g.start + o.o AS pos
+      FROM gram g JOIN freq USING (gram)
+      CROSS JOIN (VALUES (0), (1), (2)) AS o(o)
+    ), pos AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(toks))) AS pos,
+             unnest(toks) AS w
+      FROM tok
+    ), kept AS (
+      SELECT p.doc_id, p.pos, p.w
+      FROM pos p ANTI JOIN covered c
+        ON p.doc_id = c.doc_id AND p.pos = c.pos
+    )
+    SELECT t.doc_id,
+           COALESCE(string_agg(k.w, ' ' ORDER BY k.pos), '') AS scrubbed_text,
+           len(t.toks) - COUNT(k.pos) AS n_removed
+    FROM tok t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id, len(t.toks)
+    ORDER BY t.doc_id
+    """,
+    doc="C4-style cross-document boilerplate scrub: strip every token "
+    "position covered by a 3-gram occurring ≥5 times corpus-wide, "
+    "reassemble the survivors in order. Gram counting shuffles "
+    "map-combined (gram, count) pairs; covered positions travel as "
+    "integers; reassembly is a bounded per-document sort.",
+)
+def q_doc_frequent_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frequent_ngram_scrub(
+        load_table(spark, sf_dir, "documents"), n=3, min_freq=5
+    )

@@ -726,3 +726,48 @@ def test_ivf_partitioned_layout_prunes_probed_read(spark, sf_dir, tmp_path):
     assert [(r["vec_id"], r["cosine_sim"]) for r in on_disk] == [
         (r["vec_id"], r["cosine_sim"]) for r in in_mem
     ]
+
+
+def test_frequent_ngram_scrub_crafted_docs(spark):
+    from teleco_etl_pipeline_spark.operators.dedup import frequent_ngram_scrub
+
+    # "x y z" appears in 5 docs → frequent at min_freq=5; everything
+    # else is unique. Doc 99 is pure boilerplate → scrubbed to empty.
+    docs = spark.createDataFrame(
+        [(i, f"u{i} x y z v{i}") for i in range(4)]
+        + [(99, "x y z"), (100, "totally unique words here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in frequent_ngram_scrub(docs, n=3, min_freq=5).collect()
+    }
+    assert out[0]["scrubbed_text"] == "u0 v0"
+    assert out[0]["n_removed"] == 3
+    assert out[99]["scrubbed_text"] == ""
+    assert out[99]["n_removed"] == 3
+    assert out[100]["scrubbed_text"] == "totally unique words here"
+    assert out[100]["n_removed"] == 0
+    # Every input doc comes back exactly once.
+    assert sorted(out) == [0, 1, 2, 3, 99, 100]
+
+
+def test_frequent_ngram_scrub_overlapping_spans(spark):
+    from teleco_etl_pipeline_spark.operators.dedup import frequent_ngram_scrub
+
+    # Two overlapping frequent trigrams ("a b c" and "b c d") cover
+    # positions 1-4 jointly — overlap must not double-remove.
+    docs = spark.createDataFrame(
+        [(i, "a b c d") for i in range(5)] + [(9, "tail a b c d keep")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in frequent_ngram_scrub(docs, n=3, min_freq=5).collect()
+    }
+    assert out[0]["scrubbed_text"] == ""
+    assert out[0]["n_removed"] == 4
+    # Doc 9 contributes "a b c" and "b c d" too (6 occurrences each
+    # corpus-wide); its unique flanks survive.
+    assert out[9]["scrubbed_text"] == "tail keep"
+    assert out[9]["n_removed"] == 4
