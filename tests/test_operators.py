@@ -771,3 +771,45 @@ def test_frequent_ngram_scrub_overlapping_spans(spark):
     # corpus-wide); its unique flanks survive.
     assert out[9]["scrubbed_text"] == "tail keep"
     assert out[9]["n_removed"] == 4
+
+
+def test_pq_topk_recall_and_exact_rerank_property(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from teleco_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        pq_assign,
+        pq_fit,
+        pq_topk,
+    )
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cb = pq_fit(emb, m=4, k=16)
+    assert cb.shape == (4, 16, 16)
+    coded = pq_assign(emb, cb)
+    exact = [
+        r["vec_id"] for r in brute_force_topk(emb, qv, k=10, exclude_ids=(0,)).collect()
+    ]
+    got = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in pq_topk(coded, cb, qv, k=10, rerank=50, exclude_ids=(0,)).collect()
+    }
+    # ADC with a 50-wide rerank window recovers a meaningful share of
+    # the true top-10 even on near-random vectors (measured 0.6).
+    assert len(set(got) & set(exact)) >= 4
+    # Rerank is EXACT: any returned similarity equals the brute-force
+    # value for that id (the ADC approximation never leaks through).
+    exact_sims = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in brute_force_topk(emb, qv, k=500, exclude_ids=(0,)).collect()
+    }
+    assert all(exact_sims[i] == s for i, s in got.items())
+    # A rerank window covering the whole corpus degrades to exact
+    # brute force — ADC ordering can hide nothing past the window.
+    full = [
+        r["vec_id"]
+        for r in pq_topk(coded, cb, qv, k=10, rerank=500, exclude_ids=(0,)).collect()
+    ]
+    assert full == exact
