@@ -402,3 +402,85 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_without_replacement(
         load_table(spark, sf_dir, "documents"), n=25, weight_col="n_chars"
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    alpha: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled multinomial source mixing (the multilingual-
+    pretraining rebalance of XLM-R / mT5, public): sample group g at a
+    rate ∝ n_g^(α-1) so the effective mixture follows p_g^α — α=1 is
+    the natural distribution, α→0 approaches uniform, and intermediate
+    α up-weights tails without the hard equal-quota cliff of
+    :func:`balanced_mix` (which is the α=0 endpoint with a cap).
+
+    Rates are normalized so the SMALLEST group keeps 100% (pure
+    down-sampling — deterministic, no replication): keep_rate_g =
+    (n_min / n_g)^(1-α), rounded to 4 dp with the catalog EPS nudge so
+    the threshold is cross-engine identical; membership compares the
+    row's md5 bucket FRACTION against that rounded rate (never a
+    float-truncated integer threshold, whose trunc-vs-round cast
+    semantics differ between engines).
+
+    Plan shape = :func:`balanced_mix`: per-group counts are a tiny
+    aggregate, the min is a window over THAT, rates broadcast back,
+    and the corpus is filtered map-side in a single scan.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    rates = counts.select(
+        F.col(group_col),
+        F.round(
+            F.pow(
+                F.min("__n").over(Window.partitionBy()).cast("double")
+                / F.col("__n"),
+                F.lit(1.0 - alpha),
+            )
+            + 1e-9,
+            4,
+        ).alias("keep_rate"),
+    )
+    frac = hash_bucket(key_col, salt=salt) / F.lit(1_000_000.0)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(frac < F.col("keep_rate"))
+    )
+
+
+@query(
+    "doc_temperature_mix",
+    f"""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), r AS (
+      SELECT lang,
+             ROUND(POW(CAST(MIN(n) OVER () AS DOUBLE) / n, 0.5) + 1e-9, 4)
+               AS keep_rate
+      FROM c
+    )
+    SELECT d.lang, ANY_VALUE(r.keep_rate) AS keep_rate, COUNT(*) AS n_kept
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE ({_DUCK_BUCKET.format(salt=" || 'temp'")}) / 1000000.0 < r.keep_rate
+    GROUP BY d.lang
+    """,
+    doc="Temperature-scaled language mixing (α=0.5): keep rate "
+    "(n_min/n_lang)^0.5 flattens the language distribution halfway "
+    "to uniform — head languages down-sampled, tail kept whole. "
+    "Rounded-rate fraction compare keeps the threshold cross-engine "
+    "exact; one corpus scan, map-side filter.",
+)
+def q_doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        temperature_mix(docs, "doc_id", "lang", alpha=0.5, salt="temp")
+        .groupBy("lang")
+        .agg(
+            F.any_value("keep_rate").alias("keep_rate"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )

@@ -185,3 +185,37 @@ def test_pack_context_windows_sequential_within_shard(spark):
     starts = [r["window_id"] * 8 + r["offset_in_window"] for r in rows]
     toks = [r["n_tokens"] for r in rows]
     assert starts == [sum(toks[:i]) for i in range(len(toks))]
+
+
+def test_temperature_mix_flattens_and_keeps_tail(spark):
+    import pytest
+
+    from teleco_etl_pipeline_spark.operators.sampling import temperature_mix
+
+    # 400 head rows vs 25 tail rows (16:1 skew).
+    df = spark.createDataFrame(
+        [(i, "head") for i in range(400)] + [(1000 + i, "tail") for i in range(25)],
+        "doc_id long, grp string",
+    )
+    # α=1 is the natural distribution — nothing dropped.
+    assert temperature_mix(df, "doc_id", "grp", alpha=1.0).count() == 425
+    # α=0.5: tail kept 100% (rate 1.0), head at (25/400)^0.5 = 0.25.
+    out = temperature_mix(df, "doc_id", "grp", alpha=0.5)
+    per = {r["grp"]: r["cnt"] for r in out.groupBy("grp").count().withColumnRenamed("count", "cnt").collect()}
+    rates = {
+        r["grp"]: r["keep_rate"]
+        for r in out.select("grp", "keep_rate").distinct().collect()
+    }
+    assert rates == {"head": 0.25, "tail": 1.0}
+    assert per["tail"] == 25
+    # md5 buckets are ~uniform: kept head count lands near 400·0.25.
+    assert 60 <= per["head"] <= 140
+    # α=0 is the uniform endpoint: head rate collapses to 25/400.
+    r0 = {
+        r["grp"]: r["keep_rate"]
+        for r in temperature_mix(df, "doc_id", "grp", alpha=0.0)
+        .select("grp", "keep_rate").distinct().collect()
+    }
+    assert r0 == {"head": 0.0625, "tail": 1.0}
+    with pytest.raises(ValueError):
+        temperature_mix(df, "doc_id", "grp", alpha=1.5)
