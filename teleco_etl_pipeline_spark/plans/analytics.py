@@ -776,3 +776,46 @@ def q_grouping_sets_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderpriority").cast("int").alias("g_prio"),
         )
     )
+
+
+@query(
+    "unpivot_metrics",
+    """
+    WITH wide AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) + 1e-9, 4) AS avg_total,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, metric, value
+    FROM (UNPIVOT wide ON sum_total, avg_total, n_orders
+          INTO NAME metric VALUE value)
+    """,
+    doc="UNPIVOT/melt — the inverse of pivot_status_matrix: one "
+    "aggregation pass builds the wide per-priority metrics row, then "
+    "a zero-shuffle Expand emits (dimension, metric, value) triples "
+    "for long-format consumers. Decimal-exact sums before the double "
+    "cast keep cross-engine values identical.",
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+            + 1e-9,
+            4,
+        ).alias("avg_total"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["sum_total", "avg_total", "n_orders"],
+        "metric",
+        "value",
+    )

@@ -245,3 +245,43 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_conv.alias("n_converted"),
         F.round(100.0 * n_conv / n_click + F.lit(1e-9), 4).alias("conv_rate_pct"),
     )
+
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+@query(
+    "events_cohort_retention",
+    """
+    WITH wk AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+    ), firsts AS (
+      SELECT user_id, MIN(wk) AS cohort_week FROM wk GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(w.wk - f.cohort_week AS INT) AS weeks_since,
+           COUNT(*) AS n_active
+    FROM wk w JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention: users bucketed by first-active "
+    "epoch-week, counted in every later week they return. The "
+    "(user, week) grid is deduplicated BEFORE the cohort join, so "
+    "the join and the final agg see at most users×weeks rows, never "
+    "raw events; week buckets are exact integer division on epoch "
+    "micros (NTZ — timezone-independent, pushdown-friendly).",
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.expr(f"({_TS_US}) div {WEEK_US}").alias("wk")
+    ).distinct()
+    firsts = wk.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        wk.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).cast("int").alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
