@@ -1130,3 +1130,81 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         coded, cb, qvec, k=10, rerank=_PQ_RERANK, exclude_ids=(0,)
     ).select("vec_id", "cosine_sim")
+
+
+def batch_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k for EVERY query in a query table (batch
+    retrieval), not just one literal vector: broadcast the query set
+    against the corpus and keep the per-query top-k with a window.
+
+    Scale shape: the corpus scans ONCE for the whole query batch
+    (cost O(N·Q·d) compute but O(N) I/O); the broadcast is right for
+    the usual regime Q ≪ N (eval/retrieval probes against a 100 TB
+    index). The per-query ranking window partitions by query id, so
+    no single task ever sorts more than one query's scores — and with
+    k bounded, AQE's local top-k (rank pushdown through the window)
+    keeps the shuffle at k rows per query per mapper. For large Q,
+    swap the broadcast for the bucketed LSH/IVF candidate join
+    (:func:`lsh_bucketed_pairs` / :func:`ivf_topk`) — same final
+    window.
+
+    Self-exclusion: a corpus vector never matches its own query id.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col(id_col) != F.col("_qid"))
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            F.round(
+                cosine_similarity_col(F.col(vec_col), F.col("_qv")) + 1e-9, 4
+            ).alias("cosine_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cosine_sim")
+    )
+
+
+@query(
+    "embedding_batch_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    )
+    SELECT query_id, vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 + 1e-9, 4) AS cosine_sim
+    FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id ASC) <= 5
+    """,
+    doc="Batch retrieval: exact cosine top-5 for every query in a "
+    "query set via one broadcast corpus scan + per-query ranking "
+    "window — the Q≪N eval-probe shape; the bucketed LSH/IVF join "
+    "replaces the broadcast when Q grows.",
+)
+def q_embedding_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return batch_topk(emb, qs, k=5)

@@ -813,3 +813,32 @@ def test_pq_topk_recall_and_exact_rerank_property(spark, sf_dir):
         for r in pq_topk(coded, cb, qv, k=10, rerank=500, exclude_ids=(0,)).collect()
     ]
     assert full == exact
+
+
+def test_batch_topk_agrees_with_single_query_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from teleco_etl_pipeline_spark.operators.similarity import (
+        batch_topk,
+        brute_force_topk,
+    )
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = batch_topk(emb, qs, k=5)
+    for qid in range(3):
+        qv = emb.filter(F.col("vec_id") == qid).select("embedding").first()[0]
+        single = [
+            (r["vec_id"], r["cosine_sim"])
+            for r in brute_force_topk(emb, qv, k=5, exclude_ids=(qid,)).collect()
+        ]
+        got = [
+            (r["vec_id"], r["cosine_sim"])
+            for r in batch.filter(F.col("query_id") == qid)
+            .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+            .collect()
+        ]
+        assert got == single

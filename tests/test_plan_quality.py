@@ -16,10 +16,12 @@ def _plan(spark, sf_dir, name: str) -> str:
     return q.build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
 
 
-# The one sanctioned all-pairs plan: the exact near-dup BASELINE is
-# O(n²) by definition; its scale path is lsh_bucketed_pairs /
-# minhash_lsh_pairs (bucketed equi-joins).
-ALLPAIRS_BASELINES = {"embedding_neardup"}
+# Sanctioned all-pairs plans: the exact near-dup BASELINE is O(n²)
+# by definition (scale path: lsh_bucketed_pairs / minhash_lsh_pairs,
+# bucketed equi-joins), and batch retrieval is a DELIBERATE broadcast
+# Q×N product in its Q≪N regime (scale path for large Q: the IVF/LSH
+# candidate equi-join, see operators/similarity.py:batch_topk).
+ALLPAIRS_BASELINES = {"embedding_neardup", "embedding_batch_topk"}
 
 
 def test_no_cartesian_or_nested_loop_anywhere(spark, sf_dir):
