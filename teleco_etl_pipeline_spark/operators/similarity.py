@@ -966,16 +966,30 @@ def pq_topk(
     fragility is the argmin code assignment itself, the same accepted
     ulp class as IVF/LSH).
     """
+    cand = coded.withColumn("approx_cos", pq_adc_score(codebooks, query_vec))
+    if exclude_ids:
+        cand = cand.filter(~F.col(id_col).isin(*exclude_ids))
+    cand = cand.orderBy(F.desc("approx_cos"), F.asc(id_col)).limit(rerank)
+    return brute_force_topk(
+        cand, query_vec, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def pq_adc_score(codebooks: np.ndarray, query_vec, codes_col: str = "codes") -> Column:
+    """The ADC approximate-cosine column: literal per-subspace lookup
+    tables indexed by the code ints — evaluable on a CODES-ONLY scan
+    (no vector column required; see
+    test_pq_codes_table_scan_prunes_vectors)."""
     q = np.asarray(query_vec, dtype=np.float64)
     cb = np.asarray(codebooks, dtype=np.float64)
-    m, kk, dsub = cb.shape
+    m, _, dsub = cb.shape
     qnorm = float(np.linalg.norm(q))
     dot_terms = []
     nsq_terms = []
     for j in range(m):
         lut_dot = cb[j] @ q[j * dsub : (j + 1) * dsub]
         lut_nsq = (cb[j] ** 2).sum(axis=1)
-        idx = F.element_at("codes", j + 1) + F.lit(1)
+        idx = F.element_at(codes_col, j + 1) + F.lit(1)
         dot_terms.append(
             F.element_at(F.array(*[F.lit(float(v)) for v in lut_dot]), idx)
         )
@@ -988,14 +1002,7 @@ def pq_topk(
     nsq = nsq_terms[0]
     for t in nsq_terms[1:]:
         nsq = nsq + t
-    approx = F.round(adc_dot / (qnorm * F.sqrt(nsq) + 1e-12) + 1e-9, 4)
-    cand = coded.withColumn("approx_cos", approx)
-    if exclude_ids:
-        cand = cand.filter(~F.col(id_col).isin(*exclude_ids))
-    cand = cand.orderBy(F.desc("approx_cos"), F.asc(id_col)).limit(rerank)
-    return brute_force_topk(
-        cand, query_vec, k=k, id_col=id_col, vec_col=vec_col
-    )
+    return F.round(adc_dot / (qnorm * F.sqrt(nsq) + 1e-12) + 1e-9, 4)
 
 
 def _pq_fit_replica(
@@ -1208,3 +1215,38 @@ def q_embedding_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return batch_topk(emb, qs, k=5)
+
+
+def _semantic_prune_oracle_sql() -> str | None:
+    sd = _semdedup_oracle_sql()
+    if sd is None:
+        return None
+    return f"""
+    WITH sd AS ({sd})
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM sd JOIN documents d ON d.doc_id = sd.vec_id
+    WHERE sd.keep
+    """
+
+
+@query(
+    "corpus_semantic_prune",
+    _semantic_prune_oracle_sql(),
+    doc="Cross-modal corpus pruning: SemDeDup survivors computed on "
+    "the embeddings table select rows OF THE DOCUMENTS table "
+    "(doc_id = vec_id, the text↔embedding contract in TESTDATA.md) — "
+    "the standard two-table layout at scale, where embeddings live "
+    "in their own (re-embeddable) table instead of widening the "
+    "corpus. The survivor set is id-only at join time (never ships "
+    "vectors into the join); at 100 TB both sides hash-join on the "
+    "id with the survivor side ~cluster-deduped smaller.",
+)
+def q_corpus_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (
+        semantic_dedup(emb, n_clusters=8, threshold=0.35)
+        .filter(F.col("keep"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return docs.join(keep, "doc_id").select("doc_id", "source", "n_chars")

@@ -819,3 +819,44 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@query(
+    "value_histogram",
+    """
+    WITH s AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events)
+    SELECT CASE WHEN value = (SELECT mx FROM s) THEN 10
+                ELSE CAST(FLOOR((value - (SELECT mn FROM s))
+                                / ((SELECT mx FROM s) - (SELECT mn FROM s))
+                                * 10) AS INT) + 1 END AS bucket,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Equi-width 10-bucket histogram over a measure (the data-"
+    "profiling distribution report): corpus min/max arrive as scalar "
+    "subqueries (no plan-build job, no crossJoin), the bucket id is "
+    "one codegen'd arithmetic expression per row, and the histogram "
+    "is a single 10-group aggregation. The max value closes into the "
+    "last bucket (standard right-closed top edge). The IDENTICAL "
+    "floor arithmetic on both engines makes edges bit-exact — "
+    "width_bucket() exists only on the Spark side, so the explicit "
+    "formula is the cross-engine-checkable form.",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mn = ev.agg(F.min("value").alias("mn")).scalar()
+    mx = ev.agg(F.max("value").alias("mx")).scalar()
+    bucket = (
+        F.when(F.col("value") == mx, F.lit(10))
+        .otherwise(F.floor((F.col("value") - mn) / (mx - mn) * 10) + 1)
+        .cast("int")
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_value"),
+    )

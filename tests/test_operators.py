@@ -842,3 +842,45 @@ def test_batch_topk_agrees_with_single_query_bruteforce(spark, sf_dir):
             .collect()
         ]
         assert got == single
+
+
+def test_pq_codes_table_scan_prunes_vectors(spark, sf_dir, tmp_path):
+    """The 100 TB PQ claim, exercised: candidate generation over a
+    persisted codes table must read ONLY (vec_id, codes) — the
+    embedding column stays un-scanned (ReadSchema pruning)."""
+    from pyspark.sql import functions as F
+
+    from teleco_etl_pipeline_spark.operators.similarity import (
+        pq_adc_score,
+        pq_assign,
+        pq_fit,
+    )
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cb = pq_fit(emb, m=4, k=16)
+    path = str(tmp_path / "pq_codes")
+    pq_assign(emb, cb).write.parquet(path)
+
+    coded = spark.read.parquet(path)
+    cand = (
+        coded.select("vec_id", pq_adc_score(cb, qv).alias("approx_cos"))
+        .orderBy(F.desc("approx_cos"), F.asc("vec_id"))
+        .limit(50)
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    assert "embedding" not in scan[0], scan[0]
+    assert "codes" in scan[0], scan[0]
+    # and the candidate set is identical to scoring the full table
+    full = (
+        pq_assign(emb, cb)
+        .select("vec_id", pq_adc_score(cb, qv).alias("approx_cos"))
+        .orderBy(F.desc("approx_cos"), F.asc("vec_id"))
+        .limit(50)
+    )
+    assert [r["vec_id"] for r in cand.collect()] == [
+        r["vec_id"] for r in full.collect()
+    ]
