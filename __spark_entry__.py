@@ -36,15 +36,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # evidence. _RECORD_ORDER is the explicit 50-slot recording window,
 # rotated every round toward the weakest current evidence.
 #
-# Round-5 rotation: the 6 operators NEW this round (zero prior
-# evidence), the 4 sketches oracle-ified this round, then the
-# queries whose only driver evidence is round 1 (pre-testdata-
-# vintage-change). Every query displaced from the window has
+# Round-5 rotation: the operators NEW this round (zero prior
+# evidence — scrub/PQ/temperature-mix/batch-topk/cohort/unpivot
+# first, then the earlier r5 additions), the 4 sketches
+# oracle-ified this round, then the queries whose only driver
+# evidence is round 1 (pre-testdata-vintage-change). Every query
+# displaced from the window has
 # multi-round-green driver rows AND a current-vintage row in the
 # committed LOCAL_PARITY_r05{,_sf01}.json full-catalog sweeps
 # (same three-way check at sf0.01 AND sf0.1, ANSI session).
 _RECORD_ORDER = [
     # -- NEW this round (zero prior evidence anywhere) --------------
+    "doc_frequent_ngram_scrub",
+    "embedding_pq_topk",
+    "doc_temperature_mix",
+    "embedding_batch_topk",
+    "events_cohort_retention",
+    "unpivot_metrics",
+    "value_histogram",
+    "corpus_semantic_prune",
     "heavy_hitter_tokens",
     "tfidf_top_terms",
     "neardup_keep_best",
@@ -94,14 +104,6 @@ _RECORD_ORDER = [
     "error_rate",
     "exact_dedup",
     "grouped_counts",
-    "initcap_norm",
-    "local_supplier_volume",
-    "multimodal_features",
-    "ngram_jaccard_pairs",
-    "pivot_status_matrix",
-    "rollup_summary",
-    "salted_join_agg",
-    "shipping_priority",
 ]
 # Past-window ordering: the displaced multi-round-green core records
 # next if the driver ever widens its window; true sketches without
@@ -112,6 +114,18 @@ _RECORD_ORDER = [
 # priority_set_ops r4); approx_distinct_users is rows-only by
 # design, so its driver row value-checks nothing.
 _RECORD_LAST = [
+    # Displaced for the six operators NEW this session (zero prior
+    # evidence beats r1-only + current local-parity evidence): all
+    # six below are r1-green AND match in the refreshed
+    # LOCAL_PARITY_r05{,_sf01} sweeps.
+    "initcap_norm",
+    "local_supplier_volume",
+    "multimodal_features",
+    "ngram_jaccard_pairs",
+    "pivot_status_matrix",
+    "rollup_summary",
+    "salted_join_agg",
+    "shipping_priority",
     "topk_per_group",
     "union_summary",
     "md5_checksum",  # r1-green + md5-parity pytest + local r5 match

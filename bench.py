@@ -87,6 +87,11 @@ BENCH_QUERIES = [
     "doc_bigram_logprob",    # sequence-aware bigram conditional-LM score
     "doc_weighted_sample",   # Efraimidis-Spirakis weighted sample, TakeOrdered
     "events_funnel",         # ordered click→purchase funnel report
+    "doc_frequent_ngram_scrub",  # C4-style cross-doc boilerplate scrub
+    "embedding_pq_topk",     # PQ/ADC compressed-index ANN (timer excludes the codebook fit, which runs at plan build like the IVF fit)
+    "doc_temperature_mix",   # temperature-scaled language rebalance
+    "embedding_batch_topk",  # per-query top-k batch retrieval
+    "events_cohort_retention",  # weekly cohort retention grid
 ]
 
 

@@ -1,0 +1,98 @@
+"""Scaling-curve evidence: time the baseline-vs-scale-path pairs at
+two data scales (sf0.01 → sf0.1, a 10× step) and report per-query
+growth ratios.
+
+Why this exists: BENCH_r{N}.json shows absolute speed at one SF; the
+100 TB claim is about GROWTH. A correct scale path grows ~linearly
+with the data (ratio ≈ 10 minus fixed overhead amortization), while
+the all-pairs baselines it replaces grow ~quadratically (ratio ≈ 100).
+This harness measures that contrast instead of asserting it.
+
+Pairs measured (baseline → scale path):
+  - embedding_neardup (exact all-pairs O(N²))
+      → embedding_lsh_pairs / embedding_lsh_multiprobe (bucketed)
+  - ngram_jaccard_pairs (unguarded shingle self-join)
+      → ngram_jaccard_guarded (frequency-guarded)
+      → minhash_lsh_pairs (banded sketch)
+  - embedding_topk (exact scan) → embedding_pq_topk (ADC codes)
+  - pricing_summary / exact_dedup: linear references for calibration
+
+Usage: python scripts/bench_scaling.py [--json OUT]
+Prints one JSON line {"pairs": {...}, "queries": {name: {sf, sec,
+ratio}}}. Run it uncontended — ratios are wall-clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from teleco_etl_pipeline_spark.plans.registry import all_queries
+from teleco_etl_pipeline_spark.session import get_spark
+
+SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+QUERIES = [
+    # linear references
+    "pricing_summary",
+    "exact_dedup",
+    # ANN family: baseline then scale paths
+    "embedding_neardup",
+    "embedding_lsh_pairs",
+    "embedding_lsh_multiprobe",
+    "embedding_topk",
+    "embedding_pq_topk",
+    # text near-dup family
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_guarded",
+    "minhash_lsh_pairs",
+    # cross-doc scrub (gram-count shuffle growth)
+    "doc_frequent_ngram_scrub",
+]
+
+
+def main() -> None:
+    json_out = None
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+    spark = get_spark(app_name="bench-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+    registry["distinct_values"].build(spark, SF_DIRS[0]).count()  # warm-up
+
+    # Data-fitted plans (PQ/IVF) re-fit per sf_dir inside build() —
+    # that cost runs at plan build, so the timed region below measures
+    # pure execution at each scale, matching bench.py's convention.
+    results: dict[str, dict] = {}
+    for name in QUERIES:
+        per_sf: list[float] = []
+        for sf_dir in SF_DIRS:
+            best = float("inf")
+            for _ in range(2):
+                df = registry[name].build(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            per_sf.append(round(best, 3))
+        ratio = round(per_sf[1] / per_sf[0], 2) if per_sf[0] > 0 else None
+        results[name] = {
+            "sec_sf0.01": per_sf[0],
+            "sec_sf0.1": per_sf[1],
+            "growth_10x_data": ratio,
+        }
+
+    out = {"metric": "scaling_10x_growth", "queries": results}
+    print(json.dumps(out))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+
+
+if __name__ == "__main__":
+    main()
