@@ -55,6 +55,7 @@ _RECORD_ORDER = [
     "unpivot_metrics",
     "value_histogram",
     "corpus_semantic_prune",
+    "embedding_knn_classify",
     "heavy_hitter_tokens",
     "tfidf_top_terms",
     "neardup_keep_best",
@@ -103,7 +104,6 @@ _RECORD_ORDER = [
     "dup_finder",
     "error_rate",
     "exact_dedup",
-    "grouped_counts",
 ]
 # Past-window ordering: the displaced multi-round-green core records
 # next if the driver ever widens its window; true sketches without
@@ -118,6 +118,7 @@ _RECORD_LAST = [
     # evidence beats r1-only + current local-parity evidence): all
     # six below are r1-green AND match in the refreshed
     # LOCAL_PARITY_r05{,_sf01} sweeps.
+    "grouped_counts",
     "initcap_norm",
     "local_supplier_volume",
     "multimodal_features",

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "doc_temperature_mix",   # temperature-scaled language rebalance
     "embedding_batch_topk",  # per-query top-k batch retrieval
     "events_cohort_retention",  # weekly cohort retention grid
+    "embedding_knn_classify",   # LSH kNN join + majority-vote labels
 ]
 
 

@@ -1250,3 +1250,182 @@ def q_corpus_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("doc_id"))
     )
     return docs.join(keep, "doc_id").select("doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# kNN join (LSH-bucketed) + majority-vote label propagation
+# ---------------------------------------------------------------------------
+
+
+def lsh_knn_join(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate kNN JOIN: for every vector, its k nearest
+    same-bucket neighbors by exact cosine — the set-returning join
+    Spark has no native operator for (each left row matches its own
+    top-k right rows, not a predicate).
+
+    Candidates are sign-LSH bucket collisions (the
+    :func:`lsh_bucketed_pairs` machinery), so the pair space is
+    O(Σ|bucket|²) not O(N²); the per-left ranking window partitions
+    by the left id, so no task sorts more than one vector's
+    candidates. Fewer planes ⇒ bigger buckets ⇒ better recall and
+    more work — at 100 TB tune n_planes so buckets hold ~10³ vectors
+    and add tables (recall knob) rather than dropping planes.
+    Vectors alone in their bucket emit no rows (standard LSH-kNN
+    behavior; callers needing total coverage add a brute-force pass
+    over the leftovers).
+
+    Returns (``id_col``, neighbor_id, cosine_sim, rn), rn = 1..k.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    wb = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = wb.select("bucket", F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+    b = wb.select(
+        "bucket", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("_qid") != F.col("neighbor_id"))
+        .select(
+            F.col("_qid").alias(id_col),
+            "neighbor_id",
+            F.round(
+                cosine_similarity_col(F.col("_qv"), F.col("_nv")) + 1e-9, 4
+            ).alias("cosine_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def knn_label_classify(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """kNN majority-vote label propagation + per-label agreement
+    report — the weak-labeling / label-noise-audit operator: predict
+    every vector's label from its approximate k nearest neighbors and
+    count how often the prediction agrees with the stored label (low
+    agreement for a label ⇒ noisy or non-clusterable class).
+
+    Labels join onto the kNN edge list BY ID (the edge list never
+    carries vectors), majority vote is a count + ranking window with
+    deterministic tie-breaks (count DESC, label ASC). Returns
+    (label, n_vectors, n_correct, agreement).
+    """
+    knn = lsh_knn_join(
+        emb, k=k, n_planes=n_planes, seed=seed, id_col=id_col,
+        vec_col=vec_col, dim=dim,
+    )
+    labels = emb.select(F.col(id_col), F.col(label_col))
+    votes = (
+        knn.join(
+            labels.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(label_col).alias("_nlabel"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy(id_col, "_nlabel")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("_c"), F.asc("_nlabel"))
+    pred = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("_nlabel").alias("_pred"))
+    )
+    return (
+        pred.join(labels, id_col)
+        .groupBy(F.col(label_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                F.when(F.col("_pred") == F.col(label_col), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            label_col,
+            "n_vectors",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n_vectors") + 1e-9, 4).alias(
+                "agreement"
+            ),
+        )
+    )
+
+
+_KNN_PLANES, _KNN_K = 4, 5
+
+
+def _knn_classify_oracle_sql() -> str:
+    bucket = _sql_bucket(
+        hyperplanes(_LSH_DIM, _KNN_PLANES, 42), "CAST(embedding AS DOUBLE[])"
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label, {bucket} AS bucket
+      FROM embeddings
+    ), knn AS (
+      SELECT a.vec_id AS qid, c.vec_id AS nid,
+             ROUND(list_cosine_similarity(a.v, c.v) + 1e-9, 4) AS cos
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                 ORDER BY cos DESC, c.vec_id ASC) <= {_KNN_K}
+    ), votes AS (
+      SELECT k.qid, nb.label AS nlabel, COUNT(*) AS c
+      FROM knn k JOIN b nb ON nb.vec_id = k.nid
+      GROUP BY k.qid, nb.label
+    ), pred AS (
+      SELECT qid, nlabel AS pred FROM votes
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY c DESC, nlabel ASC) = 1
+    )
+    SELECT q.label AS label,
+           COUNT(*) AS n_vectors,
+           SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END) AS n_correct,
+           ROUND(SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END)
+                 / COUNT(*) + 1e-9, 4) AS agreement
+    FROM pred p JOIN b q ON q.vec_id = p.qid
+    GROUP BY q.label
+    """
+
+
+@query(
+    "embedding_knn_classify",
+    _knn_classify_oracle_sql(),
+    doc="LSH-bucketed kNN join (the set-returning top-k-per-row join "
+    "Spark lacks natively) feeding majority-vote label propagation — "
+    "the weak-labeling / label-noise audit. Candidate space is "
+    "bucket-bounded, labels join by id onto the vectorless edge "
+    "list, ties break deterministically. Oracle-backed end-to-end "
+    "via the baked hyperplane literals.",
+)
+def q_embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_label_classify(
+        emb, k=_KNN_K, n_planes=_KNN_PLANES, dim=_LSH_DIM
+    )

@@ -30,7 +30,8 @@ qs = mod.queries()
 # One query per Python-executed family: mapInPandas (MG sketch),
 # binary mapInPandas, pandas_udf matmul, applyInPandas cluster dedup.
 for name in ("heavy_hitter_tokens", "multimodal_features",
-             "embedding_lsh_pairs", "embedding_semantic_dedup"):
+             "embedding_lsh_pairs", "embedding_semantic_dedup",
+             "embedding_pq_topk", "embedding_knn_classify"):
     n = qs[name](spark, "/root/testdata/sf0.001").count()
     print("OK", name, n, flush=True)
 print("ALL_OK")

@@ -884,3 +884,49 @@ def test_pq_codes_table_scan_prunes_vectors(spark, sf_dir, tmp_path):
     assert [r["vec_id"] for r in cand.collect()] == [
         r["vec_id"] for r in full.collect()
     ]
+
+
+def test_lsh_knn_join_degrades_to_exact_with_zero_planes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from teleco_etl_pipeline_spark.operators.similarity import (
+        batch_topk,
+        lsh_knn_join,
+    )
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    # 0 planes = one global bucket = the exact kNN join.
+    knn = lsh_knn_join(emb, k=3, n_planes=0, dim=64)
+    qs = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = batch_topk(emb, qs, k=3)
+    got = {
+        (r["vec_id"], r["neighbor_id"], r["cosine_sim"]) for r in knn.collect()
+    }
+    want = {
+        (r["query_id"], r["vec_id"], r["cosine_sim"]) for r in exact.collect()
+    }
+    assert got == want
+
+
+def test_knn_label_classify_separable_clusters(spark):
+    from teleco_etl_pipeline_spark.operators.similarity import knn_label_classify
+
+    # Two tight, well-separated clusters: kNN voting must agree with
+    # the stored labels everywhere.
+    rows = []
+    for i in range(6):
+        rows.append((i, [10.0 + 0.01 * i, 0.0, 0.0, 0.0], 0))
+    for i in range(6):
+        rows.append((100 + i, [0.0, 0.0, 10.0 + 0.01 * i, 0.0], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["label"]: r
+        for r in knn_label_classify(emb, k=3, n_planes=0, dim=4).collect()
+    }
+    assert out[0]["n_vectors"] == 6 and out[0]["n_correct"] == 6
+    assert out[1]["n_vectors"] == 6 and out[1]["agreement"] == 1.0
