@@ -275,3 +275,17 @@ def test_star_join_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     # and the pruned join still returns exactly the recent rows
     expect = fact.filter(F.col("o_year") >= cut).count()
     assert j.count() == expect
+
+
+def test_scrub_reassembly_is_map_side_filter_not_pos_join(spark, sf_dir):
+    """doc_frequent_ngram_scrub's reassembly must stay the map-side
+    higher-order-filter shape: no posexplode of token positions and
+    no anti join — their presence means the 3-shuffle
+    explode+anti-join reassembly crept back (measured 40% slower at
+    sf0.1, and its extra shuffles grow with the corpus). The only
+    Generate is the gram explode (it prints once per consumer of the
+    cached gram relation, so count by signature, not occurrences)."""
+    plan = _plan(spark, sf_dir, "doc_frequent_ngram_scrub")
+    assert "posexplode" not in plan, plan
+    assert "LeftAnti" not in plan, plan
+    assert "Generate explode(transform(sequence(1," in plan
