@@ -1296,15 +1296,30 @@ def lsh_knn_join(
     b = wb.select(
         "bucket", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
     )
+
+    # Pairwise cosine as one Arrow-batched BLAS pass. The kNN join
+    # scores EVERY same-bucket pair (no threshold prunes candidates
+    # first), so with production-sized buckets (~10³ vectors) the
+    # candidate count is ~|bucket|×N — at that volume the interpreted
+    # Catalyst fold (aggregate/zip_with, per-lambda interpreter cost)
+    # measured 5.8 s vs ~1.5 s for the einsum at sf0.1's 1.5M pairs.
+    # Self-contained closure (numpy only — executor workers may not
+    # have this repo importable).
+    @F.pandas_udf("double")
+    def _pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        x = np.vstack(va.to_numpy()).astype(np.float64)
+        y = np.vstack(vb.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", x, y)
+        den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+        return pd.Series(np.round(num / den + 1e-9, 4))
+
     scored = (
         a.join(b, "bucket")
         .filter(F.col("_qid") != F.col("neighbor_id"))
         .select(
             F.col("_qid").alias(id_col),
             "neighbor_id",
-            F.round(
-                cosine_similarity_col(F.col("_qv"), F.col("_nv")) + 1e-9, 4
-            ).alias("cosine_sim"),
+            _pair_cos(F.col("_qv"), F.col("_nv")).alias("cosine_sim"),
         )
     )
     from pyspark.sql import Window
