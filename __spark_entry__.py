@@ -56,6 +56,7 @@ _RECORD_ORDER = [
     "value_histogram",
     "corpus_semantic_prune",
     "embedding_knn_classify",
+    "doc_hybrid_rrf",
     "heavy_hitter_tokens",
     "tfidf_top_terms",
     "neardup_keep_best",
@@ -103,7 +104,6 @@ _RECORD_ORDER = [
     "doc_token_stats",
     "dup_finder",
     "error_rate",
-    "exact_dedup",
 ]
 # Past-window ordering: the displaced multi-round-green core records
 # next if the driver ever widens its window; true sketches without
@@ -118,6 +118,7 @@ _RECORD_LAST = [
     # evidence beats r1-only + current local-parity evidence): all
     # six below are r1-green AND match in the refreshed
     # LOCAL_PARITY_r05{,_sf01} sweeps.
+    "exact_dedup",
     "grouped_counts",
     "initcap_norm",
     "local_supplier_volume",

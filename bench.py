@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "embedding_batch_topk",  # per-query top-k batch retrieval
     "events_cohort_retention",  # weekly cohort retention grid
     "embedding_knn_classify",   # LSH kNN join + majority-vote labels
+    "doc_hybrid_rrf",           # sparse+dense retrieval, RRF fusion
 ]
 
 

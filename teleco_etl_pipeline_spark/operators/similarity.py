@@ -1444,3 +1444,125 @@ def q_embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_classify(
         emb, k=_KNN_K, n_planes=_KNN_PLANES, dim=_LSH_DIM
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical + dense lists fused by reciprocal rank
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "r",
+    k_const: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, public) of two
+    ranked candidate lists: score = Σ 1/(k + rank), absent-from-one-
+    list contributes 0. Pure arithmetic over two ALREADY-BOUNDED
+    lists (each top-R), so the fuse itself is a toy-sized full outer
+    join + TakeOrdered regardless of corpus size — the corpus-scale
+    work lives in producing the lists."""
+    a = ranked_a.select(F.col(id_col), F.col(rank_col).alias("_ra"))
+    b = ranked_b.select(F.col(id_col), F.col(rank_col).alias("_rb"))
+    return (
+        a.join(b, id_col, "full_outer")
+        .select(
+            id_col,
+            F.round(
+                F.coalesce(1.0 / (k_const + F.col("_ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (k_const + F.col("_rb")), F.lit(0.0))
+                + 1e-9,
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(top_n)
+    )
+
+
+@query(
+    "doc_hybrid_rrf",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+               AS token
+      FROM documents
+    ), q AS (
+      SELECT token FROM tok WHERE doc_id = 0
+    ), lex AS (
+      SELECT t.doc_id, COUNT(*) AS overlap
+      FROM tok t JOIN q USING (token)
+      WHERE t.doc_id <> 0
+      GROUP BY t.doc_id
+      ORDER BY overlap DESC, doc_id ASC LIMIT 50
+    ), lexr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY overlap DESC, doc_id ASC) AS r
+      FROM lex
+    ), den AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v)
+                   + 1e-9, 4) AS cos
+      FROM embeddings e,
+           (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE vec_id = 0) qv
+      WHERE e.vec_id <> 0
+      ORDER BY cos DESC, doc_id ASC LIMIT 50
+    ), denr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS r
+      FROM den
+    )
+    SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / (60 + l.r), 0)
+                 + COALESCE(1.0 / (60 + d.r), 0) + 1e-9, 6) AS rrf
+    FROM lexr l FULL JOIN denr d ON l.doc_id = d.doc_id
+    ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """,
+    doc="Hybrid retrieval with reciprocal-rank fusion: a lexical "
+    "top-50 (distinct-token overlap with the query document — the "
+    "sparse/BM25-ish channel) and a dense top-50 (exact cosine over "
+    "the embeddings table) fused by Σ 1/(60+rank). Both channels end "
+    "in TakeOrdered, so the fuse joins two 50-row lists no matter "
+    "the corpus size; doc_id = vec_id is the cross-table contract.",
+)
+def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("token"),
+    )
+    qtok = tok.filter(F.col("doc_id") == 0).select("token")
+    lex = (
+        tok.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(qtok), "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .orderBy(F.desc("overlap"), F.asc("doc_id"))
+        .limit(50)
+    )
+    lexr = lex.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy().orderBy(F.desc("overlap"), F.asc("doc_id"))
+        ),
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    den = brute_force_topk(emb, qvec, k=50, exclude_ids=(0,)).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    denr = den.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy().orderBy(F.desc("cosine_sim"), F.asc("doc_id"))
+        ),
+    )
+    return rrf_fuse(lexr, denr)

@@ -930,3 +930,22 @@ def test_knn_label_classify_separable_clusters(spark):
     }
     assert out[0]["n_vectors"] == 6 and out[0]["n_correct"] == 6
     assert out[1]["n_vectors"] == 6 and out[1]["agreement"] == 1.0
+
+
+def test_rrf_fuse_rewards_presence_in_both_lists(spark):
+    from teleco_etl_pipeline_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, r int"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (4, 2)], "doc_id long, r int"
+    )
+    out = {r["doc_id"]: r["rrf"] for r in rrf_fuse(a, b, top_n=10).collect()}
+    # doc 3 (rank 3 + rank 1) beats doc 1 (rank 1 only).
+    assert out[3] == round(1 / 63 + 1 / 61 + 1e-9, 6)
+    assert out[1] == round(1 / 61 + 1e-9, 6)
+    assert out[3] > out[1] > out[2]
+    # same rank in either list scores the same (channel-symmetric)
+    assert out[2] == out[4]
+    assert set(out) == {1, 2, 3, 4}
