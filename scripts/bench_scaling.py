@@ -52,6 +52,10 @@ QUERIES = [
     "minhash_lsh_pairs",
     # cross-doc scrub (gram-count shuffle growth)
     "doc_frequent_ngram_scrub",
+    # retrieval compositions (bucket-bounded candidates / bounded lists)
+    "embedding_knn_classify",
+    "embedding_batch_topk",
+    "doc_hybrid_rrf",
 ]
 
 
