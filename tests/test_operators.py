@@ -949,3 +949,48 @@ def test_rrf_fuse_rewards_presence_in_both_lists(spark):
     # same rank in either list scores the same (channel-symmetric)
     assert out[2] == out[4]
     assert set(out) == {1, 2, 3, 4}
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """The 100 TB skew story has two layers: deterministic salting
+    (operators/skew.py) for joins we control, and AQE's runtime skew
+    split for everything else. This pins the second layer: with a
+    hot key dominating one partition, AQE must mark the sort-merge
+    join skewed (skew=true) and split the oversized partition."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # left: one hot key with 50k rows, 9 keys with 100 each
+        left = spark.range(0, 50_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("a")
+        ).unionAll(
+            spark.range(0, 900).select(
+                (F.col("id") % 9 + 1).alias("k"), F.col("id").alias("a")
+            )
+        )
+        right = spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("b")
+        )
+        joined = left.join(right, "k")
+        # Execute THIS frame (count() would spawn a separate
+        # QueryExecution and leave joined's adaptive plan non-final).
+        assert len(joined.collect()) == 50_900
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
