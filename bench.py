@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "events_cohort_retention",  # weekly cohort retention grid
     "embedding_knn_classify",   # LSH kNN join + majority-vote labels
     "doc_hybrid_rrf",           # sparse+dense retrieval, RRF fusion
+    "events_daily_anomaly",     # z-scored daily-volume DQ alarm
 ]
 
 

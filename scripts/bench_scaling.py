@@ -18,8 +18,9 @@ Pairs measured (baseline → scale path):
   - pricing_summary / exact_dedup: linear references for calibration
 
 Usage: python scripts/bench_scaling.py [--json OUT]
-Prints one JSON line {"pairs": {...}, "queries": {name: {sf, sec,
-ratio}}}. Run it uncontended — ratios are wall-clock.
+Prints one JSON line {"metric": "scaling_10x_growth", "queries":
+{name: {"sec_sf0.01": s, "sec_sf0.1": s, "growth_10x_data": r}}}.
+Run it uncontended — ratios are wall-clock.
 """
 
 from __future__ import annotations
@@ -63,7 +64,12 @@ def main() -> None:
     json_out = None
     argv = sys.argv[1:]
     if argv and argv[0] == "--json":
+        if len(argv) < 2:
+            raise SystemExit("usage: bench_scaling.py [--json OUT]")
         json_out = argv[1]
+        argv = argv[2:]
+    if argv:
+        raise SystemExit(f"unexpected arguments: {argv} (usage: bench_scaling.py [--json OUT])")
     spark = get_spark(app_name="bench-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
@@ -89,6 +95,10 @@ def main() -> None:
             "sec_sf0.1": per_sf[1],
             "growth_10x_data": ratio,
         }
+        # Several operators cache shared leaves (gram/shingle
+        # explodes, minhash signatures); drop them so one query's
+        # resident cache never skews a later query's timed region.
+        spark.catalog.clearCache()
 
     out = {"metric": "scaling_10x_growth", "queries": results}
     print(json.dumps(out))

@@ -445,7 +445,7 @@ def temperature_mix(
             4,
         ).alias("keep_rate"),
     )
-    frac = hash_bucket(key_col, salt=salt) / F.lit(1_000_000.0)
+    frac = hash_bucket(key_col, salt=salt) / F.lit(float(BUCKETS))
     return (
         df.join(F.broadcast(rates), group_col)
         .filter(frac < F.col("keep_rate"))

@@ -447,6 +447,59 @@ def _assign_nearest(
     return df.withColumn(out_col, nearest(F.col(vec_col)))
 
 
+def _fit_sample(
+    emb: DataFrame, id_col: str, vec_col: str, fit_sample: int
+) -> np.ndarray:
+    """The bounded DETERMINISTIC fit sample shared by every quantizer
+    (IVF coarse centroids, PQ codebooks): md5-bucket order then id,
+    first ``fit_sample`` rows, float64. This recipe is a cross-engine
+    determinism CONTRACT — ``_replica_sample`` re-implements it
+    without Spark for the baked-literal oracles, so any change here
+    must change there identically or every fitted oracle desyncs.
+
+    Arrow transfer: row-based collect() of array columns pays py4j
+    per-element serialization (seconds for mere thousands of
+    vectors); Arrow ships the columnar batch directly. Set at call
+    time — the engine doesn't control the session."""
+    from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
+
+    emb.sparkSession.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    pdf = (
+        emb.select(
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            hash_bucket(id_col, salt="ivf-fit").alias("_b"),
+            F.col(id_col).alias("_id"),
+        )
+        .orderBy("_b", "_id")
+        .limit(fit_sample)
+        .toPandas()
+    )
+    return np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+
+
+def _replica_sample(sf_dir: str, fit_sample: int):
+    """Spark-free twin of :func:`_fit_sample` (same md5 bucket, same
+    (bucket, id) ordering, same float64 widening) for oracle-side
+    fitting. Returns (ids, vecs, sample)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = t.column("vec_id").to_numpy()
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+
+    def bucket(i: int) -> int:
+        # hash_bucket: conv(substr(md5(cast(id as string) || salt), 1, 8), 16, 10) % 1e6
+        digest = hashlib.md5((str(int(i)) + "ivf-fit").encode()).hexdigest()
+        return int(digest[:8], 16) % 1_000_000
+
+    order = sorted(range(len(ids)), key=lambda r: (bucket(ids[r]), int(ids[r])))
+    return ids, vecs, vecs[order[:fit_sample]]
+
+
 def ivf_assign(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -471,24 +524,7 @@ def ivf_assign(
     map-assign for a coarse quantizer (the centroids are statistics,
     not per-row results — a 4k sample pins them to the same quality).
     """
-    from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
-
-    # Arrow transfer for the sample: row-based collect() of array
-    # columns pays py4j per-element serialization (seconds for mere
-    # thousands of vectors); Arrow ships the columnar batch directly.
-    # Set at call time — the engine doesn't control the session.
-    emb.sparkSession.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    pdf = (
-        emb.select(
-            F.col(vec_col).cast("array<double>").alias("_v"),
-            hash_bucket(id_col, salt="ivf-fit").alias("_b"),
-            F.col(id_col).alias("_id"),
-        )
-        .orderBy("_b", "_id")
-        .limit(fit_sample)
-        .toPandas()
-    )
-    x = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+    x = _fit_sample(emb, id_col, vec_col, fit_sample)
     centroids = _lloyd_fit(x, n_centroids, seed, max_iter)
     return _assign_nearest(emb, vec_col, centroids, "ivf_list"), centroids
 
@@ -537,27 +573,11 @@ def _ivf_fit_replica(
     max_iter: int,
 ):
     """Replicate ``ivf_assign``'s deterministic fit without Spark:
-    same md5-bucket sample ordering (``hash_bucket(id, salt='ivf-fit')``
-    then id, ascending), same float32→float64 widening, same
+    same md5-bucket sample ordering (``_replica_sample`` ≡
+    ``_fit_sample``), same float32→float64 widening, same
     ``_lloyd_fit`` — so the centroids are BIT-IDENTICAL to what the
     engine fits on the same parquet. Returns (ids, vecs, centroids)."""
-    import hashlib
-
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    ids = t.column("vec_id").to_numpy()
-    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-
-    def bucket(i: int) -> int:
-        # hash_bucket: conv(substr(md5(cast(id as string) || salt), 1, 8), 16, 10) % 1e6
-        digest = hashlib.md5((str(int(i)) + "ivf-fit").encode()).hexdigest()
-        return int(digest[:8], 16) % 1_000_000
-
-    order = sorted(range(len(ids)), key=lambda r: (bucket(ids[r]), int(ids[r])))
-    x = vecs[order[:fit_sample]]
+    ids, vecs, x = _replica_sample(sf_dir, fit_sample)
     return ids, vecs, _lloyd_fit(x, n_centroids, seed, max_iter)
 
 
@@ -880,20 +900,7 @@ def pq_fit(
     fits a modest cluster's RAM, which is the whole point — candidate
     generation runs on codes alone (see :func:`pq_topk`).
     """
-    from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
-
-    emb.sparkSession.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    pdf = (
-        emb.select(
-            F.col(vec_col).cast("array<double>").alias("_v"),
-            hash_bucket(id_col, salt="ivf-fit").alias("_b"),
-            F.col(id_col).alias("_id"),
-        )
-        .orderBy("_b", "_id")
-        .limit(fit_sample)
-        .toPandas()
-    )
-    x = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+    x = _fit_sample(emb, id_col, vec_col, fit_sample)
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -1008,26 +1015,11 @@ def pq_adc_score(codebooks: np.ndarray, query_vec, codes_col: str = "codes") -> 
 def _pq_fit_replica(
     sf_dir: str, m: int, k: int, seed: int, fit_sample: int, max_iter: int
 ):
-    """Replicate :func:`pq_fit` without Spark (same md5-ordered sample
-    as ``_ivf_fit_replica``, same per-subspace seeded Lloyd) so the
-    oracle's codebooks are bit-identical to the engine's. Returns
+    """Replicate :func:`pq_fit` without Spark (``_replica_sample`` ≡
+    ``_fit_sample``, same per-subspace seeded Lloyd) so the oracle's
+    codebooks are bit-identical to the engine's. Returns
     (ids, vecs, codebooks)."""
-    import hashlib
-
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    ids = t.column("vec_id").to_numpy()
-    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-
-    def bucket(i: int) -> int:
-        digest = hashlib.md5((str(int(i)) + "ivf-fit").encode()).hexdigest()
-        return int(digest[:8], 16) % 1_000_000
-
-    order = sorted(range(len(ids)), key=lambda r: (bucket(ids[r]), int(ids[r])))
-    x = vecs[order[:fit_sample]]
+    ids, vecs, x = _replica_sample(sf_dir, fit_sample)
     dsub = x.shape[1] // m
     cb = np.stack(
         [
@@ -1282,6 +1274,11 @@ def lsh_knn_join(
     behavior; callers needing total coverage add a brute-force pass
     over the leftovers).
 
+    Pass ``dim`` explicitly in production (same caveat as
+    :func:`lsh_bucketed_pairs`): the fallback probes the first row,
+    which triggers a job DURING PLAN BUILD — on a cold 100 TB table
+    that stalls construction on a full-scan-first-row.
+
     Returns (``id_col``, neighbor_id, cosine_sim, rn), rn = 1..k.
     """
     if dim is None:
@@ -1347,7 +1344,14 @@ def knn_label_classify(
     Labels join onto the kNN edge list BY ID (the edge list never
     carries vectors), majority vote is a count + ranking window with
     deterministic tie-breaks (count DESC, label ASC). Returns
-    (label, n_vectors, n_correct, agreement).
+    (label, n_total, n_predicted, n_correct, agreement): ``n_total``
+    counts EVERY stored vector of the label while ``n_predicted``
+    counts those with at least one same-bucket neighbor — reporting
+    both makes coverage collapse visible (with sparse buckets a label
+    could otherwise "look clean" because only 5 of its 100 vectors
+    received a prediction). ``agreement`` = n_correct/n_predicted,
+    sentinel -1.0 when a label has zero predicted vectors (a nullable
+    double would poison the cross-engine value hash).
     """
     knn = lsh_knn_join(
         emb, k=k, n_planes=n_planes, seed=seed, id_col=id_col,
@@ -1374,21 +1378,25 @@ def knn_label_classify(
         .select(F.col(id_col), F.col("_nlabel").alias("_pred"))
     )
     return (
-        pred.join(labels, id_col)
+        labels.join(pred, id_col, "left")
         .groupBy(F.col(label_col))
         .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("_pred").alias("n_predicted"),
             F.sum(
                 F.when(F.col("_pred") == F.col(label_col), 1).otherwise(0)
             ).alias("n_correct"),
         )
         .select(
             label_col,
-            "n_vectors",
+            "n_total",
+            "n_predicted",
             "n_correct",
-            F.round(F.col("n_correct") / F.col("n_vectors") + 1e-9, 4).alias(
-                "agreement"
-            ),
+            F.when(F.col("n_predicted") == 0, F.lit(-1.0))
+            .otherwise(
+                F.round(F.col("n_correct") / F.col("n_predicted") + 1e-9, 4)
+            )
+            .alias("agreement"),
         )
     )
 
@@ -1420,11 +1428,13 @@ def _knn_classify_oracle_sql() -> str:
                                  ORDER BY c DESC, nlabel ASC) = 1
     )
     SELECT q.label AS label,
-           COUNT(*) AS n_vectors,
+           COUNT(*) AS n_total,
+           COUNT(p.pred) AS n_predicted,
            SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END) AS n_correct,
-           ROUND(SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END)
-                 / COUNT(*) + 1e-9, 4) AS agreement
-    FROM pred p JOIN b q ON q.vec_id = p.qid
+           CASE WHEN COUNT(p.pred) = 0 THEN -1.0
+                ELSE ROUND(SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END)
+                           / COUNT(p.pred) + 1e-9, 4) END AS agreement
+    FROM b q LEFT JOIN pred p ON q.vec_id = p.qid
     GROUP BY q.label
     """
 

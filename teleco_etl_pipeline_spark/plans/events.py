@@ -285,3 +285,57 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+DAY_US = 86_400 * 1_000_000
+
+
+@query(
+    "events_daily_anomaly",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day_bucket,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    ), stats AS (
+      SELECT day_bucket, n_events,
+             AVG(n_events) OVER () AS mu,
+             STDDEV_SAMP(n_events) OVER () AS sigma
+      FROM daily
+    )
+    SELECT day_bucket, n_events,
+           ROUND((n_events - mu) / sigma + 1e-9, 4) AS z,
+           ROUND((n_events - mu) / sigma + 1e-9, 4) >= 2.0
+             OR ROUND((n_events - mu) / sigma + 1e-9, 4) <= -2.0 AS is_anomaly
+    FROM stats
+    ORDER BY day_bucket
+    """,
+    doc="Statistical DQ monitoring: daily event volumes z-scored "
+    "against the corpus mean/stddev, |z| ≥ 2 flagged — the volume-"
+    "anomaly alarm every ingest pipeline needs next to its rule "
+    "checks (plans/dq_corpus.py). One partial-agg shuffle produces "
+    "the day-bucket counts; mean/stddev are a window over THAT tiny "
+    "aggregate (days, not events); the anomaly test compares on the "
+    "rounded z so the flag is cross-engine exact.",
+)
+def q_events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(f"({_TS_US}) div {DAY_US}").alias("day_bucket")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy()
+    z = F.round(
+        (F.col("n_events") - F.avg("n_events").over(w))
+        / F.stddev_samp("n_events").over(w)
+        + 1e-9,
+        4,
+    )
+    return (
+        daily.select(
+            "day_bucket",
+            "n_events",
+            z.alias("z"),
+            ((z >= 2.0) | (z <= -2.0)).alias("is_anomaly"),
+        )
+        .orderBy("day_bucket")
+    )

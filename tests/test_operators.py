@@ -928,8 +928,30 @@ def test_knn_label_classify_separable_clusters(spark):
         r["label"]: r
         for r in knn_label_classify(emb, k=3, n_planes=0, dim=4).collect()
     }
-    assert out[0]["n_vectors"] == 6 and out[0]["n_correct"] == 6
-    assert out[1]["n_vectors"] == 6 and out[1]["agreement"] == 1.0
+    assert out[0]["n_total"] == 6 and out[0]["n_predicted"] == 6
+    assert out[0]["n_correct"] == 6
+    assert out[1]["n_total"] == 6 and out[1]["agreement"] == 1.0
+
+
+def test_knn_label_classify_reports_coverage_collapse(spark):
+    from teleco_etl_pipeline_spark.operators.similarity import knn_label_classify
+
+    # Label 1's single vector is orthogonal to everything and (with
+    # one plane) hashes to its own bucket — zero neighbors, zero
+    # predictions. The report must show n_total=1 / n_predicted=0 /
+    # sentinel agreement instead of silently dropping the label.
+    rows = [(i, [10.0 + i, 1.0], 0) for i in range(4)] + [(9, [-5.0, 50.0], 1)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["label"]: r
+        for r in knn_label_classify(emb, k=2, n_planes=1, dim=2).collect()
+    }
+    assert out[1]["n_total"] == 1
+    assert out[1]["n_predicted"] == 0
+    assert out[1]["agreement"] == -1.0
+    assert out[0]["n_predicted"] == out[0]["n_total"] == 4
 
 
 def test_rrf_fuse_rewards_presence_in_both_lists(spark):
