@@ -58,6 +58,8 @@ _RECORD_ORDER = [
     "embedding_knn_classify",
     "doc_hybrid_rrf",
     "events_daily_anomaly",
+    "corpus_zipf_slope",
+    "lineitem_corr_matrix",
     "heavy_hitter_tokens",
     "tfidf_top_terms",
     "neardup_keep_best",
@@ -102,8 +104,6 @@ _RECORD_ORDER = [
     "doc_lang_id",
     "doc_quality_score",
     "doc_regex_tokens",
-    "doc_token_stats",
-    "dup_finder",
 ]
 # Past-window ordering: the displaced multi-round-green core records
 # next if the driver ever widens its window; true sketches without
@@ -114,11 +114,13 @@ _RECORD_ORDER = [
 # priority_set_ops r4); approx_distinct_users is rows-only by
 # design, so its driver row value-checks nothing.
 _RECORD_LAST = [
-    # Displaced for the ELEVEN operators NEW this session (zero prior
-    # evidence beats r1-only + current local-parity evidence): every
-    # displaced query below (error_rate through shipping_priority) is
-    # r1-green AND matches in the refreshed LOCAL_PARITY_r05{,_sf01}
-    # sweeps.
+    # Displaced for the THIRTEEN operators NEW this session (zero
+    # prior evidence beats r1-only + current local-parity evidence):
+    # every displaced query below (doc_token_stats through
+    # shipping_priority) is r1-green AND matches in the refreshed
+    # LOCAL_PARITY_r05{,_sf01} sweeps.
+    "doc_token_stats",
+    "dup_finder",
     "error_rate",
     "exact_dedup",
     "grouped_counts",

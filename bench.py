@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "embedding_knn_classify",   # LSH kNN join + majority-vote labels
     "doc_hybrid_rrf",           # sparse+dense retrieval, RRF fusion
     "events_daily_anomaly",     # z-scored daily-volume DQ alarm
+    "corpus_zipf_slope",        # regr_* OLS fit of the token dist
+    "lineitem_corr_matrix",     # one-pass corr/covar profiling
 ]
 
 

@@ -393,3 +393,63 @@ def bigram_logprob_score(
 )
 def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(load_table(spark, sf_dir, "documents"))
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit of the corpus token frequency distribution:
+    OLS slope/intercept/R² of ln(freq) against ln(rank) via the
+    built-in regression aggregates — the one-row corpus-health
+    statistic (natural-language corpora sit near slope −1; a shallow
+    slope flags templated/boilerplate text, a cliff flags a
+    truncated vocabulary).
+
+    Plan: one map-combined token count shuffle, a vocabulary-sized
+    ranking window (single ordered pass over |V| rows, NOT the token
+    stream), then ``regr_slope``/``regr_intercept``/``regr_r2`` fold
+    the whole fit into one aggregation — no driver-side math, no
+    second pass. Rank ties are impossible (rank is a row_number with
+    (cnt DESC, token ASC) order, identical in the oracle).
+    """
+    tok = docs.select(F.explode(tokens(text_col)).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy().orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.regr_slope(y, x) + EPS, 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x) + EPS, 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x) + EPS, 4).alias("zipf_r2"),
+    )
+
+
+@query(
+    "corpus_zipf_slope",
+    r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ), ranked AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
+      FROM counts
+    )
+    SELECT COUNT(*) AS vocab_size,
+           ROUND(regr_slope(ln(CAST(cnt AS DOUBLE)),
+                            ln(CAST(rank AS DOUBLE))) + 1e-9, 4) AS zipf_slope,
+           ROUND(regr_intercept(ln(CAST(cnt AS DOUBLE)),
+                                ln(CAST(rank AS DOUBLE))) + 1e-9, 4) AS zipf_intercept,
+           ROUND(regr_r2(ln(CAST(cnt AS DOUBLE)),
+                         ln(CAST(rank AS DOUBLE))) + 1e-9, 4) AS zipf_r2
+    FROM ranked
+    """,
+    doc="Zipf's-law corpus fit: ln(freq) ~ ln(rank) OLS via the "
+    "built-in regression aggregates (regr_slope/intercept/r2) — "
+    "one-row corpus-health statistic; the ranking window runs over "
+    "the vocabulary aggregate, never the raw token stream.",
+)
+def q_corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zipf_fit(load_table(spark, sf_dir, "documents"))

@@ -860,3 +860,40 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
         ).alias("total_value"),
     )
+
+
+@query(
+    "lineitem_corr_matrix",
+    """
+    SELECT COUNT(*) AS n_rows,
+           ROUND(corr(l_quantity, l_extendedprice) + 1e-9, 4) AS corr_qty_price,
+           ROUND(corr(l_quantity, l_discount) + 1e-9, 4) AS corr_qty_disc,
+           ROUND(corr(l_extendedprice, l_discount) + 1e-9, 4) AS corr_price_disc,
+           ROUND(covar_samp(l_quantity, l_extendedprice) + 1e-9, 4)
+             AS covar_qty_price
+    FROM lineitem
+    """,
+    doc="Pairwise Pearson correlations + sample covariance across the "
+    "fact measures — the profiling step before any feature-selection "
+    "or drift check. All pairs fold into ONE aggregation pass over "
+    "one scan (corr/covar_samp are single-pass streaming aggregates "
+    "with map-side partials, so the shuffle carries a handful of "
+    "moment tuples, never rows).",
+)
+def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.corr("l_quantity", "l_extendedprice") + 1e-9, 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.corr("l_quantity", "l_discount") + 1e-9, 4).alias(
+            "corr_qty_disc"
+        ),
+        F.round(F.corr("l_extendedprice", "l_discount") + 1e-9, 4).alias(
+            "corr_price_disc"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice") + 1e-9, 4).alias(
+            "covar_qty_price"
+        ),
+    )
