@@ -365,3 +365,69 @@ def test_resize_plan_invariants_dense_grid(spark):
             # aspect preserved to integer rounding:
             # |ow/oh - w/h| bounded by one rounding step on each axis
             assert abs(ow * h - oh * w) <= max(w, h), r
+
+
+def test_streaming_watermark_drops_too_late_rows(spark, tmp_path):
+    """True streaming late-data semantics across micro-batches (the
+    batch-mode twin above only checks plan shape): after the
+    watermark passes a window's end, a late row for that window is
+    DROPPED — its count never updates — while a late-but-within-
+    watermark row still aggregates."""
+    import json as _json
+
+    from teleco_etl_pipeline_spark.streaming.file_stream import watermarked_counts
+
+    src = tmp_path / "events"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def _write(name, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps({"ts": ts, "event_type": et}) for ts, et in rows)
+        )
+
+    # Batch 1: e1 in window [00:00,00:10); e2 at 00:20 advances the
+    # watermark to 00:15 (threshold 5 min) for the NEXT batch.
+    _write("b1.json", [("2026-01-01T00:05:00", "e1"), ("2026-01-01T00:20:00", "e2")])
+
+    counts = watermarked_counts(
+        spark.readStream.schema(schema).json(str(src)),
+        late_threshold="5 minutes",
+    )
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wmc")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Batch 2: e1 at 00:02 targets the [00:00,00:10) window whose
+        # end (00:10) is behind the watermark (00:15) → dropped.
+        # e3 at 00:12 targets [00:10,00:20), end 00:20 > watermark →
+        # aggregated.
+        _write(
+            "b2.json",
+            [("2026-01-01T00:02:00", "e1"), ("2026-01-01T00:12:00", "e3")],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT * FROM wmc").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r["window_start"].minute, r["event_type"]), []).append(
+            r["cnt"]
+        )
+    # The dropped late row never produced an updated count for e1.
+    assert by_key[(0, "e1")] == [1]
+    # The within-watermark late row DID aggregate.
+    assert by_key[(10, "e3")] == [1]
+    assert by_key[(20, "e2")] == [1]
