@@ -60,6 +60,7 @@ _RECORD_ORDER = [
     "events_daily_anomaly",
     "corpus_zipf_slope",
     "lineitem_corr_matrix",
+    "events_transition_matrix",
     "heavy_hitter_tokens",
     "tfidf_top_terms",
     "neardup_keep_best",
@@ -103,7 +104,6 @@ _RECORD_ORDER = [
     "doc_fingerprint",
     "doc_lang_id",
     "doc_quality_score",
-    "doc_regex_tokens",
 ]
 # Past-window ordering: the displaced multi-round-green core records
 # next if the driver ever widens its window; true sketches without
@@ -119,6 +119,7 @@ _RECORD_LAST = [
     # every displaced query below (doc_token_stats through
     # shipping_priority) is r1-green AND matches in the refreshed
     # LOCAL_PARITY_r05{,_sf01} sweeps.
+    "doc_regex_tokens",
     "doc_token_stats",
     "dup_finder",
     "error_rate",

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "events_daily_anomaly",     # z-scored daily-volume DQ alarm
     "corpus_zipf_slope",        # regr_* OLS fit of the token dist
     "lineitem_corr_matrix",     # one-pass corr/covar profiling
+    "events_transition_matrix", # LEAD-window Markov transitions
 ]
 
 

@@ -339,3 +339,54 @@ def q_events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_bucket")
     )
+
+
+@query(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type AS cur_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT cur_type, next_type, COUNT(*) AS cnt
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY cur_type, next_type
+    )
+    SELECT cur_type, next_type, cnt,
+           ROUND(CAST(cnt AS DOUBLE)
+                 / SUM(cnt) OVER (PARTITION BY cur_type) + 1e-9, 4) AS prob
+    FROM pairs
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next|cur) from a LEAD window ordered by (event "
+    "time, event_id — deterministic under timestamp ties) and one "
+    "pair aggregation; row-normalization is a window over the "
+    "|types|² aggregate, never the event stream. The behavioral-"
+    "sequence profile (what follows a click?) that complements the "
+    "token-level bigram LM on the text side.",
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(epoch_us("ts"), F.col("event_id"))
+    seq = ev.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return pairs.select(
+        "cur_type",
+        "next_type",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(Window.partitionBy("cur_type"))
+            + 1e-9,
+            4,
+        ).alias("prob"),
+    )
