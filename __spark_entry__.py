@@ -61,6 +61,8 @@ _RECORD_ORDER = [
     "corpus_zipf_slope",
     "lineitem_corr_matrix",
     "events_transition_matrix",
+    "customer_rfm_segments",
+    "part_basket_lift",
     "heavy_hitter_tokens",
     "tfidf_top_terms",
     "neardup_keep_best",
@@ -102,8 +104,6 @@ _RECORD_ORDER = [
     "cube_summary",
     "distinct_values",
     "doc_fingerprint",
-    "doc_lang_id",
-    "doc_quality_score",
 ]
 # Past-window ordering: the displaced multi-round-green core records
 # next if the driver ever widens its window; true sketches without
@@ -119,6 +119,8 @@ _RECORD_LAST = [
     # every displaced query below (doc_token_stats through
     # shipping_priority) is r1-green AND matches in the refreshed
     # LOCAL_PARITY_r05{,_sf01} sweeps.
+    "doc_lang_id",
+    "doc_quality_score",
     "doc_regex_tokens",
     "doc_token_stats",
     "dup_finder",

@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "corpus_zipf_slope",        # regr_* OLS fit of the token dist
     "lineitem_corr_matrix",     # one-pass corr/covar profiling
     "events_transition_matrix", # LEAD-window Markov transitions
+    "customer_rfm_segments",    # quintile windows over customer agg
+    "part_basket_lift",         # within-order pair self-join + lift
 ]
 
 

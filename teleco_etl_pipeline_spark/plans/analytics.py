@@ -897,3 +897,144 @@ def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "covar_qty_price"
         ),
     )
+
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             MAX(epoch_us(o_orderdate) // 86400000000) AS rec_day,
+             COUNT(*) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, mon,
+             NTILE(5) OVER (ORDER BY rec_day ASC, o_custkey ASC) AS r,
+             NTILE(5) OVER (ORDER BY freq ASC, o_custkey ASC) AS f,
+             NTILE(5) OVER (ORDER BY mon ASC, o_custkey ASC) AS m
+      FROM cust
+    )
+    SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+             AS segment,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(AVG(CAST(mon AS DOUBLE)) AS DOUBLE) + 1e-9, 2)
+             AS avg_monetary
+    FROM scored
+    GROUP BY 1
+    """,
+    doc="RFM customer segmentation: per-customer recency (last order "
+    "epoch-day), frequency, and exact-decimal monetary reduce first, "
+    "then three NTILE(5) windows score the CUSTOMER aggregate (never "
+    "the order table — the sort is |customers|, and each window "
+    "totally orders on (metric, custkey) so quintile edges are "
+    "deterministic cross-engine), concatenated into the classic "
+    "3-digit segment.",
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from teleco_etl_pipeline_spark.functions import epoch_us
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(
+            (epoch_us("o_orderdate") / F.lit(86_400_000_000)).cast("long")
+        ).alias("rec_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+    )
+    scored = cust.select(
+        "o_custkey",
+        "mon",
+        F.ntile(5)
+        .over(Window.partitionBy().orderBy(F.asc("rec_day"), F.asc("o_custkey")))
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.partitionBy().orderBy(F.asc("freq"), F.asc("o_custkey")))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.partitionBy().orderBy(F.asc("mon"), F.asc("o_custkey")))
+        .alias("m"),
+    )
+    return scored.groupBy(
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg(F.col("mon").cast("double")) + 1e-9, 2).alias(
+            "avg_monetary"
+        ),
+    )
+
+
+@query(
+    "part_basket_lift",
+    """
+    WITH io AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM io
+    ), pn AS (
+      SELECT l_partkey, COUNT(*) AS n_p FROM io GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+      FROM io a JOIN io b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT part_a, part_b, n_ab,
+           ROUND(CAST(n_ab AS DOUBLE) * (SELECT n_orders FROM n)
+                 / pa.n_p / pb.n_p + 1e-9, 4) AS lift
+    FROM pairs
+    JOIN pn pa ON pa.l_partkey = part_a
+    JOIN pn pb ON pb.l_partkey = part_b
+    ORDER BY lift DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+    doc="Market-basket association: top part pairs by lift = "
+    "P(a,b)/(P(a)P(b)) over distinct (order, part) incidences. The "
+    "self-join fans out only within an order (bounded by basket "
+    "size, not table size — per-key fan-out is the as-of/banded-join "
+    "discipline), the support floor prunes before the lift math, "
+    "and the order count arrives as a scalar subquery. TakeOrdered "
+    "top-20 on the rounded lift with id tie-breaks.",
+)
+def q_part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    io = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = io.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    ).scalar()
+    pn = io.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a = io.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = io.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    pa = pn.select(F.col("l_partkey").alias("part_a"), F.col("n_p").alias("_na"))
+    pb = pn.select(F.col("l_partkey").alias("part_b"), F.col("n_p").alias("_nb"))
+    return (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * n_orders / F.col("_na") / F.col("_nb")
+                + 1e-9,
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
