@@ -94,3 +94,51 @@ def test_split_assignment_stable_under_append(spark, extra):
     }
     # Appending rows never moves an existing row across splits.
     assert all(after[k] == v for k, v in before.items())
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+    min_freq=st.integers(2, 4),
+)
+@settings(**SETTINGS)
+def test_frequent_ngram_scrub_matches_python_reference(spark, docs, min_freq):
+    """The scrub equals a direct Python re-implementation on random
+    tiny corpora — covers overlap/edge shapes (empty docs, docs
+    shorter than n, gram chains) the crafted fixtures don't."""
+    from collections import Counter
+
+    from teleco_etl_pipeline_spark.operators.dedup import frequent_ngram_scrub
+
+    n = 2  # small corpora need bigrams to produce frequent spans
+    texts = [" ".join(d) for d in docs]
+    sdf = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["scrubbed_text"], r["n_removed"])
+        for r in frequent_ngram_scrub(sdf, n=n, min_freq=min_freq).collect()
+    }
+
+    # Reference: same whitespace tokenization (split('\s+') of the
+    # trimmed text — an empty doc yields one '' token, like Spark).
+    toks_by_doc = [t.strip().split() if t.strip() else [""] for t in texts]
+    counts = Counter(
+        " ".join(tk[i : i + n])
+        for tk in toks_by_doc
+        for i in range(len(tk) - n + 1)
+    )
+    frequent = {g for g, c in counts.items() if c >= min_freq}
+    for doc_id, tk in enumerate(toks_by_doc):
+        covered = set()
+        for i in range(len(tk) - n + 1):
+            if " ".join(tk[i : i + n]) in frequent:
+                covered.update(range(i, i + n))
+        kept = [w for i, w in enumerate(tk) if i not in covered]
+        assert got[doc_id] == (" ".join(kept), len(tk) - len(kept)), (
+            doc_id,
+            texts[doc_id],
+        )
