@@ -357,3 +357,170 @@ def _register_rolling_query() -> None:
 
 
 _register_rolling_query()
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_us_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """For every left row, attach the right-side row NEAREST in time
+    (either direction) with equal keys — the bidirectional variant of
+    :func:`asof_join` (pandas ``merge_asof(direction='nearest')``;
+    no Spark or reference equivalent, SURVEY.md §2.3).
+
+    Same sort-merge shape as :func:`asof_join`: union both sides
+    tagged, ONE shuffle on the key, then two frames over the same
+    sort — a backward running ``last(ignorenulls)`` (right rows at or
+    before, because equal-ts right rows sort ahead of left rows) and
+    a forward running ``first(ignorenulls)`` starting at the current
+    row (strictly-after right rows). The closer candidate wins; the
+    backward one on exact distance ties. Sort order includes the
+    right row's ``tiebreak_col`` so duplicate-timestamp right rows
+    resolve identically in any engine. Appends ``nearest_<value>``
+    and ``nearest_delta_us`` (-1 sentinel when the key has no right
+    rows at all — NULL doubles hash differently cross-engine).
+
+    Cost: one shuffle of |L|+|R|; the two frames reuse the same sort
+    within the partition. No theta join, no explosion — at 100 TB
+    this is the plan a native nearest-join would pick.
+    """
+    lcols = left.columns
+    l_tagged = (
+        left.withColumn(_SIDE, F.lit(0))
+        .withColumn("__r_ts", F.lit(None).cast("long"))
+        .withColumn("__r_val", F.lit(None).cast(right.schema[value_col].dataType))
+    )
+    r_tagged = right.select(
+        *key_cols,
+        F.col(ts_us_col),
+        F.col(tiebreak_col),
+        F.lit(1).alias(_SIDE),
+        F.col(ts_us_col).alias("__r_ts"),
+        F.col(value_col).alias("__r_val"),
+    )
+    for c in lcols:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = l_tagged.unionByName(r_tagged)
+
+    order = [F.col(ts_us_col).asc(), F.col(_SIDE).desc(), F.col(tiebreak_col).asc()]
+    w_back = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    scanned = unioned.select(
+        *lcols,
+        F.col(_SIDE),
+        F.last("__r_ts", ignorenulls=True).over(w_back).alias("__b_ts"),
+        F.last("__r_val", ignorenulls=True).over(w_back).alias("__b_val"),
+        F.first("__r_ts", ignorenulls=True).over(w_fwd).alias("__f_ts"),
+        F.first("__r_val", ignorenulls=True).over(w_fwd).alias("__f_val"),
+    ).filter(F.col(_SIDE) == 0)
+
+    ts = F.col(ts_us_col)
+    back_d = ts - F.col("__b_ts")
+    fwd_d = F.col("__f_ts") - ts
+    use_back = F.col("__f_ts").isNull() | (
+        F.col("__b_ts").isNotNull() & (back_d <= fwd_d)
+    )
+    return scanned.select(
+        *lcols,
+        F.when(F.col("__b_ts").isNull() & F.col("__f_ts").isNull(), F.lit(-1.0))
+        .when(use_back, F.col("__b_val"))
+        .otherwise(F.col("__f_val"))
+        .alias(f"nearest_{value_col}"),
+        F.when(F.col("__b_ts").isNull() & F.col("__f_ts").isNull(), F.lit(-1))
+        .when(use_back, back_d)
+        .otherwise(fwd_d)
+        .cast("long")
+        .alias("nearest_delta_us"),
+    )
+
+
+def _register_nearest_query() -> None:
+    from pyspark.sql import SparkSession
+
+    from teleco_etl_pipeline_spark.functions import epoch_us
+    from teleco_etl_pipeline_spark.plans.registry import query
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    @query(
+        "asof_nearest_purchase",
+        """
+        WITH u AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                 0 AS side, NULL::BIGINT AS r_ts, NULL::DOUBLE AS r_val
+          FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT event_id, user_id, epoch_us(ts),
+                 1, epoch_us(ts), value
+          FROM events WHERE event_type = 'purchase'
+        ), scanned AS (
+          SELECT event_id, user_id, ts_us, side,
+                 LAST_VALUE(r_ts IGNORE NULLS) OVER wb AS b_ts,
+                 LAST_VALUE(r_val IGNORE NULLS) OVER wb AS b_val,
+                 FIRST_VALUE(r_ts IGNORE NULLS) OVER wf AS f_ts,
+                 FIRST_VALUE(r_val IGNORE NULLS) OVER wf AS f_val
+          FROM u
+          WINDOW
+            wb AS (PARTITION BY user_id ORDER BY ts_us, side DESC, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wf AS (PARTITION BY user_id ORDER BY ts_us, side DESC, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, user_id, ts_us,
+               CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN -1.0
+                    WHEN f_ts IS NULL THEN b_val
+                    WHEN b_ts IS NULL THEN f_val
+                    WHEN ts_us - b_ts <= f_ts - ts_us THEN b_val
+                    ELSE f_val END AS nearest_value,
+               CAST(CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN -1
+                         WHEN f_ts IS NULL THEN ts_us - b_ts
+                         WHEN b_ts IS NULL THEN f_ts - ts_us
+                         WHEN ts_us - b_ts <= f_ts - ts_us THEN ts_us - b_ts
+                         ELSE f_ts - ts_us END AS BIGINT) AS nearest_delta_us
+        FROM scanned WHERE side = 0
+        """,
+        doc="Nearest-in-time join: each click annotated with the "
+        "same user's temporally closest purchase in EITHER direction "
+        "(merge_asof direction='nearest'). One-shuffle sort-merge "
+        "formulation; oracle replays the identical two-frame window "
+        "logic in DuckDB SQL since its native ASOF JOIN is "
+        "backward-only.",
+    )
+    def q_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", epoch_us("ts").alias("ts_us")
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", epoch_us("ts").alias("ts_us"), "value"
+        )
+        out = asof_nearest_join(
+            clicks,
+            purchases,
+            key_cols=["user_id"],
+            ts_us_col="ts_us",
+            value_col="value",
+            tiebreak_col="event_id",
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.col("nearest_value").alias("nearest_value"),
+            "nearest_delta_us",
+        )
+
+
+_register_nearest_query()

@@ -390,3 +390,156 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("prob"),
     )
+
+
+@query(
+    "events_user_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), runs AS (
+      SELECT user_id,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS anchor
+      FROM days
+    ), streaks AS (
+      SELECT user_id, anchor, COUNT(*) AS len FROM runs GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS active_days,
+           COUNT(*) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM streaks GROUP BY user_id
+    """,
+    doc="Gaps-and-islands: longest run of consecutive active DAYS per "
+    "user via the classic date-minus-row_number anchor (consecutive "
+    "days share one anchor). ONE shuffle on user_id serves the "
+    "window AND both aggregations — hash(user_id) satisfies the "
+    "(user_id, anchor) clustering, and the day-grid is distinct'd "
+    "first so everything downstream of the scan is user×days sized, "
+    "never event-sized. NTZ date truncation — timezone-independent.",
+)
+def q_events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = days.select(
+        "user_id", F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor")
+    )
+    streaks = runs.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )
+
+
+# Half-life decay constant: ln(2)/30 days. The SAME literal string is
+# parsed by both engines so the double is bit-identical.
+_DECAY_LAMBDA = "0.023104906018664842"
+
+
+@query(
+    "events_decay_score",
+    f"""
+    WITH ref AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * EXP(-{_DECAY_LAMBDA}
+                 * ((SELECT ref_us FROM ref) - epoch_us(ts)) / 86400000000.0)
+                 + 1e-9, 4) AS DECIMAL(18,4))) AS DOUBLE) AS decay_score
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Exponentially time-decayed engagement score per user "
+    "(30-day half-life against the corpus as-of frontier) — the "
+    "recency-weighted feature every churn model wants, computed in "
+    "one partial-agg shuffle. The frontier is a scalar subquery "
+    "(DataFrame.scalar() — no join node, no driver collect); each "
+    "term is rounded then DECIMAL-accumulated so the sum is exact "
+    "under any partitioning; exp() is the only libm call and gets "
+    "the +1e-9 nudge before rounding (cross-engine ulp guard).",
+)
+def q_events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", epoch_us("ts").alias("ts_us")
+    )
+    ref_us = ev.agg(F.max("ts_us").alias("m")).scalar()
+    age_days = (ref_us - F.col("ts_us")) / F.lit(86400000000.0)
+    term = F.round(
+        F.col("value") * F.exp(F.expr(f"-{_DECAY_LAMBDA}") * age_days) + F.lit(1e-9),
+        4,
+    ).cast("decimal(18,4)")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(term).cast("double").alias("decay_score"),
+    )
+
+
+@query(
+    "events_type_quantiles",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(MEDIAN(value) + 1e-9, 4) AS median_value,
+           ROUND(QUANTILE_CONT(value, 0.9) + 1e-9, 4) AS p90_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact per-group median / p90 via interpolating percentile "
+    "(sort-based agg). Grouped twin of the global quantile_profile; "
+    "the approx_quantile_profile KLL sketch remains the registered "
+    "100 TB path. Both engines define quantile_cont identically "
+    "(linear interpolation at p·(n-1)), so values match to the ulp.",
+)
+def q_events_type_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.median("value") + F.lit(1e-9), 4).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)) + F.lit(1e-9), 4).alias(
+            "p90_value"
+        ),
+    )
+
+
+@query(
+    "events_seq_examples",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             LAG(event_type, 3) OVER w AS l3,
+             LAG(event_type, 2) OVER w AS l2,
+             LAG(event_type, 1) OVER w AS l1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT user_id, event_id,
+           l3 || '|' || l2 || '|' || l1 AS context,
+           event_type AS target
+    FROM seq WHERE l3 IS NOT NULL
+    """,
+    doc="Next-event-prediction training examples: per-user sequences "
+    "become (3-event context, target) pairs — the event-stream "
+    "analogue of next-token dataset construction. Three LAG taps "
+    "over ONE window sort (deterministic under timestamp ties via "
+    "event_id) instead of a self-join per offset; rows without a "
+    "full context are dropped, as a sequence packer would.",
+)
+def q_events_seq_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(epoch_us("ts"), F.col("event_id"))
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("target"),
+        F.lag("event_type", 3).over(w).alias("l3"),
+        F.lag("event_type", 2).over(w).alias("l2"),
+        F.lag("event_type", 1).over(w).alias("l1"),
+    )
+    return seq.filter(F.col("l3").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.concat_ws("|", "l3", "l2", "l1").alias("context"),
+        "target",
+    )

@@ -43,3 +43,42 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
                 a[col],
                 e[col],
             )
+
+
+def test_user_streaks_gaps_and_islands(spark):
+    """Crafted day grid: 3 consecutive days, a gap, then 2 more."""
+    import datetime as dt
+
+    from teleco_etl_pipeline_spark.plans.events import q_events_user_streaks
+
+    rows = [
+        (i, dt.datetime(2024, 1, d, 12, 0, 0), 7, "click", 1.0, "{}")
+        for i, d in enumerate([1, 1, 2, 3, 7, 8])  # day 1 twice: distinct'd
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet("/tmp/streak_ev/events.parquet")
+    (row,) = q_events_user_streaks(spark, "/tmp/streak_ev").collect()
+    assert (row["active_days"], row["n_streaks"], row["longest_streak"]) == (5, 2, 3)
+
+
+def test_seq_examples_window_order_and_context(spark):
+    from teleco_etl_pipeline_spark.plans.events import q_events_seq_examples
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 7, t, 1.0, "{}")
+        for i, t in enumerate(["a", "b", "c", "d", "e"])
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet("/tmp/seq_ev/events.parquet")
+    got = {
+        r["target"]: r["context"]
+        for r in q_events_seq_examples(spark, "/tmp/seq_ev").collect()
+    }
+    # first 3 events lack a full context; contexts are in event order
+    assert got == {"d": "a|b|c", "e": "b|c|d"}

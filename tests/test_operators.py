@@ -1016,3 +1016,52 @@ def test_aqe_splits_skewed_join_partition(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_asof_nearest_join_picks_closer_side(spark):
+    from teleco_etl_pipeline_spark.operators.temporal import asof_nearest_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100, "a"), (1, 26, 101, "b"), (2, 5, 102, "c")],
+        ["k", "ts_us", "eid", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 7, 200, 7.0), (1, 30, 201, 30.0)], ["k", "ts_us", "eid", "v"]
+    )
+    out = {
+        r["tag"]: (r["nearest_v"], r["nearest_delta_us"])
+        for r in asof_nearest_join(
+            left, right, ["k"], "ts_us", "v", "eid"
+        ).collect()
+    }
+    # a: back=7 (d=3) vs fwd=30 (d=20) → back; b: back=7 (d=19) vs
+    # fwd=30 (d=4) → fwd; c: key 2 has no right rows → sentinels.
+    assert out == {"a": (7.0, 3), "b": (30.0, 4), "c": (-1.0, -1)}
+
+
+def test_asof_nearest_join_tie_prefers_backward(spark):
+    from teleco_etl_pipeline_spark.operators.temporal import asof_nearest_join
+
+    left = spark.createDataFrame([(1, 10, 100, "x")], ["k", "ts_us", "eid", "tag"])
+    right = spark.createDataFrame(
+        [(1, 8, 200, 8.0), (1, 12, 201, 12.0)], ["k", "ts_us", "eid", "v"]
+    )
+    (row,) = asof_nearest_join(left, right, ["k"], "ts_us", "v", "eid").collect()
+    assert (row["nearest_v"], row["nearest_delta_us"]) == (8.0, 2)
+
+
+def test_asof_nearest_join_single_shuffle(spark):
+    """The union + two-frame formulation must shuffle once on the key,
+    not once per frame or per side."""
+    from teleco_etl_pipeline_spark.operators.temporal import asof_nearest_join
+
+    left = spark.range(10).selectExpr(
+        "id % 3 AS k", "id * 5 AS ts_us", "id AS eid", "'t' AS tag"
+    )
+    right = spark.range(10).selectExpr(
+        "id % 3 AS k", "id * 7 AS ts_us", "id + 100 AS eid", "CAST(id AS DOUBLE) AS v"
+    )
+    plan = asof_nearest_join(
+        left, right, ["k"], "ts_us", "v", "eid"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
