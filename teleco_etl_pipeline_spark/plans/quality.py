@@ -210,3 +210,42 @@ def assert_checks_pass(df: DataFrame, key: str = "customer_id") -> dict[str, int
     if failing:
         raise AssertionError(f"DQ checks failed: {failing}")
     return results
+
+
+def split_write_observed(
+    df: DataFrame,
+    rules: list[Rule],
+    write_good,
+) -> tuple[int, int, float]:
+    """A10/C3 with ZERO extra scans: piggyback the DQ metrics on the
+    job that writes the good rows.
+
+    ``error_rate`` (above) answers the same question with a dedicated
+    aggregate job — a second full scan of the input. Here the counts
+    ride the write itself via ``DataFrame.observe``: the observation
+    node sits BELOW the good-rows filter, so every input row flows
+    through it exactly once during the write action, and the metrics
+    (total rows, bad rows) are accumulator-style side outputs of that
+    one pass. At 100 TB the difference is an entire extra table scan.
+
+    ``write_good`` is any action-taking callable (e.g.
+    ``lambda good: good.write.parquet(path)``); the metrics are
+    available as soon as it returns. Quarantining the bad rows still
+    needs its own pass — but only when ``bad > 0``, so the clean-data
+    common case stays single-scan.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    annotated = annotate(df, rules)
+    observed = annotated.observe(
+        obs,
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("error_details").isNotNull(), 1)).alias("bad"),
+    )
+    good = observed.filter(F.col("error_details").isNull()).drop("error_details")
+    write_good(good)
+    got = obs.get
+    total, bad = int(got["total"]), int(got["bad"])
+    pct = (100.0 * bad / total) if total else 0.0
+    return total, bad, pct

@@ -55,6 +55,7 @@ def all_queries() -> dict[str, Query]:
     from teleco_etl_pipeline_spark.operators import multimodal  # noqa: F401
     from teleco_etl_pipeline_spark.operators import temporal  # noqa: F401
     from teleco_etl_pipeline_spark.operators import sampling  # noqa: F401
+    from teleco_etl_pipeline_spark.operators import scd  # noqa: F401
     from teleco_etl_pipeline_spark.operators import similarity  # noqa: F401
     from teleco_etl_pipeline_spark.operators import text  # noqa: F401
 

@@ -82,3 +82,28 @@ def test_seq_examples_window_order_and_context(spark):
     }
     # first 3 events lack a full context; contexts are in event order
     assert got == {"d": "a|b|c", "e": "b|c|d"}
+
+
+def test_hll_sketch_rollup_merges_daily_partials(spark, sf_dir):
+    """Mergeable-sketch rollup: per-day Datasketches HLL partials
+    union to the corpus estimate WITHOUT rescanning events — the
+    100 TB pattern for distinct-over-any-date-range dashboards
+    (store tiny daily sketch blobs, merge at query time). The merged
+    estimate must track exact countDistinct within HLL error."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    exact = ev.agg(F.count_distinct("user_id").alias("n")).collect()[0]["n"]
+    assert abs(merged - exact) <= max(3, 0.05 * exact), (merged, exact)
+    # the partials are bounded-size binaries — what a metrics table
+    # would persist per (day, dimension) cell
+    sizes = daily.select(F.length("sk").alias("b")).collect()
+    assert all(r["b"] < 20_000 for r in sizes)

@@ -233,3 +233,29 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         .join(spark.read.parquet(wh.path("silver", "t_right__bucketed")), "k")
     )
     assert "Exchange" in plain._jdf.queryExecution().executedPlan().toString()
+
+
+def test_split_write_observed_matches_error_rate(spark, tmp_path):
+    """The observe-piggybacked metrics must equal the dedicated
+    aggregate pass, and the good-rows parquet must hold exactly the
+    clean subset — all from ONE write action."""
+    import io
+
+    import pandas as pd
+
+    rows = [_row(f"OK-{i}") for i in range(8)] + [
+        _row(f"BAD-{i}", tenure="-1") for i in range(2)
+    ]
+    pdf = pd.read_csv(io.StringIO("\n".join([CSV_HEADER] + rows)), dtype=str)
+    from teleco_etl_pipeline_spark.functions.scalars import normalize_columns
+
+    df = normalize_columns(spark.createDataFrame(pdf.where(pdf.notna())))
+    rules = quality.churn_rules(df)
+    out = str(tmp_path / "good.parquet")
+    total, bad, pct = quality.split_write_observed(
+        df, rules, lambda good: good.write.parquet(out)
+    )
+    assert (total, bad) == (10, 2) and abs(pct - 20.0) < 1e-9
+    assert quality.error_rate(df, rules) == (total, bad, pct)
+    good = spark.read.parquet(out)
+    assert good.count() == 8 and "error_details" not in good.columns

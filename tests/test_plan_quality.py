@@ -289,3 +289,54 @@ def test_scrub_reassembly_is_map_side_filter_not_pos_join(spark, sf_dir):
     assert "posexplode" not in plan, plan
     assert "LeftAnti" not in plan, plan
     assert "Generate explode(transform(sequence(1," in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime filtering: a selective build-side predicate injects a
+    bloom-filter probe (`might_contain`) into the large side's scan
+    stage, cutting shuffle input before the join — the 100 TB lever
+    when the probe side can't be partition-pruned. Thresholds are
+    lowered because local test tables sit far below the 10 GB
+    default; results must be identical either way."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        import os
+
+        o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        with_filter = j.collect()
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        without = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+            .collect()
+        )
+        assert sorted(map(tuple, with_filter)) == sorted(map(tuple, without))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
