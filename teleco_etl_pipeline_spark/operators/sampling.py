@@ -484,3 +484,84 @@ def q_doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_kept"),
         )
     )
+
+
+@query(
+    "contamination_ngram_overlap",
+    f"""
+    WITH labeled AS (
+      SELECT doc_id, text,
+             CASE WHEN {_DUCK_BUCKET.format(salt="")} < 800000 THEN 'train'
+                  WHEN {_DUCK_BUCKET.format(salt="")} < 900000 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, split, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM labeled WHERE split IN ('train', 'test')
+    ), sh AS (
+      SELECT doc_id, split,
+             unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+                     for i in generate_series(1, len(toks) - 4)])) AS shingle
+      FROM tok WHERE len(toks) >= 5
+    ), train_set AS (
+      SELECT DISTINCT shingle FROM sh WHERE split = 'train'
+    ), marked AS (
+      SELECT s.doc_id, s.shingle, t.shingle IS NOT NULL AS hit
+      FROM (SELECT * FROM sh WHERE split = 'test') s
+      LEFT JOIN train_set t ON s.shingle = t.shingle
+    )
+    SELECT doc_id AS test_doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) + 1e-9, 4) AS overlap_frac,
+           ROUND(CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) + 1e-9, 4) >= 0.2 AS contaminated
+    FROM marked GROUP BY doc_id
+    """,
+    doc="N-gram-overlap decontamination (the GPT-3/PaLM-report "
+    "method): a held-out document is contaminated when too many of "
+    "its 5-gram shingles appear ANYWHERE in the training split — "
+    "catching partial/remixed copies that the exact-fingerprint "
+    "check (train_test_contamination) misses. Linear, not "
+    "quadratic: one distinct over train shingles, one hash join "
+    "from test shingles (the small side), one per-doc agg. At "
+    "100 TB the train shingle set is materialized once, bucketed "
+    "by shingle (or replaced by a bloom filter for approximate "
+    "marking); the flag compares on the ROUNDED fraction so "
+    "membership is cross-engine exact.",
+)
+def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.dedup import _doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = deterministic_split(
+        docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+    # split is a pure function of doc_id (hash bucket), so it's
+    # recomputed on the exploded shingles instead of joined back —
+    # a per-row md5 beats shuffling (doc, shingle) against the corpus.
+    sh = deterministic_split(
+        _doc_shingles(labeled.filter(F.col("split").isin("train", "test")), n=5),
+        "doc_id",
+        {"train": 0.8, "valid": 0.1, "test": 0.1},
+    )
+    train_set = (
+        sh.filter(F.col("split") == "train").select("shingle").distinct()
+    )
+    test_sh = sh.filter(F.col("split") == "test")
+    marked = test_sh.join(
+        train_set.withColumn("__hit", F.lit(1)), "shingle", "left"
+    )
+    frac = F.round(
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+        / F.count(F.lit(1))
+        + F.lit(1e-9),
+        4,
+    )
+    return marked.groupBy(F.col("doc_id").alias("test_doc_id")).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+        frac.alias("overlap_frac"),
+        (frac >= 0.2).alias("contaminated"),
+    )

@@ -11,7 +11,7 @@ percentiles to a single-pass sort-based agg.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from teleco_etl_pipeline_spark.plans.registry import query
@@ -1037,4 +1037,42 @@ def q_part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
+    )
+
+
+@query(
+    "customer_spend_percentile",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           ROUND(CAST(total_spend AS DOUBLE), 2) AS total_spend,
+           ROUND(PERCENT_RANK() OVER (ORDER BY total_spend) + 1e-9, 6)
+             AS spend_pct_rank,
+           ROUND(CUME_DIST() OVER (ORDER BY total_spend) + 1e-9, 6)
+             AS spend_cume_dist
+    FROM spend
+    """,
+    doc="Distribution-relative ranking: each customer's lifetime "
+    "spend placed on the [0,1] percentile scale via PERCENT_RANK "
+    "(rank-1)/(n-1) and CUME_DIST — rank features for the churn "
+    "model that are scale-free across retrains. Spend is "
+    "DECIMAL-accumulated pre-ranking so ties (and therefore ranks) "
+    "are exact cross-engine; the global sort runs over the "
+    "customer-level aggregate, never raw orders.",
+)
+def q_customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_spend")
+    )
+    w = Window.orderBy("total_spend")
+    return spend.select(
+        "o_custkey",
+        F.round(F.col("total_spend").cast("double"), 2).alias("total_spend"),
+        F.round(F.percent_rank().over(w) + F.lit(1e-9), 6).alias("spend_pct_rank"),
+        F.round(F.cume_dist().over(w) + F.lit(1e-9), 6).alias("spend_cume_dist"),
     )

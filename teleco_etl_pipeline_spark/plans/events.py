@@ -543,3 +543,71 @@ def q_events_seq_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "l3", "l2", "l1").alias("context"),
         "target",
     )
+
+
+@query(
+    "events_variant_shred",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_band,
+           COUNT(*) AS n_events,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    GROUP BY k_band
+    """,
+    doc="Semi-structured VARIANT path (Spark 4): props is parsed "
+    "ONCE into the binary-encoded VARIANT type and probed with typed "
+    "try_variant_get — unlike get_json_object (events_json_props), "
+    "repeated probes don't re-parse the string, which is the right "
+    "trade at 100 TB when many properties are extracted from one "
+    "payload. try_* semantics: malformed payloads become NULL, not "
+    "job failures, matching the quarantine philosophy of the DQ "
+    "layer.",
+)
+def q_events_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    shredded = ev.select(F.try_parse_json("props").alias("v")).select(
+        F.try_variant_get("v", "$.k", "bigint").alias("k")
+    )
+    return shredded.groupBy((F.col("k") % 10).alias("k_band")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+HOUR_US_LIT = 3_600_000_000
+
+
+@query(
+    "events_trailing_hour_count",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS n_trailing_hour
+    FROM events
+    """,
+    doc="Event-time RANGE frame: per event, how many same-user "
+    "events landed in the trailing hour — the rate-limit / burst "
+    "feature. RANGE (value-based) semantics differ from ROWS: the "
+    "frame is [ts-1h, ts] INCLUDING simultaneous peers, identical "
+    "in both engines; epoch-micros long ordering keeps the frame "
+    "arithmetic exact. One shuffle on user_id; in streaming mode "
+    "the same feature is the watermarked sliding count.",
+)
+def q_events_trailing_hour_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_us("ts"))
+        .rangeBetween(-HOUR_US_LIT, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        epoch_us("ts").alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+    )
