@@ -46,6 +46,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # committed LOCAL_PARITY_r05{,_sf01}.json full-catalog sweeps
 # (same three-way check at sf0.01 AND sf0.1, ANSI session).
 _RECORD_ORDER = [
+    # -- NEW this round, later session (zero prior evidence) --------
+    "scd2_user_value",
+    "asof_nearest_purchase",
+    "events_user_streaks",
+    "events_decay_score",
+    "events_type_quantiles",
+    "events_seq_examples",
+    "events_variant_shred",
+    "events_trailing_hour_count",
+    "customer_spend_percentile",
+    "contamination_ngram_overlap",
     # -- NEW this round (zero prior evidence anywhere) --------------
     "doc_frequent_ngram_scrub",
     "embedding_pq_topk",
@@ -79,7 +90,6 @@ _RECORD_ORDER = [
     "product_profit",
     "returned_item_report",
     "min_cost_supplier",
-    "approx_quantile_profile",  # KLL sketch — rows-only by design
     # -- r4 verdict's named NTZ/vintage-sensitive asks (r1-only
     #    evidence, all touched by the timestamp vintage change) -----
     "latest_per_key",
@@ -93,17 +103,7 @@ _RECORD_ORDER = [
     "events_tumbling_hourly",
     "events_sessionize",
     "events_hopping_counts",
-    "events_json_props",
     "events_locf_daily",  # NEW r5: LOCF gap-fill onto a dense grid
-    # -- remaining r1-only rows, one per operator family -----------
-    "anti_join",
-    "semi_join",
-    "conditional_counts",
-    "conditional_projection",
-    "count_distinct",
-    "cube_summary",
-    "distinct_values",
-    "doc_fingerprint",
 ]
 # Past-window ordering: the displaced multi-round-green core records
 # next if the driver ever widens its window; true sketches without
@@ -114,6 +114,25 @@ _RECORD_ORDER = [
 # priority_set_ops r4); approx_distinct_users is rows-only by
 # design, so its driver row value-checks nothing.
 _RECORD_LAST = [
+    # Displaced for the TEN operators new in the later r5 session
+    # (zero prior evidence beats r1-only + current local-parity
+    # evidence). All nine oracle-backed rows below are r1-green AND
+    # match in the refreshed LOCAL_PARITY_r05{,_sf01} sweeps;
+    # events_json_props reads only the props column, so it is NOT
+    # timestamp-vintage-sensitive despite living on events;
+    # approx_quantile_profile is rows-only by design, so its driver
+    # row value-checks nothing (same reasoning as
+    # approx_distinct_users below).
+    "anti_join",
+    "semi_join",
+    "conditional_counts",
+    "conditional_projection",
+    "count_distinct",
+    "cube_summary",
+    "distinct_values",
+    "doc_fingerprint",
+    "events_json_props",
+    "approx_quantile_profile",
     # Displaced for the THIRTEEN operators NEW this session (zero
     # prior evidence beats r1-only + current local-parity evidence):
     # every displaced query below (doc_token_stats through

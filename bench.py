@@ -100,6 +100,17 @@ BENCH_QUERIES = [
     "events_transition_matrix", # LEAD-window Markov transitions
     "customer_rfm_segments",    # quintile windows over customer agg
     "part_basket_lift",         # within-order pair self-join + lift
+    # -- later r5 session additions --------------------------------
+    "scd2_user_value",          # SCD2 history build, 2 windows / 1 shuffle
+    "asof_nearest_purchase",    # bidirectional nearest-asof join
+    "events_user_streaks",      # gaps-and-islands consecutive-day runs
+    "events_decay_score",       # exp time-decay engagement, scalar subquery
+    "events_type_quantiles",    # exact per-group median/p90
+    "events_seq_examples",      # LAG-tap next-event training pairs
+    "events_variant_shred",     # Spark-4 VARIANT typed extraction
+    "events_trailing_hour_count",  # value-RANGE frame burst counts
+    "customer_spend_percentile",   # percent_rank/cume_dist over agg
+    "contamination_ngram_overlap",  # cross-split 5-gram overlap check
 ]
 
 

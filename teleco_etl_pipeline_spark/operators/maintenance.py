@@ -87,3 +87,60 @@ def cluster_by(
     )
     safe_overwrite(df, path)
     return n_files
+
+
+def zorder_by(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    bits: int = 10,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    min_files: int = 1,
+) -> int:
+    """Multi-dimensional clustering: rewrite the table ordered by the
+    Morton (Z-order) interleaving of ``keys``, so row-group min/max
+    stats are selective on EVERY key at once — ``cluster_by`` makes
+    the FIRST key prunable and leaves the rest full-range per file,
+    which is why single-key sorting can't serve two filter columns.
+
+    Each key is first mapped to a ``bits``-bit equal-width bucket
+    between its table min/max (scalar subqueries — plan-time, no
+    driver job), then the bucket bits are interleaved into one long
+    z-value used for range partitioning + in-partition sort. Pure
+    column expressions (shift/or), whole-stage codegen'd, one range
+    shuffle — the same cost as ``cluster_by``. Equal-width bucketing
+    assumes roughly uniform keys; heavily skewed keys should be
+    pre-transformed (e.g. log) or the skewed dimension left to
+    partition pruning instead.
+    """
+    from pyspark.sql import functions as F
+
+    nbytes = table_bytes(spark, path)
+    n_files = max(min_files, -(-nbytes // target_file_bytes))
+    df = spark.read.parquet(path)
+    n_buckets = 1 << bits
+    bucket_cols = []
+    for k in keys:
+        mn = df.agg(F.min(k).alias("m")).scalar().cast("double")
+        mx = df.agg(F.max(k).alias("m")).scalar().cast("double")
+        frac = (F.col(k).cast("double") - mn) / (mx - mn + F.lit(1e-12))
+        bucket_cols.append(
+            F.least(
+                F.floor(frac * n_buckets).cast("long"), F.lit(n_buckets - 1)
+            )
+        )
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for dim, b in enumerate(bucket_cols):
+            pos = bit * len(bucket_cols) + dim
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(b, bit).bitwiseAND(F.lit(1)), pos)
+            )
+    clustered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    safe_overwrite(clustered, path)
+    return n_files

@@ -1,0 +1,124 @@
+"""Custom Spark 4 Python DataSource: keyset-partitioned external
+extraction.
+
+The reference extracts from an operational OLTP store with one big
+cursor (`dags/churn_export_dag_cloude.py:378-596` — a single
+psycopg2 SELECT paged on the driver). The Spark-native shape is a
+PARTITIONED source: the driver plans N key ranges, every executor
+opens its own cursor for one range, and the result is a regular
+DataFrame feeding the same incremental plan (plans/extract.py). For
+JDBC systems Spark ships that built-in; this module demonstrates the
+same contract through the public Python DataSource API
+(pyspark.sql.datasource, Spark 4) for sources WITHOUT a JDBC driver
+— REST cursors, key-value scans, homegrown storage. The backing
+"external system" here is a Parquet file read with pyarrow
+range-filters (standing in for any keyset-paginated backend), which
+also demonstrates per-partition predicate pushdown: each reader
+passes its key range to the backend instead of filtering in Spark.
+
+Everything is defined inside a factory function: cloudpickle then
+serializes the classes BY VALUE, so executor Python workers never
+need this repo on their import path (the repo-wide closure rule —
+see operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+
+def keyset_parquet_source():
+    """Build (by value, executor-importable) the DataSource class.
+
+    Options:
+      path            backing parquet file/directory (the "OLTP table")
+      partition_col   numeric keyset column to range-partition on
+      num_partitions  cursor count (default 4)
+      lower / upper   optional key bounds; footer min/max when absent
+                      (one driver-side metadata read, no data pages)
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class KeyRange(InputPartition):
+        def __init__(self, lo, hi, last):
+            self.lo, self.hi, self.last = lo, hi, last
+
+    class KeysetReader(DataSourceReader):
+        def __init__(self, schema, options):
+            self.schema_names = [f.name for f in schema.fields]
+            self.path = options["path"]
+            self.col = options["partition_col"]
+            self.n = int(options.get("num_partitions", "4"))
+            self.lower = options.get("lower")
+            self.upper = options.get("upper")
+
+        def _bounds(self):
+            if self.lower is not None and self.upper is not None:
+                return int(self.lower), int(self.upper)
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(self.path).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(self.col)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            return min(los), max(his)
+
+        def partitions(self):
+            lo, hi = self._bounds()
+            span = max(1, -(-(hi - lo + 1) // self.n))
+            out = []
+            cur = lo
+            while cur <= hi:
+                nxt = min(cur + span, hi + 1)
+                out.append(KeyRange(cur, nxt, nxt > hi))
+                cur = nxt
+            return out
+
+        def read(self, partition):
+            # The executor-side "cursor": the range predicate goes TO
+            # the backend (pyarrow prunes row groups on footer stats)
+            # — the pushdown a real keyset/REST source would do with
+            # WHERE key >= lo AND key < hi.
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                self.path,
+                columns=self.schema_names,
+                filters=[
+                    (self.col, ">=", partition.lo),
+                    (self.col, "<", partition.hi),
+                ],
+            )
+            for batch in tbl.to_batches():
+                cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+                yield from zip(*cols)
+
+    class KeysetParquetDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "keyset_oltp"
+
+        def schema(self):
+            import pyarrow.parquet as pq
+
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            return from_arrow_schema(
+                pq.read_schema(self.options["path"])
+            )
+
+        def reader(self, schema):
+            return KeysetReader(schema, self.options)
+
+    return KeysetParquetDataSource
+
+
+def register(spark) -> None:
+    """Register the source so ``spark.read.format("keyset_oltp")``
+    resolves; idempotent per session."""
+    spark.dataSource.register(keyset_parquet_source())

@@ -162,3 +162,28 @@ def test_jsonl_round_trip_and_corrupt_record_quarantine(spark, tmp_path):
     parts = [p for p in os.listdir(gz) if p.startswith("part-")]
     assert len(parts) == 1 and parts[0].endswith(".gz")
     assert back.schema["doc_id"].dataType == LongType()
+
+
+def test_parquet_schema_evolution_merge_on_read(spark, tmp_path):
+    """Additive schema evolution: a landing feed that grows a column
+    mid-stream must stay readable as one table — old files surface
+    NULL for the new column under mergeSchema, and the narrow read
+    path (explicit schema) keeps working for consumers pinned to v1.
+    At 100 TB mergeSchema's footer sweep is driver-side per file, so
+    production tables pin the superset schema explicitly instead —
+    both paths asserted here."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "v1col"]).write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "v1col", "v2col"]
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "v1col", "v2col"}
+    rows = {r["id"]: r["v2col"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+    pinned = spark.read.schema("id long, v1col string, v2col double").parquet(p)
+    assert {r["id"]: r["v2col"] for r in pinned.collect()} == rows
+    v1_view = spark.read.schema("id long, v1col string").parquet(p)
+    assert v1_view.count() == 2 and v1_view.columns == ["id", "v1col"]

@@ -114,3 +114,65 @@ def test_snapshot_write_read_prune(spark, tmp_path):
     bad = _os.path.join(wh.snapshot_dir("gold", "corpus"), "v=99")
     _os.makedirs(bad)
     assert wh.list_snapshots("gold", "corpus") == [2, 3]
+
+
+def test_zorder_narrows_row_group_ranges_on_both_keys(spark, tmp_path):
+    """Z-order vs single-key clustering: after zorder_by(x, y), the
+    per-row-group min/max span must shrink well below the full domain
+    for BOTH keys; cluster_by(x) leaves y at (nearly) full range in
+    every file — the reason multi-filter tables need Morton layout."""
+    import pyarrow.parquet as pq
+
+    from teleco_etl_pipeline_spark.operators import maintenance
+
+    n = 40_000
+    df = spark.range(n).selectExpr(
+        "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 4), 16, 10) AS LONG)"
+        " % 1000 AS x",
+        "CAST(conv(substring(md5(CAST(id + 7 AS STRING)), 1, 4), 16, 10) AS LONG)"
+        " % 1000 AS y",
+        "id AS payload",
+    )
+
+    def spans(path, col_idx):
+        out = []
+        import os
+
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                out.append(st.max - st.min)
+        return out
+
+    zpath = str(tmp_path / "ztbl")
+    df.write.parquet(zpath)
+    maintenance.zorder_by(spark, zpath, ["x", "y"], bits=4, target_file_bytes=6_000)
+    cpath = str(tmp_path / "ctbl")
+    df.write.parquet(cpath)
+    maintenance.cluster_by(spark, cpath, ["x"], target_file_bytes=6_000)
+
+    cols = {
+        f.name: i
+        for i, f in enumerate(
+            pq.ParquetFile(
+                next(
+                    str(p) for p in (tmp_path / "ztbl").iterdir()
+                    if p.name.endswith(".parquet")
+                )
+            ).schema_arrow
+        )
+    }
+    z_x, z_y = spans(zpath, cols["x"]), spans(zpath, cols["y"])
+    c_y = spans(cpath, cols["y"])
+    import statistics
+
+    # both dimensions selective under z-order (< 40% of the domain)
+    assert statistics.median(z_x) < 400, statistics.median(z_x)
+    assert statistics.median(z_y) < 400, statistics.median(z_y)
+    # single-key layout: the unsorted dimension stays ~full-range
+    assert statistics.median(c_y) > 900, statistics.median(c_y)
+    # rows preserved
+    assert spark.read.parquet(zpath).count() == n
