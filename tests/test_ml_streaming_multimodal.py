@@ -431,3 +431,57 @@ def test_streaming_watermark_drops_too_late_rows(spark, tmp_path):
     # The within-watermark late row DID aggregate.
     assert by_key[(10, "e3")] == [1]
     assert by_key[(20, "e2")] == [1]
+
+
+def test_streaming_scd2_matches_batch_rebuild(spark, tmp_path):
+    """Two change files drained as separate micro-batch groups must
+    leave the SCD2 dim identical to a one-shot batch rebuild over the
+    concatenated change log."""
+    from teleco_etl_pipeline_spark.operators.scd import scd2_from_changes
+    from teleco_etl_pipeline_spark.streaming.file_stream import (
+        file_arrival_stream,
+        foreach_batch_scd2,
+    )
+
+    watch = tmp_path / "cdc"
+    watch.mkdir()
+    dim_path = str(tmp_path / "dim_history")
+    ckpt = str(tmp_path / "ckpt_scd2")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("eid", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    args = dict(
+        key_cols=["k"], ts_us_col="ts_us", attr_cols=["v"], tiebreak_col="eid"
+    )
+
+    (watch / "day1.csv").write_text("k,eid,ts_us,v\n1,10,100,a\n1,12,300,b\n2,20,150,x\n")
+    q = foreach_batch_scd2(
+        file_arrival_stream(spark, str(watch), schema), ckpt, dim_path, **args
+    )
+    q.awaitTermination(60)
+    (watch / "day2.csv").write_text("k,eid,ts_us,v\n1,30,400,b\n2,31,500,y\n3,32,450,n\n")
+    q2 = foreach_batch_scd2(
+        file_arrival_stream(spark, str(watch), schema), ckpt, dim_path, **args
+    )
+    q2.awaitTermination(60)
+
+    all_changes = spark.createDataFrame(
+        [(1, 10, 100, "a"), (1, 12, 300, "b"), (2, 20, 150, "x"),
+         (1, 30, 400, "b"), (2, 31, 500, "y"), (3, 32, 450, "n")],
+        ["k", "eid", "ts_us", "v"],
+    )
+    expect = scd2_from_changes(all_changes, **args)
+
+    def canon(df):
+        return sorted(
+            (r["k"], r["v"], r["valid_from_us"], r["valid_to_us"], r["is_current"])
+            for r in df.collect()
+        )
+
+    got = spark.read.parquet(dim_path).select(*expect.columns)
+    assert canon(got) == canon(expect)
