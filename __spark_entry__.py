@@ -57,6 +57,8 @@ _RECORD_ORDER = [
     "events_trailing_hour_count",
     "customer_spend_percentile",
     "contamination_ngram_overlap",
+    "events_ohlc_hourly",
+    "price_winsorize_report",
     # -- NEW this round (zero prior evidence anywhere) --------------
     "doc_frequent_ngram_scrub",
     "embedding_pq_topk",
@@ -87,8 +89,6 @@ _RECORD_ORDER = [
     "embedding_semantic_dedup",
     # -- never driver-recorded in any round ------------------------
     "embedding_lsh_multiprobe",
-    "product_profit",
-    "returned_item_report",
     "min_cost_supplier",
     # -- r4 verdict's named NTZ/vintage-sensitive asks (r1-only
     #    evidence, all touched by the timestamp vintage change) -----
@@ -123,6 +123,11 @@ _RECORD_LAST = [
     # approx_quantile_profile is rows-only by design, so its driver
     # row value-checks nothing (same reasoning as
     # approx_distinct_users below).
+    # product_profit / returned_item_report: never driver-recorded but
+    # dual-SF local-parity green (TPC-H Q9/Q10 shapes with driver-green
+    # family twins) — displaced for the two newest zero-evidence ops.
+    "product_profit",
+    "returned_item_report",
     "anti_join",
     "semi_join",
     "conditional_counts",

@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "events_trailing_hour_count",  # value-RANGE frame burst counts
     "customer_spend_percentile",   # percent_rank/cume_dist over agg
     "contamination_ngram_overlap",  # cross-split 5-gram overlap check
+    "events_ohlc_hourly",       # min_by/max_by OHLC resample bars
+    "price_winsorize_report",   # percentile clamp, scalar-subquery bounds
 ]
 
 

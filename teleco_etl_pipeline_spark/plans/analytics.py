@@ -1076,3 +1076,54 @@ def q_customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w) + F.lit(1e-9), 6).alias("spend_pct_rank"),
         F.round(F.cume_dist().over(w) + F.lit(1e-9), 6).alias("spend_cume_dist"),
     )
+
+
+@query(
+    "price_winsorize_report",
+    """
+    WITH b AS (
+      SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+             quantile_cont(l_extendedprice, 0.99) AS hi
+      FROM lineitem
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_extendedprice < (SELECT lo FROM b)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+           CAST(SUM(CASE WHEN l_extendedprice > (SELECT hi FROM b)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high,
+           ROUND((SELECT lo FROM b) + 1e-9, 4) AS p01,
+           ROUND((SELECT hi FROM b) + 1e-9, 4) AS p99,
+           ROUND(CAST(SUM(CAST(ROUND(
+                   LEAST(GREATEST(l_extendedprice, (SELECT lo FROM b)),
+                         (SELECT hi FROM b)) + 1e-9, 4)
+                 AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) + 1e-9, 4)
+             AS winsorized_mean
+    FROM lineitem
+    """,
+    doc="Winsorization (percentile outlier capping) for robust "
+    "feature prep: clamp to the exact [p01, p99] band and report "
+    "clamp counts + the winsorized mean. The bounds are scalar "
+    "subqueries (DataFrame.scalar) feeding a clamp projection in "
+    "the SAME scan-and-aggregate pass — two jobs total, no row "
+    "explosion; at 100 TB swap the exact percentile scalars for "
+    "approx_percentile and the plan is unchanged. Clamped terms are "
+    "rounded then DECIMAL-summed so the mean is partitioning-exact.",
+)
+def q_price_winsorize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = li.agg(F.percentile("l_extendedprice", F.lit(0.01)).alias("q")).scalar()
+    hi = li.agg(F.percentile("l_extendedprice", F.lit(0.99)).alias("q")).scalar()
+    p = F.col("l_extendedprice")
+    clamped = F.round(F.least(F.greatest(p, lo), hi) + F.lit(1e-9), 4).cast(
+        "decimal(18,4)"
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(p < lo, 1).otherwise(0)).alias("n_clamped_low"),
+        F.sum(F.when(p > hi, 1).otherwise(0)).alias("n_clamped_high"),
+        F.round(lo + F.lit(1e-9), 4).alias("p01"),
+        F.round(hi + F.lit(1e-9), 4).alias("p99"),
+        F.round(
+            F.sum(clamped).cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 4
+        ).alias("winsorized_mean"),
+    )

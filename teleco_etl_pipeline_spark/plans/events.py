@@ -611,3 +611,50 @@ def q_events_trailing_hour_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_us("ts").alias("ts_us"),
         F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
     )
+
+
+@query(
+    "events_ohlc_hourly",
+    """
+    SELECT user_id,
+           epoch_us(ts) // 3600000000 AS hour_bucket,
+           ROUND(arg_min(value, printf('%018d-%010d', epoch_us(ts), event_id))
+                 + 1e-9, 4) AS open,
+           ROUND(MAX(value) + 1e-9, 4) AS high,
+           ROUND(MIN(value) + 1e-9, 4) AS low,
+           ROUND(arg_max(value, printf('%018d-%010d', epoch_us(ts), event_id))
+                 + 1e-9, 4) AS close,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id, hour_bucket
+    """,
+    doc="Time-series downsampling to OHLC bars (open/high/low/close "
+    "per user-hour) — the standard resample for metric streams. "
+    "open/close are ONE aggregation pass via min_by/max_by keyed on "
+    "a zero-padded (event-time, event_id) string (lexicographic == "
+    "numeric order, deterministic under timestamp ties, and scalar "
+    "so DuckDB's arg_min accepts it — its key can't be a struct) — "
+    "no ROW_NUMBER window, no second shuffle; at scale the hour "
+    "bucket doubles as the partition column and bars re-aggregate "
+    "to coarser bars associatively (first/last compose like "
+    "min/max); Spark-only callers can swap the string key for a "
+    "struct to skip the formatting cost.",
+)
+def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        "event_id",
+        epoch_us("ts").alias("ts_us"),
+    )
+    order_key = F.format_string("%018d-%010d", F.col("ts_us"), F.col("event_id"))
+    r4 = lambda c: F.round(c + F.lit(1e-9), 4)  # noqa: E731
+    return ev.groupBy(
+        "user_id", F.expr("ts_us div 3600000000").alias("hour_bucket")
+    ).agg(
+        r4(F.min_by("value", order_key)).alias("open"),
+        r4(F.max("value")).alias("high"),
+        r4(F.min("value")).alias("low"),
+        r4(F.max_by("value", order_key)).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
