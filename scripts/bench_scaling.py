@@ -53,6 +53,8 @@ QUERIES = [
     "minhash_lsh_pairs",
     # cross-doc scrub (gram-count shuffle growth)
     "doc_frequent_ngram_scrub",
+    # linear decontamination (train-set hash join, no self-join)
+    "contamination_ngram_overlap",
     # retrieval compositions (bucket-bounded candidates / bounded lists)
     "embedding_knn_classify",
     "embedding_batch_topk",

@@ -541,11 +541,15 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     # split is a pure function of doc_id (hash bucket), so it's
     # recomputed on the exploded shingles instead of joined back —
     # a per-row md5 beats shuffling (doc, shingle) against the corpus.
+    # cache: the tokenize+explode leaf feeds BOTH the train distinct
+    # and the test probe side — uncached it runs twice (measured
+    # 3.6 s at sf0.1, ~2× the cached cost; same reasoning as the
+    # jaccard self-join's shingle cache, dedup.py).
     sh = deterministic_split(
         _doc_shingles(labeled.filter(F.col("split").isin("train", "test")), n=5),
         "doc_id",
         {"train": 0.8, "valid": 0.1, "test": 0.1},
-    )
+    ).cache()
     train_set = (
         sh.filter(F.col("split") == "train").select("shingle").distinct()
     )

@@ -1111,8 +1111,14 @@ def q_customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_price_winsorize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    lo = li.agg(F.percentile("l_extendedprice", F.lit(0.01)).alias("q")).scalar()
-    hi = li.agg(F.percentile("l_extendedprice", F.lit(0.99)).alias("q")).scalar()
+    # both bounds from ONE percentile sort-agg (a scalar subquery
+    # returning the array) — separate lo/hi subqueries measured ~2×
+    # the runtime at sf0.1 (4.8 s → see bench) since each is its own
+    # full sort of the column.
+    bounds = li.agg(
+        F.percentile("l_extendedprice", F.lit([0.01, 0.99])).alias("q")
+    ).scalar()
+    lo, hi = bounds.getItem(0), bounds.getItem(1)
     p = F.col("l_extendedprice")
     clamped = F.round(F.least(F.greatest(p, lo), hi) + F.lit(1e-9), 4).cast(
         "decimal(18,4)"
