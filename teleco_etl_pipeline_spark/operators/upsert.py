@@ -169,3 +169,45 @@ def overwrite_day_partition(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def mergeable_agg_update(
+    summary: DataFrame | None,
+    batch: DataFrame,
+    keys: list[str],
+    agg_spec: dict[str, str],
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: fold a new
+    batch into a running per-key summary WITHOUT rescanning history —
+    the pattern that turns the reference's nightly full-refresh
+    reports (TRUNCATE + re-aggregate, SURVEY.md S12) into O(batch)
+    work per load.
+
+    ``agg_spec`` maps column → mergeable function name (``sum`` /
+    ``count`` / ``min`` / ``max`` — any commutative-monoid aggregate;
+    AVG is NOT mergeable and must be stored as sum+count and divided
+    at read). The batch is reduced to key-level partials first, then
+    union + re-aggregate folds them into the summary: one shuffle of
+    |summary keys| + |batch keys|, never of raw history. ``count``
+    columns merge by SUM (a count of counts is a sum).
+
+    Algebra note: because every function is associative+commutative,
+    any batch arrival order and any partitioning yield the same
+    summary — asserted against a from-scratch recompute in tests.
+    """
+    fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    partial = batch.groupBy(*keys).agg(
+        *[
+            (F.count(F.lit(1)) if fn == "count" else fns[fn](F.col(c))).alias(c)
+            for c, fn in agg_spec.items()
+        ]
+    )
+    if summary is None:
+        return partial
+    merged = summary.select(*keys, *agg_spec).unionByName(partial)
+    return merged.groupBy(*keys).agg(
+        *[
+            (F.sum(c) if fn in ("sum", "count") else fns[fn](F.col(c))).alias(c)
+            for c, fn in agg_spec.items()
+        ]
+    )

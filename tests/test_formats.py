@@ -187,3 +187,28 @@ def test_parquet_schema_evolution_merge_on_read(spark, tmp_path):
     assert {r["id"]: r["v2col"] for r in pinned.collect()} == rows
     v1_view = spark.read.schema("id long, v1col string").parquet(p)
     assert v1_view.count() == 2 and v1_view.columns == ["id", "v1col"]
+
+
+def test_hidden_metadata_columns_give_row_lineage(spark, tmp_path):
+    """Row-level lineage without storing it: the parquet reader's
+    hidden _metadata struct surfaces source file identity per row —
+    what the medallion layer's source_file column captures for CSV
+    ingests, for free on columnar tables."""
+    p = str(tmp_path / "lineage")
+    spark.createDataFrame([(1,)], ["id"]).write.parquet(p)
+    spark.createDataFrame([(2,)], ["id"]).write.mode("append").parquet(p)
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(p)
+        .select(
+            "id",
+            F.col("_metadata.file_name").alias("f"),
+            F.col("_metadata.file_size").alias("sz"),
+        )
+        .collect()
+    )
+    assert len(rows) == 2 and all(r["f"].endswith(".parquet") for r in rows)
+    assert all(r["sz"] > 0 for r in rows)
+    # two appends → two distinct physical files
+    assert len({r["f"] for r in rows}) == 2

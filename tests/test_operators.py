@@ -1065,3 +1065,35 @@ def test_asof_nearest_join_single_shuffle(spark):
         left, right, ["k"], "ts_us", "v", "eid"
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_mergeable_agg_update_equals_full_recompute(spark):
+    from teleco_etl_pipeline_spark.operators.upsert import mergeable_agg_update
+
+    spec = {"n": "count", "total": "sum", "lo": "min", "hi": "max"}
+
+    b1 = spark.createDataFrame([(1, 10.0), (1, 20.0), (2, 5.0)], ["k", "v"])
+    b2 = spark.createDataFrame([(1, 30.0), (3, 7.0)], ["k", "v"])
+    b3 = spark.createDataFrame([(2, 1.0), (3, 2.0), (3, 9.0)], ["k", "v"])
+
+    def prep(b):
+        return b.select(
+            "k", F.col("v").alias("n"), F.col("v").alias("total"),
+            F.col("v").alias("lo"), F.col("v").alias("hi"),
+        )
+
+    summary = None
+    for b in (b1, b2, b3):
+        summary = mergeable_agg_update(summary, prep(b), ["k"], spec)
+
+    full = mergeable_agg_update(
+        None, prep(b1.unionByName(b2).unionByName(b3)), ["k"], spec
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert canon(summary) == canon(full)
+    row = {r["k"]: r for r in summary.collect()}
+    assert row[3]["n"] == 3 and row[3]["total"] == 18.0
+    assert row[3]["lo"] == 2.0 and row[3]["hi"] == 9.0
