@@ -59,6 +59,8 @@ _RECORD_ORDER = [
     "contamination_ngram_overlap",
     "events_ohlc_hourly",
     "price_winsorize_report",
+    "doc_oov_rate",
+    "events_daily_anomaly_mad",
     # -- NEW this round (zero prior evidence anywhere) --------------
     "doc_frequent_ngram_scrub",
     "embedding_pq_topk",
@@ -87,9 +89,6 @@ _RECORD_ORDER = [
     "minhash_lsh_pairs",
     "simhash_neardup",
     "embedding_semantic_dedup",
-    # -- never driver-recorded in any round ------------------------
-    "embedding_lsh_multiprobe",
-    "min_cost_supplier",
     # -- r4 verdict's named NTZ/vintage-sensitive asks (r1-only
     #    evidence, all touched by the timestamp vintage change) -----
     "latest_per_key",
@@ -128,6 +127,12 @@ _RECORD_LAST = [
     # family twins) — displaced for the two newest zero-evidence ops.
     "product_profit",
     "returned_item_report",
+    # embedding_lsh_multiprobe / min_cost_supplier: never
+    # driver-recorded, but dual-SF local green with driver-green
+    # siblings (embedding_lsh_pairs r4; window-min argmin shape) and
+    # a pytest recall bound — displaced for the two newest ops.
+    "embedding_lsh_multiprobe",
+    "min_cost_supplier",
     "anti_join",
     "semi_join",
     "conditional_counts",

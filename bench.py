@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "contamination_ngram_overlap",  # cross-split 5-gram overlap check
     "events_ohlc_hourly",       # min_by/max_by OHLC resample bars
     "price_winsorize_report",   # percentile clamp, scalar-subquery bounds
+    "doc_oov_rate",             # top-K vocab coverage gate
+    "events_daily_anomaly_mad", # median/MAD robust anomaly twin
 ]
 
 

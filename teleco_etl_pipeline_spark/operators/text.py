@@ -9,7 +9,7 @@ hot path and full column pruning (only ``text`` is read).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from teleco_etl_pipeline_spark.plans.registry import query
@@ -741,4 +741,57 @@ def q_doc_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("text").alias("n_chars_actual"),
         F.length("text").between(lo, hi).alias("keep"),
+    )
+
+
+@query(
+    "doc_oov_rate",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+      ) QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, token) <= 20
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) + 1e-9, 4) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY doc_id
+    """,
+    doc="Vocabulary-coverage gate: per-document fraction of token "
+    "occurrences outside the corpus top-K vocabulary (deterministic "
+    "count-desc/token-asc ranking) — the tokenizer-fit signal that "
+    "flags documents a fixed vocab would shred into rare pieces. "
+    "The vocab is a top-K aggregate (tiny, broadcast into the "
+    "probe join); the token stream shuffles once for the counts "
+    "and once for the per-doc agg — at 100 TB the vocab table is "
+    "materialized once per tokenizer release instead of refit.",
+)
+def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    marked = tok.join(F.broadcast(vocab), "token", "left")
+    oov = F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        oov.alias("n_oov"),
+        F.round(oov.cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 4).alias(
+            "oov_rate"
+        ),
     )

@@ -658,3 +658,50 @@ def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.max_by("value", order_key)).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "events_daily_anomaly_mad",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day_bucket,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    ), med AS (SELECT MEDIAN(n_events) AS m FROM daily),
+    mad AS (
+      SELECT MEDIAN(ABS(n_events - (SELECT m FROM med))) AS d FROM daily
+    )
+    SELECT day_bucket, n_events,
+           ROUND(0.6745 * (n_events - (SELECT m FROM med))
+                 / (SELECT d FROM mad) + 1e-9, 4) AS robust_z,
+           ABS(ROUND(0.6745 * (n_events - (SELECT m FROM med))
+                 / (SELECT d FROM mad) + 1e-9, 4)) >= 3.5 AS is_anomaly
+    FROM daily
+    ORDER BY day_bucket
+    """,
+    doc="Robust (median/MAD) twin of events_daily_anomaly: the "
+    "Iglewicz-Hoaglin modified z-score 0.6745·(x−med)/MAD with the "
+    "3.5 cutoff — unlike the mean/stddev z, a single huge outlier "
+    "day cannot mask itself by inflating the spread. Both medians "
+    "are scalar subqueries over the tiny day-level aggregate (days, "
+    "not events); the flag compares on the rounded score so "
+    "membership is cross-engine exact.",
+)
+def q_events_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(f"({_TS_US}) div {DAY_US}").alias("day_bucket")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    med = daily.agg(F.median("n_events").alias("m")).scalar()
+    mad = daily.agg(
+        F.median(F.abs(F.col("n_events") - med)).alias("d")
+    ).scalar()
+    rz = F.round(
+        F.lit(0.6745) * (F.col("n_events") - med) / mad + F.lit(1e-9), 4
+    )
+    return daily.select(
+        "day_bucket",
+        "n_events",
+        rz.alias("robust_z"),
+        (F.abs(rz) >= 3.5).alias("is_anomaly"),
+    ).orderBy("day_bucket")
