@@ -61,6 +61,7 @@ _RECORD_ORDER = [
     "price_winsorize_report",
     "doc_oov_rate",
     "events_daily_anomaly_mad",
+    "forecast_revenue",
     # -- NEW this round (zero prior evidence anywhere) --------------
     "doc_frequent_ngram_scrub",
     "embedding_pq_topk",
@@ -101,7 +102,6 @@ _RECORD_ORDER = [
     # -- events-table family (vintage-sensitive, r1-only) ----------
     "events_tumbling_hourly",
     "events_sessionize",
-    "events_hopping_counts",
     "events_locf_daily",  # NEW r5: LOCF gap-fill onto a dense grid
 ]
 # Past-window ordering: the displaced multi-round-green core records
@@ -133,6 +133,10 @@ _RECORD_LAST = [
     # a pytest recall bound — displaced for the two newest ops.
     "embedding_lsh_multiprobe",
     "min_cost_supplier",
+    # events_hopping_counts: r1-green + dual-SF local green; its
+    # sibling tumbling/sessionize rows stay in-window — displaced
+    # for the zero-evidence Q6 shape.
+    "events_hopping_counts",
     "anti_join",
     "semi_join",
     "conditional_counts",

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "price_winsorize_report",   # percentile clamp, scalar-subquery bounds
     "doc_oov_rate",             # top-K vocab coverage gate
     "events_daily_anomaly_mad", # median/MAD robust anomaly twin
+    "forecast_revenue",         # Q6 pure pushdown filter-agg probe
 ]
 
 

@@ -775,3 +775,46 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "s_name", "unit_cost")
     )
+
+
+@query(
+    "forecast_revenue",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS promo_revenue_gain,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecast revenue change): the pure "
+    "filter-and-aggregate probe — every conjunct (date range, "
+    "discount band, quantity cap) is a raw-column comparison, so "
+    "ALL of them reach the parquet scan as PushedFilters and the "
+    "post-scan plan is a single partial-agg; decimal product "
+    "accumulation keeps the sum exact under any partitioning. The "
+    "query every storage layout change (clustering, Z-order, "
+    "partitioning) is measured against.",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    f = (
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.filter(f).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            ).cast("double"),
+            2,
+        ).alias("promo_revenue_gain"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

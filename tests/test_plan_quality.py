@@ -340,3 +340,29 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_forecast_revenue_pushes_every_conjunct(spark, sf_dir):
+    """Q6 shape: date range, discount band, and quantity cap must ALL
+    reach the parquet reader — and only the 4 referenced columns scan."""
+    # formatted explain — the executedPlan toString elides long
+    # filter lists with "..."
+    import contextlib
+    import io
+
+    df = all_queries()["forecast_revenue"].build(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pushed = plan.split("PushedFilters: ")[1].splitlines()[0]
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in pushed, (frag, pushed)
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
