@@ -113,15 +113,14 @@ _RECORD_ORDER = [
 # priority_set_ops r4); approx_distinct_users is rows-only by
 # design, so its driver row value-checks nothing.
 _RECORD_LAST = [
-    # Displaced for the TEN operators new in the later r5 session
-    # (zero prior evidence beats r1-only + current local-parity
-    # evidence). All nine oracle-backed rows below are r1-green AND
-    # match in the refreshed LOCAL_PARITY_r05{,_sf01} sweeps;
-    # events_json_props reads only the props column, so it is NOT
-    # timestamp-vintage-sensitive despite living on events;
-    # approx_quantile_profile is rows-only by design, so its driver
-    # row value-checks nothing (same reasoning as
-    # approx_distinct_users below).
+    # Displaced for the FIFTEEN operators new in the later r5 session
+    # (zero prior evidence beats r1-only / never-recorded-with-local
+    # evidence). The fifteen rows in this block all match in the
+    # refreshed LOCAL_PARITY_r05{,_sf01} sweeps; events_json_props
+    # reads only the props column, so it is NOT timestamp-vintage-
+    # sensitive despite living on events; approx_quantile_profile is
+    # rows-only by design, so its driver row value-checks nothing
+    # (same reasoning as approx_distinct_users below).
     # product_profit / returned_item_report: never driver-recorded but
     # dual-SF local-parity green (TPC-H Q9/Q10 shapes with driver-green
     # family twins) — displaced for the two newest zero-evidence ops.

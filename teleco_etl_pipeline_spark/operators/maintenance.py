@@ -115,14 +115,28 @@ def zorder_by(
     """
     from pyspark.sql import functions as F
 
+    if bits * len(keys) > 63:
+        # JVM shiftleft wraps the shift amount mod 64 — positions ≥64
+        # would silently alias onto low bits and scramble the Morton
+        # order (layout "succeeds" but prunes nothing).
+        raise ValueError(
+            f"bits({bits}) * len(keys)({len(keys)}) must be <= 63 to fit "
+            "one long z-value; lower bits or split the key set"
+        )
     nbytes = table_bytes(spark, path)
     n_files = max(min_files, -(-nbytes // target_file_bytes))
     df = spark.read.parquet(path)
     n_buckets = 1 << bits
+    # ALL key bounds from one aggregation job (2×|keys| separate
+    # scalar subqueries would each rescan the table — the winsorize
+    # lesson, plans/analytics.py).
+    bounds = df.agg(
+        *[F.min(k).cast("double").alias(f"mn_{k}") for k in keys],
+        *[F.max(k).cast("double").alias(f"mx_{k}") for k in keys],
+    ).first()
     bucket_cols = []
     for k in keys:
-        mn = df.agg(F.min(k).alias("m")).scalar().cast("double")
-        mx = df.agg(F.max(k).alias("m")).scalar().cast("double")
+        mn, mx = F.lit(bounds[f"mn_{k}"]), F.lit(bounds[f"mx_{k}"])
         frac = (F.col(k).cast("double") - mn) / (mx - mn + F.lit(1e-12))
         bucket_cols.append(
             F.least(

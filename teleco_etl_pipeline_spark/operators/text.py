@@ -42,12 +42,22 @@ def normalized_text(col: Column | str) -> Column:
 
 def shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a token array (no UDF):
-    transform(sequence(0, size-n), i -> array_join(slice(toks,i+1,n)))."""
-    return F.array_distinct(
+    transform(sequence(0, size-n), i -> array_join(slice(toks,i+1,n))).
+
+    Short arrays (size < n) yield an EMPTY array — guarded with a
+    ``when``, because ``sequence(0, size-n)`` with a negative stop
+    counts DOWN ([0, -1], step inferred −1) and the i = −1 element
+    would crash ``slice`` with start 0 at runtime (matches the DuckDB
+    oracles' ``WHERE len(toks) >= n`` semantics of dropping the doc).
+    """
+    spans = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+            F.sequence(F.lit(0), F.size(toks) - n),
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         )
+    )
+    return F.when(F.size(toks) >= n, spans).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -778,12 +788,15 @@ def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokens("text")).alias("token")
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    # top-K via orderBy+limit → TakeOrderedAndProject: every partition
+    # keeps its local top-20 and the driver merges. A global
+    # row_number window here would funnel the ENTIRE vocabulary
+    # through one task to keep 20 rows.
     vocab = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
         .select("token", F.lit(1).alias("__in_vocab"))
     )
     marked = tok.join(F.broadcast(vocab), "token", "left")

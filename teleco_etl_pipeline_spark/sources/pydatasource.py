@@ -41,6 +41,22 @@ def keyset_parquet_source():
         InputPartition,
     )
 
+    def _data_files(path):
+        """Single file or Spark-written directory → list of data files
+        (Spark always writes parquet tables as directories; pyarrow's
+        footer readers want individual files). Defined inside the
+        factory so the pickled-by-value classes never reference this
+        module by name."""
+        import os
+
+        if os.path.isdir(path):
+            return sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return [path]
+
     class KeyRange(InputPartition):
         def __init__(self, lo, hi, last):
             self.lo, self.hi, self.last = lo, hi, last
@@ -59,13 +75,22 @@ def keyset_parquet_source():
                 return int(self.lower), int(self.upper)
             import pyarrow.parquet as pq
 
-            md = pq.ParquetFile(self.path).metadata
-            idx = md.schema.to_arrow_schema().get_field_index(self.col)
             los, his = [], []
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                los.append(st.min)
-                his.append(st.max)
+            for f in _data_files(self.path):
+                md = pq.ParquetFile(f).metadata
+                idx = md.schema.to_arrow_schema().get_field_index(self.col)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or st.min is None or st.max is None:
+                        raise ValueError(
+                            f"{f} carries no min/max statistics for "
+                            f"'{self.col}' — pass explicit lower/upper "
+                            "options to plan the key ranges"
+                        )
+                    los.append(st.min)
+                    his.append(st.max)
+            if not los:
+                raise ValueError(f"no parquet data files under {self.path}")
             return min(los), max(his)
 
         def partitions(self):
@@ -109,7 +134,7 @@ def keyset_parquet_source():
             from pyspark.sql.pandas.types import from_arrow_schema
 
             return from_arrow_schema(
-                pq.read_schema(self.options["path"])
+                pq.read_schema(_data_files(self.options["path"])[0])
             )
 
         def reader(self, schema):

@@ -126,12 +126,20 @@ def foreach_batch_scd2(
         scd2_apply,
         scd2_from_changes,
     )
-    from teleco_etl_pipeline_spark.operators.upsert import safe_overwrite
+    from teleco_etl_pipeline_spark.operators.upsert import (
+        heal_interrupted_swap,
+        safe_overwrite,
+    )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # The swap contract (upsert.heal_interrupted_swap): a crash
+        # between safe_overwrite's two renames leaves only the .old
+        # backup, and an unguarded exists() check would rebuild the
+        # dimension from THIS batch alone — discarding all history.
+        heal_interrupted_swap(dim_path)
         if os.path.exists(dim_path):
             dim = spark.read.parquet(dim_path)
             new_dim = scd2_apply(

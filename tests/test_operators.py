@@ -1097,3 +1097,34 @@ def test_mergeable_agg_update_equals_full_recompute(spark):
     row = {r["k"]: r for r in summary.collect()}
     assert row[3]["n"] == 3 and row[3]["total"] == 18.0
     assert row[3]["lo"] == 2.0 and row[3]["hi"] == 9.0
+
+
+def test_shingles_short_and_empty_docs_yield_no_spans(spark):
+    """Regression: sequence(0, size-n) counts DOWN for short arrays
+    ([0,-1]) and the i=-1 slice crashed at runtime; short docs must
+    instead contribute zero shingles (the oracle's len(toks)>=n)."""
+    from teleco_etl_pipeline_spark.operators.text import shingles, tokens
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "one two three four")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", shingles(tokens("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert rows[1] == [] and rows[2] == [] and rows[3] == []
+    assert rows[4] == ["one two three", "two three four"]
+
+
+def test_zorder_rejects_overflowing_bit_budget(spark, tmp_path):
+    import pytest as _pytest
+
+    from teleco_etl_pipeline_spark.operators.maintenance import zorder_by
+
+    p = str(tmp_path / "ztbl")
+    spark.range(10).selectExpr(*[f"id AS c{i}" for i in range(7)]).write.parquet(p)
+    with _pytest.raises(ValueError, match="<= 63"):
+        zorder_by(spark, p, [f"c{i}" for i in range(7)], bits=10)

@@ -75,3 +75,21 @@ def _mk_reader(cls, schema):
         }
     )
     return src.reader(schema)
+
+
+def test_keyset_source_reads_spark_written_directory(spark, tmp_path):
+    """Spark writes tables as directories — schema inference, bounds
+    planning (multi-file footer sweep) and reads must all handle
+    them."""
+    p = str(tmp_path / "oltp_tbl")
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v").repartition(3).write.parquet(p)
+    df = (
+        spark.read.format("keyset_oltp")
+        .option("path", p)
+        .option("partition_col", "k")
+        .option("num_partitions", "4")
+        .load()
+    )
+    assert df.count() == 100
+    got = {r["k"]: r["v"] for r in df.collect()}
+    assert got == {i: 2 * i for i in range(100)}
