@@ -60,8 +60,9 @@ _RECORD_ORDER = [
     "events_ohlc_hourly",
     "price_winsorize_report",
     "doc_oov_rate",
-    "events_daily_anomaly_mad",
     "forecast_revenue",
+    # NEW (this session): IVFADC composed ANN — zero prior evidence.
+    "embedding_ivfpq_topk",
     # -- NEW this round (zero prior evidence anywhere) --------------
     "doc_frequent_ngram_scrub",
     "embedding_pq_topk",
@@ -113,6 +114,10 @@ _RECORD_ORDER = [
 # priority_set_ops r4); approx_distinct_users is rows-only by
 # design, so its driver row value-checks nothing.
 _RECORD_LAST = [
+    # events_daily_anomaly_mad: displaced for embedding_ivfpq_topk —
+    # its z-score family twin events_daily_anomaly keeps an in-window
+    # slot and the MAD variant is dual-SF local-parity green.
+    "events_daily_anomaly_mad",
     # Displaced for the FIFTEEN operators new in the later r5 session
     # (zero prior evidence beats r1-only / never-recorded-with-local
     # evidence). The fifteen rows in this block all match in the

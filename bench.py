@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "doc_oov_rate",             # top-K vocab coverage gate
     "events_daily_anomaly_mad", # median/MAD robust anomaly twin
     "forecast_revenue",         # Q6 pure pushdown filter-agg probe
+    "embedding_ivfpq_topk",     # IVFADC composed index (timer excludes the shared sample fit, which runs at plan build like the IVF/PQ fits)
 ]
 
 

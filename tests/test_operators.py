@@ -886,6 +886,118 @@ def test_pq_codes_table_scan_prunes_vectors(spark, sf_dir, tmp_path):
     ]
 
 
+def test_ivfpq_topk_recall_vs_brute_force(spark, sf_dir):
+    """IVFADC (coarse cells + residual-PQ ADC + exact rerank) must
+    recover most of the exact top-10 with half the cells probed — the
+    same bound the plain-IVF twin meets, since the rerank window is
+    wide enough to absorb ADC approximation error at this SF."""
+    from teleco_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_assign,
+        ivfpq_fit,
+        ivfpq_topk,
+    )
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    exact = {
+        r["vec_id"]
+        for r in brute_force_topk(emb, qvec, k=10, exclude_ids=(0,)).collect()
+    }
+    cents, cb = ivfpq_fit(emb)
+    assigned = ivfpq_assign(emb, cents, cb)
+    approx = {
+        r["vec_id"]
+        for r in ivfpq_topk(
+            assigned, cents, cb, qvec, k=10, exclude_ids=(0,)
+        ).collect()
+    }
+    assert len(exact & approx) >= 5
+
+
+def test_ivfpq_assign_matches_numpy_replica(spark, sf_dir):
+    """The Arrow-batched encode pass (cell + residual codes in one
+    UDF) must agree with a straight-line numpy replay on the same
+    fitted tensors — guards the residual subtraction and the
+    per-subspace argmin formula against drift."""
+    import numpy as np
+
+    from teleco_etl_pipeline_spark.operators.similarity import (
+        ivfpq_assign,
+        ivfpq_fit,
+    )
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, cb = ivfpq_fit(emb)
+    m, k_cent, dsub = cb.shape
+    got = {
+        r["vec_id"]: (r["ivf_list"], tuple(r["codes"]))
+        for r in ivfpq_assign(emb, cents, cb)
+        .select("vec_id", "ivf_list", "codes")
+        .collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    for r in rows:
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        lst = int(((x[None, :] - cents) ** 2).sum(axis=1).argmin())
+        resid = x - cents[lst]
+        codes = tuple(
+            int(
+                ((resid[j * dsub : (j + 1) * dsub][None, :] - cb[j]) ** 2)
+                .sum(axis=1)
+                .argmin()
+            )
+            for j in range(m)
+        )
+        assert got[r["vec_id"]] == (lst, codes), r["vec_id"]
+
+
+def test_ivfpq_probed_scan_prunes_partitions_and_vectors(spark, sf_dir, tmp_path):
+    """The 100 TB IVFADC claim, exercised end-to-end on a persisted
+    index: write (vec_id, ivf_list, codes) partitioned by ivf_list,
+    then a probed ADC scan must (a) read only the probed partition
+    directories (PartitionFilters, no full-index scan) and (b) never
+    touch a vector column (ReadSchema is the skinny code table)."""
+    from teleco_etl_pipeline_spark.operators.similarity import (
+        ivfpq_adc_score,
+        ivfpq_assign,
+        ivfpq_fit,
+    )
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cents, cb = ivfpq_fit(emb)
+    path = str(tmp_path / "ivfpq_index")
+    ivfpq_assign(emb, cents, cb).select(
+        "vec_id", "ivf_list", "codes"
+    ).write.partitionBy("ivf_list").parquet(path)
+
+    index = spark.read.parquet(path)
+    probe = [0, 1]
+    cand = (
+        index.filter(F.col("ivf_list").isin(probe))
+        .select("vec_id", ivfpq_adc_score(cents, cb, qv).alias("approx_dot"))
+        .orderBy(F.desc("approx_dot"), F.asc("vec_id"))
+        .limit(50)
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scans and "ivf_list" in scans[0], plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "embedding" not in read[0], read
+    # the pruned scan really is partition-pruned: only the probed
+    # directories' rows flow into the candidate set
+    expected = {
+        r["vec_id"]
+        for r in index.collect()
+        if r["ivf_list"] in probe
+    }
+    assert {r["vec_id"] for r in cand.collect()} <= expected
+
+
 def test_lsh_knn_join_degrades_to_exact_with_zero_planes(spark, sf_dir):
     from pyspark.sql import functions as F
 
