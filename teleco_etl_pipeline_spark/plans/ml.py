@@ -103,7 +103,17 @@ def train(wh: Warehouse, models_dir: str, version: str, algo: str = "rf") -> dic
     model = build_pipeline(algo).fit(df)
     path = os.path.join(models_dir, f"churn_model_{version}")
     model.write().overwrite().save(path)
-    preds = model.transform(df)
+    # Score through the RELOADED artifact, not the in-memory fit: the
+    # fitted classifier keeps a training summary whose SparkSession
+    # reference java-serializes into every transform closure, and the
+    # session stops being java-serializable the moment any
+    # DataFrame.observe() has initialized its ObservationManager
+    # (NotSerializableException, order-dependent across a shared
+    # session). Loading drops the summary — and evaluating the saved
+    # artifact also proves the exact round-trip inference depends on.
+    from pyspark.ml import PipelineModel
+
+    preds = PipelineModel.load(path).transform(df)
     auc = _auc(preds)
     return {"rows": n, "model_path": path, "train_auc": round(auc, 4)}
 
