@@ -52,17 +52,17 @@ _RECORD_ORDER = [
     "events_user_streaks",
     "events_decay_score",
     "events_type_quantiles",
-    "events_seq_examples",
     "events_variant_shred",
     "events_trailing_hour_count",
-    "customer_spend_percentile",
     "contamination_ngram_overlap",
     "events_ohlc_hourly",
     "price_winsorize_report",
     "doc_oov_rate",
     "forecast_revenue",
-    # NEW (this session): IVFADC composed ANN — zero prior evidence.
+    # NEW (this session): zero prior evidence.
     "embedding_ivfpq_topk",
+    "events_active_users_7d",
+    "customer_pareto_abc",
     # -- NEW this round (zero prior evidence anywhere) --------------
     "doc_frequent_ngram_scrub",
     "embedding_pq_topk",
@@ -114,10 +114,15 @@ _RECORD_ORDER = [
 # priority_set_ops r4); approx_distinct_users is rows-only by
 # design, so its driver row value-checks nothing.
 _RECORD_LAST = [
-    # events_daily_anomaly_mad: displaced for embedding_ivfpq_topk —
-    # its z-score family twin events_daily_anomaly keeps an in-window
-    # slot and the MAD variant is dual-SF local-parity green.
+    # Displaced for the three operators new in this session (all
+    # dual-SF local-parity green; each keeps an in-window family
+    # sibling): events_daily_anomaly_mad (MAD twin of the z-score
+    # anomaly row), events_seq_examples (LAG-tap sibling of
+    # events_transition_matrix), customer_spend_percentile
+    # (percent_rank sibling of customer_rfm_segments).
     "events_daily_anomaly_mad",
+    "events_seq_examples",
+    "customer_spend_percentile",
     # Displaced for the FIFTEEN operators new in the later r5 session
     # (zero prior evidence beats r1-only / never-recorded-with-local
     # evidence). The fifteen rows in this block all match in the

@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "events_daily_anomaly_mad", # median/MAD robust anomaly twin
     "forecast_revenue",         # Q6 pure pushdown filter-agg probe
     "embedding_ivfpq_topk",     # IVFADC composed index (timer excludes the shared sample fit, which runs at plan build like the IVF/PQ fits)
+    "events_active_users_7d",   # trailing-7d exact distinct users (explode-contribution)
+    "customer_pareto_abc",      # decimal-exact Pareto/ABC cumulative classification
 ]
 
 

@@ -1133,3 +1133,69 @@ def q_price_winsorize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(clamped).cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 4
         ).alias("winsorized_mean"),
     )
+
+
+@query(
+    "customer_pareto_abc",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY 1
+    ), tot AS (SELECT SUM(spend) AS t FROM spend),
+    cum AS (
+      SELECT o_custkey, spend,
+             SUM(spend) OVER (ORDER BY spend DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM spend
+    ), cls AS (
+      SELECT CASE WHEN 2 * cum <= (SELECT t FROM tot) THEN 'A'
+                  WHEN 5 * cum <= 4 * (SELECT t FROM tot) THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             spend
+      FROM cum
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(spend) AS DOUBLE) * 100
+                 / CAST((SELECT t FROM tot) AS DOUBLE) + 1e-9, 4)
+             AS revenue_pct
+    FROM cls GROUP BY 1 ORDER BY 1
+    """,
+    doc="Pareto/ABC revenue-concentration analysis: rank customers "
+    "by spend, classify by INCLUSIVE cumulative share (A ≤ 50 %, "
+    "B ≤ 80 %, C rest), report class sizes and revenue shares. "
+    "Class boundaries compare 2·cum ≤ total and 5·cum ≤ 4·total in "
+    "exact DECIMAL arithmetic — a floating cum/total ratio at a "
+    "boundary customer could classify differently per engine. The "
+    "global cumulative window runs over the customer-level "
+    "AGGREGATE (dim-scale, not fact-scale); at extreme cardinality "
+    "swap in a two-pass range-partitioned prefix sum — the "
+    "classification logic is unchanged.",
+)
+def q_customer_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    total = spend.agg(F.sum("spend").alias("t")).scalar()
+    w = (
+        Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = spend.withColumn("cum", F.sum("spend").over(w))
+    cls = F.when(F.lit(2) * F.col("cum") <= total, "A").when(
+        F.lit(5) * F.col("cum") <= F.lit(4) * total, "B"
+    ).otherwise("C")
+    return (
+        cum.groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum("spend").cast("double") * 100 / total.cast("double")
+                + F.lit(1e-9),
+                4,
+            ).alias("revenue_pct"),
+        )
+        .orderBy("abc_class")
+    )

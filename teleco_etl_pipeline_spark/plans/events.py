@@ -705,3 +705,53 @@ def q_events_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         rz.alias("robust_z"),
         (F.abs(rz) >= 3.5).alias("is_anomaly"),
     ).orderBy("day_bucket")
+
+
+@query(
+    "events_active_users_7d",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (SELECT DISTINCT d FROM du)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT du.user_id) AS active_7d
+    FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    ORDER BY day
+    """,
+    doc="Exact trailing-7-day distinct active users per day — the op "
+    "window functions CANNOT express (COUNT(DISTINCT) is invalid "
+    "over a RANGE frame) and sketches only approximate. Shape: dedup "
+    "to (user, day) pairs FIRST (events→user×days, the big "
+    "cardinality drop), then explode each pair onto the ≤7 report "
+    "days it contributes to and count distinct per day. O(7·|user×"
+    "days|) work with two key-partitioned shuffles — versus the "
+    "oracle's days×users range join, which is O(days·|user×days|) "
+    "and unshardable by key. The explode factor is the window length, "
+    "independent of data size, so the plan survives 100 TB as long "
+    "as user×days does (it is the smallest exact state any engine "
+    "needs). Report days restricted to observed days via semi-join "
+    "to match the oracle's day grid.",
+)
+def q_events_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    covered = du.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    days = du.select(F.col("d").alias("day")).distinct()
+    return (
+        covered.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+        .select(
+            # DATE fetches as midnight Timestamp through the oracle's
+            # pandas bridge — project the string form (house rule).
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "active_7d",
+        )
+        .orderBy("day")
+    )
