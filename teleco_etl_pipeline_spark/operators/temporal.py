@@ -165,6 +165,42 @@ def banded_range_join(
     return keyed.join(bands, band_id_col, how)
 
 
+def trailing_distinct_count(
+    pairs: DataFrame,
+    date_col: str,
+    key_col: str,
+    window_days: int = 7,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Exact trailing-``window_days`` COUNT(DISTINCT key) per observed
+    day — the operator window functions cannot express (DISTINCT is
+    invalid over a RANGE frame) and sketches only approximate.
+
+    Shape: dedup to (key, day) FIRST (the big cardinality drop from
+    event-scale to key×days-scale), then explode each pair onto the
+    ≤``window_days`` report days it contributes to and count distinct
+    per day. Work is O(w·|key×days|) under key-partitioned shuffles —
+    versus a days×keys range join, which is O(days·|key×days|) and
+    has no shardable equi-key. The explode factor is the window
+    length, independent of data size, so the plan survives 100 TB as
+    long as key×days does (the smallest exact state ANY engine needs
+    for this answer). Report days are restricted to observed days via
+    semi-join so quiet days don't appear with partial windows."""
+    du = pairs.select(F.col(date_col).alias("_d"), key_col).distinct()
+    covered = du.select(
+        F.explode(
+            F.sequence(F.col("_d"), F.date_add(F.col("_d"), window_days - 1))
+        ).alias(date_col),
+        key_col,
+    )
+    days = du.select(F.col("_d").alias(date_col)).distinct()
+    return (
+        covered.join(days, date_col, "left_semi")
+        .groupBy(date_col)
+        .agg(F.count_distinct(key_col).alias(out_col))
+    )
+
+
 def locf_grid_fill(
     events: DataFrame,
     key_col: str = "user_id",

@@ -719,34 +719,23 @@ def q_events_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY days.d
     ORDER BY day
     """,
-    doc="Exact trailing-7-day distinct active users per day — the op "
-    "window functions CANNOT express (COUNT(DISTINCT) is invalid "
-    "over a RANGE frame) and sketches only approximate. Shape: dedup "
-    "to (user, day) pairs FIRST (events→user×days, the big "
-    "cardinality drop), then explode each pair onto the ≤7 report "
-    "days it contributes to and count distinct per day. O(7·|user×"
-    "days|) work with two key-partitioned shuffles — versus the "
-    "oracle's days×users range join, which is O(days·|user×days|) "
-    "and unshardable by key. The explode factor is the window length, "
-    "independent of data size, so the plan survives 100 TB as long "
-    "as user×days does (it is the smallest exact state any engine "
-    "needs). Report days restricted to observed days via semi-join "
-    "to match the oracle's day grid.",
+    doc="Exact trailing-7-day distinct active users per day via "
+    "operators.temporal.trailing_distinct_count (dedup to (user, "
+    "day), explode each pair onto the ≤7 report days it contributes "
+    "to, count distinct per day — the shape RANGE-frame windows "
+    "cannot express; see that docstring for the 100 TB argument; "
+    "property-tested against a brute-force Python reference in "
+    "tests/test_properties.py).",
 )
 def q_events_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
-    covered = du.select(
-        F.explode(
-            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
-        ).alias("day"),
-        "user_id",
+    from teleco_etl_pipeline_spark.operators.temporal import (
+        trailing_distinct_count,
     )
-    days = du.select(F.col("d").alias("day")).distinct()
+
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id")
     return (
-        covered.join(days, "day", "left_semi")
-        .groupBy("day")
-        .agg(F.count_distinct("user_id").alias("active_7d"))
+        trailing_distinct_count(du, "day", "user_id", 7, out_col="active_7d")
         .select(
             # DATE fetches as midnight Timestamp through the oracle's
             # pandas bridge — project the string form (house rule).

@@ -271,3 +271,79 @@ def test_asof_nearest_matches_pandas_merge_asof(spark, left, right):
             continue  # exact-distance tie: engines differ by convention
         assert got[t][0] == row["v"], (t, got[t], row["v"])
         assert got[t][1] == abs(int(row["v"]) - t)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 5)),  # (day offset, user)
+        max_size=25,
+    ),
+    window=st.integers(1, 9),
+)
+@settings(**SETTINGS)
+def test_trailing_distinct_matches_brute_force(spark, pairs, window):
+    """trailing_distinct_count == the definitional brute force: for
+    each observed day D, |{user : user active in (D-w, D]}|."""
+    import datetime
+
+    from teleco_etl_pipeline_spark.operators.temporal import (
+        trailing_distinct_count,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    rows = [(base + datetime.timedelta(days=d), u) for d, u in pairs]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "d date, user_id int")
+    got = {
+        r["d"]: r["n_distinct"]
+        for r in trailing_distinct_count(df, "d", "user_id", window).collect()
+    }
+    days = sorted({d for d, _ in rows})
+    expect = {
+        day: len(
+            {
+                u
+                for d, u in rows
+                if day - datetime.timedelta(days=window - 1) <= d <= day
+            }
+        )
+        for day in days
+    }
+    assert got == expect
+
+
+@given(
+    spends=st.lists(st.integers(1, 10_000), min_size=1, max_size=20),
+)
+@settings(**SETTINGS)
+def test_pareto_abc_partitions_and_boundaries(spark, spends):
+    """customer_pareto_abc invariants on arbitrary spend vectors: the
+    classes partition all customers, shares sum to ~100, and the
+    class of every customer matches the definitional inclusive
+    cumulative-share rule computed exactly in Python."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    rows = [(i, Decimal(s) / 100) for i, s in enumerate(spends)]
+    df = spark.createDataFrame(rows, "o_custkey int, spend decimal(18,2)")
+    total = sum(s for _, s in rows)
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = df.withColumn("cum", F.sum("spend").over(w))
+    cls_col = (
+        F.when(F.lit(2) * F.col("cum") <= F.lit(total), "A")
+        .when(F.lit(5) * F.col("cum") <= F.lit(4) * F.lit(total), "B")
+        .otherwise("C")
+    )
+    got = {r["o_custkey"]: r["cls"] for r in cum.select("o_custkey", cls_col.alias("cls")).collect()}
+    # python reference: same ordering, exact Decimal arithmetic
+    order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    running = Decimal(0)
+    expect = {}
+    for k, s in order:
+        running += s
+        expect[k] = "A" if 2 * running <= total else ("B" if 5 * running <= 4 * total else "C")
+    assert got == expect
