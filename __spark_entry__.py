@@ -63,6 +63,7 @@ _RECORD_ORDER = [
     "embedding_ivfpq_topk",
     "events_active_users_7d",
     "customer_pareto_abc",
+    "events_type_weekday_chi2",
     # -- NEW this round (zero prior evidence anywhere) --------------
     "doc_frequent_ngram_scrub",
     "embedding_pq_topk",
@@ -75,7 +76,6 @@ _RECORD_ORDER = [
     "embedding_knn_classify",
     "doc_hybrid_rrf",
     "events_daily_anomaly",
-    "corpus_zipf_slope",
     "lineitem_corr_matrix",
     "events_transition_matrix",
     "customer_rfm_segments",
@@ -123,6 +123,10 @@ _RECORD_LAST = [
     "events_daily_anomaly_mad",
     "events_seq_examples",
     "customer_spend_percentile",
+    # corpus_zipf_slope: displaced for events_type_weekday_chi2 (both
+    # statistical-fit reports; zipf keeps heavy_hitter_tokens /
+    # top_ngrams family siblings in-window and is dual-SF local green).
+    "corpus_zipf_slope",
     # Displaced for the FIFTEEN operators new in the later r5 session
     # (zero prior evidence beats r1-only / never-recorded-with-local
     # evidence). The fifteen rows in this block all match in the

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "embedding_ivfpq_topk",     # IVFADC composed index (timer excludes the shared sample fit, which runs at plan build like the IVF/PQ fits)
     "events_active_users_7d",   # trailing-7d exact distinct users (explode-contribution)
     "customer_pareto_abc",      # decimal-exact Pareto/ABC cumulative classification
+    "events_type_weekday_chi2", # contingency chi2 + Cramér's V, margins on the cell agg
 ]
 
 

@@ -1199,3 +1199,77 @@ def q_customer_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "events_type_weekday_chi2",
+    """
+    WITH cells AS (
+      SELECT isodow(CAST(ts AS DATE)) AS wd, event_type AS tp,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT n,
+             SUM(n) OVER (PARTITION BY wd) AS r,
+             SUM(n) OVER (PARTITION BY tp) AS c,
+             SUM(n) OVER () AS tot,
+             wd, tp
+      FROM cells
+    )
+    SELECT ROUND(SUM(POWER(CAST(n * tot - r * c AS DOUBLE), 2)
+                     / (CAST(tot AS DOUBLE) * r * c)) + 1e-9, 4) AS chi2,
+           (COUNT(DISTINCT wd) - 1) * (COUNT(DISTINCT tp) - 1) AS dof,
+           COUNT(*) AS n_cells,
+           ROUND(SQRT(SUM(POWER(CAST(n * tot - r * c AS DOUBLE), 2)
+                          / (CAST(tot AS DOUBLE) * r * c))
+                      / (MAX(tot) * (LEAST(COUNT(DISTINCT wd),
+                                           COUNT(DISTINCT tp)) - 1)))
+                 + 1e-9, 4) AS cramers_v
+    FROM m
+    """,
+    doc="Chi-square independence test of event_type × ISO weekday "
+    "(+ Cramér's V effect size) — contingency-table analytics at "
+    "corpus scale. One event-table scan builds the tiny cell "
+    "aggregate; margins are window sums over THAT (cells, not "
+    "events), so the test statistic costs one shuffle regardless of "
+    "data size. Each cell term is (n·N − r·c)²/(N·r·c) with the "
+    "difference in exact int64 before the double square — at "
+    "extreme N (>~9e18 products) cast earlier and accept double "
+    "rounding. Weekday is isodow on the NTZ date (Mon=1) in both "
+    "engines.",
+)
+def q_events_type_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.weekday(F.to_date("ts")) + F.lit(1)).alias("wd"),
+        F.col("event_type").alias("tp"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = cells.select(
+        "n",
+        "wd",
+        "tp",
+        F.sum("n").over(Window.partitionBy("wd")).alias("r"),
+        F.sum("n").over(Window.partitionBy("tp")).alias("c"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    term = F.pow((F.col("n") * F.col("tot") - F.col("r") * F.col("c")).cast("double"), 2) / (
+        F.col("tot").cast("double") * F.col("r") * F.col("c")
+    )
+    return m.agg(
+        F.round(F.sum(term) + F.lit(1e-9), 4).alias("chi2"),
+        (
+            (F.count_distinct("wd") - 1) * (F.count_distinct("tp") - 1)
+        ).alias("dof"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(
+            F.sqrt(
+                F.sum(term)
+                / (
+                    F.max("tot")
+                    * (F.least(F.count_distinct("wd"), F.count_distinct("tp")) - 1)
+                )
+            )
+            + F.lit(1e-9),
+            4,
+        ).alias("cramers_v"),
+    )
