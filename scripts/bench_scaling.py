@@ -59,6 +59,10 @@ QUERIES = [
     "embedding_knn_classify",
     "embedding_batch_topk",
     "doc_hybrid_rrf",
+    # composed IVFADC (probed code-table scan — the flattest ANN curve)
+    "embedding_ivfpq_topk",
+    # exact trailing-window distinct (explode factor constant in data)
+    "events_active_users_7d",
 ]
 
 
