@@ -692,19 +692,36 @@ def q_events_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.expr(f"({_TS_US}) div {DAY_US}").alias("day_bucket")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    med = daily.agg(F.median("n_events").alias("m")).scalar()
-    mad = daily.agg(
-        F.median(F.abs(F.col("n_events") - med)).alias("d")
-    ).scalar()
-    rz = F.round(
-        F.lit(0.6745) * (F.col("n_events") - med) / mad + F.lit(1e-9), 4
+    # med/mad as broadcast 1-row joins, NOT .scalar() references:
+    # Catalyst materialized each scalar reference as its own
+    # un-reused subquery (16 instances → 8 jobs re-running the
+    # events scan+agg); the join form computes each statistic once
+    # and ReusedExchange shares the daily shuffle across branches.
+    med_row = daily.agg(F.median("n_events").alias("_med"))
+    mad_row = (
+        daily.crossJoin(F.broadcast(med_row))
+        .agg(
+            F.median(F.abs(F.col("n_events") - F.col("_med"))).alias("_mad"),
+            F.min("_med").alias("_med"),
+        )
     )
-    return daily.select(
-        "day_bucket",
-        "n_events",
-        rz.alias("robust_z"),
-        (F.abs(rz) >= 3.5).alias("is_anomaly"),
-    ).orderBy("day_bucket")
+    rz = F.round(
+        F.lit(0.6745)
+        * (F.col("n_events") - F.col("_med"))
+        / F.col("_mad")
+        + F.lit(1e-9),
+        4,
+    )
+    return (
+        daily.crossJoin(F.broadcast(mad_row))
+        .select(
+            "day_bucket",
+            "n_events",
+            rz.alias("robust_z"),
+            (F.abs(rz) >= 3.5).alias("is_anomaly"),
+        )
+        .orderBy("day_bucket")
+    )
 
 
 @query(
