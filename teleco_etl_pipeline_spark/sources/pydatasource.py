@@ -39,6 +39,7 @@ def keyset_parquet_source():
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
 
     def _data_files(path):
@@ -139,6 +140,79 @@ def keyset_parquet_source():
 
         def reader(self, schema):
             return KeysetReader(schema, self.options)
+
+        def simpleStreamReader(self, schema):
+            return KeysetStreamReader(schema, self.options)
+
+    class KeysetStreamReader(SimpleDataSourceStreamReader):
+        """Streaming keyset TAIL of the same backend: each microbatch
+        reads the key range (last_seen, current_max] — the CDC-ish
+        incremental extraction the reference approximates with its
+        watermark store (`dags/churn_export_dag_cloude.py:378-596`
+        re-queried per DAG run), expressed as a first-class Spark
+        streaming source with engine-managed exactly-once offsets
+        (the checkpoint holds {"last": key}, so a crashed batch
+        replays the same range via readBetweenOffsets).
+
+        Scale note: the SIMPLE stream-reader API prefetches each
+        batch's rows on the driver by design — right for control-
+        plane tails (watermark tables, registries, dimension deltas),
+        NOT for fact volume. A high-volume tail implements
+        DataSourceStreamReader with partitions() slicing the offset
+        range exactly like KeysetReader.partitions does for batch."""
+
+        def __init__(self, schema, options):
+            self.schema_names = [f.name for f in schema.fields]
+            self.path = options["path"]
+            self.col = options["partition_col"]
+            self.start_after = int(options.get("start_after", "-1"))
+
+        def initialOffset(self):
+            return {"last": self.start_after}
+
+        def _current_max(self):
+            import pyarrow.parquet as pq
+
+            idx = None
+            hi = None
+            for f in _data_files(self.path):
+                md = pq.ParquetFile(f).metadata
+                if idx is None:
+                    idx = md.schema.to_arrow_schema().names.index(self.col)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        hi = st.max if hi is None else max(hi, st.max)
+            return hi
+
+        def _read_range(self, lo_excl, hi_incl):
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                self.path,
+                columns=self.schema_names,
+                filters=[
+                    (self.col, ">", lo_excl),
+                    (self.col, "<=", hi_incl),
+                ],
+            )
+            rows = []
+            for batch in tbl.to_batches():
+                cols = [
+                    batch.column(i).to_pylist() for i in range(batch.num_columns)
+                ]
+                rows.extend(zip(*cols))
+            return rows
+
+        def read(self, start):
+            hi = self._current_max()
+            last = start["last"]
+            if hi is None or hi <= last:
+                return iter([]), start  # no new keys: empty batch, same offset
+            return iter(self._read_range(last, hi)), {"last": int(hi)}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(self._read_range(start["last"], end["last"]))
 
     return KeysetParquetDataSource
 

@@ -93,3 +93,49 @@ def test_keyset_source_reads_spark_written_directory(spark, tmp_path):
     assert df.count() == 100
     got = {r["k"]: r["v"] for r in df.collect()}
     assert got == {i: 2 * i for i in range(100)}
+
+
+def test_keyset_stream_tails_appends_exactly_once(spark, tmp_path):
+    """The streaming keyset tail: run one availableNow batch, append
+    new keys to the backend, run a second batch over the SAME
+    checkpoint — each key arrives exactly once and the engine-managed
+    offset survives the restart."""
+    import pandas as pd
+
+    register(spark)
+    backend = tmp_path / "oltp"
+    backend.mkdir()
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, ids):
+        pd.DataFrame({"k": ids, "v": [f"r{i}" for i in ids]}).to_parquet(
+            str(backend / name)
+        )
+
+    def run_once():
+        q = (
+            spark.readStream.format("keyset_oltp")
+            .option("path", str(backend))
+            .option("partition_col", "k")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch("a.parquet", [1, 2, 3])
+    run_once()
+    write_batch("b.parquet", [4, 5])
+    run_once()
+    got = sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, "r1"), (2, "r2"), (3, "r3"), (4, "r4"), (5, "r5")]
+
+    # a third run with no new keys emits nothing new
+    run_once()
+    assert spark.read.parquet(out).count() == 5
