@@ -57,10 +57,10 @@ _RECORD_ORDER = [
     "contamination_ngram_overlap",
     "events_ohlc_hourly",
     "price_winsorize_report",
-    "doc_oov_rate",
     "forecast_revenue",
     # NEW (this session): zero prior evidence.
     "embedding_ivfpq_topk",
+    "ivf_balance_report",
     "events_active_users_7d",
     "customer_pareto_abc",
     "events_type_weekday_chi2",
@@ -123,6 +123,10 @@ _RECORD_LAST = [
     "events_daily_anomaly_mad",
     "events_seq_examples",
     "customer_spend_percentile",
+    # doc_oov_rate: displaced for ivf_balance_report — vocabulary
+    # family siblings doc_unigram_logprob / doc_token_stats evidence
+    # the shape and it is dual-SF local-parity green.
+    "doc_oov_rate",
     # corpus_zipf_slope: displaced for events_type_weekday_chi2 (both
     # statistical-fit reports; zipf keeps heavy_hitter_tokens /
     # top_ngrams family siblings in-window and is dual-SF local green).

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "events_active_users_7d",   # trailing-7d exact distinct users (explode-contribution)
     "customer_pareto_abc",      # decimal-exact Pareto/ABC cumulative classification
     "events_type_weekday_chi2", # contingency chi2 + Cramér's V, margins on the cell agg
+    "ivf_balance_report",       # ANN index-health: per-list error + imbalance
 ]
 
 

@@ -657,6 +657,98 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_report_sql(
+    n_centroids: int = 8,
+    seed: int = 42,
+    fit_sample: int = 4096,
+    max_iter: int = 10,
+) -> str | None:
+    """Index-health oracle: same baked-centroid dists pattern as the
+    IVF query; squared L2 to the assigned centroid recovers from the
+    dist list as min + ‖v‖² (the dists drop the constant ‖v‖² term)."""
+    try:
+        _, _, x = _replica_sample(_ORACLE_SF_DIR, fit_sample)
+    except Exception:  # noqa: BLE001 — no testdata ⇒ rows-only row
+        return None
+    cents = _lloyd_fit(x, n_centroids, seed, max_iter)
+    cents_sq = (cents**2).sum(axis=1)
+    dists = ",\n           ".join(
+        f"{float(cs)!r} - 2 * list_dot_product(ve, {_sql_vec(c)})"
+        for cs, c in zip(cents_sq, cents)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    d AS (
+      SELECT vec_id, ve,
+          [{dists}] AS dists
+      FROM v
+    ),
+    a AS (
+      SELECT list_indexof(dists, list_aggregate(dists, 'min')) - 1 AS ivf_list,
+             list_aggregate(dists, 'min') + list_dot_product(ve, ve) AS sqdist
+      FROM d
+    )
+    SELECT ivf_list,
+           COUNT(*) AS n_vectors,
+           ROUND(AVG(sqdist) + 1e-9, 4) AS avg_sqdist,
+           ROUND(COUNT(*) * {n_centroids} * 1.0
+                 / (SELECT COUNT(*) FROM v) + 1e-9, 4) AS imbalance
+    FROM a GROUP BY ivf_list ORDER BY ivf_list
+    """
+
+
+@query(
+    "ivf_balance_report",
+    _ivf_report_sql(),
+    doc="ANN index-health report: per-inverted-list population, mean "
+    "squared quantization error, and imbalance ratio (n·k/N — 1.0 is "
+    "perfectly balanced). This is the maintenance signal that decides "
+    "when to RE-TRAIN the coarse quantizer: drifting data inflates "
+    "avg_sqdist, and a hot list (imbalance ≫ 1) turns its probes "
+    "into scans. One Arrow-batched pass computes assignment and "
+    "error together (the ‖v‖²-free argmin plus one readback); the "
+    "report aggregate is k rows. Oracle-backed via the baked-centroid "
+    "dists pattern.",
+)
+def q_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x_fit = _fit_sample(emb, "vec_id", "embedding", 4096)
+    cents = _lloyd_fit(x_fit, 8, 42, 10)
+    c64 = np.ascontiguousarray(cents, dtype=np.float64)
+    c_sq = (c64**2).sum(axis=1)
+
+    @F.pandas_udf("ivf_list int, sqdist double")
+    def enc(v: pd.Series) -> pd.DataFrame:
+        xs = np.vstack(v.to_numpy()).astype(np.float64)
+        d = c_sq[None, :] - 2.0 * (xs @ c64.T)
+        lst = d.argmin(axis=1)
+        sq = d[np.arange(len(xs)), lst] + (xs * xs).sum(axis=1)
+        return pd.DataFrame(
+            {"ivf_list": lst.astype(np.int32), "sqdist": sq}
+        )
+
+    assigned = emb.select(enc(F.col("embedding")).alias("_e")).select(
+        F.col("_e.ivf_list").alias("ivf_list"),
+        F.col("_e.sqdist").alias("sqdist"),
+    )
+    from pyspark.sql import Window
+
+    per_list = assigned.groupBy("ivf_list").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("sqdist") + F.lit(1e-9), 4).alias("avg_sqdist"),
+    )
+    # total = window sum over the k-row aggregate — no second scan
+    total = F.sum("n_vectors").over(Window.partitionBy())
+    return per_list.select(
+        "ivf_list",
+        "n_vectors",
+        "avg_sqdist",
+        F.round(F.col("n_vectors") * 8 * 1.0 / total + F.lit(1e-9), 4).alias(
+            "imbalance"
+        ),
+    ).orderBy("ivf_list")
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup: semantic deduplication via cluster-then-compare
 # ---------------------------------------------------------------------------
