@@ -55,7 +55,6 @@ _RECORD_ORDER = [
     "events_variant_shred",
     "events_trailing_hour_count",
     "contamination_ngram_overlap",
-    "events_ohlc_hourly",
     "price_winsorize_report",
     "forecast_revenue",
     # NEW (this session): zero prior evidence.
@@ -64,6 +63,7 @@ _RECORD_ORDER = [
     "events_active_users_7d",
     "customer_pareto_abc",
     "events_type_weekday_chi2",
+    "customer_linkage_blocked",
     # -- NEW this round (zero prior evidence anywhere) --------------
     "doc_frequent_ngram_scrub",
     "embedding_pq_topk",
@@ -127,6 +127,10 @@ _RECORD_LAST = [
     # family siblings doc_unigram_logprob / doc_token_stats evidence
     # the shape and it is dual-SF local-parity green.
     "doc_oov_rate",
+    # events_ohlc_hourly: displaced for customer_linkage_blocked —
+    # resample family (trailing-hour burst counts, rolling_7d grid)
+    # stays in-window and OHLC is dual-SF local-parity green.
+    "events_ohlc_hourly",
     # corpus_zipf_slope: displaced for events_type_weekday_chi2 (both
     # statistical-fit reports; zipf keeps heavy_hitter_tokens /
     # top_ngrams family siblings in-window and is dual-SF local green).

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "customer_pareto_abc",      # decimal-exact Pareto/ABC cumulative classification
     "events_type_weekday_chi2", # contingency chi2 + Cramér's V, margins on the cell agg
     "ivf_balance_report",       # ANN index-health: per-list error + imbalance
+    "customer_linkage_blocked", # blocked entity-resolution pairs + levenshtein
 ]
 
 
