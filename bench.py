@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "events_type_weekday_chi2", # contingency chi2 + Cramér's V, margins on the cell agg
     "ivf_balance_report",       # ANN index-health: per-list error + imbalance
     "customer_linkage_blocked", # blocked entity-resolution pairs + levenshtein
+    "customer_linkage_sorted_neighborhood",  # O(N*w) sorted-neighborhood ER twin
 ]
 
 
