@@ -1112,12 +1112,13 @@ def q_customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_price_winsorize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # Both bounds from ONE percentile sort-agg, delivered as a
-    # broadcast 1-row join. The previous scalar-subquery form read
-    # nicer but Catalyst materialized SIX un-reused subquery
-    # instances (one per reference — lo/hi × clamp/count/report), so
-    # the full sort ran 6×: 2.28 s → this form runs it once
-    # (~0.6 s at sf0.1). A broadcast of one row is free; the agg is
-    # unchanged.
+    # broadcast 1-row join. The scalar-subquery form printed SIX
+    # subquery instances (one per lo/hi reference); measurement shows
+    # the runtime DID reuse the result (2.28 s vs 2.63 s — parity,
+    # the exact percentile itself is ~1.8 s of either), but that
+    # reuse is an execution-time behavior the plan doesn't guarantee
+    # or display. The join form makes single-execution structural:
+    # one visible exchange, no reliance on subquery caching.
     bounds = li.agg(
         F.percentile("l_extendedprice", F.lit([0.01, 0.99])).alias("q")
     ).select(

@@ -692,11 +692,13 @@ def q_events_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.expr(f"({_TS_US}) div {DAY_US}").alias("day_bucket")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    # med/mad as broadcast 1-row joins, NOT .scalar() references:
-    # Catalyst materialized each scalar reference as its own
-    # un-reused subquery (16 instances → 8 jobs re-running the
-    # events scan+agg); the join form computes each statistic once
-    # and ReusedExchange shares the daily shuffle across branches.
+    # med/mad as broadcast 1-row joins, NOT .scalar() references: the
+    # scalar form printed 16 subquery instances (one per reference).
+    # Measurement shows the runtime reuses each subquery's result
+    # (same job count and wall time as this form), but that reuse is
+    # invisible in the plan; the join form makes single-execution of
+    # each robust statistic structural rather than an execution-time
+    # courtesy.
     med_row = daily.agg(F.median("n_events").alias("_med"))
     mad_row = (
         daily.crossJoin(F.broadcast(med_row))
