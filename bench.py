@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "ivf_balance_report",       # ANN index-health: per-list error + imbalance
     "customer_linkage_blocked", # blocked entity-resolution pairs + levenshtein
     "customer_linkage_sorted_neighborhood",  # O(N*w) sorted-neighborhood ER twin
+    "doc_token_budget_mix",     # per-source exact token-budget admission
 ]
 
 

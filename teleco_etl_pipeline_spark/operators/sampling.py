@@ -569,3 +569,81 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         frac.alias("overlap_frac"),
         (frac >= 0.2).alias("contaminated"),
     )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Cap every group at an exact TOKEN budget (not a doc count):
+    order each group's docs by the deterministic md5 bucket (so the
+    kept set is engine- and run-reproducible and append-stable in
+    expectation), take the running token sum, and admit a doc iff the
+    budget was not yet exhausted when it starts (``cum - own < B`` —
+    so the boundary doc that crosses the budget is still admitted,
+    matching how training-data mixes overshoot rather than truncate
+    documents mid-text). One window shuffle on the group key; token
+    counting is the house whitespace convention (split(trim, '\\s+'),
+    JVM-side)."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(hash_bucket(id_col, salt=salt), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = docs.select(
+        group_col,
+        toks.alias("__toks"),
+        F.sum(toks).over(w).alias("__cum"),
+    )
+    return with_cum.filter(F.col("__cum") - F.col("__toks") < budget)
+
+
+_BUDGET = 2000
+
+
+@query(
+    "doc_token_budget_mix",
+    f"""
+    WITH t AS (
+      SELECT source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+             {_DUCK_BUCKET.format(salt=" || 'budget'")} AS b,
+             doc_id
+      FROM documents
+    ), c AS (
+      SELECT source, toks,
+             SUM(toks) OVER (PARTITION BY source ORDER BY b, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens
+    FROM c
+    WHERE cum - toks < {_BUDGET}
+    GROUP BY source ORDER BY source
+    """,
+    doc="Token-budget dataset mixing: admit each source's docs in "
+    "deterministic md5 order until an exact per-source TOKEN budget "
+    "is spent (the boundary doc is admitted whole) — how production "
+    "mixes hit a token recipe rather than a doc-count one. Window "
+    "cumsum per source, one shuffle; see token_budget_mix.",
+)
+def q_doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    kept = token_budget_mix(docs, _BUDGET)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__toks").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
