@@ -808,3 +808,76 @@ def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oov_rate"
         ),
     )
+
+
+@query(
+    "doc_langid_confusion",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), pred AS (
+      SELECT lang AS lang_declared,
+             CASE WHEN CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                       / len(toks) >= 0.05 THEN 'en'
+                  WHEN len(list_filter(toks, x -> x = 'spark')) > 0 THEN 'tech'
+                  ELSE 'und' END AS lang_guess
+      FROM t
+    ), cells AS (
+      SELECT lang_declared, lang_guess, COUNT(*) AS n FROM pred GROUP BY 1, 2
+    )
+    SELECT lang_declared, lang_guess, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY lang_declared) + 1e-9, 4)
+             AS recall_share,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY lang_guess) + 1e-9, 4)
+             AS precision_share
+    FROM cells
+    ORDER BY lang_declared, lang_guess
+    """,
+    doc="Classifier evaluation as a first-class operator: the "
+    "confusion matrix of declared vs lang-ID-predicted language, "
+    "with per-cell recall share (row-normalized) and precision share "
+    "(column-normalized) from window margins over the TINY cell "
+    "aggregate — one corpus scan builds the cells, the metrics cost "
+    "nothing more. The pattern generalizes to any categorical "
+    "model-vs-label audit (quality gates, split leakage checks).",
+)
+def q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("lang").alias("lang_declared"), tokens("text").alias("toks")
+    )
+    stop_ratio = (
+        F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS))).cast("double")
+        / F.size("toks")
+    )
+    has_spark = F.size(F.filter("toks", lambda x: x == "spark")) > 0
+    pred = d.select(
+        "lang_declared",
+        F.when(stop_ratio >= 0.05, "en")
+        .when(has_spark, "tech")
+        .otherwise("und")
+        .alias("lang_guess"),
+    )
+    cells = pred.groupBy("lang_declared", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cells.select(
+        "lang_declared",
+        "lang_guess",
+        "n",
+        F.round(
+            F.col("n") * 1.0
+            / F.sum("n").over(Window.partitionBy("lang_declared"))
+            + F.lit(1e-9),
+            4,
+        ).alias("recall_share"),
+        F.round(
+            F.col("n") * 1.0
+            / F.sum("n").over(Window.partitionBy("lang_guess"))
+            + F.lit(1e-9),
+            4,
+        ).alias("precision_share"),
+    ).orderBy("lang_declared", "lang_guess")
