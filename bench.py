@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "customer_linkage_sorted_neighborhood",  # O(N*w) sorted-neighborhood ER twin
     "doc_token_budget_mix",     # per-source exact token-budget admission
     "doc_langid_confusion",     # classifier-eval confusion matrix + margins
+    "embedding_recall_eval",    # per-query recall@5 of LSH vs exact, one plan
 ]
 
 

@@ -395,6 +395,158 @@ def q_embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_eval_oracle_sql(n_queries: int = 5, k: int = 5) -> str:
+    """Both retrieval paths in one oracle: exact window top-k and the
+    multi-table-LSH candidate top-k (same literal planes as the
+    multiprobe query), joined into per-query recall."""
+    branches = []
+    qbranches = []
+    for t in range(_LSH_TABLES):
+        planes = hyperplanes(_LSH_DIM, _LSH_PLANES, 42 + 1000 * t)
+        branches.append(
+            f"SELECT vec_id, v, {t} AS tbl, {_sql_bucket(planes, 'v')} AS bucket"
+            " FROM vecs"
+        )
+        qbranches.append(
+            f"SELECT query_id, qv, {t} AS tbl, {_sql_bucket(planes, 'qv')} AS bucket"
+            " FROM q"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    qunion = "\nUNION ALL\n".join(qbranches)
+    return f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {n_queries}),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(c.v, q.qv) + 1e-9, 4)
+                            DESC, c.vec_id ASC) AS rn
+        FROM q JOIN vecs c ON c.vec_id <> q.query_id
+      ) WHERE rn <= {k}
+    ),
+    b AS ({union}),
+    qb AS ({qunion}),
+    cand AS (
+      SELECT DISTINCT qb.query_id, b.vec_id
+      FROM qb JOIN b ON qb.tbl = b.tbl AND qb.bucket = b.bucket
+                    AND b.vec_id <> qb.query_id
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT cand.query_id, cand.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY cand.query_id
+                 ORDER BY ROUND(list_cosine_similarity(cv.v, qq.qv) + 1e-9, 4)
+                            DESC, cand.vec_id ASC) AS rn
+        FROM cand
+        JOIN vecs cv ON cv.vec_id = cand.vec_id
+        JOIN q qq ON qq.query_id = cand.query_id
+      ) WHERE rn <= {k}
+    )
+    SELECT q.query_id AS query_id,
+           COALESCE(o.n, 0) AS n_overlap,
+           ROUND(COALESCE(o.n, 0) / {k}.0 + 1e-9, 4) AS recall_at_k
+    FROM q
+    LEFT JOIN (
+      SELECT e.query_id, COUNT(*) AS n
+      FROM exact e JOIN approx a
+        ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+      GROUP BY e.query_id
+    ) o ON o.query_id = q.query_id
+    ORDER BY query_id
+    """
+
+
+@query(
+    "embedding_recall_eval",
+    _recall_eval_oracle_sql(),
+    doc="ANN quality measured INSIDE the engine: per-query recall@5 "
+    "of the multi-table sign-LSH candidate path against the exact "
+    "batch top-k, as one data-parallel plan — exact side from the "
+    "broadcast batch ranking, approx side from the (table, bucket) "
+    "candidate join + rerank, overlap counted per query. This is the "
+    "eval harness a production retrieval index ships with (recall "
+    "regression gates on index rebuilds); at 100 TB the query set is "
+    "a sampled eval panel and the plan is unchanged. Oracle-backed "
+    "end-to-end via the same literal hyperplanes.",
+)
+def q_embedding_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k, n_queries = 5, 5
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = batch_topk(emb, queries, k=k).select("query_id", "vec_id")
+
+    planes_tables = np.stack(
+        [
+            hyperplanes(_LSH_DIM, _LSH_PLANES, 42 + 1000 * t)
+            for t in range(_LSH_TABLES)
+        ]
+    )
+    corpus_b = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(
+            lsh_table_buckets_col(F.col("embedding"), planes_tables)
+        ).alias("tbl", "bucket"),
+    )
+    query_b = queries.select(
+        "query_id",
+        "query_vec",
+        F.posexplode(
+            lsh_table_buckets_col(F.col("query_vec"), planes_tables)
+        ).alias("tbl", "bucket"),
+    )
+    cand = (
+        corpus_b.join(
+            F.broadcast(query_b),
+            ["tbl", "bucket"],
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    approx = (
+        cand.select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_similarity_col(F.col("embedding"), F.col("query_vec"))
+                + 1e-9,
+                4,
+            ).alias("cosine_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id")
+    )
+    overlap = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        queries.select("query_id")
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)) / F.lit(float(k)) + F.lit(1e-9),
+                4,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: k-means coarse quantizer + probed exact rerank
 # ---------------------------------------------------------------------------
