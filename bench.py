@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "doc_token_budget_mix",     # per-source exact token-budget admission
     "doc_langid_confusion",     # classifier-eval confusion matrix + margins
     "embedding_recall_eval",    # per-query recall@5 of LSH vs exact, one plan
+    "events_attribution_first_last",  # position-based revenue attribution, linear windows
 ]
 
 

@@ -763,3 +763,87 @@ def q_events_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_attribution_first_last",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, value,
+             FIRST_VALUE(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id
+                     ROWS UNBOUNDED PRECEDING) AS first_touch,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM events
+    ), credits AS (
+      SELECT first_touch AS touch_type,
+             CAST(value AS DECIMAL(18,2)) * CAST(0.5 AS DECIMAL(2,1)) AS credit
+      FROM seq WHERE event_type = 'purchase' AND first_touch IS NOT NULL
+      UNION ALL
+      SELECT last_touch AS touch_type,
+             CAST(value AS DECIMAL(18,2)) * CAST(0.5 AS DECIMAL(2,1)) AS credit
+      FROM seq WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+    )
+    SELECT touch_type,
+           COUNT(*) AS n_credits,
+           ROUND(CAST(SUM(credit) AS DOUBLE), 2) AS attributed_revenue
+    FROM credits GROUP BY touch_type ORDER BY touch_type
+    """,
+    doc="Position-based revenue attribution (first-touch / last-touch "
+    "50-50): one window shuffle per user computes, for every "
+    "purchase, the user's first non-purchase touch ever and the last "
+    "touch strictly before the purchase (IGNORE NULLS running "
+    "first/last — LINEAR, never the purchase×touches range join), "
+    "then each purchase credits half its value to each position and "
+    "the report aggregates per touch type. Credits are DECIMAL-exact "
+    "so partial-aggregation order cannot move the totals. NTZ epoch "
+    "ordering with event_id tiebreak — deterministic and "
+    "timezone-independent.",
+)
+def q_events_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    order = [epoch_us("ts"), F.col("event_id")]
+    w_all = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(w_all).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w_prev).alias("last_touch"),
+    ).filter(F.col("event_type") == "purchase")
+    half = F.col("value").cast("decimal(18,2)") * F.lit("0.5").cast(
+        "decimal(2,1)"
+    )
+    firsts = seq.filter(F.col("first_touch").isNotNull()).select(
+        F.col("first_touch").alias("touch_type"), half.alias("credit")
+    )
+    lasts = seq.filter(F.col("last_touch").isNotNull()).select(
+        F.col("last_touch").alias("touch_type"), half.alias("credit")
+    )
+    return (
+        firsts.unionAll(lasts)
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.round(F.sum("credit").cast("double"), 2).alias(
+                "attributed_revenue"
+            ),
+        )
+        .orderBy("touch_type")
+    )
