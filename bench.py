@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "doc_langid_confusion",     # classifier-eval confusion matrix + margins
     "embedding_recall_eval",    # per-query recall@5 of LSH vs exact, one plan
     "events_attribution_first_last",  # position-based revenue attribution, linear windows
+    "user_survival_curve",      # Kaplan-Meier product-limit via ordered log-sum window
 ]
 
 

