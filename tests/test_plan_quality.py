@@ -21,7 +21,14 @@ def _plan(spark, sf_dir, name: str) -> str:
 # bucketed equi-joins), and batch retrieval is a DELIBERATE broadcast
 # Q×N product in its Q≪N regime (scale path for large Q: the IVF/LSH
 # candidate equi-join, see operators/similarity.py:batch_topk).
-ALLPAIRS_BASELINES = {"embedding_neardup", "embedding_batch_topk"}
+ALLPAIRS_BASELINES = {
+    "embedding_neardup",
+    "embedding_batch_topk",
+    # the EXACT side of the recall evaluation is definitionally the
+    # batch_topk broadcast scan — the approx side it grades is the
+    # bucketed candidate join
+    "embedding_recall_eval",
+}
 
 
 def test_no_cartesian_or_nested_loop_anywhere(spark, sf_dir):
