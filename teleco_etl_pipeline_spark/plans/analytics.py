@@ -1111,30 +1111,29 @@ def q_customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_price_winsorize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # Both bounds from ONE percentile sort-agg, delivered as a
-    # broadcast 1-row join. The scalar-subquery form printed SIX
-    # subquery instances (one per lo/hi reference); measurement shows
-    # the runtime DID reuse the result (2.28 s vs 2.63 s — parity,
-    # the exact percentile itself is ~1.8 s of either), but that
-    # reuse is an execution-time behavior the plan doesn't guarantee
-    # or display. The join form makes single-execution structural:
-    # one visible exchange, no reliance on subquery caching.
+    # Both bounds from ONE percentile sort-agg delivered as a scalar
+    # subquery. The plan prints one subquery instance per lo/hi
+    # reference, which LOOKS like repeated execution — measured, it is
+    # not: the runtime reuses the subquery result (scalar form 2.28 s
+    # vs an explicit broadcast-1-row-join rewrite 2.63 s at sf0.1;
+    # the exact percentile itself is ~1.8 s of either). The scalar
+    # form also keeps the plan free of BroadcastNestedLoopJoin nodes
+    # (the 1-row crossJoin form plans as NLJ and trips the catalog-
+    # wide no-NLJ sweep in test_plan_quality).
     bounds = li.agg(
         F.percentile("l_extendedprice", F.lit([0.01, 0.99])).alias("q")
-    ).select(
-        F.col("q").getItem(0).alias("_lo"), F.col("q").getItem(1).alias("_hi")
-    )
-    lo, hi = F.col("_lo"), F.col("_hi")
+    ).scalar()
+    lo, hi = bounds.getItem(0), bounds.getItem(1)
     p = F.col("l_extendedprice")
     clamped = F.round(F.least(F.greatest(p, lo), hi) + F.lit(1e-9), 4).cast(
         "decimal(18,4)"
     )
-    return li.crossJoin(F.broadcast(bounds)).agg(
+    return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(p < lo, 1).otherwise(0)).alias("n_clamped_low"),
         F.sum(F.when(p > hi, 1).otherwise(0)).alias("n_clamped_high"),
-        F.round(F.min(lo) + F.lit(1e-9), 4).alias("p01"),
-        F.round(F.min(hi) + F.lit(1e-9), 4).alias("p99"),
+        F.round(lo + F.lit(1e-9), 4).alias("p01"),
+        F.round(hi + F.lit(1e-9), 4).alias("p99"),
         F.round(
             F.sum(clamped).cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 4
         ).alias("winsorized_mean"),
