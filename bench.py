@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "embedding_recall_eval",    # per-query recall@5 of LSH vs exact, one plan
     "events_attribution_first_last",  # position-based revenue attribution, linear windows
     "user_survival_curve",      # Kaplan-Meier product-limit via ordered log-sum window
+    "events_cohort_ltv",        # cohort revenue + cumulative LTV curve
 ]
 
 

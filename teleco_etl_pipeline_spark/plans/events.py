@@ -925,3 +925,72 @@ def q_user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_churned") > 0)
         .orderBy("t_days")
     )
+
+
+@query(
+    "events_cohort_ltv",
+    """
+    WITH rev AS (
+      SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+             SUM(CAST(value AS DECIMAL(18,2)))
+               FILTER (WHERE event_type = 'purchase') AS wk_rev
+      FROM events GROUP BY 1, 2
+    ), firsts AS (
+      SELECT user_id, MIN(wk) AS cohort_week FROM rev GROUP BY user_id
+    ), cells AS (
+      SELECT f.cohort_week,
+             CAST(r.wk - f.cohort_week AS INT) AS weeks_since,
+             SUM(COALESCE(r.wk_rev, 0)) AS rev
+      FROM rev r JOIN firsts f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT cohort_week, weeks_since,
+           ROUND(CAST(rev AS DOUBLE), 2) AS cohort_revenue,
+           ROUND(CAST(SUM(rev) OVER (PARTITION BY cohort_week
+                                     ORDER BY weeks_since
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2)
+             AS cumulative_ltv
+    FROM cells
+    ORDER BY cohort_week, weeks_since
+    """,
+    doc="Cohort lifetime value: purchase revenue per (first-active "
+    "cohort week × weeks-since), with the running cumulative LTV "
+    "curve per cohort. Revenue reduces to the (user, week) grain "
+    "FIRST (DECIMAL-exact), so the cohort join and both aggregations "
+    "run on users×weeks rows, never raw events; the cumulative curve "
+    "is an ordered prefix sum over the tiny cohort×age aggregate — "
+    "deterministic cross-engine. The companion of "
+    "events_cohort_retention (counts → dollars).",
+)
+def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rev = ev.groupBy(
+        "user_id", F.expr(f"({_TS_US}) div {WEEK_US}").alias("wk")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,2)"),
+            )
+        ).alias("wk_rev")
+    )
+    firsts = rev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    cells = (
+        rev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).cast("int").alias("weeks_since"),
+        )
+        .agg(F.sum(F.coalesce(F.col("wk_rev"), F.lit(0))).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort_week",
+        "weeks_since",
+        F.round(F.col("rev").cast("double"), 2).alias("cohort_revenue"),
+        F.round(F.sum("rev").over(w).cast("double"), 2).alias("cumulative_ltv"),
+    ).orderBy("cohort_week", "weeks_since")
