@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "events_attribution_first_last",  # position-based revenue attribution, linear windows
     "user_survival_curve",      # Kaplan-Meier product-limit via ordered log-sum window
     "events_cohort_ltv",        # cohort revenue + cumulative LTV curve
+    "brand_size_rank_ties",     # top-N-with-ties via RANK/DENSE_RANK
 ]
 
 

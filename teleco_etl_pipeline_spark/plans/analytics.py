@@ -1390,3 +1390,38 @@ def q_customer_linkage_sorted_neighborhood(
     return (
         p1.unionAll(p2).filter(F.col("name_dist") <= 1).orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "brand_size_rank_ties",
+    """
+    SELECT p_partkey, p_brand, p_size, rnk, drnk FROM (
+      SELECT p_partkey, p_brand, p_size,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk
+      FROM part
+      WINDOW w AS (PARTITION BY p_brand ORDER BY p_size DESC)
+    ) WHERE rnk <= 3
+    ORDER BY p_brand, p_size DESC, p_partkey
+    """,
+    doc="Top-N-WITH-TIES per group: RANK (gaps) and DENSE_RANK (no "
+    "gaps) side by side, keeping every row tied at the cutoff — the "
+    "semantics row_number cannot give (it would drop tied peers "
+    "non-deterministically). Both rank functions are deterministic "
+    "under ties by definition, so the output is engine-stable with "
+    "no artificial tiebreak. One window shuffle on the group key.",
+)
+def q_brand_size_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_size"))
+    return (
+        part.select(
+            "p_partkey",
+            "p_brand",
+            "p_size",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("p_brand", F.desc("p_size"), "p_partkey")
+    )
