@@ -107,3 +107,44 @@ def test_hll_sketch_rollup_merges_daily_partials(spark, sf_dir):
     # would persist per (day, dimension) cell
     sizes = daily.select(F.length("sk").alias("b")).collect()
     assert all(r["b"] < 20_000 for r in sizes)
+
+
+def test_segment_blocked_linkage_complete_for_substitutions(spark, sf_dir):
+    """Pigeonhole completeness: on the harness customers (fixed-format
+    names, substitution-only dist-1 pairs) the segment-blocked
+    candidate generation must find EXACTLY the pairs the naive
+    unblocked all-pairs comparator finds within the same attribute
+    blocks."""
+    from pyspark.sql import functions as F
+
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    got = {
+        (r["id_a"], r["id_b"], r["name_dist"])
+        for r in all_queries()["customer_linkage_blocked"]
+        .build(spark, sf_dir)
+        .collect()
+    }
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a = cust.select(*[F.col(c).alias(f"a_{c}") for c in cust.columns])
+    b = cust.select(*[F.col(c).alias(f"b_{c}") for c in cust.columns])
+    naive = {
+        (r["id_a"], r["id_b"], r["name_dist"])
+        for r in a.join(
+            b,
+            (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
+            & (F.col("a_c_mktsegment") == F.col("b_c_mktsegment"))
+            & (F.col("a_c_custkey") < F.col("b_c_custkey")),
+        )
+        .select(
+            F.col("a_c_custkey").alias("id_a"),
+            F.col("b_c_custkey").alias("id_b"),
+            F.levenshtein("a_c_name", "b_c_name").alias("name_dist"),
+        )
+        .filter(F.col("name_dist") <= 1)
+        .collect()
+    }
+    assert got == naive
