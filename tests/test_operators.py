@@ -1240,3 +1240,57 @@ def test_zorder_rejects_overflowing_bit_budget(spark, tmp_path):
     spark.range(10).selectExpr(*[f"id AS c{i}" for i in range(7)]).write.parquet(p)
     with _pytest.raises(ValueError, match="<= 63"):
         zorder_by(spark, p, [f"c{i}" for i in range(7)], bits=10)
+
+
+def test_trailing_distinct_empty_and_single_day(spark):
+    import datetime
+
+    from teleco_etl_pipeline_spark.operators.temporal import (
+        trailing_distinct_count,
+    )
+
+    empty = spark.createDataFrame([], "d date, user_id int")
+    assert trailing_distinct_count(empty, "d", "user_id", 7).count() == 0
+    one = spark.createDataFrame(
+        [(datetime.date(2024, 1, 1), 1), (datetime.date(2024, 1, 1), 2)],
+        "d date, user_id int",
+    )
+    rows = trailing_distinct_count(one, "d", "user_id", 7).collect()
+    assert len(rows) == 1 and rows[0]["n_distinct"] == 2
+
+
+def test_token_budget_mix_boundary_doc_admitted(spark):
+    """A budget smaller than the first doc still admits that doc whole
+    (cum - own < B with cum==own); the second doc is cut."""
+    from pyspark.sql import functions as F
+
+    from teleco_etl_pipeline_spark.operators.sampling import token_budget_mix
+
+    docs = spark.createDataFrame(
+        [(1, "s", "a b c d e"), (2, "s", "f g h")],
+        "doc_id long, source string, text string",
+    )
+    kept = token_budget_mix(docs, budget=1)
+    assert kept.count() == 1  # exactly the first-in-hash-order doc
+    assert kept.agg(F.sum("__toks")).first()[0] in (5, 3)
+
+
+def test_ivfpq_fit_tiny_table_caps_centroids(spark):
+    """Fewer vectors than coarse cells: _lloyd_fit caps k at the
+    sample size and the whole encode/query path still works."""
+    import numpy as np
+
+    from teleco_etl_pipeline_spark.operators.similarity import (
+        ivfpq_assign,
+        ivfpq_fit,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, cb = ivfpq_fit(emb)
+    assert cents.shape[0] <= 5
+    assigned = ivfpq_assign(emb, cents, cb)
+    got = ivfpq_topk(assigned, cents, cb, rows[0][1], k=3, exclude_ids=(0,))
+    assert 0 < got.count() <= 3
