@@ -63,6 +63,9 @@ QUERIES = [
     "embedding_ivfpq_topk",
     # exact trailing-window distinct (explode factor constant in data)
     "events_active_users_7d",
+    # pigeonhole segment-blocked ER (candidates track dup density, not
+    # volume — the attribute-blocked form grew ~10x per 10x data)
+    "customer_linkage_blocked",
 ]
 
 

@@ -1284,56 +1284,63 @@ def q_events_type_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_linkage_blocked",
     """
     WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+    ), v AS (
       SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
-             substr(c_name, 1, 9) AS s1, substr(c_name, 10) AS s2
-      FROM customer
+             CASE WHEN i = 0 THEN c_name
+                  ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1)
+             END AS variant
+      FROM c, UNNEST(range(0, len(c_name) + 1)) AS t(i)
     ), cand AS (
       SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b,
              a.c_name AS na, b.c_name AS nb
-      FROM c a JOIN c b
+      FROM v a JOIN v b
         ON a.c_nationkey = b.c_nationkey
        AND a.c_mktsegment = b.c_mktsegment
+       AND a.variant = b.variant
        AND a.c_custkey < b.c_custkey
-       AND (a.s1 = b.s1 OR a.s2 = b.s2)
     )
     SELECT id_a, id_b, levenshtein(na, nb) AS name_dist
     FROM cand
     WHERE levenshtein(na, nb) <= 1
     ORDER BY id_a, id_b
     """,
-    doc="Record linkage / entity resolution with PIGEONHOLE SEGMENT "
-    "blocking (PassJoin): a pair within edit distance 1 must match "
-    "EXACTLY on at least one of the two name halves (one edit "
-    "touches one half; complete for substitution edits — "
-    "length-changing edits need PassJoin's shifted segment probes, "
-    "out of scope on fixed-format keys). Candidates are therefore "
-    "two hash EQUI-joins on (attrs, half) unioned and deduped — "
-    "block sizes track near-duplicate density, NOT data volume, "
-    "which is what kills the naive attribute-block version at "
-    "scale (its Σ|block|² grew 10× per 10× data: measured 10.6 s "
-    "at sf0.1 vs sub-second for this form). Bounded levenshtein "
-    "(threshold=1) verifies with the banded O(n·t) DP, not the "
-    "full O(n²) matrix.",
+    doc="Record linkage / entity resolution with DELETION-NEIGHBORHOOD "
+    "blocking (FastSS/SymSpell): two strings within edit distance 1 "
+    "always share an entry of U(x) = {x} ∪ single-deletions(x) — a "
+    "substitution at i makes both i-deletions equal, an indel makes "
+    "the shorter string a deletion of the longer. Candidates are ONE "
+    "hash equi-join on (attrs, variant): the ×(len+1) explode is a "
+    "constant linear fan-out and the variant keys are as "
+    "discriminating as the names themselves, so candidate volume "
+    "tracks true near-duplicate density — unlike attribute blocks "
+    "(Σ|block|² grows quadratically: 10.6 s at sf0.1) or half-"
+    "segment blocks (a constant name prefix makes one segment a hot "
+    "block: 5.1× growth per 10× data). Bounded levenshtein "
+    "(threshold=1, banded O(n·t) DP) verifies the survivors.",
 )
 def q_customer_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_name",
-        "c_nationkey",
-        "c_mktsegment",
-        F.substring("c_name", 1, 9).alias("s1"),
-        F.expr("substr(c_name, 10)").alias("s2"),
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
-    a = cust.select(*[F.col(c).alias(f"a_{c}") for c in cust.columns])
-    b = cust.select(*[F.col(c).alias(f"b_{c}") for c in cust.columns])
-    base = (
-        (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
-        & (F.col("a_c_mktsegment") == F.col("b_c_mktsegment"))
-        & (F.col("a_c_custkey") < F.col("b_c_custkey"))
+    variant = F.when(F.col("i") == 0, F.col("c_name")).otherwise(
+        F.concat(
+            F.expr("substr(c_name, 1, i - 1)"), F.expr("substr(c_name, i + 1)")
+        )
     )
+    v = cust.select(
+        "*", F.explode(F.sequence(F.lit(0), F.length("c_name"))).alias("i")
+    ).select("c_custkey", "c_name", "c_nationkey", "c_mktsegment", variant.alias("variant"))
+    a = v.select(*[F.col(c).alias(f"a_{c}") for c in v.columns])
+    b = v.select(*[F.col(c).alias(f"b_{c}") for c in v.columns])
     cand = (
-        a.join(b, base & (F.col("a_s1") == F.col("b_s1")))
-        .unionAll(a.join(b, base & (F.col("a_s2") == F.col("b_s2"))))
+        a.join(
+            b,
+            (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
+            & (F.col("a_c_mktsegment") == F.col("b_c_mktsegment"))
+            & (F.col("a_variant") == F.col("b_variant"))
+            & (F.col("a_c_custkey") < F.col("b_c_custkey")),
+        )
         .select(
             F.col("a_c_custkey").alias("id_a"),
             F.col("b_c_custkey").alias("id_b"),
