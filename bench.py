@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "user_survival_curve",      # Kaplan-Meier product-limit via ordered log-sum window
     "events_cohort_ltv",        # cohort revenue + cumulative LTV curve
     "brand_size_rank_ties",     # top-N-with-ties via RANK/DENSE_RANK
+    "ngram_containment_pairs",  # directional subset-dup containment
 ]
 
 

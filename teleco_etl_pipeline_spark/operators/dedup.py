@@ -1225,3 +1225,96 @@ def q_doc_frequent_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_ngram_scrub(
         load_table(spark, sf_dir, "documents"), n=3, min_freq=5
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """DIRECTIONAL near-duplicate detection by shingle containment
+    |A∩B|/|A| — the measure that catches a document EMBEDDED in a
+    larger one (quote, concatenation, boilerplate wrapper), which
+    symmetric Jaccard structurally misses: a small doc inside a big
+    one has J = |A|/|B| ≈ 0 but containment ≈ 1. Same candidate
+    machinery as the Jaccard family (shared-shingle equi-join, one
+    shuffle on the shingle key); both directions of every candidate
+    pair are scored from ONE symmetric join. Returns
+    (contained_id, container_id, containment ≥ threshold). The
+    frequency-guarded variant composes exactly like
+    ngram_jaccard_guarded; at 100 TB use that guard plus MinHash
+    candidates (containment sketch: |A∩B|/|A| from the same
+    signatures)."""
+    sh = _doc_shingles(docs, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "set_size": "size_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "set_size": "size_b"}), "doc_b")
+    )
+    c_ab = inter.select(
+        F.col("doc_a").alias("contained_id"),
+        F.col("doc_b").alias("container_id"),
+        F.round(F.col("shared") / F.col("size_a") + F.lit(1e-9), 4).alias(
+            "containment"
+        ),
+    )
+    c_ba = inter.select(
+        F.col("doc_b").alias("contained_id"),
+        F.col("doc_a").alias("container_id"),
+        F.round(F.col("shared") / F.col("size_b") + F.lit(1e-9), 4).alias(
+            "containment"
+        ),
+    )
+    return (
+        c_ab.unionAll(c_ba)
+        .filter(F.col("containment") >= threshold)
+        .orderBy("contained_id", "container_id")
+    )
+
+
+@query(
+    "ngram_containment_pairs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, len(toks) - 2)]) AS shingles
+      FROM tok WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS set_size FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS shared,
+             ANY_VALUE(a.set_size) AS size_a, ANY_VALUE(b.set_size) AS size_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), directed AS (
+      SELECT doc_a AS contained_id, doc_b AS container_id,
+             ROUND(CAST(shared AS DOUBLE) / size_a + 1e-9, 4) AS containment
+      FROM inter
+      UNION ALL
+      SELECT doc_b, doc_a,
+             ROUND(CAST(shared AS DOUBLE) / size_b + 1e-9, 4)
+      FROM inter
+    )
+    SELECT contained_id, container_id, containment
+    FROM directed WHERE containment >= 0.6
+    ORDER BY contained_id, container_id
+    """,
+    doc="Directional shingle containment |A∩B|/|A| ≥ 0.6 — catches "
+    "subset duplicates (a doc embedded in a larger one) that "
+    "symmetric Jaccard structurally misses. One shared-shingle "
+    "shuffle scores both directions of every candidate pair.",
+)
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, n=3, threshold=0.6)
