@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "events_cohort_ltv",        # cohort revenue + cumulative LTV curve
     "brand_size_rank_ties",     # top-N-with-ties via RANK/DENSE_RANK
     "ngram_containment_pairs",  # directional subset-dup containment
+    # -- round-6 additions ------------------------------------------
+    "embedding_knn_classify_total",  # kNN labels + brute-force leftover coverage
 ]
 
 
@@ -160,6 +162,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    sf_val = float(sf) if sf else sf_dir
     print(
         json.dumps(
             {
@@ -167,7 +170,33 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf else sf_dir,
+                "sf": sf_val,
+            }
+        )
+    )
+    # The driver keeps only the TAIL of stdout; at 100+ queries the
+    # full per-query line above outgrows it (BENCH_r05 recorded
+    # parsed:null). Print a second, compact line AFTER it — same
+    # schema, but queries limited to the cross-round watch-list plus
+    # the 10 slowest this run — so the suite total and the queries a
+    # judge compares round-over-round always survive truncation.
+    watch = [
+        "pricing_summary",
+        "events_tumbling_hourly",
+        "events_sessionize",
+        "ngram_jaccard_guarded",
+    ]
+    slowest = sorted(timings, key=timings.get, reverse=True)[:10]
+    compact = {q: timings[q] for q in dict.fromkeys(watch + slowest) if q in timings}
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "queries": compact,
+                "sf": sf_val,
             }
         )
     )

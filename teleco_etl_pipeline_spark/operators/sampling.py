@@ -588,7 +588,12 @@ def token_budget_mix(
     matching how training-data mixes overshoot rather than truncate
     documents mid-text). One window shuffle on the group key; token
     counting is the house whitespace convention (split(trim, '\\s+'),
-    JVM-side)."""
+    JVM-side).
+
+    Returns the ADMITTED ROWS with every caller column intact plus
+    the internal ``__toks`` / ``__cum`` accounting columns — callers
+    mixing a real corpus need the admitted-doc set itself, not just
+    its aggregate (ADVICE r5)."""
     toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     w = (
         Window.partitionBy(group_col)
@@ -596,7 +601,7 @@ def token_budget_mix(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_cum = docs.select(
-        group_col,
+        docs["*"],
         toks.alias("__toks"),
         F.sum(toks).over(w).alias("__cum"),
     )

@@ -28,6 +28,22 @@ from teleco_etl_pipeline_spark.plans.registry import query
 from teleco_etl_pipeline_spark.sources.tables import load_table
 
 
+def _round_half_away(x: np.ndarray, decimals: int = 4) -> np.ndarray:
+    """Round half AWAY from zero — DuckDB/ANSI ``ROUND`` semantics.
+
+    ``np.round`` is round-half-to-EVEN, so a value that lands on a
+    representable binary half after the ``×10^d`` scaling rounds
+    differently in numpy than in the DuckDB oracle (and the flip is
+    BLAS/version-dependent, so local parity can pass while another
+    environment fails). Every Python-side kernel that feeds a rounded
+    double into a ranking key or a hashed report column must round
+    through this helper, never ``np.round`` (pinned by
+    ``tests/test_operators.py::test_python_kernels_round_half_away``).
+    """
+    s = 10.0**decimals
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -974,9 +990,10 @@ def semantic_dedup(
             dup_row = np.full(n, -1, dtype=np.int64)
             for j0 in range(0, n, block):
                 j1 = min(j0 + block, n)
-                s = np.round(
-                    (x @ x[j0:j1].T) / np.outer(nrm, nrm[j0:j1]) + 1e-9, 4
-                )
+                # Half-AWAY rounding (DuckDB ROUND semantics; inlined
+                # to keep the kernel numpy-only — see _round_half_away).
+                c = (x @ x[j0:j1].T) / np.outer(nrm, nrm[j0:j1]) + 1e-9
+                s = np.sign(c) * np.floor(np.abs(c) * 1e4 + 0.5) / 1e4
                 hit = s >= th
                 # only i < j pairs: mask the diagonal and below
                 cols = np.arange(j0, j1)
@@ -1819,6 +1836,8 @@ def lsh_knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    total_coverage: bool = False,
+    fallback_candidates: int = 256,
 ) -> DataFrame:
     """Approximate kNN JOIN: for every vector, its k nearest
     same-bucket neighbors by exact cosine — the set-returning join
@@ -1833,8 +1852,12 @@ def lsh_knn_join(
     more work — at 100 TB tune n_planes so buckets hold ~10³ vectors
     and add tables (recall knob) rather than dropping planes.
     Vectors alone in their bucket emit no rows (standard LSH-kNN
-    behavior; callers needing total coverage add a brute-force pass
-    over the leftovers).
+    behavior); pass ``total_coverage=True`` to add the brute-force
+    leftovers pass: vectors with zero bucket collisions are anti-
+    joined out and scored exactly against a deterministic md5-sampled
+    candidate set of ``fallback_candidates`` vectors (broadcast — a
+    TakeOrdered of a few hundred rows, never a second full shuffle),
+    so every vector receives k neighbors.
 
     Pass ``dim`` explicitly in production (same caveat as
     :func:`lsh_bucketed_pairs`): the fallback probes the first row,
@@ -1870,7 +1893,13 @@ def lsh_knn_join(
         y = np.vstack(vb.to_numpy()).astype(np.float64)
         num = np.einsum("ij,ij->i", x, y)
         den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
-        return pd.Series(np.round(num / den + 1e-9, 4))
+        # Half-AWAY rounding to match DuckDB ROUND (np.round is
+        # half-to-even — flipped the k-th neighbor on binary halves,
+        # the round-5 driver's one red row). Inlined (not the module
+        # helper) to keep the closure numpy-only for executors; the
+        # formula is pinned against _round_half_away by test.
+        c = num / den + 1e-9
+        return pd.Series(np.sign(c) * np.floor(np.abs(c) * 1e4 + 0.5) / 1e4)
 
     scored = (
         a.join(b, "bucket")
@@ -1884,7 +1913,36 @@ def lsh_knn_join(
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    knn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    if not total_coverage:
+        return knn
+
+    # Brute-force leftovers pass: vectors with zero same-bucket
+    # collisions got no rows above; score them exactly against a
+    # deterministic md5-ordered sample of the corpus. The sample is a
+    # TakeOrderedAndProject (top-N by md5, no full sort) and is
+    # broadcast, so the fallback is one map-side join over the
+    # leftovers — no second all-pairs shuffle at any scale.
+    covered = knn.select(F.col(id_col)).distinct()
+    leftovers = wb.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).join(covered.select(F.col(id_col).alias("_qid")), "_qid", "left_anti")
+    cand = (
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+        .orderBy(F.md5(F.col("neighbor_id").cast("string")).asc())
+        .limit(fallback_candidates)
+    )
+    fb_scored = (
+        leftovers.join(F.broadcast(cand))
+        .filter(F.col("_qid") != F.col("neighbor_id"))
+        .select(
+            F.col("_qid").alias(id_col),
+            "neighbor_id",
+            _pair_cos(F.col("_qv"), F.col("_nv")).alias("cosine_sim"),
+        )
+    )
+    fb = fb_scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return knn.unionByName(fb)
 
 
 def knn_label_classify(
@@ -1896,6 +1954,8 @@ def knn_label_classify(
     vec_col: str = "embedding",
     label_col: str = "label",
     dim: int | None = None,
+    total_coverage: bool = False,
+    fallback_candidates: int = 256,
 ) -> DataFrame:
     """kNN majority-vote label propagation + per-label agreement
     report — the weak-labeling / label-noise-audit operator: predict
@@ -1914,10 +1974,16 @@ def knn_label_classify(
     received a prediction). ``agreement`` = n_correct/n_predicted,
     sentinel -1.0 when a label has zero predicted vectors (a nullable
     double would poison the cross-engine value hash).
+
+    With ``total_coverage=True`` the leftovers brute-force pass in
+    :func:`lsh_knn_join` guarantees ``n_predicted == n_total`` for
+    every label (pinned by test and by the
+    ``embedding_knn_classify_total`` catalog oracle).
     """
     knn = lsh_knn_join(
         emb, k=k, n_planes=n_planes, seed=seed, id_col=id_col,
-        vec_col=vec_col, dim=dim,
+        vec_col=vec_col, dim=dim, total_coverage=total_coverage,
+        fallback_candidates=fallback_candidates,
     )
     labels = emb.select(F.col(id_col), F.col(label_col))
     votes = (
@@ -2015,6 +2081,81 @@ def q_embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_label_classify(
         emb, k=_KNN_K, n_planes=_KNN_PLANES, dim=_LSH_DIM
+    )
+
+
+# Total-coverage variant: 8 planes ⇒ 256 buckets, so at harness scale
+# many vectors are alone in their bucket and the brute-force leftovers
+# pass genuinely executes (n_predicted == n_total by construction).
+_KNN_T_PLANES, _KNN_FB = 8, 64
+
+
+def _knn_classify_total_oracle_sql() -> str:
+    bucket = _sql_bucket(
+        hyperplanes(_LSH_DIM, _KNN_T_PLANES, 42), "CAST(embedding AS DOUBLE[])"
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label, {bucket} AS bucket
+      FROM embeddings
+    ), knn AS (
+      SELECT a.vec_id AS qid, c.vec_id AS nid,
+             ROUND(list_cosine_similarity(a.v, c.v) + 1e-9, 4) AS cos
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                 ORDER BY cos DESC, c.vec_id ASC) <= {_KNN_K}
+    ), cand AS (
+      SELECT vec_id, v FROM b
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC LIMIT {_KNN_FB}
+    ), fb AS (
+      SELECT l.vec_id AS qid, c.vec_id AS nid,
+             ROUND(list_cosine_similarity(l.v, c.v) + 1e-9, 4) AS cos
+      FROM b l JOIN cand c ON l.vec_id <> c.vec_id
+      WHERE l.vec_id NOT IN (SELECT qid FROM knn)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY l.vec_id
+                                 ORDER BY cos DESC, c.vec_id ASC) <= {_KNN_K}
+    ), edges AS (
+      SELECT qid, nid FROM knn UNION ALL SELECT qid, nid FROM fb
+    ), votes AS (
+      SELECT e.qid, nb.label AS nlabel, COUNT(*) AS c
+      FROM edges e JOIN b nb ON nb.vec_id = e.nid
+      GROUP BY e.qid, nb.label
+    ), pred AS (
+      SELECT qid, nlabel AS pred FROM votes
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY c DESC, nlabel ASC) = 1
+    )
+    SELECT q.label AS label,
+           COUNT(*) AS n_total,
+           COUNT(p.pred) AS n_predicted,
+           SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END) AS n_correct,
+           CASE WHEN COUNT(p.pred) = 0 THEN -1.0
+                ELSE ROUND(SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END)
+                           / COUNT(p.pred) + 1e-9, 4) END AS agreement
+    FROM b q LEFT JOIN pred p ON q.vec_id = p.qid
+    GROUP BY q.label
+    """
+
+
+@query(
+    "embedding_knn_classify_total",
+    _knn_classify_total_oracle_sql(),
+    doc="Total-coverage kNN label propagation: sparse 8-plane buckets "
+    "leave many vectors neighborless, so the brute-force leftovers "
+    "pass (anti-join survivors scored exactly against a broadcast "
+    "md5-sampled candidate set) must fire for n_predicted to reach "
+    "n_total — the coverage contract the plain LSH variant cannot "
+    "make. Oracle-backed end-to-end.",
+)
+def q_embedding_knn_classify_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_label_classify(
+        emb,
+        k=_KNN_K,
+        n_planes=_KNN_T_PLANES,
+        dim=_LSH_DIM,
+        total_coverage=True,
+        fallback_candidates=_KNN_FB,
     )
 
 

@@ -974,8 +974,11 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "part_basket_lift",
     """
-    WITH io AS (
+    WITH io0 AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), io AS (
+      SELECT l_orderkey, l_partkey FROM io0
+      QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) <= 100
     ), n AS (
       SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM io
     ), pn AS (
@@ -1002,11 +1005,27 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "size, not table size — per-key fan-out is the as-of/banded-join "
     "discipline), the support floor prunes before the lift math, "
     "and the order count arrives as a scalar subquery. TakeOrdered "
-    "top-20 on the rounded lift with id tie-breaks.",
+    "top-20 on the rounded lift with id tie-breaks. The basket-size "
+    "cap (100; TPC-H max is 7, so a no-op on harness data) is the "
+    "STRUCTURAL bound on the B² per-order fan-out — a bot cart with "
+    "10⁵ items would otherwise emit 10¹⁰ pairs that no runtime "
+    "skew-split can absorb; AQE skew-join handles residual partition "
+    "imbalance below the cap (pinned by "
+    "test_basket_selfjoin_cap_and_aqe_skew).",
 )
 def q_part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     io = li.select("l_orderkey", "l_partkey").distinct()
+    # Cap the per-order basket size BEFORE pairing: the pair count is
+    # quadratic in basket size by construction, so one pathological
+    # order (bot cart, test fixture) otherwise dominates the whole
+    # stage in a way AQE can only split, not shrink.
+    wb = Window.partitionBy("l_orderkey")
+    io = (
+        io.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bsz") <= 100)
+        .drop("_bsz")
+    )
     n_orders = io.agg(
         F.countDistinct("l_orderkey").alias("n_orders")
     ).scalar()

@@ -858,9 +858,14 @@ def q_events_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFra
       FROM cells
     )
     SELECT t_days, n_risk, d AS n_churned,
-           ROUND(EXP(SUM(LN(1 - d * 1.0 / n_risk))
-                     OVER (ORDER BY t_days ASC ROWS UNBOUNDED PRECEDING))
-                 + 1e-9, 4) AS survival
+           CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t_days ASC ROWS UNBOUNDED PRECEDING) = 1
+                THEN 0.0
+                ELSE ROUND(EXP(SUM(CASE WHEN d < n_risk
+                                        THEN LN(1 - d * 1.0 / n_risk)
+                                        ELSE 0.0 END)
+                           OVER (ORDER BY t_days ASC ROWS UNBOUNDED PRECEDING))
+                     + 1e-9, 4) END AS survival
     FROM risk
     WHERE d > 0
     ORDER BY t_days
@@ -906,14 +911,22 @@ def q_user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy(F.asc("t_days"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    surv = F.round(
-        F.exp(
-            F.sum(
-                F.log(F.lit(1) - F.col("d") * 1.0 / F.col("n_risk"))
-            ).over(w_asc)
-        )
-        + F.lit(1e-9),
-        4,
+    # Terminal-cell guard (d == n_risk ⇒ the KM product hits an exact
+    # zero factor): ln(0) is an ERROR in the DuckDB oracle but NULL in
+    # Spark (F.log), and F.sum skips NULLs — unguarded, the two engines
+    # silently diverge (stale positive survival vs crash) on data where
+    # every at-risk user churns at the max lifetime. Exclude the zero
+    # factor from the log-sum and pin survival to 0.0 from that cell
+    # on, identically in both engines.
+    hit_zero = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_asc)
+    log_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(F.lit(1) - F.col("d") * 1.0 / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    surv = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(log_term).over(w_asc)) + F.lit(1e-9), 4)
     )
     return (
         risk.select(

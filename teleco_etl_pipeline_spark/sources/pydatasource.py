@@ -159,13 +159,44 @@ def keyset_parquet_source():
         plane tails (watermark tables, registries, dimension deltas),
         NOT for fact volume. A high-volume tail implements
         DataSourceStreamReader with partitions() slicing the offset
-        range exactly like KeysetReader.partitions does for batch."""
+        range exactly like KeysetReader.partitions does for batch.
+
+        WRITER CONTRACT — strictly-increasing keys: the offset is the
+        scan-time MAX key, so any row later appended with a key <= the
+        committed max (an out-of-order backfill file) is OUTSIDE every
+        future batch range and will never be delivered. That is the
+        standard keyset-pagination contract, but it is easy to violate
+        with file drops, so violations are DETECTED rather than
+        silent: each ``read`` recounts the rows at-or-below the
+        committed offset and any growth since the previous microbatch
+        is logged and accumulated in ``late_rows_skipped``. Backfills
+        that cannot honor the contract belong on the file-arrival
+        stream (``streaming/file_stream.py``), which keys on file
+        identity, not row keys."""
+
+        LOG = __import__("logging").getLogger("keyset_oltp.stream")
 
         def __init__(self, schema, options):
             self.schema_names = [f.name for f in schema.fields]
             self.path = options["path"]
             self.col = options["partition_col"]
             self.start_after = int(options.get("start_after", "-1"))
+            # Late-append detection state (in-memory, resets on
+            # restart — a detection aid, not part of the offset).
+            self._rows_at_or_below: int | None = None
+            self.late_rows_skipped = 0
+
+        def _count_at_or_below(self, key) -> int:
+            """Exact row count with key <= the committed offset.
+            Row-group stats prune cleanly-separated groups; only
+            straddling groups are read. Control-plane tables are
+            small by design (see class docstring), so this stays
+            cheap."""
+            import pyarrow.parquet as pq
+
+            return pq.read_table(
+                self.path, columns=[self.col], filters=[(self.col, "<=", key)]
+            ).num_rows
 
         def initialOffset(self):
             return {"last": self.start_after}
@@ -207,9 +238,34 @@ def keyset_parquet_source():
         def read(self, start):
             hi = self._current_max()
             last = start["last"]
+            # Writer-contract check: rows newly appeared AT OR BELOW
+            # the committed offset can never be delivered (see class
+            # docstring) — count and log them instead of losing them
+            # silently.
+            if last >= 0:
+                below = self._count_at_or_below(last)
+                if (
+                    self._rows_at_or_below is not None
+                    and below > self._rows_at_or_below
+                ):
+                    late = below - self._rows_at_or_below
+                    self.late_rows_skipped += late
+                    self.LOG.warning(
+                        "keyset_oltp: %d row(s) appended with %s <= the "
+                        "committed offset %s — outside every future batch "
+                        "range (strictly-increasing-key contract violated; "
+                        "route backfills through the file-arrival stream)",
+                        late,
+                        self.col,
+                        last,
+                    )
+                self._rows_at_or_below = below
             if hi is None or hi <= last:
                 return iter([]), start  # no new keys: empty batch, same offset
-            return iter(self._read_range(last, hi)), {"last": int(hi)}
+            rows = self._read_range(last, hi)
+            if self._rows_at_or_below is not None:
+                self._rows_at_or_below += len(rows)
+            return iter(rows), {"last": int(hi)}
 
         def readBetweenOffsets(self, start, end):
             return iter(self._read_range(start["last"], end["last"]))

@@ -148,3 +148,63 @@ def test_segment_blocked_linkage_complete_for_substitutions(spark, sf_dir):
         .collect()
     }
     assert got == naive
+
+
+def test_survival_curve_terminal_cell_hits_zero_in_both_engines(spark, tmp_path):
+    """ADVICE r5 (medium): when the max-lifetime cell has d == n_risk
+    (every remaining at-risk user churned), the KM product contains an
+    exact zero factor — unguarded, DuckDB's LN(0) errors while Spark's
+    F.log returns NULL (skipped by F.sum → stale positive survival).
+    Both engines must now report survival = 0.0 for that cell, and
+    agree on every other cell."""
+    import datetime as dt
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    qs = all_queries()
+    tf = dt.datetime(2024, 3, 1, 12, 0, 0)
+    day = dt.timedelta(days=1)
+    rows = [
+        # user 1: lifetime 5 days, last activity 5 days before the
+        # frontier → UNCENSORED, and alone at the max lifetime ⇒ the
+        # terminal cell has d == n_risk.
+        (1, tf - 10 * day, 1),
+        (2, tf - 5 * day, 1),
+        # user 2: lifetime 0, 3 days stale → uncensored (d at t=0).
+        (3, tf - 3 * day, 2),
+        # user 3: defines the frontier → censored at t=0.
+        (4, tf, 3),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    q = qs["user_survival_curve"]
+    got = {
+        r["t_days"]: (r["n_risk"], r["n_churned"], r["survival"])
+        for r in q.build(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (3, 1, round(1 - 1 / 3 + 1e-9, 4))
+    assert got[5] == (1, 1, 0.0)  # terminal cell: exact zero, not stale 0.6667
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    oracle = {
+        int(t): (int(n), int(d), float(s))
+        for t, n, d, s in con.execute(q.oracle).fetchall()
+    }
+    con.close()
+    assert oracle == got

@@ -1066,6 +1066,49 @@ def test_knn_label_classify_reports_coverage_collapse(spark):
     assert out[0]["n_predicted"] == out[0]["n_total"] == 4
 
 
+def test_knn_total_coverage_fallback_predicts_every_vector(spark):
+    """total_coverage=True: the brute-force leftovers pass fills in
+    every vector the sparse buckets left neighborless — coverage
+    must be total AND the fallback must genuinely fire (the plain
+    LSH variant on the same data has n_predicted < n_total)."""
+    from teleco_etl_pipeline_spark.operators.similarity import knn_label_classify
+
+    # Same shape as the collapse test: one orthogonal singleton.
+    rows = [(i, [10.0 + i, 1.0], 0) for i in range(4)] + [(9, [-5.0, 50.0], 1)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    plain = {
+        r["label"]: r
+        for r in knn_label_classify(emb, k=2, n_planes=1, dim=2).collect()
+    }
+    assert plain[1]["n_predicted"] < plain[1]["n_total"]  # fallback needed
+    total = {
+        r["label"]: r
+        for r in knn_label_classify(
+            emb, k=2, n_planes=1, dim=2, total_coverage=True
+        ).collect()
+    }
+    for lab in (0, 1):
+        assert total[lab]["n_predicted"] == total[lab]["n_total"]
+        assert total[lab]["agreement"] != -1.0
+
+
+def test_knn_total_coverage_on_harness_embeddings(spark, sf_dir):
+    """On real harness data with sparse 8-plane buckets, the catalog's
+    total-coverage query predicts every vector of every label."""
+    from teleco_etl_pipeline_spark.operators.similarity import knn_label_classify
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = knn_label_classify(
+        emb, k=5, n_planes=8, dim=64, total_coverage=True, fallback_candidates=64
+    ).collect()
+    assert out, "expected at least one label"
+    for r in out:
+        assert r["n_predicted"] == r["n_total"], r
+
+
 def test_rrf_fuse_rewards_presence_in_both_lists(spark):
     from teleco_etl_pipeline_spark.operators.similarity import rrf_fuse
 
@@ -1271,7 +1314,12 @@ def test_token_budget_mix_boundary_doc_admitted(spark):
         "doc_id long, source string, text string",
     )
     kept = token_budget_mix(docs, budget=1)
-    assert kept.count() == 1  # exactly the first-in-hash-order doc
+    rows = kept.collect()
+    assert len(rows) == 1  # exactly the first-in-hash-order doc
+    # Caller columns survive (ADVICE r5: the admitted-doc SET is the
+    # operator's product, not just its aggregate).
+    assert set(kept.columns) == {"doc_id", "source", "text", "__toks", "__cum"}
+    assert rows[0]["doc_id"] in (1, 2) and rows[0]["text"]
     assert kept.agg(F.sum("__toks")).first()[0] in (5, 3)
 
 
@@ -1294,3 +1342,161 @@ def test_ivfpq_fit_tiny_table_caps_centroids(spark):
     assigned = ivfpq_assign(emb, cents, cb)
     got = ivfpq_topk(assigned, cents, cb, rows[0][1], k=3, exclude_ids=(0,))
     assert 0 < got.count() <= 3
+
+
+def test_basket_selfjoin_cap_and_aqe_skew(spark, tmp_path):
+    """part_basket_lift's two skew layers (VERDICT r5 stretch):
+    (1) the STRUCTURAL basket-size cap — a pathological 150-part
+    order is excluded before pairing, since its B² fan-out is
+    intrinsic and no runtime split can shrink it; (2) below the cap,
+    AQE's runtime skew-join split absorbs residual imbalance on the
+    within-order self-join shape (skew=true in the final plan)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    # --- layer 1: the cap, through the registered query -------------
+    # Orders 2..10 each hold parts {1,2}; hot order 1 holds {1,2} plus
+    # 148 filler parts (basket 150 > cap 100). With the cap, the
+    # (1,2) pair counts 9 co-occurrences, not 10.
+    rows = [(o, p) for o in range(2, 11) for p in (1, 2)]
+    rows += [(1, p) for p in [1, 2] + list(range(100, 248))]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], type=pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], type=pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "lineitem.parquet"),
+    )
+    out = all_queries()["part_basket_lift"].build(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and (out[0]["part_a"], out[0]["part_b"]) == (1, 2)
+    assert out[0]["n_ab"] == 9  # hot order excluded by the cap
+
+    # --- layer 2: AQE skew split on the self-join shape -------------
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # One hot-but-under-cap order (1200 parts) + many small ones:
+        # the same a⋈b on l_orderkey that basket pairing runs.
+        io = spark.range(0, 1200).select(
+            F.lit(0).alias("l_orderkey"), F.col("id").alias("l_partkey")
+        ).unionAll(
+            spark.range(0, 900).select(
+                (F.col("id") % 300 + 1).alias("l_orderkey"),
+                F.col("id").alias("l_partkey"),
+            )
+        )
+        a = io.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+        b = io.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+        pairs = (
+            a.join(b, "l_orderkey")
+            .filter(F.col("part_a") < F.col("part_b"))
+            .groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+        )
+        assert pairs.count() > 0  # separate QueryExecution, warms nothing
+        pairs.collect()
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_zorder_key_matches_python_morton(spark):
+    from teleco_etl_pipeline_spark.operators.layout import zorder_key
+
+    def morton(x, y, bits=8):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(x, y) for x in (0, 1, 5, 127, 200, 255) for y in (0, 3, 64, 255)]
+    df = spark.createDataFrame(rows, "x int, y int").select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")]).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == morton(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_files_bound_both_dimension_spans(spark, tmp_path):
+    """The data-skipping property the report quantifies: a 16-file
+    Z-order layout of a 256x256 key space gives every file a <=64
+    span in BOTH dimensions, while the single-column linear layout
+    leaves the other dimension unbounded (full-range span). Dense
+    synthetic keys — the harness sf0.001 suppkey domain is [0,9],
+    too narrow to exhibit the contrast."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    n = 65536
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([i % 256 for i in range(n)], type=pa.int64()),
+                "l_suppkey": pa.array([i // 256 for i in range(n)], type=pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "lineitem.parquet"),
+    )
+    rows = (
+        all_queries()["zorder_layout_report"].build(spark, str(tmp_path)).collect()
+    )
+    z = [r for r in rows if r["layout"] == "zorder"]
+    lin = [r for r in rows if r["layout"] == "linear"]
+    assert z and lin
+    assert all(r["x_span"] <= 64 and r["y_span"] <= 64 for r in z)
+    assert all(r["x_span"] <= 16 for r in lin)
+    assert max(r["y_span"] for r in lin) > 64  # unpruned second dim
+
+
+def test_zorder_repartition_tightens_rowgroup_stats(spark, tmp_path):
+    """zorder_repartition + parquet write: each output file's min/max
+    must cover a hypercube (<=64 span per dim for 16 files), the
+    stats row-group pruning keys off."""
+    import pyarrow.parquet as pq
+
+    from teleco_etl_pipeline_spark.operators.layout import zorder_repartition
+
+    df = spark.range(0, 65536).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y")
+    )
+    out = str(tmp_path / "z")
+    zorder_repartition(df, [F.col("x"), F.col("y")], n_files=16).write.parquet(out)
+    import glob
+
+    spans = []
+    for f in glob.glob(out + "/*.parquet"):
+        t = pq.read_table(f)
+        if t.num_rows == 0:
+            continue
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        spans.append((max(xs) - min(xs), max(ys) - min(ys)))
+    assert spans
+    # range partitioning is sample-based so allow one straddling file
+    ok = [s for s in spans if s[0] <= 127 and s[1] <= 127]
+    assert len(ok) >= len(spans) - 2, spans

@@ -347,3 +347,75 @@ def test_pareto_abc_partitions_and_boundaries(spark, spends):
         running += s
         expect[k] = "A" if 2 * running <= total else ("B" if 5 * running <= 4 * total else "C")
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine rounding discipline (round-5 regression class).
+# ---------------------------------------------------------------------------
+
+@given(
+    mantissas=st.lists(st.integers(-2_000_000, 2_000_000), min_size=1, max_size=50),
+)
+@settings(**SETTINGS)
+def test_round_half_away_matches_duckdb(mantissas):
+    """_round_half_away must agree with DuckDB ROUND(x, 4) — the
+    oracle's rounding — on arbitrary values INCLUDING exact decimal
+    halves (k/2e4, where np.round's half-to-even diverges). This is
+    the bug class behind round 5's one red driver row
+    (embedding_knn_classify)."""
+    import duckdb
+    import numpy as np
+
+    from teleco_etl_pipeline_spark.operators.similarity import _round_half_away
+
+    # Mix arbitrary magnitudes with exact half-boundary values.
+    vals = [m / 1e6 for m in mantissas] + [m / 2e4 for m in mantissas]
+    x = np.array(vals, dtype=np.float64)
+    got = _round_half_away(x, 4)
+    con = duckdb.connect()
+    expect = [
+        con.execute("SELECT ROUND(?::DOUBLE, 4)", [float(v)]).fetchone()[0]
+        for v in vals
+    ]
+    con.close()
+    assert got.tolist() == expect
+
+
+def test_python_kernels_never_use_np_round():
+    """np.round is round-half-to-even; DuckDB/Spark ROUND are
+    half-away-from-zero. Any np.round in a Python-side kernel that
+    feeds a hashed/ranked column reintroduces the round-5 knn bug,
+    so ban it from engine source outright (kernels inline the
+    half-away formula; _round_half_away is the canonical helper)."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "teleco_etl_pipeline_spark"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if re.search(r"\bnp\.(round|rint)\s*\(", code):
+                offenders.append(f"{py.relative_to(pkg)}:{i}")
+    assert not offenders, f"half-to-even rounding in engine kernels: {offenders}"
+
+
+def test_inlined_kernel_rounding_matches_helper():
+    """The numpy-only closures inline the half-away formula instead of
+    importing the module helper (executor importability); pin that the
+    inlined formula IS _round_half_away, including on binary halves
+    and negatives."""
+    import numpy as np
+
+    from teleco_etl_pipeline_spark.operators.similarity import _round_half_away
+
+    rng = np.random.default_rng(7)
+    x = np.concatenate(
+        [
+            rng.uniform(-1.5, 1.5, 500),
+            np.arange(-40, 41) / 2e4,  # exact decimal halves
+            np.array([0.0, -0.0, 1.0, -1.0]),
+        ]
+    )
+    inlined = np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4
+    assert np.array_equal(inlined, _round_half_away(x, 4))

@@ -139,3 +139,47 @@ def test_keyset_stream_tails_appends_exactly_once(spark, tmp_path):
     # a third run with no new keys emits nothing new
     run_once()
     assert spark.read.parquet(out).count() == 5
+
+
+def test_keyset_stream_detects_late_appends_below_offset(tmp_path):
+    """Strictly-increasing-key contract (ADVICE r5): a row appended
+    with a key <= the committed offset can never be delivered — the
+    reader must COUNT and log it (late_rows_skipped), not lose it
+    silently. Driven directly through the reader API so the in-memory
+    detector state is observable."""
+    import pandas as pd
+
+    backend = tmp_path / "oltp"
+    backend.mkdir()
+
+    def write_batch(name, ids):
+        pd.DataFrame({"k": ids, "v": [f"r{i}" for i in ids]}).to_parquet(
+            str(backend / name)
+        )
+
+    write_batch("a.parquet", [1, 2, 3])
+    src_cls = keyset_parquet_source()
+    src = src_cls({"path": str(backend), "partition_col": "k"})
+    reader = src.simpleStreamReader(src.schema())
+
+    rows, off = reader.read(reader.initialOffset())
+    assert len(list(rows)) == 3 and off == {"last": 3}
+    assert reader.late_rows_skipped == 0
+
+    # In-order append delivers normally, no false positive.
+    write_batch("b.parquet", [4, 5])
+    rows, off = reader.read(off)
+    assert len(list(rows)) == 2 and off == {"last": 5}
+    assert reader.late_rows_skipped == 0
+
+    # Out-of-order backfill BELOW the committed offset: skipped by
+    # contract, but counted and detectable.
+    write_batch("c.parquet", [2, 4])
+    rows, off2 = reader.read(off)
+    assert list(rows) == [] and off2 == off
+    assert reader.late_rows_skipped == 2
+
+    # The detector does not double-count on subsequent batches.
+    rows, _ = reader.read(off2)
+    assert list(rows) == []
+    assert reader.late_rows_skipped == 2
