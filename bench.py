@@ -133,6 +133,12 @@ BENCH_QUERIES = [
     "ngram_containment_pairs",  # directional subset-dup containment
     # -- round-6 additions ------------------------------------------
     "embedding_knn_classify_total",  # kNN labels + brute-force leftover coverage
+    "zorder_layout_report",     # Morton-key layout vs linear, span report
+    "token_jaccard_prefix_pairs",  # PPJoin prefix-filtered EXACT set-sim join
+    "doc_sparse_tfidf_topk",    # inverted-index lexical retrieval
+    "embedding_pca_label_stats",  # baked-basis PCA projection folds
+    "priority_woe_iv",          # WOE/IV categorical feature screen
+    "score_calibration_bins",   # reliability-diagram decile bins
 ]
 
 

@@ -1318,3 +1318,190 @@ def ngram_containment_pairs(
 def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_containment_pairs(docs, n=3, threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join (SSJoin/PPJoin family)
+# ---------------------------------------------------------------------------
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT token-set Jaccard ≥ τ via prefix filtering — the
+    SSJoin/PPJoin candidate-generation principle (Chaudhuri et al.
+    ICDE'06; Xiao et al. WWW'08, both public): order each document's
+    tokens globally by ascending document frequency (rarest first);
+    two sets with Jaccard ≥ τ MUST share a token within each other's
+    first ``|d| - ⌈τ·|d|⌉ + 1`` tokens, so joining only on prefix
+    tokens finds every qualifying pair, then one intersection count
+    verifies exactly.
+
+    Why this is the third dedup scale path next to MinHash-LSH and
+    SimHash: those are probabilistic (recall < 1 by construction);
+    prefix filtering is EXACT with the same equi-join shape. The
+    candidate join keys are the RAREST tokens of each doc, so bucket
+    sizes are naturally tiny — the anti-skew property that a plain
+    share-any-token join lacks (its hottest bucket is the most
+    frequent token in the corpus). A length filter
+    (τ·|a| ≤ |b| ≤ |a|/τ) prunes cross-size candidates before the
+    verify join. Shuffles: token-df agg, per-doc rank window, the
+    prefix equi-join, and the verify join — all keyed on tokens or
+    ids, nothing all-pairs. No global rank is materialized (the
+    prefix bound needs only a PER-DOC ordering window, so no
+    single-partition bottleneck).
+
+    Returns (id_a, id_b, jaccard), id_a < id_b, ROUNDED jaccard ≥ τ
+    (the threshold compares on the rounded value so membership is
+    cross-engine exact).
+    """
+    from pyspark.sql import Window
+
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(parallelism, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .cache()
+    )
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    sized = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("dfreq"), F.asc("token"))
+    ordered = (
+        tok.join(dfreq, "token")
+        .join(sized, "doc_id")
+        .select(
+            "doc_id",
+            "token",
+            "sz",
+            F.row_number().over(w).alias("rn"),
+        )
+    )
+    t = float(threshold)
+    pref = ordered.filter(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    )
+    a = pref.select(
+        F.col("doc_id").alias("id_a"), "token", F.col("sz").alias("_sza")
+    )
+    b = pref.select(
+        F.col("doc_id").alias("id_b"), "token", F.col("sz").alias("_szb")
+    )
+    cand = (
+        a.join(b, "token")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_szb") >= F.ceil(F.lit(t) * F.col("_sza")))
+            & (F.col("_sza") >= F.ceil(F.lit(t) * F.col("_szb")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("id_a"), "token")
+    tb = tok.select(F.col("doc_id").alias("id_b"), "token")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    sa = sized.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("_na"))
+    sb = sized.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("_nb"))
+    jac = F.round(
+        F.col("_c").cast("double")
+        / (F.col("_na") + F.col("_nb") - F.col("_c"))
+        + F.lit(1e-9),
+        4,
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
+    )
+
+
+_PREFIX_T = 0.9  # τ=0.9 ⇒ prefixes are ~10% of each doc's tokens —
+# the regime where prefix filtering pays (candidate keys shrink with
+# τ; the synthetic corpus is templated enough that token-SET Jaccard
+# 0.5 would match ~92k pairs at sf0.01).
+
+
+@query(
+    "token_jaccard_prefix_pairs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> ''))) AS token
+      FROM documents
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS dfreq FROM tok GROUP BY token
+    ), sized AS (
+      SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+    ), ordered AS (
+      SELECT t.doc_id, t.token, s.sz,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.dfreq ASC, t.token ASC) AS rn
+      FROM tok t JOIN dfreq d USING (token) JOIN sized s USING (doc_id)
+    ), pref AS (
+      SELECT doc_id, token, sz FROM ordered
+      WHERE rn <= sz - CEIL({_PREFIX_T} * sz) + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pref a JOIN pref b ON a.token = b.token AND a.doc_id < b.doc_id
+      WHERE b.sz >= CEIL({_PREFIX_T} * a.sz)
+        AND a.sz >= CEIL({_PREFIX_T} * b.sz)
+    ), inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS ic
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.id_a
+      JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+      GROUP BY c.id_a, c.id_b
+    ), pairs AS (
+      SELECT i.id_a, i.id_b,
+             ROUND(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) + 1e-9, 4)
+               AS jaccard
+      FROM inter i
+      JOIN sized sa ON sa.doc_id = i.id_a
+      JOIN sized sb ON sb.doc_id = i.id_b
+    )
+    SELECT ROUND(FLOOR(jaccard * 50) / 50 + 1e-9, 2) AS jaccard_band,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT id_a) AS n_left_docs,
+           MIN(id_a) AS min_id_a, MAX(id_b) AS max_id_b
+    FROM pairs WHERE jaccard >= {_PREFIX_T}
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Exact token-set Jaccard ≥ 0.9 with PPJoin-style prefix "
+    "filtering: candidates only from each doc's rarest "
+    "|d|-⌈τ|d|⌉+1 tokens (df-ascending order) + a length filter, "
+    "then one exact intersection verify — the EXACT third dedup "
+    "scale path beside the probabilistic MinHash/SimHash sketches, "
+    "with naturally anti-skewed join keys (rare tokens). The "
+    "catalog row reports a bounded 0.02-band histogram over the "
+    "pair set so driver output stays tiny at any SF while every "
+    "pair's exact jaccard is still computed and verified.",
+)
+def q_token_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = prefix_jaccard_pairs(docs, threshold=_PREFIX_T)
+    band = F.round(
+        F.floor(F.col("jaccard") * 50) / 50 + F.lit(1e-9), 2
+    ).alias("jaccard_band")
+    return (
+        pairs.groupBy(band)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("id_a").alias("n_left_docs"),
+            F.min("id_a").alias("min_id_a"),
+            F.max("id_b").alias("max_id_b"),
+        )
+        .orderBy("jaccard_band")
+    )

@@ -453,3 +453,111 @@ def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
 )
 def q_corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF retrieval (inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def sparse_tfidf_topk(
+    docs: DataFrame,
+    query_doc_id: int = 0,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexical retrieval: cosine over smoothed TF-IDF weight vectors
+    between one query document and the corpus, via the INVERTED-INDEX
+    join — the sparse counterpart of embedding_batch_topk and the
+    lexical arm doc_hybrid_rrf fuses.
+
+    Scale shape: the corpus-side weight table joins on token against
+    the QUERY's weights only (a |q|-token broadcast), so the only
+    rows that move are postings of tokens the query contains —
+    classic inverted-index retrieval, never a corpus×corpus product.
+    Per-doc norms come from one groupBy over the weight table; the
+    final ranking is a TakeOrdered top-k on the 4-dp-rounded cosine
+    (house EPS discipline: ln/product FP noise cannot flip a rank)
+    with doc-id tie-breaks. idf = ln((N+1)/(df+1)) + 1 (sklearn
+    smooth_idf, matching tfidf_top_terms).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs")).scalar()
+    w = tf.join(df_, "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf") * (F.log((n_docs + 1) / (F.col("df") + 1)) + 1)).alias("w"),
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    qw = w.filter(F.col("doc_id") == query_doc_id).select(
+        "token", F.col("w").alias("qw")
+    )
+    qn = norms.filter(F.col("doc_id") == query_doc_id).select(
+        F.col("nrm").alias("qnrm")
+    ).scalar()
+    dots = (
+        w.filter(F.col("doc_id") != query_doc_id)
+        .join(F.broadcast(qw), "token")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    return (
+        dots.join(norms, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("dot") / (F.col("nrm") * qn) + F.lit(1e-9), 4
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+
+
+@query(
+    "doc_sparse_tfidf_topk",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * (ln((nd.n_docs + 1.0) / (df.df + 1.0)) + 1) AS w
+      FROM tf JOIN df USING (token) CROSS JOIN nd
+    ), norms AS (
+      SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+    ), qw AS (
+      SELECT token, w AS qw FROM w WHERE doc_id = 0
+    ), qn AS (
+      SELECT nrm AS qnrm FROM norms WHERE doc_id = 0
+    ), dots AS (
+      SELECT w.doc_id, SUM(w.w * qw.qw) AS dot
+      FROM w JOIN qw USING (token)
+      WHERE w.doc_id <> 0
+      GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           ROUND(d.dot / (n.nrm * (SELECT qnrm FROM qn)) + 1e-9, 4) AS cosine
+    FROM dots d JOIN norms n USING (doc_id)
+    ORDER BY cosine DESC, doc_id ASC
+    LIMIT 10
+    """,
+    doc="Sparse lexical retrieval: top-10 docs by TF-IDF cosine to "
+    "doc 0 through an inverted-index join — only postings of the "
+    "query's tokens move, the sparse twin of the dense "
+    "embedding_batch_topk.",
+)
+def q_doc_sparse_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sparse_tfidf_topk(load_table(spark, sf_dir, "documents"))

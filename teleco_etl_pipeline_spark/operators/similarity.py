@@ -2279,3 +2279,120 @@ def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return rrf_fuse(lexr, denr)
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (sample-fit, baked-basis — the IVF/PQ fit pattern)
+# ---------------------------------------------------------------------------
+
+
+def _pca_fit_from_sample(x: np.ndarray, n_components: int):
+    """Deterministic PCA fit on the shared quantizer sample: mean,
+    top components (eigh of the sample covariance, descending
+    eigenvalue), explained-variance ratios. Eigenvector sign is
+    pinned (largest-|coordinate| entry positive) so the basis is
+    reproducible; both the engine plan and the oracle SQL bake the
+    SAME driver-side arrays, so there is no cross-engine fit to
+    desync."""
+    mu = x.mean(axis=0)
+    xc = x - mu
+    cov = (xc.T @ xc) / max(len(x) - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)
+    idx = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, idx].T.copy()
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total = float(evals.sum()) or 1.0
+    evr = [float(evals[k]) / total for k in idx]
+    return mu, comps, evr
+
+
+def pca_project(
+    emb: DataFrame,
+    n_components: int = 2,
+    fit_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto sample-fitted principal axes — the
+    dimensionality-reduction preprocessing step (visualization,
+    whitening, cheap pre-filter before exact cosine).
+
+    Scale shape (the IVF/PQ discipline): the covariance fit runs on
+    the bounded deterministic md5 sample driver-side; the projection
+    itself is ``pc_i = v·e_i − μ·e_i`` with the basis baked as plan
+    literals — a Catalyst fold per component, zero Python per row,
+    one scan, no shuffle. At 100 TB an exact covariance is one
+    map-side Gramian aggregate if the sample fit ever biases; the
+    projection pass is unchanged either way.
+
+    Returns (id_col, pc1..pcC).
+    """
+    x = _fit_sample(emb, id_col, vec_col, fit_sample)
+    mu, comps, _ = _pca_fit_from_sample(x, n_components)
+    v = F.col(vec_col).cast("array<double>")
+    cols = [
+        (_dot(v, _query_vec_literal(c)) - float(mu @ c)).alias(f"pc{i + 1}")
+        for i, c in enumerate(comps)
+    ]
+    return emb.select(F.col(id_col), *cols)
+
+
+_PCA_COMPONENTS, _PCA_FIT_SAMPLE = 2, 4096
+
+
+def _pca_label_stats_oracle_sql() -> str | None:
+    try:
+        _, _, x = _replica_sample(_ORACLE_SF_DIR, _PCA_FIT_SAMPLE)
+    except Exception:  # noqa: BLE001 — no testdata ⇒ rows-only row
+        return None
+    mu, comps, _ = _pca_fit_from_sample(x, _PCA_COMPONENTS)
+    pcs = [
+        f"(list_dot_product(v, {_sql_vec(c)}) - {float(mu @ c)!r})"
+        for c in comps
+    ]
+    return f"""
+    WITH p AS (
+      SELECT label, {pcs[0]} AS pc1, {pcs[1]} AS pc2
+      FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    )
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(pc1) + 1e-9, 4) AS mean_pc1,
+           ROUND(AVG(pc2) + 1e-9, 4) AS mean_pc2,
+           ROUND(VAR_SAMP(pc1) + 1e-9, 4) AS var_pc1,
+           ROUND(VAR_SAMP(pc2) + 1e-9, 4) AS var_pc2
+    FROM p GROUP BY label
+    """
+
+
+@query(
+    "embedding_pca_label_stats",
+    _pca_label_stats_oracle_sql(),
+    doc="PCA as a first-class projection operator: fit the top-2 "
+    "principal axes on the bounded deterministic quantizer sample "
+    "(the IVF/PQ fit pattern), bake the basis as plan literals, and "
+    "project every embedding as two Catalyst dot-product folds — one "
+    "scan, zero Python per row, no shuffle before the per-label "
+    "moment report. The report (count, mean, variance per component "
+    "per label) verifies the projection over EVERY row while keeping "
+    "driver output label-cardinality-bounded.",
+)
+def q_embedding_pca_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = pca_project(
+        emb, n_components=_PCA_COMPONENTS, fit_sample=_PCA_FIT_SAMPLE
+    )
+    lab = emb.select(F.col("vec_id"), F.col("label"))
+    return (
+        proj.join(lab, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("pc1") + F.lit(1e-9), 4).alias("mean_pc1"),
+            F.round(F.avg("pc2") + F.lit(1e-9), 4).alias("mean_pc2"),
+            F.round(F.var_samp("pc1") + F.lit(1e-9), 4).alias("var_pc1"),
+            F.round(F.var_samp("pc2") + F.lit(1e-9), 4).alias("var_pc2"),
+        )
+    )

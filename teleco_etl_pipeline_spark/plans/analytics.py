@@ -1475,3 +1475,126 @@ def q_brand_size_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("p_brand", F.desc("p_size"), "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature engineering: weight-of-evidence / information value
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "priority_woe_iv",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_pos
+      FROM orders GROUP BY o_orderpriority
+    ), tot AS (
+      SELECT SUM(n_pos) AS pos_t, SUM(n - n_pos) AS neg_t FROM cells
+    )
+    SELECT o_orderpriority, n, CAST(n_pos AS BIGINT) AS n_pos,
+           ROUND(LN(((n_pos + 0.5) / (pos_t + 0.5))
+                    / ((n - n_pos + 0.5) / (neg_t + 0.5))) + 1e-9, 4) AS woe,
+           ROUND(((n_pos + 0.5) / (pos_t + 0.5)
+                  - (n - n_pos + 0.5) / (neg_t + 0.5))
+                 * LN(((n_pos + 0.5) / (pos_t + 0.5))
+                      / ((n - n_pos + 0.5) / (neg_t + 0.5))) + 1e-9, 4)
+             AS iv_term
+    FROM cells CROSS JOIN tot
+    ORDER BY o_orderpriority
+    """,
+    doc="Weight-of-evidence / information-value report (the classic "
+    "credit-scoring categorical-feature screen): per order-priority "
+    "cell, WOE = ln(pos-share / neg-share) toward finished status "
+    "and its IV contribution, Laplace-smoothed (+0.5) so empty cells "
+    "never hit ln(0) — the same zero-cell discipline as the "
+    "Kaplan-Meier terminal guard. One category-cardinality aggregate "
+    "over one scan; totals ride a 1-row cross join (plan-visible "
+    "single execution), so the report never reshuffles the fact "
+    "table.",
+)
+def q_priority_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("n_pos"),
+    )
+    tot = cells.agg(
+        F.sum("n_pos").alias("pos_t"),
+        F.sum(F.col("n") - F.col("n_pos")).alias("neg_t"),
+    )
+    ps = (F.col("n_pos") + 0.5) / (F.col("pos_t") + 0.5)
+    ns = (F.col("n") - F.col("n_pos") + 0.5) / (F.col("neg_t") + 0.5)
+    woe = F.log(ps / ns)
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderpriority",
+            "n",
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.round(woe + F.lit(1e-9), 4).alias("woe"),
+            F.round((ps - ns) * woe + F.lit(1e-9), 4).alias("iv_term"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "score_calibration_bins",
+    """
+    WITH scored AS (
+      SELECT c.c_custkey,
+             PERCENT_RANK() OVER (ORDER BY c.c_acctbal, c.c_custkey) AS score,
+             CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+      FROM customer c
+      LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        ON o.o_custkey = c.c_custkey
+    )
+    SELECT LEAST(CAST(FLOOR(score * 10) AS INT), 9) AS bin,
+           COUNT(*) AS n,
+           ROUND(AVG(score) + 1e-9, 4) AS mean_score,
+           ROUND(AVG(CAST(y AS DOUBLE)) + 1e-9, 4) AS pos_rate
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+    doc="Reliability/calibration bins — the model-eval report every "
+    "scoring pipeline needs: decile-bin a [0,1] score (here the "
+    "account-balance percent_rank) against a binary outcome (customer "
+    "has orders; semi-join shape) and report observed positive rate "
+    "vs mean score per bin. The rank window is the only global "
+    "ordering; everything after runs on 10 bins. For a true model "
+    "score swap the window for the ML pipeline's probability column "
+    "(plans/ml.py churn_probability) — the binning contract is "
+    "identical.",
+)
+def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    buyers = orders.select(F.col("o_custkey")).distinct()
+    scored = (
+        cust.join(buyers, cust["c_custkey"] == buyers["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            F.percent_rank()
+            .over(Window.orderBy("c_acctbal", "c_custkey"))
+            .alias("score"),
+            F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("y"),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias(
+                "bin"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("score") + F.lit(1e-9), 4).alias("mean_score"),
+            F.round(F.avg(F.col("y").cast("double")) + F.lit(1e-9), 4).alias(
+                "pos_rate"
+            ),
+        )
+        .orderBy("bin")
+    )

@@ -208,3 +208,78 @@ def test_survival_curve_terminal_cell_hits_zero_in_both_engines(spark, tmp_path)
     }
     con.close()
     assert oracle == got
+
+
+def test_pca_projection_matches_numpy(spark, sf_dir):
+    """The baked-basis Catalyst projection must equal numpy's
+    (v - mu) @ comps on the same fitted basis, and the components
+    must be orthonormal with descending explained variance."""
+    import numpy as np
+
+    from teleco_etl_pipeline_spark.operators.similarity import (
+        _fit_sample,
+        _pca_fit_from_sample,
+        pca_project,
+    )
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = _fit_sample(emb, "vec_id", "embedding", 4096)
+    mu, comps, evr = _pca_fit_from_sample(x, 2)
+    assert np.allclose(comps @ comps.T, np.eye(2), atol=1e-9)
+    assert evr[0] >= evr[1] >= 0
+    got = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in pca_project(emb, n_components=2).collect()
+    }
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t.column("vec_id").to_pylist()
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    want = (vecs - mu) @ comps.T
+    for i, vid in enumerate(ids):
+        assert abs(got[vid][0] - want[i, 0]) < 1e-9
+        assert abs(got[vid][1] - want[i, 1]) < 1e-9
+
+
+def test_sparse_tfidf_selfsim_and_bounds(spark, sf_dir):
+    """Inverted-index TF-IDF retrieval: cosines in [0, 1], the query
+    doc itself is excluded, and an exact-duplicate text (if present
+    via templating) ranks at cosine ~1 above unrelated docs."""
+    from teleco_etl_pipeline_spark.operators.freq import sparse_tfidf_topk
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sparse_tfidf_topk(docs, query_doc_id=0, top_k=10).collect()
+    assert rows and all(0.0 <= r["cosine"] <= 1.0 + 1e-9 for r in rows)
+    assert all(r["doc_id"] != 0 for r in rows)
+    # descending with id tie-breaks
+    vals = [r["cosine"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_woe_iv_zero_cell_smoothing(spark, tmp_path):
+    """A category with zero positives must produce a finite negative
+    WOE (Laplace +0.5), never ln(0)/NULL."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    pri = ["1-URGENT"] * 10 + ["2-HIGH"] * 10
+    st = ["F"] * 10 + ["O"] * 10  # 2-HIGH has ZERO positives
+    pq.write_table(
+        pa.table({"o_orderpriority": pa.array(pri), "o_orderstatus": pa.array(st)}),
+        os.path.join(str(tmp_path), "orders.parquet"),
+    )
+    out = {
+        r["o_orderpriority"]: r
+        for r in all_queries()["priority_woe_iv"].build(spark, str(tmp_path)).collect()
+    }
+    assert out["2-HIGH"]["n_pos"] == 0
+    assert out["2-HIGH"]["woe"] is not None and out["2-HIGH"]["woe"] < 0
+    assert out["1-URGENT"]["woe"] > 0
+    assert all(r["iv_term"] >= 0 for r in out.values())

@@ -1500,3 +1500,50 @@ def test_zorder_repartition_tightens_rowgroup_stats(spark, tmp_path):
     # range partitioning is sample-based so allow one straddling file
     ok = [s for s in spans if s[0] <= 127 and s[1] <= 127]
     assert len(ok) >= len(spans) - 2, spans
+
+
+def test_prefix_jaccard_equals_naive_all_pairs(spark, sf_dir):
+    """Prefix filtering is a lossless candidate generator: on harness
+    docs the emitted pair set must EQUAL the naive share-any-token
+    all-pairs verify at the same threshold (exactness is the whole
+    point vs MinHash/SimHash)."""
+    from teleco_etl_pipeline_spark.operators.dedup import prefix_jaccard_pairs
+    from teleco_etl_pipeline_spark.operators.text import tokens
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    t = 0.7
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(docs, threshold=t).collect()
+    }
+    # naive: exact jaccard over all pairs sharing any token
+    tok = docs.select(
+        F.col("doc_id"), F.explode(F.array_distinct(tokens("text"))).alias("tk")
+    ).filter(F.col("tk") != "")
+    sized = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = tok.select(F.col("doc_id").alias("id_a"), "tk")
+    b = tok.select(F.col("doc_id").alias("id_b"), "tk")
+    inter = (
+        a.join(b, "tk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sized.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("na"))
+    sb = sized.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("nb"))
+    jac = F.round(
+        F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+        + F.lit(1e-9),
+        4,
+    )
+    naive = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
+        .collect()
+    }
+    assert naive, "expected near-dup pairs in the harness corpus"
+    assert got == naive
