@@ -1319,189 +1319,298 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_containment_pairs(docs, n=3, threshold=0.6)
 
-
 # ---------------------------------------------------------------------------
 # Prefix-filtered exact set-similarity join (SSJoin/PPJoin family)
 # ---------------------------------------------------------------------------
 
+# τ as an integer fraction: every pruning bound below is computed in
+# EXACT integer arithmetic (ceil(p·x / (p+q)) = (p·x + p+q-1) div
+# (p+q)), so no float ulp can desync the Spark plan from the DuckDB
+# oracle at a ceil boundary.
+_PREFIX_NUM, _PREFIX_DEN = 9, 10  # τ = 9/10
+_PREFIX_T = _PREFIX_NUM / _PREFIX_DEN
 
-def prefix_jaccard_pairs(
-    docs: DataFrame,
-    threshold: float = 0.5,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+
+def _token_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """EXACT token-set Jaccard ≥ τ via prefix filtering — the
-    SSJoin/PPJoin candidate-generation principle (Chaudhuri et al.
-    ICDE'06; Xiao et al. WWW'08, both public): order each document's
-    tokens globally by ascending document frequency (rarest first);
-    two sets with Jaccard ≥ τ MUST share a token within each other's
-    first ``|d| - ⌈τ·|d|⌉ + 1`` tokens, so joining only on prefix
-    tokens finds every qualifying pair, then one intersection count
-    verifies exactly.
-
-    Why this is the third dedup scale path next to MinHash-LSH and
-    SimHash: those are probabilistic (recall < 1 by construction);
-    prefix filtering is EXACT with the same equi-join shape. The
-    candidate join keys are the RAREST tokens of each doc, so bucket
-    sizes are naturally tiny — the anti-skew property that a plain
-    share-any-token join lacks (its hottest bucket is the most
-    frequent token in the corpus). A length filter
-    (τ·|a| ≤ |b| ≤ |a|/τ) prunes cross-size candidates before the
-    verify join. Shuffles: token-df agg, per-doc rank window, the
-    prefix equi-join, and the verify join — all keyed on tokens or
-    ids, nothing all-pairs. No global rank is materialized (the
-    prefix bound needs only a PER-DOC ordering window, so no
-    single-partition bottleneck).
-
-    Returns (id_a, id_b, jaccard), id_a < id_b, ROUNDED jaccard ≥ τ
-    (the threshold compares on the rounded value so membership is
-    cross-engine exact).
-    """
-    from pyspark.sql import Window
-
+    """(doc_id, toks) sorted distinct-token arrays; drops empty docs.
+    Repartitioned like _doc_shingles (explode parallelism guard)."""
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    tok = (
+    return (
         docs.repartition(parallelism, F.col(id_col))
         .select(
             F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+            F.array_sort(
+                F.array_distinct(F.filter(tokens(text_col), lambda x: x != ""))
+            ).alias("toks"),
         )
-        .filter(F.col("token") != "")
-        .cache()
+        .filter(F.size("toks") > 0)
+    )
+
+
+def _prefix_jaccard_pairs_from_sets(
+    sets: DataFrame, num: int, den: int
+) -> DataFrame:
+    """Core PPJoin over a (doc_id, toks) set table, τ = num/den.
+
+    Three lossless pruning layers before the exact verify (Chaudhuri
+    et al. ICDE'06; Xiao et al. WWW'08, public):
+
+    - PREFIX filter: order each set's tokens by ascending corpus df;
+      two sets with Jaccard ≥ τ must share a token inside each
+      other's first ``sz - ⌈τ·sz⌉ + 1`` tokens, so the candidate join
+      touches only those prefix postings (the RAREST tokens — the
+      anti-skew property a share-any-token join lacks).
+    - LENGTH filter: |b| ≥ ⌈τ·|a|⌉ in both directions.
+    - POSITIONAL filter: a prefix match at ranks (i, j) bounds the
+      total overlap by ``1 + min(|a|−i, |b|−j)``; Jaccard ≥ τ needs
+      overlap ≥ ⌈τ(|a|+|b|)/(1+τ)⌉, so candidates whose bound falls
+      short drop before the verify (measured: cuts the templated
+      corpus's candidate set well below the prefix-only 2.07M).
+
+    The verify is ONE row per surviving pair: join the two sorted
+    token arrays back (no re-explode) and take
+    ``size(array_intersect)`` — vectorized JVM set intersection,
+    instead of re-shuffling an exploded (pair × token) relation.
+
+    Returns (id_a, id_b, jaccard), id_a < id_b, rounded jaccard ≥ τ.
+    """
+    from pyspark.sql import Window
+
+    # The set table feeds FOUR consumers (token explode + both verify
+    # sides) and the explode feeds two more (df agg + rank window) —
+    # uncached, the tokenize/group lineage recomputes per consumer
+    # (measured: 18.1 s → 4.5 s at sf0.1). Caching also gives AQE real
+    # row counts, so the tiny verify sides broadcast on their own.
+    sets = sets.cache()
+    tok = sets.select(
+        "doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("token")
     )
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
-    sized = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("dfreq"), F.asc("token"))
-    ordered = (
-        tok.join(dfreq, "token")
-        .join(sized, "doc_id")
-        .select(
-            "doc_id",
-            "token",
-            "sz",
-            F.row_number().over(w).alias("rn"),
-        )
+    ordered = tok.join(dfreq, "token").select(
+        "doc_id", "token", "sz", F.row_number().over(w).alias("rn")
     )
-    t = float(threshold)
+    # prefix length = sz - ceil(num*sz/den) + 1, all integer
+    # Cached: feeds both sides of the candidate self-join (uncached,
+    # the df-agg + rank-window tree runs twice).
     pref = ordered.filter(
-        F.col("rn") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
-    )
+        F.col("rn")
+        <= F.col("sz") - F.floor((F.col("sz") * num + den - 1) / den) + 1
+    ).cache()
     a = pref.select(
-        F.col("doc_id").alias("id_a"), "token", F.col("sz").alias("_sza")
+        F.col("doc_id").alias("id_a"),
+        "token",
+        F.col("sz").alias("_sza"),
+        F.col("rn").alias("_rna"),
     )
     b = pref.select(
-        F.col("doc_id").alias("id_b"), "token", F.col("sz").alias("_szb")
+        F.col("doc_id").alias("id_b"),
+        "token",
+        F.col("sz").alias("_szb"),
+        F.col("rn").alias("_rnb"),
+    )
+    alpha = F.floor(
+        ((F.col("_sza") + F.col("_szb")) * num + (num + den - 1)) / (num + den)
     )
     cand = (
         a.join(b, "token")
         .filter(
             (F.col("id_a") < F.col("id_b"))
-            & (F.col("_szb") >= F.ceil(F.lit(t) * F.col("_sza")))
-            & (F.col("_sza") >= F.ceil(F.lit(t) * F.col("_szb")))
+            & (
+                F.col("_szb")
+                >= F.floor((F.col("_sza") * num + den - 1) / den)
+            )
+            & (
+                F.col("_sza")
+                >= F.floor((F.col("_szb") * num + den - 1) / den)
+            )
+            & (
+                1
+                + F.least(
+                    F.col("_sza") - F.col("_rna"),
+                    F.col("_szb") - F.col("_rnb"),
+                )
+                >= alpha
+            )
         )
         .select("id_a", "id_b")
         .distinct()
     )
-    ta = tok.select(F.col("doc_id").alias("id_a"), "token")
-    tb = tok.select(F.col("doc_id").alias("id_b"), "token")
-    inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_c"))
+    sa = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("toks").alias("_ta")
     )
-    sa = sized.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("_na"))
-    sb = sized.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("_nb"))
+    sb = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("toks").alias("_tb")
+    )
+    ic = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
     jac = F.round(
-        F.col("_c").cast("double")
-        / (F.col("_na") + F.col("_nb") - F.col("_c"))
+        ic.cast("double")
+        / (F.size("_ta") + F.size("_tb") - ic)
         + F.lit(1e-9),
         4,
     )
     return (
-        inter.join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= t)
+        .filter(F.col("jaccard") >= num / den)
     )
 
 
-_PREFIX_T = 0.9  # τ=0.9 ⇒ prefixes are ~10% of each doc's tokens —
-# the regime where prefix filtering pays (candidate keys shrink with
-# τ; the synthetic corpus is templated enough that token-SET Jaccard
-# 0.5 would match ~92k pairs at sf0.01).
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT token-set Jaccard ≥ τ via PPJoin prefix filtering — see
+    :func:`_prefix_jaccard_pairs_from_sets` for the pruning stack.
+    τ is snapped to a /100 fraction so every bound stays integer.
+
+    CLIQUE CAVEAT: the output is the full qualifying PAIR set, which
+    is intrinsically quadratic in near-dup clique size (m identical
+    docs ⇒ m(m−1)/2 pairs) — on a heavily templated corpus prefer
+    :func:`prefix_jaccard_band_histogram`, which collapses token-set-
+    identical docs before pairing and expands pair COUNTS
+    arithmetically.
+    """
+    num = round(threshold * 100)
+    den = 100
+    from math import gcd
+
+    g = gcd(num, den)
+    sets = _token_sets(docs, id_col, text_col)
+    return _prefix_jaccard_pairs_from_sets(sets, num // g, den // g)
+
+
+def prefix_jaccard_band_histogram(
+    docs: DataFrame,
+    num: int = _PREFIX_NUM,
+    den: int = _PREFIX_DEN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Clique-collapsed PPJoin: the scale-safe shape for templated
+    corpora. Docs with IDENTICAL distinct-token sets form a clique
+    whose internal pairs all have Jaccard exactly 1.0 and whose
+    external pairs share the representative's Jaccard — so
+    materializing member pairs is pure waste (the raw pair join OOMed
+    at sf0.1 here). Collapse by grouping on the sorted token array
+    (no hashing, collision-free), run the PPJoin on representatives,
+    then expand pair COUNTS arithmetically: c(c−1)/2 per clique at
+    band 1.0, c_a·c_b per qualifying representative pair. Returns
+    (jaccard_band, n_pairs), 0.02-wide bands — identical numbers to
+    the expanded pair set (pinned by test) at a fraction of the work.
+    """
+    sets = _token_sets(docs, id_col, text_col)
+    cliq = sets.groupBy("toks").agg(
+        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("c")
+    ).cache()
+    within = (
+        cliq.filter(F.col("c") > 1)
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("n_pairs")
+        )
+        .select(F.lit(1.0).alias("jaccard_band"), "n_pairs")
+        .filter(F.col("n_pairs") > 0)
+    )
+    rep_sets = cliq.select(F.col("rep_id").alias("doc_id"), "toks")
+    rep_pairs = _prefix_jaccard_pairs_from_sets(rep_sets, num, den)
+    sizes = cliq.select("rep_id", "c")
+    band = F.round(
+        F.floor(F.col("jaccard") * 50) / 50 + F.lit(1e-9), 2
+    ).alias("jaccard_band")
+    across = (
+        rep_pairs.join(
+            sizes.select(F.col("rep_id").alias("id_a"), F.col("c").alias("_ca")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("rep_id").alias("id_b"), F.col("c").alias("_cb")),
+            "id_b",
+        )
+        .groupBy(band)
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("n_pairs"))
+    )
+    return within.unionByName(across).orderBy("jaccard_band")
 
 
 @query(
     "token_jaccard_prefix_pairs",
     f"""
-    WITH tok AS (
-      SELECT doc_id, unnest(list_distinct(
+    WITH sets AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
                list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                           x -> x <> ''))) AS token
+                           x -> x <> ''))) AS toks
       FROM documents
+      WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) > 0
+    ), cliq AS (
+      SELECT toks, MIN(doc_id) AS rep_id, COUNT(*) AS c
+      FROM sets GROUP BY toks
+    ), within AS (
+      SELECT 1.0 AS jaccard_band,
+             CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n_pairs
+      FROM cliq WHERE c > 1
+      HAVING SUM(c * (c - 1) / 2) > 0
+    ), tok AS (
+      SELECT rep_id AS doc_id, len(toks) AS sz, unnest(toks) AS token
+      FROM cliq
     ), dfreq AS (
       SELECT token, COUNT(*) AS dfreq FROM tok GROUP BY token
-    ), sized AS (
-      SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
     ), ordered AS (
-      SELECT t.doc_id, t.token, s.sz,
+      SELECT t.doc_id, t.token, t.sz,
              ROW_NUMBER() OVER (PARTITION BY t.doc_id
                                 ORDER BY d.dfreq ASC, t.token ASC) AS rn
-      FROM tok t JOIN dfreq d USING (token) JOIN sized s USING (doc_id)
+      FROM tok t JOIN dfreq d USING (token)
     ), pref AS (
-      SELECT doc_id, token, sz FROM ordered
-      WHERE rn <= sz - CEIL({_PREFIX_T} * sz) + 1
+      SELECT doc_id, token, sz, rn FROM ordered
+      WHERE rn <= sz - (sz * {_PREFIX_NUM} + {_PREFIX_DEN - 1})
+                       // {_PREFIX_DEN} + 1
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM pref a JOIN pref b ON a.token = b.token AND a.doc_id < b.doc_id
-      WHERE b.sz >= CEIL({_PREFIX_T} * a.sz)
-        AND a.sz >= CEIL({_PREFIX_T} * b.sz)
-    ), inter AS (
-      SELECT c.id_a, c.id_b, COUNT(*) AS ic
+      WHERE b.sz >= (a.sz * {_PREFIX_NUM} + {_PREFIX_DEN - 1}) // {_PREFIX_DEN}
+        AND a.sz >= (b.sz * {_PREFIX_NUM} + {_PREFIX_DEN - 1}) // {_PREFIX_DEN}
+        AND 1 + LEAST(a.sz - a.rn, b.sz - b.rn)
+            >= ((a.sz + b.sz) * {_PREFIX_NUM} + {_PREFIX_NUM + _PREFIX_DEN - 1})
+               // {_PREFIX_NUM + _PREFIX_DEN}
+    ), rep_pairs AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(len(list_intersect(ca.toks, cb.toks)) * 1.0
+                   / (len(ca.toks) + len(cb.toks)
+                      - len(list_intersect(ca.toks, cb.toks)))
+                   + 1e-9, 4) AS jaccard
       FROM cand c
-      JOIN tok ta ON ta.doc_id = c.id_a
-      JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
-      GROUP BY c.id_a, c.id_b
-    ), pairs AS (
-      SELECT i.id_a, i.id_b,
-             ROUND(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) + 1e-9, 4)
-               AS jaccard
-      FROM inter i
-      JOIN sized sa ON sa.doc_id = i.id_a
-      JOIN sized sb ON sb.doc_id = i.id_b
+      JOIN cliq ca ON ca.rep_id = c.id_a
+      JOIN cliq cb ON cb.rep_id = c.id_b
+    ), across AS (
+      SELECT ROUND(FLOOR(jaccard * 50) / 50 + 1e-9, 2) AS jaccard_band,
+             CAST(SUM(ca.c * cb.c) AS BIGINT) AS n_pairs
+      FROM rep_pairs p
+      JOIN cliq ca ON ca.rep_id = p.id_a
+      JOIN cliq cb ON cb.rep_id = p.id_b
+      WHERE p.jaccard >= {_PREFIX_NUM} * 1.0 / {_PREFIX_DEN}
+      GROUP BY 1
     )
-    SELECT ROUND(FLOOR(jaccard * 50) / 50 + 1e-9, 2) AS jaccard_band,
-           COUNT(*) AS n_pairs,
-           COUNT(DISTINCT id_a) AS n_left_docs,
-           MIN(id_a) AS min_id_a, MAX(id_b) AS max_id_b
-    FROM pairs WHERE jaccard >= {_PREFIX_T}
-    GROUP BY 1 ORDER BY 1
+    SELECT * FROM within UNION ALL SELECT * FROM across
+    ORDER BY jaccard_band
     """,
-    doc="Exact token-set Jaccard ≥ 0.9 with PPJoin-style prefix "
-    "filtering: candidates only from each doc's rarest "
-    "|d|-⌈τ|d|⌉+1 tokens (df-ascending order) + a length filter, "
-    "then one exact intersection verify — the EXACT third dedup "
-    "scale path beside the probabilistic MinHash/SimHash sketches, "
-    "with naturally anti-skewed join keys (rare tokens). The "
-    "catalog row reports a bounded 0.02-band histogram over the "
-    "pair set so driver output stays tiny at any SF while every "
-    "pair's exact jaccard is still computed and verified.",
+    doc="Exact token-set Jaccard ≥ 0.9 with the full PPJoin pruning "
+    "stack (prefix + length + positional filters, all in EXACT "
+    "integer arithmetic) AND clique collapse: identical token sets "
+    "group first (their pairs are arithmetic — c(c−1)/2 at Jaccard "
+    "1.0), the rarest-token prefix join runs on clique "
+    "REPRESENTATIVES, the verify is one vectorized array_intersect "
+    "per surviving pair (never an exploded pair×token shuffle), and "
+    "cross-clique counts multiply out c_a·c_b. Same numbers as "
+    "materializing every pair (pinned by test); the naive pair join "
+    "OOMs at sf0.1 on this templated corpus. The EXACT third dedup "
+    "scale path beside the probabilistic MinHash/SimHash sketches.",
 )
 def q_token_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = prefix_jaccard_pairs(docs, threshold=_PREFIX_T)
-    band = F.round(
-        F.floor(F.col("jaccard") * 50) / 50 + F.lit(1e-9), 2
-    ).alias("jaccard_band")
-    return (
-        pairs.groupBy(band)
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.countDistinct("id_a").alias("n_left_docs"),
-            F.min("id_a").alias("min_id_a"),
-            F.max("id_b").alias("max_id_b"),
-        )
-        .orderBy("jaccard_band")
-    )
+    return prefix_jaccard_band_histogram(docs)

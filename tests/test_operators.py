@@ -1547,3 +1547,26 @@ def test_prefix_jaccard_equals_naive_all_pairs(spark, sf_dir):
     }
     assert naive, "expected near-dup pairs in the harness corpus"
     assert got == naive
+
+
+def test_prefix_band_histogram_equals_expanded_pairs(spark, sf_dir):
+    """Clique collapse + arithmetic expansion must reproduce the
+    exact band counts of materializing every qualifying pair."""
+    import math
+
+    from teleco_etl_pipeline_spark.operators.dedup import (
+        prefix_jaccard_band_histogram,
+        prefix_jaccard_pairs,
+    )
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    got = {
+        r["jaccard_band"]: r["n_pairs"]
+        for r in prefix_jaccard_band_histogram(docs, 9, 10).collect()
+    }
+    expect: dict[float, int] = {}
+    for r in prefix_jaccard_pairs(docs, threshold=0.9).collect():
+        band = round(math.floor(r["jaccard"] * 50) / 50 + 1e-9, 2)
+        expect[band] = expect.get(band, 0) + 1
+    assert got == expect and sum(got.values()) > 0
