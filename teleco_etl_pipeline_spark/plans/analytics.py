@@ -1598,3 +1598,185 @@ def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "priority_target_encoding",
+    """
+    WITH g AS (SELECT AVG(o_totalprice) AS mu FROM orders),
+    enc AS (
+      SELECT o_orderpriority,
+             (SUM(o_totalprice) OVER (PARTITION BY o_orderpriority)
+              - o_totalprice
+              + 10 * (SELECT mu FROM g))
+             / (COUNT(*) OVER (PARTITION BY o_orderpriority) - 1 + 10)
+               AS enc
+      FROM orders
+    )
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(AVG(enc) + 1e-9, 4) AS mean_enc,
+           ROUND(MIN(enc) + 1e-9, 4) AS min_enc,
+           ROUND(MAX(enc) + 1e-9, 4) AS max_enc
+    FROM enc GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Leakage-safe target encoding (leave-one-out with "
+    "global-mean smoothing, m=10 — the Micci-Barreca 2001 recipe, "
+    "public): each row's categorical encoding excludes its OWN "
+    "target, so a downstream model cannot memorize the label through "
+    "the feature; smoothing keeps singleton categories finite "
+    "(denominator n−1+m never hits zero). One window shuffle on the "
+    "category key computes every row's encoding; the global mean "
+    "rides a scalar subquery. The catalog row reports per-category "
+    "moments of the encoding (mean/min/max), verifying the per-row "
+    "math while staying category-cardinality-bounded.",
+)
+def q_priority_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    mu = orders.agg(F.avg("o_totalprice").alias("mu")).scalar()
+    w = Window.partitionBy("o_orderpriority")
+    enc = (
+        (F.sum("o_totalprice").over(w) - F.col("o_totalprice") + 10 * mu)
+        / (F.count(F.lit(1)).over(w) - 1 + 10)
+    ).alias("enc")
+    return (
+        orders.select("o_orderpriority", enc)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("enc") + F.lit(1e-9), 4).alias("mean_enc"),
+            F.round(F.min("enc") + F.lit(1e-9), 4).alias("min_enc"),
+            F.round(F.max("enc") + F.lit(1e-9), 4).alias("max_enc"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "supplier_fulfillment_concurrency",
+    """
+    WITH iv AS (
+      SELECT l.l_suppkey,
+             epoch_us(o.o_orderdate) // 86400000000 AS d0,
+             epoch_us(l.l_shipdate) // 86400000000 + 1 AS d1
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), deltas AS (
+      SELECT l_suppkey, d0 AS day, 1 AS delta FROM iv
+      UNION ALL
+      SELECT l_suppkey, d1 AS day, -1 AS delta FROM iv
+    ), daily AS (
+      SELECT l_suppkey, day, SUM(delta) AS net
+      FROM deltas GROUP BY l_suppkey, day
+    ), conc AS (
+      SELECT l_suppkey,
+             SUM(net) OVER (PARTITION BY l_suppkey ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS open_lines
+      FROM daily
+    ), peaks AS (
+      SELECT l_suppkey, MAX(open_lines) AS max_concurrent
+      FROM conc GROUP BY l_suppkey
+    )
+    SELECT CAST(max_concurrent AS BIGINT) AS max_concurrent,
+           COUNT(*) AS n_suppliers
+    FROM peaks GROUP BY 1 ORDER BY 1
+    """,
+    doc="Interval-sweep concurrency — the O(n log n) alternative to a "
+    "quadratic interval-overlap self-join: each lineitem is an "
+    "in-fulfillment interval [order day, ship day]; exploding it to "
+    "a +1/−1 delta pair and running an ordered prefix sum per "
+    "supplier yields the number of simultaneously open lines at "
+    "every boundary. Peak concurrency per supplier histograms into a "
+    "bounded report. The sweep touches 2 rows per interval and one "
+    "per-supplier window — where a naive overlap join would be "
+    "Σ(per-supplier n²). Event-time projection via epoch_us day "
+    "buckets (session-timezone-independent).",
+)
+def q_supplier_fulfillment_concurrency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from teleco_etl_pipeline_spark.functions import epoch_us
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    day_us = 86_400_000_000
+    iv = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_suppkey",
+        (epoch_us("o_orderdate") / day_us).cast("long").alias("d0"),
+        ((epoch_us("l_shipdate") / day_us).cast("long") + 1).alias("d1"),
+    )
+    deltas = iv.select(
+        "l_suppkey",
+        F.explode(
+            F.array(
+                F.struct(F.col("d0").alias("day"), F.lit(1).alias("delta")),
+                F.struct(F.col("d1").alias("day"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e"),
+    ).select("l_suppkey", F.col("e.day").alias("day"), F.col("e.delta").alias("delta"))
+    daily = deltas.groupBy("l_suppkey", "day").agg(F.sum("delta").alias("net"))
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    conc = daily.select("l_suppkey", F.sum("net").over(w).alias("open_lines"))
+    peaks = conc.groupBy("l_suppkey").agg(
+        F.max("open_lines").alias("max_concurrent")
+    )
+    return (
+        peaks.groupBy(F.col("max_concurrent").cast("long").alias("max_concurrent"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+        .orderBy("max_concurrent")
+    )
+
+
+@query(
+    "benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+    ), n AS (SELECT COUNT(*) AS total FROM d)
+    SELECT digit, COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0 / (SELECT total FROM n) + 1e-9, 4)
+             AS obs_share,
+           ROUND(LOG10(1.0 + 1.0 / digit) + 1e-9, 4) AS exp_share,
+           ROUND(POW(COUNT(*) - (SELECT total FROM n)
+                                 * LOG10(1.0 + 1.0 / digit), 2)
+                 / ((SELECT total FROM n) * LOG10(1.0 + 1.0 / digit))
+                 + 1e-9, 4) AS chi2_term
+    FROM d GROUP BY digit ORDER BY digit
+    """,
+    doc="Benford first-digit screen — the fraud/DQ test for amount "
+    "columns: leading-digit distribution of o_totalprice vs the "
+    "Benford expectation log10(1+1/d), with per-digit chi-squared "
+    "terms. The digit comes from the CENTS INTEGER's string (exact "
+    "in both engines), never floor(log10(x)) — a power-of-ten amount "
+    "lands on log10 = 2.9999… and misclassifies. One digit-grain "
+    "aggregate over one scan; N rides a scalar subquery.",
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    d = orders.select(digit.alias("digit"))
+    total = d.agg(F.count(F.lit(1)).alias("total")).scalar()
+    exp_share = F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / total + F.lit(1e-9), 4).alias("obs_share"),
+            F.round(exp_share + F.lit(1e-9), 4).alias("exp_share"),
+            F.round(
+                F.pow(F.col("n") - total * exp_share, 2)
+                / (total * exp_share)
+                + F.lit(1e-9),
+                4,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -1570,3 +1570,26 @@ def test_prefix_band_histogram_equals_expanded_pairs(spark, sf_dir):
         band = round(math.floor(r["jaccard"] * 50) / 50 + 1e-9, 2)
         expect[band] = expect.get(band, 0) + 1
     assert got == expect and sum(got.values()) > 0
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """The 100 TB star-join contract: when the fact table is
+    partition-laid-out on the join key and the dim filter is NOT
+    statically pushable (non-partition column), Spark must inject a
+    dynamic-partition-pruning subquery so the fact scan reads only
+    the dim-selected partitions at runtime."""
+    fact_path = str(tmp_path / "fact")
+    dim_path = str(tmp_path / "dim")
+    spark.range(0, 20_000).select(
+        (F.col("id") % 10).alias("p"), F.col("id").alias("v")
+    ).write.partitionBy("p").parquet(fact_path)
+    spark.range(0, 10).select(
+        F.col("id").alias("p"), (F.col("id") % 5).alias("flag")
+    ).write.parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("flag") == 0)  # p ∈ {0,5}
+    joined = fact.join(dim, "p")
+    assert joined.count() == 4_000
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
