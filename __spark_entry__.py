@@ -36,76 +36,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # evidence. _RECORD_ORDER is the explicit 50-slot recording window,
 # rotated every round toward the weakest current evidence.
 #
-# Round-6 rotation: slot 1 is embedding_knn_classify — the project's
-# only-ever red driver row (r5 hash mismatch), re-recorded with the
-# half-away-from-zero rounding fix. Then EVERY query that has never
-# had a driver-recorded row (union of CORRECTNESS_r01..r05; includes
-# the new embedding_knn_classify_total and the two rows-only-by-design
-# sketches), then 24 of the 32 queries whose only driver evidence is
-# round 1 (pre-testdata-vintage-change). After this round every
-# oracle-backed catalog entry will have at least one driver row, and
-# the oldest remaining evidence is r4. Every query displaced from the
-# window has r4/r5 driver-green rows AND current-vintage matches in
-# the committed LOCAL_PARITY sweeps.
+# Round-7 rotation: slots 1–3 are the three round-6 red rows,
+# re-recorded after the determinism-by-construction rewrite (exact
+# quantized-integer kNN ranking key; exact ordered Kaplan-Meier
+# product — no libm, no rounding, bit-identical doubles cross-
+# engine). Slots 4–12 are the nine queries that have NEVER had a
+# driver-recorded row (registry vs union of CORRECTNESS_r01..r06):
+# the five r6-new operator families plus four strays. Slots 13–20
+# are the last eight r1-only-evidence queries (the residue the r6
+# rotation deliberately left out). The remaining 30 slots backfill
+# the oldest-evidence (r4) stragglers from the displaced r5 window.
+# Every query displaced from the window has an r5/r6 driver-green
+# row AND a current-vintage match in the committed LOCAL_PARITY
+# sweeps.
 _RECORD_ORDER = [
     "embedding_knn_classify",
     "embedding_knn_classify_total",
     "user_survival_curve",
-    "doc_token_budget_mix",
-    "events_cohort_ltv",
-    "events_attribution_first_last",
-    "events_daily_anomaly_mad",
-    "events_ohlc_hourly",
-    "events_rolling_7d",
-    "events_seq_examples",
-    "customer_spend_percentile",
-    "customer_linkage_sorted_neighborhood",
-    "brand_size_rank_ties",
-    "ngram_containment_pairs",
-    "doc_bigram_logprob",
-    "doc_langid_confusion",
-    "doc_oov_rate",
-    "doc_weighted_sample",
-    "corpus_zipf_slope",
-    "product_profit",
-    "returned_item_report",
-    "min_cost_supplier",
-    "embedding_lsh_multiprobe",
-    "embedding_recall_eval",
-    "multimodal_resize_plan",
-    "approx_quantile_profile",
-    "anti_join",
-    "semi_join",
-    "conditional_counts",
-    "doc_fingerprint",
-    "doc_lang_id",
-    "doc_quality_score",
-    "doc_regex_tokens",
-    "doc_token_stats",
-    "dup_finder",
-    "error_rate",
-    "events_hopping_counts",
-    "events_json_props",
-    "exact_dedup",
-    "initcap_norm",
-    "local_supplier_volume",
-    "md5_checksum",
-    "minmax_profile",
-    "multimodal_features",
-    "ngram_jaccard_pairs",
-    "pivot_status_matrix",
-    "rollup_summary",
-    "salted_join_agg",
-    "shipping_priority",
-    "tenure_months_calc",
-]
-# Past-window ordering if the driver ever widens its window: first
-# the 8 r1-only queries deliberately left out of the 50 (each named
-# with its r4+ driver-green shape twin above its entry), then the
-# displaced round-5 window (all r4/r5 driver-green + dual-SF local
-# green), then the long-since-proven core. True sketches without
-# oracles sort last (tier 3 in queries()).
-_RECORD_LAST = [
+    "token_jaccard_prefix_pairs",
+    "doc_sparse_tfidf_topk",
+    "embedding_pca_label_stats",
+    "priority_woe_iv",
+    "score_calibration_bins",
+    "priority_target_encoding",
+    "benford_first_digit",
+    "supplier_fulfillment_concurrency",
+    "zorder_layout_report",
     "conditional_projection",
     "grouped_counts",
     "count_distinct",
@@ -144,6 +100,12 @@ _RECORD_LAST = [
     "events_transition_matrix",
     "customer_rfm_segments",
     "part_basket_lift",
+]
+# Past-window ordering if the driver ever widens its window: the
+# long-since-proven core first, then the displaced round-6 window
+# (all 47 driver-green THIS vintage). True sketches without oracles
+# sort last (tier 3 in queries()).
+_RECORD_LAST = [
     "heavy_hitter_tokens",
     "tfidf_top_terms",
     "neardup_keep_best",
@@ -212,6 +174,55 @@ _RECORD_LAST = [
     "upsert_merge",
     "topk_orders",
     "quantile_profile",
+    # displaced round-6 window — all 47 driver-green in
+    # CORRECTNESS_r06 (current vintage, freshest possible evidence)
+    "doc_token_budget_mix",
+    "events_cohort_ltv",
+    "events_attribution_first_last",
+    "events_daily_anomaly_mad",
+    "events_ohlc_hourly",
+    "events_rolling_7d",
+    "events_seq_examples",
+    "customer_spend_percentile",
+    "customer_linkage_sorted_neighborhood",
+    "brand_size_rank_ties",
+    "ngram_containment_pairs",
+    "doc_bigram_logprob",
+    "doc_langid_confusion",
+    "doc_oov_rate",
+    "doc_weighted_sample",
+    "corpus_zipf_slope",
+    "product_profit",
+    "returned_item_report",
+    "min_cost_supplier",
+    "embedding_lsh_multiprobe",
+    "embedding_recall_eval",
+    "multimodal_resize_plan",
+    "approx_quantile_profile",
+    "anti_join",
+    "semi_join",
+    "conditional_counts",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "doc_quality_score",
+    "doc_regex_tokens",
+    "doc_token_stats",
+    "dup_finder",
+    "error_rate",
+    "events_hopping_counts",
+    "events_json_props",
+    "exact_dedup",
+    "initcap_norm",
+    "local_supplier_volume",
+    "md5_checksum",
+    "minmax_profile",
+    "multimodal_features",
+    "ngram_jaccard_pairs",
+    "pivot_status_matrix",
+    "rollup_summary",
+    "salted_join_agg",
+    "shipping_priority",
+    "tenure_months_calc",
 ]
 
 

@@ -165,6 +165,13 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # A few operators cache() shared lineage (the PPJoin caches
+        # its set/prefix/clique tables); without a release point the
+        # blocks accumulate across the whole suite and pressure later
+        # queries' shuffles. Each query's timing includes its OWN
+        # cache fills (both iterations build fresh plans) — clearing
+        # between queries only stops cross-query leakage.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

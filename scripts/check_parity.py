@@ -3,17 +3,24 @@
 Runs every registered query on Spark and (when an oracle exists) the
 oracle SQL on DuckDB against the same parquet tables, then compares
 row count, column names, and an order-insensitive multiset of values
-(columns sorted by name, doubles compared to 1e-9, like the driver's
-value-hash).
+(columns sorted by name). Doubles are compared by EXACT IEEE-754
+bit pattern (struct.pack('>d').hex()) — the round-6 lesson: the
+driver value-hashes exact values, and a round(v, 9) tolerance here
+let last-ulp cross-engine divergences ship red. The only
+canonicalizations: NaN → "NaN", integral doubles → int (fetchdf
+widens DuckDB HUGEINT/DECIMAL columns to float64, and Spark DECIMAL
+collects as decimal.Decimal — type-level noise, not value noise).
 
 Usage: python scripts/check_parity.py [--json OUT] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import decimal
 import json
 import math
 import os
+import struct
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -28,12 +35,23 @@ from teleco_etl_pipeline_spark.sources.tables import TABLE_NAMES
 def _canon(v):
     if v is None:
         return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, decimal.Decimal):
+        # Spark DECIMAL collects as Decimal while DuckDB's fetchdf
+        # widens DECIMAL to float64 — both sides go through ONE
+        # correctly-rounded decimal→double conversion, so equal
+        # decimal values land on identical bits.
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
-    if isinstance(v, bool):
-        return int(v)
+        if v.is_integer() and abs(v) <= 2**53:
+            # fetchdf widens DuckDB HUGEINT sums to float64; fold
+            # integral doubles onto ints so int-vs-double SCHEMA
+            # noise doesn't mask (or fake) value differences.
+            return int(v)
+        return struct.pack(">d", v).hex()
     return v
 
 

@@ -1383,6 +1383,13 @@ def _prefix_jaccard_pairs_from_sets(
     # uncached, the tokenize/group lineage recomputes per consumer
     # (measured: 18.1 s → 4.5 s at sf0.1). Caching also gives AQE real
     # row counts, so the tiny verify sides broadcast on their own.
+    # LIFETIME: the returned plan is lazy, so these blocks cannot be
+    # unpersisted here; callers that run many queries in one session
+    # (bench.py, the driver harness) must release them via
+    # spark.catalog.clearCache() after the consuming action — bench.py
+    # does so between queries. Within one query the blocks are
+    # MEMORY_AND_DISK and LRU-evictable, so they degrade to recompute,
+    # never OOM.
     sets = sets.cache()
     tok = sets.select(
         "doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("token")
@@ -1534,7 +1541,16 @@ def prefix_jaccard_band_histogram(
         .groupBy(band)
         .agg(F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("n_pairs"))
     )
-    return within.unionByName(across).orderBy("jaccard_band")
+    # Merge same-band rows (a cross-clique pair can round to band 1.0
+    # and collide with the within-clique row): one row per band makes
+    # the output order a total order — no engine-dependent tie order
+    # can reach a row-order-sensitive hash.
+    return (
+        within.unionByName(across)
+        .groupBy("jaccard_band")
+        .agg(F.sum("n_pairs").cast("long").alias("n_pairs"))
+        .orderBy("jaccard_band")
+    )
 
 
 @query(
@@ -1596,7 +1612,9 @@ def prefix_jaccard_band_histogram(
       WHERE p.jaccard >= {_PREFIX_NUM} * 1.0 / {_PREFIX_DEN}
       GROUP BY 1
     )
-    SELECT * FROM within UNION ALL SELECT * FROM across
+    SELECT jaccard_band, CAST(SUM(n_pairs) AS BIGINT) AS n_pairs
+    FROM (SELECT * FROM within UNION ALL SELECT * FROM across)
+    GROUP BY jaccard_band
     ORDER BY jaccard_band
     """,
     doc="Exact token-set Jaccard ≥ 0.9 with the full PPJoin pruning "

@@ -477,10 +477,20 @@ def sparse_tfidf_topk(
     rows that move are postings of tokens the query contains —
     classic inverted-index retrieval, never a corpus×corpus product.
     Per-doc norms come from one groupBy over the weight table; the
-    final ranking is a TakeOrdered top-k on the 4-dp-rounded cosine
-    (house EPS discipline: ln/product FP noise cannot flip a rank)
-    with doc-id tie-breaks. idf = ln((N+1)/(df+1)) + 1 (sklearn
-    smooth_idf, matching tfidf_top_terms).
+    final ranking is a TakeOrdered top-k with doc-id tie-breaks.
+
+    DETERMINISM BY CONSTRUCTION (the round-6 fragile-float audit —
+    the previous "FP noise cannot flip a rank" claim was exactly
+    what the kNN incident disproved): the smoothed idf
+    ln((N+1)/(df+1)) + 1 is QUANTIZED to milli-units
+    (floor(idf·10³) — one libm ln each side, then a floor whose
+    boundary the ≤1-ulp ln disagreement can only cross if idf sits
+    within ~1e-13 of a milli-boundary, per DISTINCT df value, not
+    per weight). From there every quantity is exact: w = tf·idf_q is
+    an integer, Σw², Σw·qw have integer partial sums < 2⁵³ (exact in
+    any accumulation order, either engine), and the cosine ranking
+    key num/sqrt(den_d·den_q) is the same correctly-rounded IEEE
+    sequence as the kNN join's — emitted raw, no ROUND boundary.
     """
     tok = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
@@ -488,19 +498,22 @@ def sparse_tfidf_topk(
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs")).scalar()
+    idf_q = F.floor(
+        (F.log((n_docs + 1) / (F.col("df") + 1)) + 1) * 1e3
+    )
     w = tf.join(df_, "token").select(
         "doc_id",
         "token",
-        (F.col("tf") * (F.log((n_docs + 1) / (F.col("df") + 1)) + 1)).alias("w"),
+        (F.col("tf") * idf_q).alias("w"),
     )
-    norms = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    dens = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("den")
     )
     qw = w.filter(F.col("doc_id") == query_doc_id).select(
         "token", F.col("w").alias("qw")
     )
-    qn = norms.filter(F.col("doc_id") == query_doc_id).select(
-        F.col("nrm").alias("qnrm")
+    qden = dens.filter(F.col("doc_id") == query_doc_id).select(
+        F.col("den").alias("qden")
     ).scalar()
     dots = (
         w.filter(F.col("doc_id") != query_doc_id)
@@ -509,11 +522,12 @@ def sparse_tfidf_topk(
         .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
     )
     return (
-        dots.join(norms, "doc_id")
+        dots.join(dens, "doc_id")
         .select(
             "doc_id",
-            F.round(
-                F.col("dot") / (F.col("nrm") * qn) + F.lit(1e-9), 4
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("den").cast("double") * qden.cast("double"))
             ).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("doc_id"))
@@ -534,14 +548,15 @@ def sparse_tfidf_topk(
     ), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
     w AS (
       SELECT tf.doc_id, tf.token,
-             tf.tf * (ln((nd.n_docs + 1.0) / (df.df + 1.0)) + 1) AS w
+             tf.tf * FLOOR((ln((nd.n_docs + 1.0) / (df.df + 1.0)) + 1)
+                           * 1000.0) AS w
       FROM tf JOIN df USING (token) CROSS JOIN nd
-    ), norms AS (
-      SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+    ), dens AS (
+      SELECT doc_id, SUM(w * w) AS den FROM w GROUP BY doc_id
     ), qw AS (
       SELECT token, w AS qw FROM w WHERE doc_id = 0
     ), qn AS (
-      SELECT nrm AS qnrm FROM norms WHERE doc_id = 0
+      SELECT den AS qden FROM dens WHERE doc_id = 0
     ), dots AS (
       SELECT w.doc_id, SUM(w.w * qw.qw) AS dot
       FROM w JOIN qw USING (token)
@@ -549,8 +564,10 @@ def sparse_tfidf_topk(
       GROUP BY w.doc_id
     )
     SELECT d.doc_id,
-           ROUND(d.dot / (n.nrm * (SELECT qnrm FROM qn)) + 1e-9, 4) AS cosine
-    FROM dots d JOIN norms n USING (doc_id)
+           CAST(d.dot AS DOUBLE)
+             / SQRT(CAST(n.den AS DOUBLE)
+                    * (SELECT CAST(qden AS DOUBLE) FROM qn)) AS cosine
+    FROM dots d JOIN dens n USING (doc_id)
     ORDER BY cosine DESC, doc_id ASC
     LIMIT 10
     """,

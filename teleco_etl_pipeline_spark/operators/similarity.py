@@ -1853,11 +1853,31 @@ def lsh_knn_join(
     and add tables (recall knob) rather than dropping planes.
     Vectors alone in their bucket emit no rows (standard LSH-kNN
     behavior); pass ``total_coverage=True`` to add the brute-force
-    leftovers pass: vectors with zero bucket collisions are anti-
+    leftovers pass: vectors with ZERO bucket collisions are anti-
     joined out and scored exactly against a deterministic md5-sampled
     candidate set of ``fallback_candidates`` vectors (broadcast — a
     TakeOrdered of a few hundred rows, never a second full shuffle),
-    so every vector receives k neighbors.
+    so every vector receives at least one neighbor and classification
+    coverage is total. Vectors with 1..k-1 bucket collisions keep
+    their short candidate lists (they are covered, just under-k).
+
+    DETERMINISM BY CONSTRUCTION (the round-6 lesson): every quantity
+    that feeds the ranking is exact. Components and hyperplanes are
+    quantized to integers (``floor(x·10⁶)`` — one correctly-rounded
+    IEEE multiply + an exact floor, bit-identical in the JVM, numpy
+    and DuckDB); all dots/norms over the quantized values have
+    integer intermediates < 2⁵³, so float64 accumulation is EXACT in
+    any order (BLAS pairwise, sequential, SIMD — all identical); the
+    ranking key ``num / sqrt(den_a·den_b)`` is then three exact
+    int→double values through one multiply, one sqrt and one divide —
+    all correctly-rounded IEEE ops, hence bit-identical across
+    engines. No rounding, no epsilon nudges, no libm calls. The
+    quantized cosine differs from the true float cosine by O(10⁻⁶) —
+    irrelevant for neighbor ranking, and the price of a rank order
+    that cannot flip under a different BLAS build (round-6 driver
+    incident: numpy einsum vs DuckDB list_cosine_similarity produced
+    different last-ulp float64s and the 4-dp round flipped the k-th
+    neighbor).
 
     Pass ``dim`` explicitly in production (same caveat as
     :func:`lsh_bucketed_pairs`): the fallback probes the first row,
@@ -1868,38 +1888,52 @@ def lsh_knn_join(
     """
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
-    planes = hyperplanes(dim, n_planes, seed)
+    # Quantized integer hyperplanes: floor(p·10⁶) kept as
+    # integer-valued float64 so the bucket matmul stays one BLAS pass
+    # yet every product/partial-sum is an exact integer < 2⁵³.
+    iplanes = np.floor(
+        np.ascontiguousarray(hyperplanes(dim, n_planes, seed), dtype=np.float64)
+        * 1e6
+    )
+    pows = (1 << np.arange(n_planes, dtype=np.int64)).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def _int_bucket(v: pd.Series) -> pd.Series:
+        q = np.floor(np.vstack(v.to_numpy()).astype(np.float64) * 1e6)
+        bits = (q @ iplanes.T) > 0  # exact: integer-valued f64 dot
+        return pd.Series((bits @ pows).astype(np.int64))
+
     wb = emb.select(
         F.col(id_col),
         F.col(vec_col),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        _int_bucket(F.col(vec_col)).alias("bucket"),
     )
     a = wb.select("bucket", F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
     b = wb.select(
         "bucket", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
     )
 
-    # Pairwise cosine as one Arrow-batched BLAS pass. The kNN join
+    # Pairwise ranking key as one Arrow-batched pass. The kNN join
     # scores EVERY same-bucket pair (no threshold prunes candidates
     # first), so with production-sized buckets (~10³ vectors) the
     # candidate count is ~|bucket|×N — at that volume the interpreted
     # Catalyst fold (aggregate/zip_with, per-lambda interpreter cost)
     # measured 5.8 s vs ~1.5 s for the einsum at sf0.1's 1.5M pairs.
     # Self-contained closure (numpy only — executor workers may not
-    # have this repo importable).
+    # have this repo importable). All dots over quantized components
+    # are exact (integer intermediates < 2⁵³); the final
+    # num/sqrt(den_a·den_b) is a fixed sequence of correctly-rounded
+    # IEEE ops, so the emitted double is bit-identical to the DuckDB
+    # oracle's — no rounding applied or needed.
     @F.pandas_udf("double")
     def _pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        x = np.vstack(va.to_numpy()).astype(np.float64)
-        y = np.vstack(vb.to_numpy()).astype(np.float64)
+        x = np.floor(np.vstack(va.to_numpy()).astype(np.float64) * 1e6)
+        y = np.floor(np.vstack(vb.to_numpy()).astype(np.float64) * 1e6)
         num = np.einsum("ij,ij->i", x, y)
-        den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
-        # Half-AWAY rounding to match DuckDB ROUND (np.round is
-        # half-to-even — flipped the k-th neighbor on binary halves,
-        # the round-5 driver's one red row). Inlined (not the module
-        # helper) to keep the closure numpy-only for executors; the
-        # formula is pinned against _round_half_away by test.
-        c = num / den + 1e-9
-        return pd.Series(np.sign(c) * np.floor(np.abs(c) * 1e4 + 0.5) / 1e4)
+        da = np.einsum("ij,ij->i", x, x)
+        db = np.einsum("ij,ij->i", y, y)
+        den = np.sqrt(da * db)
+        return pd.Series(np.where(den > 0, num / np.where(den > 0, den, 1.0), -2.0))
 
     scored = (
         a.join(b, "bucket")
@@ -2022,7 +2056,11 @@ def knn_label_classify(
             "n_correct",
             F.when(F.col("n_predicted") == 0, F.lit(-1.0))
             .otherwise(
-                F.round(F.col("n_correct") / F.col("n_predicted") + 1e-9, 4)
+                # raw CR division of two exact integers — bit-identical
+                # cross-engine, so no rounding (rounding only ADDS a
+                # boundary to flip on)
+                F.col("n_correct").cast("double")
+                / F.col("n_predicted").cast("double")
             )
             .alias("agreement"),
         )
@@ -2033,16 +2071,29 @@ _KNN_PLANES, _KNN_K = 4, 5
 
 
 def _knn_classify_oracle_sql() -> str:
+    # Mirror of the exact quantized path in lsh_knn_join: vectors and
+    # hyperplanes floored to integer-valued doubles, every dot exact
+    # (integer intermediates < 2⁵³, any summation order), ranking key
+    # num/sqrt(den_a·den_b) a fixed correctly-rounded IEEE sequence —
+    # bit-identical to the Spark pandas-UDF output. No ROUND anywhere.
     bucket = _sql_bucket(
-        hyperplanes(_LSH_DIM, _KNN_PLANES, 42), "CAST(embedding AS DOUBLE[])"
+        np.floor(hyperplanes(_LSH_DIM, _KNN_PLANES, 42) * 1e6), "q"
     )
     return f"""
-    WITH b AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label, {bucket} AS bucket
+    WITH raw AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> FLOOR(x * 1000000.0)) AS q
       FROM embeddings
+    ), b AS (
+      SELECT vec_id, label, q, {bucket} AS bucket,
+             list_dot_product(q, q) AS den
+      FROM raw
     ), knn AS (
       SELECT a.vec_id AS qid, c.vec_id AS nid,
-             ROUND(list_cosine_similarity(a.v, c.v) + 1e-9, 4) AS cos
+             CASE WHEN a.den * c.den = 0 THEN -2.0
+                  ELSE list_dot_product(a.q, c.q) / SQRT(a.den * c.den)
+             END AS cos
       FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
       QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
                                  ORDER BY cos DESC, c.vec_id ASC) <= {_KNN_K}
@@ -2060,8 +2111,9 @@ def _knn_classify_oracle_sql() -> str:
            COUNT(p.pred) AS n_predicted,
            SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END) AS n_correct,
            CASE WHEN COUNT(p.pred) = 0 THEN -1.0
-                ELSE ROUND(SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END)
-                           / COUNT(p.pred) + 1e-9, 4) END AS agreement
+                ELSE CAST(SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(COUNT(p.pred) AS DOUBLE)
+           END AS agreement
     FROM b q LEFT JOIN pred p ON q.vec_id = p.qid
     GROUP BY q.label
     """
@@ -2091,25 +2143,38 @@ _KNN_T_PLANES, _KNN_FB = 8, 64
 
 
 def _knn_classify_total_oracle_sql() -> str:
+    # Same exact quantized-integer discipline as
+    # _knn_classify_oracle_sql (see its comment), plus the
+    # total-coverage brute-force leftovers pass.
     bucket = _sql_bucket(
-        hyperplanes(_LSH_DIM, _KNN_T_PLANES, 42), "CAST(embedding AS DOUBLE[])"
+        np.floor(hyperplanes(_LSH_DIM, _KNN_T_PLANES, 42) * 1e6), "q"
     )
     return f"""
-    WITH b AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label, {bucket} AS bucket
+    WITH raw AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> FLOOR(x * 1000000.0)) AS q
       FROM embeddings
+    ), b AS (
+      SELECT vec_id, label, q, {bucket} AS bucket,
+             list_dot_product(q, q) AS den
+      FROM raw
     ), knn AS (
       SELECT a.vec_id AS qid, c.vec_id AS nid,
-             ROUND(list_cosine_similarity(a.v, c.v) + 1e-9, 4) AS cos
+             CASE WHEN a.den * c.den = 0 THEN -2.0
+                  ELSE list_dot_product(a.q, c.q) / SQRT(a.den * c.den)
+             END AS cos
       FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
       QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
                                  ORDER BY cos DESC, c.vec_id ASC) <= {_KNN_K}
     ), cand AS (
-      SELECT vec_id, v FROM b
+      SELECT vec_id, q, den FROM b
       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC LIMIT {_KNN_FB}
     ), fb AS (
       SELECT l.vec_id AS qid, c.vec_id AS nid,
-             ROUND(list_cosine_similarity(l.v, c.v) + 1e-9, 4) AS cos
+             CASE WHEN l.den * c.den = 0 THEN -2.0
+                  ELSE list_dot_product(l.q, c.q) / SQRT(l.den * c.den)
+             END AS cos
       FROM b l JOIN cand c ON l.vec_id <> c.vec_id
       WHERE l.vec_id NOT IN (SELECT qid FROM knn)
       QUALIFY ROW_NUMBER() OVER (PARTITION BY l.vec_id
@@ -2130,8 +2195,9 @@ def _knn_classify_total_oracle_sql() -> str:
            COUNT(p.pred) AS n_predicted,
            SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END) AS n_correct,
            CASE WHEN COUNT(p.pred) = 0 THEN -1.0
-                ELSE ROUND(SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END)
-                           / COUNT(p.pred) + 1e-9, 4) END AS agreement
+                ELSE CAST(SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(COUNT(p.pred) AS DOUBLE)
+           END AS agreement
     FROM b q LEFT JOIN pred p ON q.vec_id = p.qid
     GROUP BY q.label
     """

@@ -861,11 +861,14 @@ def q_events_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFra
            CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
                      OVER (ORDER BY t_days ASC ROWS UNBOUNDED PRECEDING) = 1
                 THEN 0.0
-                ELSE ROUND(EXP(SUM(CASE WHEN d < n_risk
-                                        THEN LN(1 - d * 1.0 / n_risk)
-                                        ELSE 0.0 END)
-                           OVER (ORDER BY t_days ASC ROWS UNBOUNDED PRECEDING))
-                     + 1e-9, 4) END AS survival
+                ELSE list_reduce(
+                       list(CASE WHEN d < n_risk
+                                 THEN CAST(n_risk - d AS DOUBLE)
+                                      / CAST(n_risk AS DOUBLE)
+                                 ELSE 1.0 END)
+                         OVER (ORDER BY t_days ASC ROWS UNBOUNDED PRECEDING),
+                       (a, b) -> a * b)
+           END AS survival
     FROM risk
     WHERE d > 0
     ORDER BY t_days
@@ -875,13 +878,19 @@ def q_events_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFra
     "lifetime in days with right-censoring for users still active "
     "within 12 h of the corpus frontier (tuned to the harness events "
     "table's density — max last-activity gap is ~2.4 days), then the "
-    "product-limit "
-    "estimator computed as exp of a RUNNING SUM of ln(1 - d/n) — the "
-    "log transform turns the sequential product into an ordered "
-    "window sum, so the estimate is deterministic (ordered prefix "
-    "sum, not a partial-agg reduction) and identical cross-engine. "
-    "At-risk counts are a suffix sum over the tiny per-day aggregate. "
-    "Everything after the per-user shuffle runs on days-scale rows.",
+    "product-limit estimator as an EXACT ORDERED PRODUCT: each "
+    "factor (n_risk−d)/n_risk is one correctly-rounded IEEE division "
+    "of exact integers, and the prefix product is a left fold over "
+    "the t_days-sorted factor list (Spark aggregate over a sorted "
+    "collect_list ↔ DuckDB list_reduce over an ordered window list) "
+    "— the identical multiply sequence in both engines, hence "
+    "bit-identical doubles with no rounding. The previous "
+    "exp(Σ ln(1−d/n)) form was libm-dependent (ln/exp are not "
+    "correctly rounded) and flipped a 4-dp ROUND at a boundary in "
+    "the round-6 driver environment. At-risk counts are a suffix sum "
+    "over the tiny per-day aggregate; everything after the per-user "
+    "shuffle runs on days-scale rows, and the collected factor list "
+    "is days-scale (bounded) by construction.",
 )
 def q_user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -912,22 +921,31 @@ def q_user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # Terminal-cell guard (d == n_risk ⇒ the KM product hits an exact
-    # zero factor): ln(0) is an ERROR in the DuckDB oracle but NULL in
-    # Spark (F.log), and F.sum skips NULLs — unguarded, the two engines
-    # silently diverge (stale positive survival vs crash) on data where
-    # every at-risk user churns at the max lifetime. Exclude the zero
-    # factor from the log-sum and pin survival to 0.0 from that cell
-    # on, identically in both engines.
+    # zero factor): exclude the zero factor from the fold and pin
+    # survival to 0.0 from that cell on, identically in both engines.
     hit_zero = F.max(
         F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
     ).over(w_asc)
-    log_term = F.when(
+    # Exact ordered product: each factor is ONE correctly-rounded
+    # IEEE division of exact integers; the fold multiplies them in
+    # t_days order (array_sort on (t_days, f) structs pins the order
+    # independent of collect_list's frame traversal), so the result
+    # double is bit-identical to the oracle's list_reduce. The list
+    # is days-scale — bounded by the calendar, not the data.
+    factor = F.when(
         F.col("d") < F.col("n_risk"),
-        F.log(F.lit(1) - F.col("d") * 1.0 / F.col("n_risk")),
-    ).otherwise(F.lit(0.0))
-    surv = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
-        F.round(F.exp(F.sum(log_term).over(w_asc)) + F.lit(1e-9), 4)
+        (F.col("n_risk") - F.col("d")).cast("double")
+        / F.col("n_risk").cast("double"),
+    ).otherwise(F.lit(1.0))
+    flist = F.collect_list(F.struct(F.col("t_days"), factor.alias("f"))).over(
+        w_asc
     )
+    prod = F.aggregate(
+        F.transform(F.array_sort(flist), lambda s: s["f"]),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    surv = F.when(hit_zero == 1, F.lit(0.0)).otherwise(prod)
     return (
         risk.select(
             "t_days",

@@ -999,27 +999,42 @@ def test_ivfpq_probed_scan_prunes_partitions_and_vectors(spark, sf_dir, tmp_path
 
 
 def test_lsh_knn_join_degrades_to_exact_with_zero_planes(spark, sf_dir):
+    """0 planes = one global bucket = the exact kNN join. Pinned
+    against an independent numpy re-implementation of the SAME
+    quantized-integer cosine (floor(x·1e6) components, exact integer
+    dots, num/sqrt(den_a·den_b)) with the same (key DESC, id ASC)
+    tie-break — the determinism-by-construction contract."""
+    import numpy as np
     from pyspark.sql import functions as F
 
-    from teleco_etl_pipeline_spark.operators.similarity import (
-        batch_topk,
-        lsh_knn_join,
-    )
+    from teleco_etl_pipeline_spark.operators.similarity import lsh_knn_join
     from teleco_etl_pipeline_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
-    # 0 planes = one global bucket = the exact kNN join.
     knn = lsh_knn_join(emb, k=3, n_planes=0, dim=64)
-    qs = emb.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    exact = batch_topk(emb, qs, k=3)
     got = {
-        (r["vec_id"], r["neighbor_id"], r["cosine_sim"]) for r in knn.collect()
+        (r["vec_id"], r["neighbor_id"], r["rn"], r["cosine_sim"])
+        for r in knn.collect()
     }
-    want = {
-        (r["query_id"], r["vec_id"], r["cosine_sim"]) for r in exact.collect()
-    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    q = np.floor(
+        np.vstack([r["embedding"] for r in rows]).astype(np.float64) * 1e6
+    )
+    den = np.einsum("ij,ij->i", q, q)
+    want = set()
+    for i in range(len(ids)):
+        keys = []
+        for j in range(len(ids)):
+            if i == j:
+                continue
+            d = np.sqrt(den[i] * den[j])
+            c = float(np.dot(q[i], q[j]) / d) if d > 0 else -2.0
+            keys.append((c, ids[j]))
+        keys.sort(key=lambda t: (-t[0], t[1]))
+        for rn, (c, nid) in enumerate(keys[:3], start=1):
+            want.add((int(ids[i]), int(nid), rn, c))
     assert got == want
 
 
@@ -1100,7 +1115,7 @@ def test_knn_total_coverage_on_harness_embeddings(spark, sf_dir):
     from teleco_etl_pipeline_spark.operators.similarity import knn_label_classify
     from teleco_etl_pipeline_spark.sources.tables import load_table
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     out = knn_label_classify(
         emb, k=5, n_planes=8, dim=64, total_coverage=True, fallback_candidates=64
     ).collect()
