@@ -62,6 +62,8 @@ _RECORD_ORDER = [
     "benford_first_digit",
     "supplier_fulfillment_concurrency",
     "zorder_layout_report",
+    # r7-new operator (zone-map manifest) — first driver recording
+    "lineitem_zonemap_report",
     "conditional_projection",
     "grouped_counts",
     "count_distinct",
@@ -99,7 +101,6 @@ _RECORD_ORDER = [
     "lineitem_corr_matrix",
     "events_transition_matrix",
     "customer_rfm_segments",
-    "part_basket_lift",
 ]
 # Past-window ordering if the driver ever widens its window: the
 # long-since-proven core first, then the displaced round-6 window
@@ -174,6 +175,7 @@ _RECORD_LAST = [
     "upsert_merge",
     "topk_orders",
     "quantile_profile",
+    "part_basket_lift",
     # displaced round-6 window — all 47 driver-green in
     # CORRECTNESS_r06 (current vintage, freshest possible evidence)
     "doc_token_budget_mix",

@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "embedding_pca_label_stats",  # baked-basis PCA projection folds
     "priority_woe_iv",          # WOE/IV categorical feature screen
     "score_calibration_bins",   # reliability-diagram decile bins
+    # -- round-7 additions ------------------------------------------
+    "lineitem_zonemap_report",  # footer-only zone-map manifest + prune verdict
 ]
 
 

@@ -166,6 +166,36 @@ class Warehouse:
             self.spark, self.path(layer, table), source, keys, update_cols
         )
 
+    def write_zordered(
+        self,
+        df: DataFrame,
+        layer: str,
+        table: str,
+        zcols: list,
+        n_files: int = 16,
+        bits: int = 8,
+    ) -> None:
+        """Overwrite a layer table Z-order-clustered on ``zcols`` —
+        the multi-dimensional data-skipping layout
+        (``operators/layout.py``): range-partition + sort on the
+        Morton key so every output file covers a small hypercube of
+        the quantized key space and parquet min/max stats prune
+        selective predicates on ANY clustered dimension.
+
+        ``zcols`` are ALREADY-QUANTIZED integer Column expressions
+        (e.g. ``pmod(customer_key, 256)``) — the
+        :func:`operators.layout.zorder_key` contract. ``n_files``
+        sizes output files: pick ~ table size / 128 MB at the target
+        SF (the clustering shuffle is the same single exchange a
+        plain sorted write would pay). Atomic like
+        :meth:`overwrite_safe`."""
+        from teleco_etl_pipeline_spark.operators.layout import (
+            zorder_repartition,
+        )
+
+        clustered = zorder_repartition(df, zcols, n_files, bits)
+        self.fmt.overwrite_atomic(clustered, self.path(layer, table))
+
     # -- bucketed tables: shuffle elimination for repeated key joins --
 
     def bucketed_name(self, layer: str, table: str) -> str:

@@ -344,15 +344,23 @@ def bigram_logprob_score(
     tfb = bg.groupBy("doc_id", "w1", "bg").agg(F.count(F.lit(1)).alias("tf"))
     c12 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    bits = -F.log2(F.col("c12") / F.col("c1"))
+    # Fragile-float hardening (round-7 audit): quantize the per-bigram
+    # surprisal to micro-bits ONCE (floor of a libm log2 whose input
+    # is a CR-identical division — the only residual is a ≤1-ulp
+    # disagreement landing within ~1e-13 of a micro-boundary, per
+    # DISTINCT (c12,c1) pair). The tf-weighted mean is then a ratio
+    # of exact integer sums (every partial < 2⁵³, any order) through
+    # one CR division — bit-identical cross-engine, no ROUND.
+    bits_q = F.floor(-F.log2(F.col("c12") / F.col("c1")) * 1e6)
     return (
         tfb.join(c12, "bg")
         .join(c1, "w1")
         .groupBy("doc_id")
         .agg(
-            F.round(F.sum(F.col("tf") * bits) / F.sum("tf") + EPS, 4).alias(
-                "mean_bits"
-            )
+            (
+                F.sum(F.col("tf") * bits_q).cast("double")
+                / (F.sum("tf") * F.lit(1_000_000)).cast("double")
+            ).alias("mean_bits")
         )
         .orderBy("doc_id")
     )
@@ -380,8 +388,9 @@ def bigram_logprob_score(
       SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
     )
     SELECT tfb.doc_id,
-           ROUND(SUM(tfb.tf * -log2(CAST(c12.c12 AS DOUBLE) / c1.c1))
-                 / SUM(tfb.tf) + 1e-9, 4) AS mean_bits
+           CAST(SUM(tfb.tf * FLOOR(-log2(CAST(c12.c12 AS DOUBLE) / c1.c1)
+                                   * 1000000.0)) AS DOUBLE)
+             / CAST(SUM(tfb.tf) * 1000000 AS DOUBLE) AS mean_bits
     FROM tfb JOIN c12 USING (bg) JOIN c1 USING (w1)
     GROUP BY tfb.doc_id
     ORDER BY tfb.doc_id
@@ -405,22 +414,55 @@ def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Plan: one map-combined token count shuffle, a vocabulary-sized
     ranking window (single ordered pass over |V| rows, NOT the token
-    stream), then ``regr_slope``/``regr_intercept``/``regr_r2`` fold
-    the whole fit into one aggregation — no driver-side math, no
-    second pass. Rank ties are impossible (rank is a row_number with
-    (cnt DESC, token ASC) order, identical in the oracle).
+    stream), then the OLS moments fold into one aggregation — no
+    driver-side math, no second pass. Rank ties are impossible (rank
+    is a row_number with (cnt DESC, token ASC) order, identical in
+    the oracle).
+
+    Fragile-float hardening (round-7 audit): the built-in regr_*
+    aggregates accumulate doubles in engine-dependent order, so the
+    fit is computed from EXACT moments instead — ln(rank)/ln(cnt)
+    quantized to micro-units (floor of a libm ln of an exact
+    integer; residual is the per-distinct-value floor boundary,
+    ~1e-13 each), then Σx, Σy, Σxy, Σx², Σy² as DECIMAL(38,0) /
+    HUGEINT integer sums (Σx² can reach ~10¹⁹ — past int64, well
+    inside 38 digits), and finally slope = (nΣxy−ΣxΣy)/(nΣx²−Σx²̄)
+    through one CR cast + division per term, the identical IEEE
+    sequence in both engines. Raw doubles, no ROUND.
     """
     tok = docs.select(F.explode(tokens(text_col)).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy().orderBy(F.desc("cnt"), F.asc("token"))
     ranked = counts.withColumn("rank", F.row_number().over(w))
-    x = F.log(F.col("rank").cast("double"))
-    y = F.log(F.col("cnt").cast("double"))
-    return ranked.agg(
-        F.count(F.lit(1)).alias("vocab_size"),
-        F.round(F.regr_slope(y, x) + EPS, 4).alias("zipf_slope"),
-        F.round(F.regr_intercept(y, x) + EPS, 4).alias("zipf_intercept"),
-        F.round(F.regr_r2(y, x) + EPS, 4).alias("zipf_r2"),
+    xq = F.floor(F.log(F.col("rank").cast("double")) * 1e6)
+    yq = F.floor(F.log(F.col("cnt").cast("double")) * 1e6)
+    d38 = "decimal(38,0)"
+    m = ranked.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(xq).cast(d38).alias("sx"),
+        F.sum(yq).cast(d38).alias("sy"),
+        F.sum((xq * xq).cast(d38)).alias("sxx"),
+        F.sum((xq * yq).cast(d38)).alias("sxy"),
+        F.sum((yq * yq).cast(d38)).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num.cast("double") / den.cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("vocab_size"),
+        slope.alias("zipf_slope"),
+        # x/y are in micro-units; slope and r2 are unit-free but the
+        # intercept carries the 1e6 scale — divide it back out inside
+        # the exact denominator (n·10⁶ as one integer, one CR cast).
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / (F.col("n") * F.lit(1_000_000)).cast("double")
+        ).alias("zipf_intercept"),
+        (
+            (num.cast("double") * num.cast("double"))
+            / (den.cast("double") * dy.cast("double"))
+        ).alias("zipf_r2"),
     )
 
 
@@ -436,15 +478,29 @@ def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
       SELECT cnt,
              ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
       FROM counts
+    ), q AS (
+      SELECT CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) AS xq,
+             CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS yq
+      FROM ranked
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(xq) AS HUGEINT) AS sx, CAST(SUM(yq) AS HUGEINT) AS sy,
+             SUM(CAST(xq AS HUGEINT) * xq) AS sxx,
+             SUM(CAST(xq AS HUGEINT) * yq) AS sxy,
+             SUM(CAST(yq AS HUGEINT) * yq) AS syy
+      FROM q
     )
-    SELECT COUNT(*) AS vocab_size,
-           ROUND(regr_slope(ln(CAST(cnt AS DOUBLE)),
-                            ln(CAST(rank AS DOUBLE))) + 1e-9, 4) AS zipf_slope,
-           ROUND(regr_intercept(ln(CAST(cnt AS DOUBLE)),
-                                ln(CAST(rank AS DOUBLE))) + 1e-9, 4) AS zipf_intercept,
-           ROUND(regr_r2(ln(CAST(cnt AS DOUBLE)),
-                         ln(CAST(rank AS DOUBLE))) + 1e-9, 4) AS zipf_r2
-    FROM ranked
+    SELECT CAST(n AS BIGINT) AS vocab_size,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n * 1000000 AS DOUBLE) AS zipf_intercept,
+           (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS zipf_r2
+    FROM mom
     """,
     doc="Zipf's-law corpus fit: ln(freq) ~ ln(rank) OLS via the "
     "built-in regression aggregates (regr_slope/intercept/r2) — "

@@ -27,6 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from teleco_etl_pipeline_spark.operators.upsert import safe_overwrite
+from teleco_etl_pipeline_spark.plans.registry import query
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
@@ -158,3 +159,198 @@ def zorder_by(
     )
     safe_overwrite(clustered, path)
     return n_files
+
+
+# ---------------------------------------------------------------------------
+# Zone-map manifest: footer-stats data-skipping index
+# ---------------------------------------------------------------------------
+
+_ZONEMAP_SCHEMA = (
+    "file_name string, row_group int, n_rows long, col string, "
+    "min_val double, max_val double, n_nulls long"
+)
+
+
+def parquet_zonemap(
+    spark: SparkSession, path: str, columns: Sequence[str]
+) -> DataFrame:
+    """Per-row-group zone map (min/max/null-count/row-count) for the
+    requested NUMERIC columns, built from parquet FOOTERS ONLY — the
+    manifest/data-skipping index of the Iceberg/Delta world as a
+    first-class operator: a planner (or this engine's own pruning
+    helpers) consults the manifest and never opens files whose
+    min/max excludes the predicate.
+
+    Scale shape: the FILE LIST is what gets distributed — each task
+    reads only footers (kilobytes per file, one ranged read on object
+    stores) via a self-contained pyarrow closure; the data pages are
+    never touched. At 100 TB this is ~10⁵ footer reads fanned over
+    the cluster vs a full scan — the manifest is ~(files ×
+    row-groups × |columns|) rows, tiny enough to broadcast back into
+    planning joins. Paths are resolved through the Hadoop FS API
+    (hdfs-/mount-friendly); an object-store deployment hands pyarrow
+    the matching filesystem handle.
+
+    Determinism: min/max come verbatim from footer bytes (both this
+    reader and any oracle read the SAME stats words), so the manifest
+    is exact — no float recomputation anywhere.
+    """
+    cols = list(columns)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.isFile(hpath):
+        files = [hpath.toUri().getPath()]
+    else:
+        files = sorted(
+            st.getPath().toUri().getPath()
+            for st in fs.listStatus(hpath)
+            if st.getPath().getName().endswith(".parquet")
+        )
+    flist = spark.createDataFrame([(f,) for f in files], "file_path string")
+
+    def _read_footers(it):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            out = []
+            for fp in pdf["file_path"]:
+                md = pq.ParquetFile(fp).metadata
+                names = md.schema.to_arrow_schema().names
+                idx = {c: names.index(c) for c in cols}
+                base = fp.rsplit("/", 1)[-1]
+                for rg in range(md.num_row_groups):
+                    rgm = md.row_group(rg)
+                    for c in cols:
+                        st = rgm.column(idx[c]).statistics
+                        has = st is not None and st.has_min_max
+                        out.append(
+                            (
+                                base,
+                                rg,
+                                rgm.num_rows,
+                                c,
+                                float(st.min) if has else None,
+                                float(st.max) if has else None,
+                                int(st.null_count)
+                                if st is not None and st.null_count is not None
+                                else None,
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file_name",
+                    "row_group",
+                    "n_rows",
+                    "col",
+                    "min_val",
+                    "max_val",
+                    "n_nulls",
+                ],
+            )
+
+    return (
+        flist.repartition(max(1, min(len(files), 64)))
+        .mapInPandas(_read_footers, _ZONEMAP_SCHEMA)
+    )
+
+
+def zonemap_prune(
+    manifest: DataFrame, col: str, lo: float, hi: float
+) -> DataFrame:
+    """Row groups a ``[lo, hi]`` predicate on ``col`` must scan,
+    per the zone map: everything NOT provably disjoint
+    (max < lo or min > hi; missing stats ⇒ must scan). Join the
+    result (file_name, row_group) back as the scan list — the
+    pruning decision is metadata-only."""
+    from pyspark.sql import functions as F
+
+    m = manifest.filter(F.col("col") == col)
+    disjoint = (F.col("max_val") < lo) | (F.col("min_val") > hi)
+    return m.filter(~F.coalesce(disjoint, F.lit(False))).select(
+        "file_name", "row_group", "n_rows"
+    )
+
+
+# Fixed probe ranges for the oracle-backed manifest report: a
+# selective orderkey slice and a low price band — each decided
+# purely from footer stats.
+_ZM_OK_LO, _ZM_OK_HI = 1000, 2000
+_ZM_PX_LO, _ZM_PX_HI = 900.0, 1000.0
+
+
+def _zonemap_oracle_sql() -> str:
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    return f"""
+    WITH m AS (
+      SELECT file_name, row_group_id AS row_group,
+             row_group_num_rows AS n_rows,
+             path_in_schema AS col,
+             CAST(stats_min_value AS DOUBLE) AS min_val,
+             CAST(stats_max_value AS DOUBLE) AS max_val,
+             stats_null_count AS n_nulls
+      FROM parquet_metadata('{path}')
+      WHERE path_in_schema IN ('l_orderkey', 'l_extendedprice')
+    )
+    SELECT 'lineitem.parquet' AS file_name, row_group, n_rows, col,
+           min_val, max_val, n_nulls,
+           CASE WHEN col = 'l_orderkey'
+                THEN CASE WHEN NOT (max_val < {_ZM_OK_LO}
+                                    OR min_val > {_ZM_OK_HI})
+                          THEN 1 ELSE 0 END
+                ELSE CASE WHEN NOT (max_val < {_ZM_PX_LO}
+                                    OR min_val > {_ZM_PX_HI})
+                          THEN 1 ELSE 0 END
+           END AS would_scan
+    FROM m ORDER BY row_group, col
+    """
+
+
+@query(
+    "lineitem_zonemap_report",
+    _zonemap_oracle_sql(),
+    doc="Zone-map manifest as a queryable operator: per-row-group "
+    "min/max/null/row stats for (l_orderkey, l_extendedprice) read "
+    "from parquet FOOTERS only (distributed pyarrow footer reads — "
+    "no data pages touched; the 100 TB form fans ~10⁵ footer reads "
+    "over the cluster instead of scanning), plus the metadata-only "
+    "scan/skip verdict for one probe range per column — the "
+    "data-skipping decision Iceberg/Delta manifests make, here "
+    "first-class and oracle-checked against DuckDB's own "
+    "parquet_metadata() reading the SAME footer bytes. Values are "
+    "verbatim footer stats, exact by construction.",
+)
+def q_lineitem_zonemap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    zm = parquet_zonemap(
+        spark,
+        os.path.join(sf_dir, "lineitem.parquet"),
+        ["l_orderkey", "l_extendedprice"],
+    )
+    ok = ~(
+        (F.col("max_val") < _ZM_OK_LO) | (F.col("min_val") > _ZM_OK_HI)
+    )
+    px = ~(
+        (F.col("max_val") < _ZM_PX_LO) | (F.col("min_val") > _ZM_PX_HI)
+    )
+    scan = F.when(F.col("col") == "l_orderkey", ok).otherwise(px)
+    return zm.select(
+        "file_name",
+        "row_group",
+        "n_rows",
+        "col",
+        "min_val",
+        "max_val",
+        "n_nulls",
+        F.when(scan, 1).otherwise(0).alias("would_scan"),
+    ).orderBy("row_group", "col")

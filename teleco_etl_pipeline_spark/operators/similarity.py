@@ -2395,40 +2395,99 @@ def pca_project(
     projection pass is unchanged either way.
 
     Returns (id_col, pc1..pcC).
+
+    DETERMINISM BY CONSTRUCTION (round-7 audit): vector components
+    AND basis/mean literals are quantized to floor(x·10⁶) integers,
+    so each projection dot has integer intermediates < 2⁵³ — exact
+    in any accumulation order, in Catalyst folds and in whatever
+    loop a DuckDB build uses. The emitted pc value is the exact
+    integer divided by 10¹² in one CR division, bit-identical
+    cross-engine; the quantization shifts each pc by O(10⁻⁶), the
+    price of projections that cannot drift under a different build.
     """
     x = _fit_sample(emb, id_col, vec_col, fit_sample)
     mu, comps, _ = _pca_fit_from_sample(x, n_components)
-    v = F.col(vec_col).cast("array<double>")
+    qcols = _pca_quantized_cols(vec_col, mu, comps)
     cols = [
-        (_dot(v, _query_vec_literal(c)) - float(mu @ c)).alias(f"pc{i + 1}")
-        for i, c in enumerate(comps)
+        (q.cast("double") / F.lit(1e12)).alias(f"pc{i + 1}")
+        for i, q in enumerate(qcols)
     ]
     return emb.select(F.col(id_col), *cols)
+
+
+def _pca_quantize(mu: np.ndarray, comps: np.ndarray):
+    """Integer-quantized PCA literals: per-component basis ints
+    floor(e·10⁶) and the pre-subtracted exact integer μ·e dot."""
+    qe = [[int(np.floor(c_j * 1e6)) for c_j in c] for c in comps]
+    qmu = [int(np.floor(m_j * 1e6)) for m_j in mu]
+    c_int = [sum(a * b for a, b in zip(qmu, e)) for e in qe]
+    return qe, c_int
+
+
+def _pca_quantized_cols(vec_col: str, mu: np.ndarray, comps: np.ndarray):
+    """One exact-integer projection Column per component:
+    Σ floor(v_j·10⁶)·qe_j − Σ qμ_j·qe_j (all int64, every partial
+    sum < 2⁵³)."""
+    qe, c_int = _pca_quantize(mu, comps)
+    qv = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda xx: F.floor(xx * F.lit(1e6)),
+    )
+    out = []
+    for e, c0 in zip(qe, c_int):
+        e_lit = F.array(*[F.lit(int(b)) for b in e])
+        dot = F.aggregate(
+            F.zip_with(qv, e_lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        out.append(dot - F.lit(c0))
+    return out
 
 
 _PCA_COMPONENTS, _PCA_FIT_SAMPLE = 2, 4096
 
 
 def _pca_label_stats_oracle_sql() -> str | None:
+    # Mirror of the exact quantized projection (see pca_project):
+    # integer-valued DOUBLE lists keep list_dot_product exact (every
+    # intermediate an integer < 2⁵³), per-label moments accumulate in
+    # HUGEINT, and the mean/variance are CR casts + one CR division
+    # each — bit-identical to the Spark plan, no AVG/VAR_SAMP float
+    # accumulation, no ROUND.
     try:
         _, _, x = _replica_sample(_ORACLE_SF_DIR, _PCA_FIT_SAMPLE)
     except Exception:  # noqa: BLE001 — no testdata ⇒ rows-only row
         return None
     mu, comps, _ = _pca_fit_from_sample(x, _PCA_COMPONENTS)
+    qe, c_int = _pca_quantize(mu, comps)
     pcs = [
-        f"(list_dot_product(v, {_sql_vec(c)}) - {float(mu @ c)!r})"
-        for c in comps
+        f"(list_dot_product(qv, {_sql_vec(e)}) - {c0})"
+        for e, c0 in zip(qe, c_int)
     ]
+    stat_cols = []
+    for i in (1, 2):
+        stat_cols.append(
+            f"CAST(SUM(CAST(q{i} AS HUGEINT)) AS DOUBLE)"
+            f" / (CAST(COUNT(*) AS DOUBLE) * 1e12) AS mean_pc{i}"
+        )
+        stat_cols.append(
+            f"CAST(COUNT(*) * SUM(CAST(q{i} AS HUGEINT) * CAST(q{i} AS HUGEINT))"
+            f" - SUM(CAST(q{i} AS HUGEINT)) * SUM(CAST(q{i} AS HUGEINT))"
+            f" AS DOUBLE)"
+            f" / (CAST(COUNT(*) * (COUNT(*) - 1) AS DOUBLE) * 1e24)"
+            f" AS var_pc{i}"
+        )
     return f"""
     WITH p AS (
-      SELECT label, {pcs[0]} AS pc1, {pcs[1]} AS pc2
-      FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT label, {pcs[0]} AS q1, {pcs[1]} AS q2
+      FROM (SELECT label,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> FLOOR(x * 1000000.0)) AS qv
+            FROM embeddings)
     )
     SELECT label, COUNT(*) AS n,
-           ROUND(AVG(pc1) + 1e-9, 4) AS mean_pc1,
-           ROUND(AVG(pc2) + 1e-9, 4) AS mean_pc2,
-           ROUND(VAR_SAMP(pc1) + 1e-9, 4) AS var_pc1,
-           ROUND(VAR_SAMP(pc2) + 1e-9, 4) AS var_pc2
+           {", ".join(stat_cols)}
     FROM p GROUP BY label
     """
 
@@ -2447,18 +2506,26 @@ def _pca_label_stats_oracle_sql() -> str | None:
 )
 def q_embedding_pca_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    proj = pca_project(
-        emb, n_components=_PCA_COMPONENTS, fit_sample=_PCA_FIT_SAMPLE
-    )
-    lab = emb.select(F.col("vec_id"), F.col("label"))
-    return (
-        proj.join(lab, "vec_id")
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("pc1") + F.lit(1e-9), 4).alias("mean_pc1"),
-            F.round(F.avg("pc2") + F.lit(1e-9), 4).alias("mean_pc2"),
-            F.round(F.var_samp("pc1") + F.lit(1e-9), 4).alias("var_pc1"),
-            F.round(F.var_samp("pc2") + F.lit(1e-9), 4).alias("var_pc2"),
+    x = _fit_sample(emb, "vec_id", "embedding", _PCA_FIT_SAMPLE)
+    mu, comps, _ = _pca_fit_from_sample(x, _PCA_COMPONENTS)
+    q1, q2 = _pca_quantized_cols("embedding", mu, comps)
+    p = emb.select(F.col("label"), q1.alias("q1"), q2.alias("q2"))
+    d38 = "decimal(38,0)"
+    n = F.count(F.lit(1))
+    aggs = [n.alias("n")]
+    for i in (1, 2):
+        q = F.col(f"q{i}")
+        sq = F.sum(q.cast(d38))
+        sqq = F.sum(q.cast(d38) * q.cast(d38))
+        aggs.append(
+            (sq.cast("double") / (n.cast("double") * F.lit(1e12))).alias(
+                f"mean_pc{i}"
+            )
         )
-    )
+        aggs.append(
+            (
+                (n.cast(d38) * sqq - sq * sq).cast("double")
+                / ((n * (n - 1)).cast("double") * F.lit(1e24))
+            ).alias(f"var_pc{i}")
+        )
+    return p.groupBy("label").agg(*aggs)

@@ -1240,15 +1240,18 @@ def q_customer_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
              wd, tp
       FROM cells
     )
-    SELECT ROUND(SUM(POWER(CAST(n * tot - r * c AS DOUBLE), 2)
-                     / (CAST(tot AS DOUBLE) * r * c)) + 1e-9, 4) AS chi2,
+    SELECT CAST(SUM(CAST(FLOOR(
+             (CAST(n * tot - r * c AS DOUBLE) * CAST(n * tot - r * c AS DOUBLE))
+             / (CAST(tot AS DOUBLE) * r * c) * 1000000.0) AS BIGINT))
+             AS DOUBLE) / 1e6 AS chi2,
            (COUNT(DISTINCT wd) - 1) * (COUNT(DISTINCT tp) - 1) AS dof,
            COUNT(*) AS n_cells,
-           ROUND(SQRT(SUM(POWER(CAST(n * tot - r * c AS DOUBLE), 2)
-                          / (CAST(tot AS DOUBLE) * r * c))
-                      / (MAX(tot) * (LEAST(COUNT(DISTINCT wd),
-                                           COUNT(DISTINCT tp)) - 1)))
-                 + 1e-9, 4) AS cramers_v
+           SQRT((CAST(SUM(CAST(FLOOR(
+             (CAST(n * tot - r * c AS DOUBLE) * CAST(n * tot - r * c AS DOUBLE))
+             / (CAST(tot AS DOUBLE) * r * c) * 1000000.0) AS BIGINT))
+             AS DOUBLE) / 1e6)
+                / (MAX(tot) * (LEAST(COUNT(DISTINCT wd),
+                                     COUNT(DISTINCT tp)) - 1))) AS cramers_v
     FROM m
     """,
     doc="Chi-square independence test of event_type × ISO weekday "
@@ -1276,25 +1279,33 @@ def q_events_type_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(Window.partitionBy("tp")).alias("c"),
         F.sum("n").over(Window.partitionBy()).alias("tot"),
     )
-    term = F.pow((F.col("n") * F.col("tot") - F.col("r") * F.col("c")).cast("double"), 2) / (
+    # Fragile-float hardening (round-7 audit): each cell term is
+    # bit-identical cross-engine (exact int64 n·N−r·c through CR
+    # casts, one CR square via explicit multiply — never libm pow —
+    # and left-associated CR denominator multiplies), so the only
+    # divergence risk was the FLOAT SUM's accumulation order.
+    # Quantizing identical doubles with floor has ZERO residual, so
+    # summing floor(term·10⁶) integers makes the statistic exact by
+    # construction; χ² and V come back via CR divisions, no ROUND.
+    diff = (F.col("n") * F.col("tot") - F.col("r") * F.col("c")).cast("double")
+    term = (diff * diff) / (
         F.col("tot").cast("double") * F.col("r") * F.col("c")
     )
+    chi2 = F.sum(
+        F.floor(term * F.lit(1e6)).cast("long")
+    ).cast("double") / F.lit(1e6)
     return m.agg(
-        F.round(F.sum(term) + F.lit(1e-9), 4).alias("chi2"),
+        chi2.alias("chi2"),
         (
             (F.count_distinct("wd") - 1) * (F.count_distinct("tp") - 1)
         ).alias("dof"),
         F.count(F.lit(1)).alias("n_cells"),
-        F.round(
-            F.sqrt(
-                F.sum(term)
-                / (
-                    F.max("tot")
-                    * (F.least(F.count_distinct("wd"), F.count_distinct("tp")) - 1)
-                )
+        F.sqrt(
+            chi2
+            / (
+                F.max("tot")
+                * (F.least(F.count_distinct("wd"), F.count_distinct("tp")) - 1)
             )
-            + F.lit(1e-9),
-            4,
         ).alias("cramers_v"),
     )
 
@@ -1545,9 +1556,11 @@ def q_priority_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "score_calibration_bins",
     """
-    WITH scored AS (
+    WITH nt AS (SELECT COUNT(*) AS n_tot FROM customer),
+    scored AS (
       SELECT c.c_custkey,
              PERCENT_RANK() OVER (ORDER BY c.c_acctbal, c.c_custkey) AS score,
+             ROW_NUMBER() OVER (ORDER BY c.c_acctbal, c.c_custkey) AS rn,
              CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
       FROM customer c
       LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
@@ -1555,8 +1568,10 @@ def q_priority_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT LEAST(CAST(FLOOR(score * 10) AS INT), 9) AS bin,
            COUNT(*) AS n,
-           ROUND(AVG(score) + 1e-9, 4) AS mean_score,
-           ROUND(AVG(CAST(y AS DOUBLE)) + 1e-9, 4) AS pos_rate
+           CAST(SUM(rn - 1) AS DOUBLE)
+             / CAST(((SELECT n_tot FROM nt) - 1) * COUNT(*) AS DOUBLE)
+             AS mean_score,
+           CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
     FROM scored GROUP BY 1 ORDER BY 1
     """,
     doc="Reliability/calibration bins — the model-eval report every "
@@ -1573,16 +1588,24 @@ def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     buyers = orders.select(F.col("o_custkey")).distinct()
+    n_tot = cust.agg(F.count(F.lit(1)).alias("n_tot")).scalar()
+    w = Window.orderBy("c_acctbal", "c_custkey")
     scored = (
         cust.join(buyers, cust["c_custkey"] == buyers["o_custkey"], "left")
         .select(
             "c_custkey",
-            F.percent_rank()
-            .over(Window.orderBy("c_acctbal", "c_custkey"))
-            .alias("score"),
+            F.percent_rank().over(w).alias("score"),
+            F.row_number().over(w).alias("rn"),
             F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("y"),
         )
     )
+    # Fragile-float hardening (round-7 audit): AVG over the score
+    # doubles accumulates in engine-dependent order. score is the
+    # exact rational (rn−1)/(N−1), so the bin mean is the exact
+    # integer rank sum through ONE CR division — and pos_rate is a
+    # ratio of exact counts. Raw doubles, no ROUND boundary. The bin
+    # key stays floor(score·10): both engines floor the SAME
+    # CR-identical double.
     return (
         scored.groupBy(
             F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias(
@@ -1591,10 +1614,14 @@ def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("score") + F.lit(1e-9), 4).alias("mean_score"),
-            F.round(F.avg(F.col("y").cast("double")) + F.lit(1e-9), 4).alias(
-                "pos_rate"
-            ),
+            (
+                F.sum(F.col("rn") - 1).cast("double")
+                / ((n_tot - 1) * F.count(F.lit(1))).cast("double")
+            ).alias("mean_score"),
+            (
+                F.sum("y").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("pos_rate"),
         )
         .orderBy("bin")
     )
@@ -1603,20 +1630,33 @@ def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "priority_target_encoding",
     """
-    WITH g AS (SELECT AVG(o_totalprice) AS mu FROM orders),
-    enc AS (
+    WITH c AS (
       SELECT o_orderpriority,
-             (SUM(o_totalprice) OVER (PARTITION BY o_orderpriority)
-              - o_totalprice
-              + 10 * (SELECT mu FROM g))
-             / (COUNT(*) OVER (PARTITION BY o_orderpriority) - 1 + 10)
-               AS enc
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders
+    ), g AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS t, COUNT(*) AS n_tot FROM c
+    ), enc AS (
+      SELECT o_orderpriority,
+             CAST((SUM(cents) OVER (PARTITION BY o_orderpriority) - cents)
+                  * (SELECT n_tot FROM g)
+                  + 10 * (SELECT t FROM g) AS DOUBLE)
+             / CAST((SELECT n_tot FROM g)
+                    * (COUNT(*) OVER (PARTITION BY o_orderpriority) + 9)
+                    * 100 AS DOUBLE) AS enc,
+             (SUM(cents) OVER (PARTITION BY o_orderpriority) - cents)
+               * (SELECT n_tot FROM g) + 10 * (SELECT t FROM g) AS enc_num,
+             (SELECT n_tot FROM g)
+               * (COUNT(*) OVER (PARTITION BY o_orderpriority) + 9)
+               * 100 AS enc_den
+      FROM c
     )
     SELECT o_orderpriority, COUNT(*) AS n,
-           ROUND(AVG(enc) + 1e-9, 4) AS mean_enc,
-           ROUND(MIN(enc) + 1e-9, 4) AS min_enc,
-           ROUND(MAX(enc) + 1e-9, 4) AS max_enc
+           CAST(SUM(CAST(enc_num AS HUGEINT)) AS DOUBLE)
+             / (CAST(MIN(enc_den) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+             AS mean_enc,
+           MIN(enc) AS min_enc,
+           MAX(enc) AS max_enc
     FROM enc GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     doc="Leakage-safe target encoding (leave-one-out with "
@@ -1631,21 +1671,48 @@ def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "math while staying category-cardinality-bounded.",
 )
 def q_priority_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fragile-float hardening (round-7 audit): the previous form
+    # window-summed DOUBLE prices (engine-dependent accumulation
+    # order) and AVG'd the resulting encodings. Rework in exact
+    # integer cents: every per-row encoding is one CR cast + one CR
+    # division of exact int64 numerator/denominator (so MIN/MAX
+    # select among bit-identical doubles), and the category mean is
+    # an exact DECIMAL(38)/HUGEINT numerator sum over a
+    # double-product denominator (two exact factors, one CR
+    # multiply). Leave-one-out semantics are unchanged:
+    # ((S_c−p)·N + 10·T) / (N·(n_c+9)·100) ≡ (S_c−p+10·μ)/(n_c+9)
+    # in dollars.
     orders = load_table(spark, sf_dir, "orders")
-    mu = orders.agg(F.avg("o_totalprice").alias("mu")).scalar()
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    c = orders.select("o_orderpriority", cents.alias("cents"))
+    tot = c.agg(
+        F.sum("cents").alias("t"), F.count(F.lit(1)).alias("n_tot")
+    )
+    t = tot.select("t").scalar()
+    n_tot = tot.select("n_tot").scalar()
     w = Window.partitionBy("o_orderpriority")
-    enc = (
-        (F.sum("o_totalprice").over(w) - F.col("o_totalprice") + 10 * mu)
-        / (F.count(F.lit(1)).over(w) - 1 + 10)
-    ).alias("enc")
+    enc_num = (F.sum("cents").over(w) - F.col("cents")) * n_tot + 10 * t
+    enc_den = n_tot * (F.count(F.lit(1)).over(w) + 9) * 100
+    enc = enc_num.cast("double") / enc_den.cast("double")
     return (
-        orders.select("o_orderpriority", enc)
+        c.select(
+            "o_orderpriority",
+            enc.alias("enc"),
+            enc_num.alias("enc_num"),
+            enc_den.alias("enc_den"),
+        )
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("enc") + F.lit(1e-9), 4).alias("mean_enc"),
-            F.round(F.min("enc") + F.lit(1e-9), 4).alias("min_enc"),
-            F.round(F.max("enc") + F.lit(1e-9), 4).alias("max_enc"),
+            (
+                F.sum(F.col("enc_num").cast("decimal(38,0)")).cast("double")
+                / (
+                    F.min("enc_den").cast("double")
+                    * F.count(F.lit(1)).cast("double")
+                )
+            ).alias("mean_enc"),
+            F.min("enc").alias("min_enc"),
+            F.max("enc").alias("max_enc"),
         )
         .orderBy("o_orderpriority")
     )

@@ -337,9 +337,20 @@ def _null_safe_dim(wh: Warehouse, services: DataFrame) -> DataFrame:
     return wh.read("gold", "dim_services")
 
 
-def build_fact(wh: Warehouse, run_date: str | None = None) -> int:
+def build_fact(
+    wh: Warehouse, run_date: str | None = None, zorder: bool = True
+) -> int:
     """Fact build (gold SQL :94-145): star joins + scrub casts +
-    NOT-EXISTS guard on customer_key."""
+    NOT-EXISTS guard on customer_key.
+
+    The gold fact is written Z-order-clustered on
+    (customer_key-bucket, cltv-bucket) by default
+    (``Warehouse.write_zordered``): downstream gold consumers filter
+    by customer ranges (quality gate, upserts) AND by value bands
+    (the ML label/feature scans), and Morton clustering bounds the
+    per-file min/max span of BOTH — single-column layout prunes one
+    or the other. ``zorder=False`` restores the plain atomic
+    overwrite."""
     run_date = run_date or dt.date.today().isoformat()
     s = wh.read("silver", "churn_raw").alias("s")
     c = F.broadcast(wh.read("gold", "dim_customer")).alias("c")
@@ -402,7 +413,21 @@ def build_fact(wh: Warehouse, run_date: str | None = None) -> int:
         merged = existing.unionByName(fact)
     else:
         merged = fact
-    wh.overwrite_safe(merged, "gold", "fact_customer_churn")
+    if zorder:
+        wh.write_zordered(
+            merged,
+            "gold",
+            "fact_customer_churn",
+            [
+                F.pmod(F.col("customer_key"), F.lit(256)).cast("long"),
+                F.pmod(F.coalesce(F.col("cltv"), F.lit(0)), F.lit(256)).cast(
+                    "long"
+                ),
+            ],
+            n_files=16,
+        )
+    else:
+        wh.overwrite_safe(merged, "gold", "fact_customer_churn")
     return wh.read("gold", "fact_customer_churn").count()
 
 

@@ -172,7 +172,10 @@ def keyset_parquet_source():
         is logged and accumulated in ``late_rows_skipped``. Backfills
         that cannot honor the contract belong on the file-arrival
         stream (``streaming/file_stream.py``), which keys on file
-        identity, not row keys."""
+        identity, not row keys. The detection state is in-memory and
+        baselined at each offset commit; it does NOT survive a
+        restart, so late rows appended while the query was down are
+        not counted (see ``read`` for the exact windows)."""
 
         LOG = __import__("logging").getLogger("keyset_oltp.stream")
 
@@ -263,8 +266,19 @@ def keyset_parquet_source():
             if hi is None or hi <= last:
                 return iter([]), start  # no new keys: empty batch, same offset
             rows = self._read_range(last, hi)
-            if self._rows_at_or_below is not None:
-                self._rows_at_or_below += len(rows)
+            # Seed the baseline for the NEW offset AT COMMIT TIME with
+            # an exact recount at hi — never `+= len(rows)`, which
+            # silently folded in any row appended inside (last, hi]
+            # between the pre-count and the read. Remaining blind
+            # spots, by design of in-memory detection state: (a) rows
+            # appended <= hi in the instant between _read_range and
+            # this recount are baselined without having been
+            # delivered; (b) after a RESTART the state is gone, so
+            # rows appended below the checkpointed offset while the
+            # query was down are folded into the first post-restart
+            # baseline uncounted. Both windows are detection gaps
+            # only — delivery semantics are unchanged.
+            self._rows_at_or_below = self._count_at_or_below(hi)
             return iter(rows), {"last": int(hi)}
 
         def readBetweenOffsets(self, start, end):

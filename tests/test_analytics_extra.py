@@ -196,8 +196,10 @@ def test_survival_curve_terminal_cell_hits_zero_in_both_engines(spark, tmp_path)
         r["t_days"]: (r["n_risk"], r["n_churned"], r["survival"])
         for r in q.build(spark, str(tmp_path)).collect()
     }
-    assert got[0] == (3, 1, round(1 - 1 / 3 + 1e-9, 4))
-    assert got[5] == (1, 1, 0.0)  # terminal cell: exact zero, not stale 0.6667
+    # survival is now the RAW exact ordered product (no rounding):
+    # the t=0 cell's single factor is the CR division (3-1)/3.
+    assert got[0] == (3, 1, 2 / 3)
+    assert got[5] == (1, 1, 0.0)  # terminal cell: exact zero, not stale 2/3
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
@@ -211,9 +213,13 @@ def test_survival_curve_terminal_cell_hits_zero_in_both_engines(spark, tmp_path)
 
 
 def test_pca_projection_matches_numpy(spark, sf_dir):
-    """The baked-basis Catalyst projection must equal numpy's
-    (v - mu) @ comps on the same fitted basis, and the components
-    must be orthonormal with descending explained variance."""
+    """The baked-basis projection must track numpy's (v - mu) @ comps
+    on the same fitted basis, and the components must be orthonormal
+    with descending explained variance. Tolerance is 1e-4: the
+    engine projection is the determinism-by-construction QUANTIZED
+    dot (floor(x·1e6) integers, exact in any order), which shifts
+    each pc by O(dim·1e-6) from the float64 value — the r7 tradeoff
+    of drift-proof cross-engine ranking for a bounded bias."""
     import numpy as np
 
     from teleco_etl_pipeline_spark.operators.similarity import (
@@ -239,8 +245,8 @@ def test_pca_projection_matches_numpy(spark, sf_dir):
     vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
     want = (vecs - mu) @ comps.T
     for i, vid in enumerate(ids):
-        assert abs(got[vid][0] - want[i, 0]) < 1e-9
-        assert abs(got[vid][1] - want[i, 1]) < 1e-9
+        assert abs(got[vid][0] - want[i, 0]) < 1e-4
+        assert abs(got[vid][1] - want[i, 1]) < 1e-4
 
 
 def test_sparse_tfidf_selfsim_and_bounds(spark, sf_dir):

@@ -1517,6 +1517,81 @@ def test_zorder_repartition_tightens_rowgroup_stats(spark, tmp_path):
     assert len(ok) >= len(spans) - 2, spans
 
 
+def test_warehouse_write_zordered_clusters_table(spark, tmp_path):
+    """Warehouse.write_zordered — the engine write path wired to the
+    layout operator: the written layer table must (a) round-trip all
+    rows, (b) have per-file min/max spans bounded on BOTH clustered
+    dimensions (the row-group-pruning contract a single-column sort
+    cannot give), and (c) stay atomic (success marker present)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from teleco_etl_pipeline_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.range(0, 65536).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+        F.col("id").alias("v"),
+    )
+    wh.write_zordered(df, "gold", "zfact", [F.col("x"), F.col("y")], n_files=16)
+    path = wh.path("gold", "zfact")
+    back = wh.read("gold", "zfact")
+    assert back.count() == 65536
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    spans = []
+    for f in glob.glob(path + "/*.parquet"):
+        t = pq.read_table(f, columns=["x", "y"])
+        if t.num_rows == 0:
+            continue
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        spans.append((max(xs) - min(xs), max(ys) - min(ys)))
+    assert spans
+    ok = [s for s in spans if s[0] <= 127 and s[1] <= 127]
+    assert len(ok) >= len(spans) - 2, spans
+    # the helper column must not leak into the table schema
+    assert set(back.columns) == {"x", "y", "v"}
+
+
+def test_parquet_zonemap_prunes_clustered_table(spark, tmp_path):
+    """Zone-map manifest over a key-clustered multi-file table: the
+    footer-only manifest must (a) cover every row exactly once per
+    column, (b) prune to a strict subset for a selective range, and
+    (c) be SAFE — every row actually matching the predicate lives in
+    a row group the pruner kept."""
+    from teleco_etl_pipeline_spark.operators.maintenance import (
+        cluster_by,
+        parquet_zonemap,
+        zonemap_prune,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    ).write.parquet(path)
+    cluster_by(spark, path, ["k"], target_file_bytes=16 * 1024, min_files=8)
+    zm = parquet_zonemap(spark, path, ["k"]).cache()
+    rows = zm.collect()
+    assert sum(r["n_rows"] for r in rows) == 20_000
+    assert len({r["file_name"] for r in rows}) >= 8
+    kept = zonemap_prune(zm, "k", 5_000, 5_999).collect()
+    assert kept and len(kept) < len(rows)  # real pruning happened
+    # safety: matching rows only live in kept (file, row_group) pairs
+    kept_files = {r["file_name"] for r in kept}
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(path + "/*.parquet"):
+        t = pq.read_table(f, columns=["k"])
+        hits = [x for x in t.column("k").to_pylist() if 5_000 <= x <= 5_999]
+        if hits:
+            assert f.rsplit("/", 1)[-1] in kept_files
+    zm.unpersist()
+
+
 def test_prefix_jaccard_equals_naive_all_pairs(spark, sf_dir):
     """Prefix filtering is a lossless candidate generator: on harness
     docs the emitted pair set must EQUAL the naive share-any-token
