@@ -22,6 +22,7 @@ Both build on ``safe_overwrite`` for the crash-safe swap.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -272,6 +273,38 @@ def zonemap_prune(
     return m.filter(~F.coalesce(disjoint, F.lit(False))).select(
         "file_name", "row_group", "n_rows"
     )
+
+
+def read_pruned(
+    spark: SparkSession, path: str, col: str, lo: float, hi: float
+) -> DataFrame:
+    """Manifest-driven scan: consult the zone map, hand Spark ONLY the
+    files that can contain ``col ∈ [lo, hi]``, and apply the residual
+    filter. Semantically identical to filtering the full table read
+    (the zone map never prunes a matching row — pinned by test); at
+    scale the pruned file LIST is what keeps a selective probe from
+    listing-and-footer-probing every file in the table inside Spark's
+    own scan planning. This is the manifest read of the
+    Iceberg/Delta world: prune from an index, not from per-file
+    footer reads at plan time. File-level pruning only (Spark's scan
+    does its own row-group elimination within the chosen files via
+    parquet filter pushdown).
+    """
+    from pyspark.sql import functions as F
+
+    zm = parquet_zonemap(spark, path, [col])
+    keep = {
+        r["file_name"]
+        for r in zonemap_prune(zm, col, lo, hi)
+        .select("file_name")
+        .distinct()
+        .collect()
+    }
+    pred = (F.col(col) >= lo) & (F.col(col) <= hi)
+    if not keep:
+        return spark.read.parquet(path).filter(pred).limit(0)
+    files = [os.path.join(path, f) for f in sorted(keep)]
+    return spark.read.parquet(*files).filter(pred)
 
 
 # Fixed probe ranges for the oracle-backed manifest report: a

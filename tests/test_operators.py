@@ -1592,6 +1592,34 @@ def test_parquet_zonemap_prunes_clustered_table(spark, tmp_path):
     zm.unpersist()
 
 
+def test_read_pruned_equals_full_filter(spark, tmp_path):
+    """Manifest-driven read must return EXACTLY the rows of the
+    equivalent full-table filter — pruning is a pure optimization —
+    including the empty-range case (no file kept)."""
+    from teleco_etl_pipeline_spark.operators.maintenance import (
+        cluster_by,
+        read_pruned,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    ).write.parquet(path)
+    cluster_by(spark, path, ["k"], target_file_bytes=16 * 1024, min_files=8)
+    full = {
+        (r["k"], r["v"])
+        for r in spark.read.parquet(path)
+        .filter((F.col("k") >= 7_000) & (F.col("k") <= 7_499))
+        .collect()
+    }
+    pruned = {
+        (r["k"], r["v"])
+        for r in read_pruned(spark, path, "k", 7_000, 7_499).collect()
+    }
+    assert pruned == full and len(full) == 500
+    assert read_pruned(spark, path, "k", 10**9, 2 * 10**9).count() == 0
+
+
 def test_prefix_jaccard_equals_naive_all_pairs(spark, sf_dir):
     """Prefix filtering is a lossless candidate generator: on harness
     docs the emitted pair set must EQUAL the naive share-any-token
