@@ -1889,7 +1889,7 @@ def lsh_knn_join(
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     # Quantized integer hyperplanes: floor(p·10⁶) kept as
-    # integer-valued float64 so the bucket matmul stays one BLAS pass
+    # integer-valued float64 so the bucket matmul stays one pass
     # yet every product/partial-sum is an exact integer < 2⁵³.
     iplanes = np.floor(
         np.ascontiguousarray(hyperplanes(dim, n_planes, seed), dtype=np.float64)
@@ -1897,20 +1897,36 @@ def lsh_knn_join(
     )
     pows = (1 << np.arange(n_planes, dtype=np.int64)).astype(np.int64)
 
-    @F.pandas_udf("long")
-    def _int_bucket(v: pd.Series) -> pd.Series:
+    # Quantize ONCE PER ROW (O(N·d)) and derive the bucket in the
+    # SAME Arrow round trip (a chained quantize→bucket UDF pair would
+    # ship every vector python↔jvm twice): one struct-returning
+    # pandas UDF yields (quantized array, bucket). The pair scorer
+    # below sees each vector once per CANDIDATE PAIR, so flooring
+    # there would redo the quantization ~|bucket| times per vector.
+    # The quantized components are integers < 2²⁴ (|x| ≤ ~0.5 → |q| ≤
+    # 5·10⁵), so they are EXACTLY representable in float32 — carrying
+    # the arrays as array<float> halves the bytes the pair join
+    # shuffles and the Arrow batches ship, with zero loss (the scorer
+    # widens back to float64 before the exact dots).
+    @F.pandas_udf("struct<q: array<float>, bucket: long>")
+    def _quantize_bucket(v: pd.Series) -> pd.DataFrame:
         q = np.floor(np.vstack(v.to_numpy()).astype(np.float64) * 1e6)
         bits = (q @ iplanes.T) > 0  # exact: integer-valued f64 dot
-        return pd.Series((bits @ pows).astype(np.int64))
+        return pd.DataFrame(
+            {"q": list(q.astype(np.float32)), "bucket": (bits @ pows).astype(np.int64)}
+        )
 
-    wb = emb.select(
+    wq = emb.select(
+        F.col(id_col), _quantize_bucket(F.col(vec_col)).alias("_qb")
+    ).select(
         F.col(id_col),
-        F.col(vec_col),
-        _int_bucket(F.col(vec_col)).alias("bucket"),
+        F.col("_qb.q").alias("_q"),
+        F.col("_qb.bucket").alias("bucket"),
     )
-    a = wb.select("bucket", F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+    wb = wq
+    a = wb.select("bucket", F.col(id_col).alias("_qid"), F.col("_q").alias("_qv"))
     b = wb.select(
-        "bucket", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+        "bucket", F.col(id_col).alias("neighbor_id"), F.col("_q").alias("_nv")
     )
 
     # Pairwise ranking key as one Arrow-batched pass. The kNN join
@@ -1920,15 +1936,16 @@ def lsh_knn_join(
     # Catalyst fold (aggregate/zip_with, per-lambda interpreter cost)
     # measured 5.8 s vs ~1.5 s for the einsum at sf0.1's 1.5M pairs.
     # Self-contained closure (numpy only — executor workers may not
-    # have this repo importable). All dots over quantized components
-    # are exact (integer intermediates < 2⁵³); the final
+    # have this repo importable). Inputs are the PRE-QUANTIZED
+    # integer-valued arrays, so all dots are exact (integer
+    # intermediates < 2⁵³ in any accumulation order); the final
     # num/sqrt(den_a·den_b) is a fixed sequence of correctly-rounded
     # IEEE ops, so the emitted double is bit-identical to the DuckDB
     # oracle's — no rounding applied or needed.
     @F.pandas_udf("double")
     def _pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        x = np.floor(np.vstack(va.to_numpy()).astype(np.float64) * 1e6)
-        y = np.floor(np.vstack(vb.to_numpy()).astype(np.float64) * 1e6)
+        x = np.vstack(va.to_numpy()).astype(np.float64)
+        y = np.vstack(vb.to_numpy()).astype(np.float64)
         num = np.einsum("ij,ij->i", x, y)
         da = np.einsum("ij,ij->i", x, x)
         db = np.einsum("ij,ij->i", y, y)
@@ -1959,10 +1976,10 @@ def lsh_knn_join(
     # leftovers — no second all-pairs shuffle at any scale.
     covered = knn.select(F.col(id_col)).distinct()
     leftovers = wb.select(
-        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("_qid"), F.col("_q").alias("_qv")
     ).join(covered.select(F.col(id_col).alias("_qid")), "_qid", "left_anti")
     cand = (
-        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+        wq.select(F.col(id_col).alias("neighbor_id"), F.col("_q").alias("_nv"))
         .orderBy(F.md5(F.col("neighbor_id").cast("string")).asc())
         .limit(fallback_candidates)
     )
