@@ -31,6 +31,9 @@ registered queries):
   half-rounding boundary over every within-cluster pair (this is
   also the ≥ threshold decision — the threshold compares the ROUNDED
   multiple of 1e-4, so the rounding boundary is the only boundary).
+- ALL pairwise cosines (the fold-based rerank queries embedding_topk
+  / neardup / lsh_pairs / multiprobe / recall_eval / batch_topk):
+  same rounding-boundary margin over every i<j pair in the corpus.
 - libm-rounded report columns (priority_woe_iv, benford_first_digit,
   events_decay_score): min distance of value+1e-9 to a 4-dp
   half-rounding boundary.
@@ -147,6 +150,21 @@ def main() -> int:
         worst = min(worst, _half_margin(vals))
         n_pairs += len(vals)
     record("semdedup_round4/k8_th0.35", float(worst), n_pairs)
+
+    # 5b. ALL-pairs cosine rounding boundary — covers every
+    # fold-vs-list_cosine_similarity query (embedding_topk / neardup /
+    # lsh_pairs / multiprobe / recall_eval / batch_topk): their
+    # emitted/ranked value is ROUND(cos + 1e-9, 4) and the ≥ threshold
+    # test compares the ROUNDED multiple of 1e-4 against an exact
+    # 2-dp literal, so the rounding boundary is the only boundary.
+    nrm_all = np.linalg.norm(vecs, axis=1)
+    cos_all = (vecs @ vecs.T) / np.outer(nrm_all, nrm_all)
+    iu_all = np.triu_indices(len(vecs), k=1)
+    record(
+        "allpairs_round4/cosine_queries",
+        _half_margin(cos_all[iu_all] + 1e-9),
+        iu_all[0].size,
+    )
 
     # 6. libm-rounded report columns
     import duckdb

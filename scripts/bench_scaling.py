@@ -66,6 +66,16 @@ QUERIES = [
     # pigeonhole segment-blocked ER (candidates track dup density, not
     # volume — the attribute-blocked form grew ~10x per 10x data)
     "customer_linkage_blocked",
+    # -- round-7 additions --------------------------------------------
+    # exact PPJoin set-similarity (prefix-filtered + clique-collapsed;
+    # the EXACT third dedup path — growth tracks near-dup density)
+    "token_jaccard_prefix_pairs",
+    # inverted-index lexical retrieval (query-token postings only)
+    "doc_sparse_tfidf_topk",
+    # total-coverage kNN (leftover fallback is a bounded broadcast)
+    "embedding_knn_classify_total",
+    # footer-only zone-map manifest (grows with row groups, not rows)
+    "lineitem_zonemap_report",
 ]
 
 
