@@ -290,10 +290,26 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, threshold=0.35)
 
 
+def _sql_f(x: float) -> str:
+    """DuckDB DOUBLE literal that round-trips EXACTLY: a bare numeric
+    literal is parsed as DECIMAL, and DuckDB's decimal→double
+    conversion is not correctly rounded (measured:
+    ``SELECT 0.9090909090909091`` cast to double lands 1 ulp off the
+    nearest double — and ``::DOUBLE`` on the decimal does not help,
+    the loss is in the decimal parse). The STRING→DOUBLE cast is a
+    correctly-rounded strtod, so every full-precision float literal
+    the oracles bake (planes, centroids, codebooks, norms) goes
+    through ``'repr'::DOUBLE`` — bit-identical to the Python/Spark
+    float in every engine build. (Integer-valued quantized literals
+    were never affected — DECIMAL holds them exactly.)"""
+    return f"'{float(x)!r}'::DOUBLE"
+
+
 def _sql_vec(plane: np.ndarray) -> str:
-    """DuckDB DOUBLE[] literal from a plane vector (repr round-trips
-    float64 exactly — both engines see bit-identical planes)."""
-    return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+    """DuckDB DOUBLE[] literal from a plane vector, each element an
+    exactly-round-tripping :func:`_sql_f` literal (a bare numeric
+    list literal is unified as DECIMAL and loses ulps)."""
+    return "[" + ", ".join(_sql_f(x) for x in plane) + "]"
 
 
 def _sql_bucket(planes: np.ndarray, vec_expr: str) -> str:
@@ -781,7 +797,7 @@ def _ivf_topk_oracle_sql(
     probe = ", ".join(str(int(i)) for i in np.argsort(-sims)[:n_probe])
     cents_sq = (cents**2).sum(axis=1)
     dists = ",\n           ".join(
-        f"{float(cs)!r} - 2 * list_dot_product(ve, {_sql_vec(c)})"
+        f"{_sql_f(cs)} - 2 * list_dot_product(ve, {_sql_vec(c)})"
         for cs, c in zip(cents_sq, cents)
     )
     return f"""
@@ -841,7 +857,7 @@ def _ivf_report_sql(
     cents = _lloyd_fit(x, n_centroids, seed, max_iter)
     cents_sq = (cents**2).sum(axis=1)
     dists = ",\n           ".join(
-        f"{float(cs)!r} - 2 * list_dot_product(ve, {_sql_vec(c)})"
+        f"{_sql_f(cs)} - 2 * list_dot_product(ve, {_sql_vec(c)})"
         for cs, c in zip(cents_sq, cents)
     )
     return f"""
@@ -1082,7 +1098,7 @@ def _semdedup_oracle_sql(
         return None
     cents_sq = (cents**2).sum(axis=1)
     dists = ",\n           ".join(
-        f"{float(cs)!r} - 2 * list_dot_product(ve, {_sql_vec(c)})"
+        f"{_sql_f(cs)} - 2 * list_dot_product(ve, {_sql_vec(c)})"
         for cs, c in zip(cents_sq, cents)
     )
     return f"""
@@ -1331,7 +1347,7 @@ def _pq_topk_oracle_sql(
         cents = cb[j]
         cents_sq = (cents**2).sum(axis=1)
         dists = ", ".join(
-            f"{float(cs)!r} - 2 * list_dot_product(ve[{lo}:{hi}], {_sql_vec(c)})"
+            f"{_sql_f(cs)} - 2 * list_dot_product(ve[{lo}:{hi}], {_sql_vec(c)})"
             for cs, c in zip(cents_sq, cents)
         )
         code_exprs.append(
@@ -1352,7 +1368,7 @@ def _pq_topk_oracle_sql(
     ),
     s AS (
       SELECT vec_id, ve,
-             ROUND(({adc}) / ({qnorm!r} * sqrt({nsq}) + 1e-12) + 1e-9, 4)
+             ROUND(({adc}) / ({_sql_f(qnorm)} * sqrt({nsq}) + 1e-12) + 1e-9, 4)
                AS approx_cos
       FROM c
       WHERE vec_id <> {query_id}
@@ -1605,7 +1621,7 @@ def _ivfpq_topk_oracle_sql(
     probe = [int(i) for i in np.argsort(-sims)[:n_probe]]
     cents_sq = (cents**2).sum(axis=1)
     dists = ",\n           ".join(
-        f"{float(cs)!r} - 2 * list_dot_product(ve, {_sql_vec(c)})"
+        f"{_sql_f(cs)} - 2 * list_dot_product(ve, {_sql_vec(c)})"
         for cs, c in zip(cents_sq, cents)
     )
     cvec_case = (
@@ -1626,7 +1642,7 @@ def _ivfpq_topk_oracle_sql(
         lo, hi = j * dsub + 1, (j + 1) * dsub  # 1-based inclusive slice
         c_sq = (cb[j] ** 2).sum(axis=1)
         djs = ", ".join(
-            f"{float(cs)!r} - 2 * list_dot_product(rv[{lo}:{hi}], {_sql_vec(c)})"
+            f"{_sql_f(cs)} - 2 * list_dot_product(rv[{lo}:{hi}], {_sql_vec(c)})"
             for cs, c in zip(c_sq, cb[j])
         )
         code_exprs.append(
@@ -1669,7 +1685,7 @@ def _ivfpq_topk_oracle_sql(
     ),
     s AS (
       SELECT vec_id, ve,
-             ROUND(({adc_dot}) / ({qnorm!r} * sqrt({adc_nsq}) + 1e-12) + 1e-9, 4)
+             ROUND(({adc_dot}) / ({_sql_f(qnorm)} * sqrt({adc_nsq}) + 1e-12) + 1e-9, 4)
                AS approx_cos
       FROM c
     ),

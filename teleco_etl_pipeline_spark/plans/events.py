@@ -434,9 +434,12 @@ def q_events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Half-life decay constant: ln(2)/30 days. The SAME literal string is
-# parsed by both engines so the double is bit-identical.
-_DECAY_LAMBDA = "0.023104906018664842"
+# Half-life decay constant: ln(2)/30 days. Spark gets the exact
+# DoubleType literal (F.lit of the Python float); the oracle gets a
+# STRING→DOUBLE cast of the same repr — DuckDB's bare decimal-literal
+# parse is NOT correctly rounded (can land 1 ulp off; see
+# operators/similarity.py:_sql_f), while its strtod is.
+_DECAY_LAMBDA = 0.023104906018664842
 
 
 @query(
@@ -445,7 +448,7 @@ _DECAY_LAMBDA = "0.023104906018664842"
     WITH ref AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events)
     SELECT user_id,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(ROUND(value * EXP(-{_DECAY_LAMBDA}
+           CAST(SUM(CAST(ROUND(value * EXP(-('{_DECAY_LAMBDA!r}'::DOUBLE)
                  * ((SELECT ref_us FROM ref) - epoch_us(ts)) / 86400000000.0)
                  + 1e-9, 4) AS DECIMAL(18,4))) AS DOUBLE) AS decay_score
     FROM events
@@ -467,7 +470,7 @@ def q_events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref_us = ev.agg(F.max("ts_us").alias("m")).scalar()
     age_days = (ref_us - F.col("ts_us")) / F.lit(86400000000.0)
     term = F.round(
-        F.col("value") * F.exp(F.expr(f"-{_DECAY_LAMBDA}") * age_days) + F.lit(1e-9),
+        F.col("value") * F.exp(F.lit(-_DECAY_LAMBDA) * age_days) + F.lit(1e-9),
         4,
     ).cast("decimal(18,4)")
     return ev.groupBy("user_id").agg(

@@ -419,3 +419,100 @@ def test_inlined_kernel_rounding_matches_helper():
     )
     inlined = np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4
     assert np.array_equal(inlined, _round_half_away(x, 4))
+
+
+# ---------------------------------------------------------------------------
+# Determinism-by-construction kernels (round-7 exact-arithmetic class).
+# These pin the three assumptions the PARITY.md audit leans on, WITHOUT
+# Spark: (a) quantized dots are exact integers in float64, (b) the
+# CR-sequence ranking key is bit-identical between DuckDB and plain
+# Python floats, (c) DuckDB's list_reduce left fold is bit-identical
+# to Python's reduce — the Kaplan-Meier ordered-product contract.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-0.5, 0.5, allow_nan=False, width=32),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=2,
+        max_size=2,
+    ),
+)
+@settings(**SETTINGS)
+def test_quantized_dot_is_exact_integer_in_float64(vecs):
+    """floor(x·1e6) components: the float64 einsum dot must EQUAL the
+    arbitrary-precision Python-int dot — the 'exact in any
+    accumulation order' claim behind the kNN/TF-IDF/PCA ranking."""
+    import numpy as np
+
+    a = np.floor(np.array(vecs[0], dtype=np.float64) * 1e6)
+    b = np.floor(np.array(vecs[1], dtype=np.float64) * 1e6)
+    num_f = float(np.einsum("i,i->", a, b))
+    num_i = sum(int(x) * int(y) for x, y in zip(a, b))
+    assert num_f == float(num_i) and abs(num_i) < 2**53
+
+
+@given(
+    num=st.integers(-(10**14), 10**14),
+    da=st.integers(1, 10**14),
+    db=st.integers(1, 10**14),
+)
+@settings(**SETTINGS)
+def test_cr_ranking_key_bit_identical_duckdb_vs_python(num, da, db):
+    """The ranking key num/sqrt(double(da)·double(db)) is a fixed
+    sequence of correctly-rounded IEEE ops — DuckDB must produce the
+    bit-identical double to plain Python floats."""
+    import math
+    import struct
+
+    import duckdb
+
+    py = num / math.sqrt(float(da) * float(db))
+    con = duckdb.connect()
+    dk = con.execute(
+        "SELECT CAST(? AS DOUBLE) / SQRT(CAST(? AS DOUBLE) * CAST(? AS DOUBLE))",
+        [num, da, db],
+    ).fetchone()[0]
+    con.close()
+    assert struct.pack(">d", py) == struct.pack(">d", dk)
+
+
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 100)),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(**SETTINGS)
+def test_km_ordered_product_bit_identical_duckdb_vs_python(cells):
+    """Kaplan-Meier factor fold: DuckDB list_reduce((a,b) -> a*b)
+    over the ordered factor list must be bit-identical to Python's
+    sequential product of the same CR-division factors — the ordered
+    exact product contract of user_survival_curve."""
+    import struct
+
+    import duckdb
+
+    # factors (n_risk - d)/n_risk with d < n_risk, like the guarded query
+    factors = [(n - min(d, n - 1)) / n for d, n in cells]
+    py = 1.0
+    for f in factors:
+        py = py * f
+    con = duckdb.connect()
+    # Elements as STRING→DOUBLE casts: DuckDB's bare decimal-literal
+    # parse is not correctly rounded (can land 1 ulp off the nearest
+    # double — found by THIS test), while its strtod is. The engine
+    # oracles follow the same rule (operators/similarity.py:_sql_f);
+    # in the real survival query the factors are computed in-engine
+    # as native doubles and never pass through literals at all.
+    lit = "[" + ", ".join(f"'{f!r}'::DOUBLE" for f in factors) + "]"
+    dk = con.execute(
+        f"SELECT list_reduce({lit}, (a, b) -> a * b)"
+    ).fetchone()[0]
+    con.close()
+    assert struct.pack(">d", py) == struct.pack(">d", dk)
