@@ -516,3 +516,33 @@ def test_km_ordered_product_bit_identical_duckdb_vs_python(cells):
     ).fetchone()[0]
     con.close()
     assert struct.pack(">d", py) == struct.pack(">d", dk)
+
+
+def test_embedding_magnitudes_within_quantized_exactness_budget():
+    """The exact-integer dot contract (kNN/TF-IDF/PCA) needs every
+    64-term product-sum of floor(x·1e6) components below 2⁵³, i.e.
+    max |component| ≤ sqrt(2⁵³/64)/1e6 ≈ 11.8. The harness embeddings
+    sit near ±0.5 — assert with a wide guard so a future testdata
+    regeneration that widens the range fails HERE with a clear
+    message instead of silently losing exactness."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    budget = float(np.sqrt(2.0**53 / 64) / 1e6)  # ≈ 11.86
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/embeddings.parquet"
+        if not os.path.exists(p):
+            continue
+        t = pq.read_table(p, columns=["embedding"])
+        x = np.abs(np.array(t.column("embedding").to_pylist(), dtype=np.float64))
+        assert float(x.max()) < budget / 4, (
+            f"{sf}: max |component| {x.max():.3f} eats into the "
+            f"exact-integer budget ({budget:.2f}); re-derive the "
+            "quantization scale in operators/similarity.py"
+        )
+        checked += 1
+    assert checked, "no testdata found to check"
