@@ -127,7 +127,7 @@ BENCH_QUERIES = [
     "doc_langid_confusion",     # classifier-eval confusion matrix + margins
     "embedding_recall_eval",    # per-query recall@5 of LSH vs exact, one plan
     "events_attribution_first_last",  # position-based revenue attribution, linear windows
-    "user_survival_curve",      # Kaplan-Meier product-limit via ordered log-sum window
+    "user_survival_curve",      # Kaplan-Meier product-limit, exact ordered factor product
     "events_cohort_ltv",        # cohort revenue + cumulative LTV curve
     "brand_size_rank_ties",     # top-N-with-ties via RANK/DENSE_RANK
     "ngram_containment_pairs",  # directional subset-dup containment

@@ -196,18 +196,30 @@ def parquet_zonemap(
     reader and any oracle read the SAME stats words), so the manifest
     is exact — no float recomputation anywhere.
     """
-    cols = list(columns)
+    return _zonemap_from_files(
+        spark, _list_parquet_files(spark, path), list(columns)
+    )
+
+
+def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
+    """Data files of a table path via the Hadoop FS API (scheme-
+    agnostic listing; local paths come back scheme-stripped for
+    pyarrow)."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.isFile(hpath):
-        files = [hpath.toUri().getPath()]
-    else:
-        files = sorted(
-            st.getPath().toUri().getPath()
-            for st in fs.listStatus(hpath)
-            if st.getPath().getName().endswith(".parquet")
-        )
+        return [hpath.toUri().getPath()]
+    return sorted(
+        st.getPath().toUri().getPath()
+        for st in fs.listStatus(hpath)
+        if st.getPath().getName().endswith(".parquet")
+    )
+
+
+def _zonemap_from_files(
+    spark: SparkSession, files: list[str], cols: list[str]
+) -> DataFrame:
     flist = spark.createDataFrame([(f,) for f in files], "file_path string")
 
     def _read_footers(it):
@@ -256,6 +268,49 @@ def parquet_zonemap(
         flist.repartition(max(1, min(len(files), 64)))
         .mapInPandas(_read_footers, _ZONEMAP_SCHEMA)
     )
+
+
+def zonemap_update(
+    spark: SparkSession,
+    manifest: DataFrame,
+    path: str,
+    columns: Sequence[str],
+) -> DataFrame:
+    """Incrementally maintain a zone map: read footers ONLY for files
+    not yet in ``manifest`` and append their rows — the daily
+    manifest-maintenance shape at 100 TB, where a full
+    :func:`parquet_zonemap` rebuild would re-read ~10⁵ footers to
+    learn that yesterday's files are unchanged (parquet files are
+    immutable once written, so existing manifest rows never go
+    stale; files DELETED from the table — compaction, overwrite —
+    must drop their manifest rows, which is an anti-join on the
+    current listing, metadata-only). Returns the refreshed manifest.
+
+    ``manifest`` must be a STORED table (or otherwise materialized):
+    the zone map is an index, and a lazy manifest whose lineage still
+    points at since-deleted files would re-read their footers (and
+    fail) on the next action. Production shape: write the manifest
+    parquet, read it back, update, overwrite.
+    """
+    from pyspark.sql import functions as F
+
+    files = _list_parquet_files(spark, path)
+    by_name = {f.rsplit("/", 1)[-1]: f for f in files}
+    known = {
+        r["file_name"]
+        for r in manifest.select("file_name").distinct().collect()
+    }
+    live = manifest.filter(
+        F.col("file_name").isin(*by_name) if by_name else F.lit(False)
+    )
+    new = sorted(set(by_name) - known)
+    if not new:
+        return live
+    # footer reads for the NEW files only — the whole point
+    fresh = _zonemap_from_files(
+        spark, [by_name[n] for n in new], list(columns)
+    )
+    return live.unionByName(fresh)
 
 
 def zonemap_prune(

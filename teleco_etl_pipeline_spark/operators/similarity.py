@@ -38,7 +38,7 @@ def _round_half_away(x: np.ndarray, decimals: int = 4) -> np.ndarray:
     environment fails). Every Python-side kernel that feeds a rounded
     double into a ranking key or a hashed report column must round
     through this helper, never ``np.round`` (pinned by
-    ``tests/test_operators.py::test_python_kernels_round_half_away``).
+    ``tests/test_properties.py::test_python_kernels_never_use_np_round``).
     """
     s = 10.0**decimals
     return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s

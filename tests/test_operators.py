@@ -1711,3 +1711,55 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert joined.count() == 4_000
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_zonemap_update_reads_only_new_files(spark, tmp_path):
+    """Incremental manifest maintenance: appending files adds ONLY
+    their rows (existing rows survive byte-identical), and files
+    removed from the table drop out of the refreshed manifest."""
+    from teleco_etl_pipeline_spark.operators.maintenance import (
+        parquet_zonemap,
+        zonemap_update,
+    )
+
+    path = str(tmp_path / "t")
+
+    def store(df, v):
+        # the manifest is an INDEX table: persist + reread (a lazy
+        # manifest would re-read deleted files' footers from lineage);
+        # versioned paths, since the previous manifest feeds the next
+        mpath = str(tmp_path / f"manifest_v{v}")
+        df.write.parquet(mpath)
+        return spark.read.parquet(mpath)
+
+    spark.range(0, 1000).select(F.col("id").alias("k")).repartition(
+        2
+    ).write.parquet(path)
+    m0 = store(parquet_zonemap(spark, path, ["k"]), 0)
+    rows0 = {(r["file_name"], r["row_group"]): r for r in m0.collect()}
+    # append two more files
+    spark.range(5000, 6000).select(F.col("id").alias("k")).repartition(
+        2
+    ).write.mode("append").parquet(path)
+    m1 = store(zonemap_update(spark, m0, path, ["k"]), 1)
+    rows1 = {(r["file_name"], r["row_group"]): r for r in m1.collect()}
+    assert set(rows0) < set(rows1)
+    for key, r in rows0.items():
+        assert rows1[key] == r  # old rows unchanged
+    new_rows = [r for key, r in rows1.items() if key not in rows0]
+    assert new_rows and all(r["min_val"] >= 5000 for r in new_rows)
+    # full rebuild agrees with the incremental result
+    full = {
+        (r["file_name"], r["row_group"]): r
+        for r in parquet_zonemap(spark, path, ["k"]).collect()
+    }
+    assert full == rows1
+    # deletion: drop one file from disk, refresh — its rows vanish
+    import glob
+    import os
+
+    victim = sorted(glob.glob(path + "/*.parquet"))[0]
+    os.remove(victim)
+    vname = victim.rsplit("/", 1)[-1]
+    m2 = zonemap_update(spark, m1, path, ["k"])
+    assert vname not in {r["file_name"] for r in m2.collect()}
