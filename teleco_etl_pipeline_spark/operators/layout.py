@@ -139,11 +139,11 @@ def q_zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright("zval", _Z_BUCKETS_SHIFT).cast("long").alias("file_id")
         )
         .agg(*span)
-        .select(F.lit("zorder").alias("layout"), "file_id", *[c for c in ["n_rows", "x_span", "y_span"]])
+        .select(F.lit("zorder").alias("layout"), "file_id", "n_rows", "x_span", "y_span")
     )
     lfiles = (
         keyed.groupBy(F.shiftright("x", 4).cast("long").alias("file_id"))
         .agg(*span)
-        .select(F.lit("linear").alias("layout"), "file_id", *[c for c in ["n_rows", "x_span", "y_span"]])
+        .select(F.lit("linear").alias("layout"), "file_id", "n_rows", "x_span", "y_span")
     )
     return zfiles.unionByName(lfiles).orderBy("layout", "file_id")
