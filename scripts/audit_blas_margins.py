@@ -27,13 +27,16 @@ registered queries):
 - IVF probe-set cutoff: centroid-similarity gap at the n_probe edge.
 - PQ per-subspace argmin (embedding_pq_topk / ivfpq): same gap per
   subspace codebook.
-- SemDeDup pairwise cosine: min distance of cos+1e-9 to a 4-dp
-  half-rounding boundary over every within-cluster pair (this is
-  also the ≥ threshold decision — the threshold compares the ROUNDED
-  multiple of 1e-4, so the rounding boundary is the only boundary).
-- ALL pairwise cosines (the fold-based rerank queries embedding_topk
-  / neardup / lsh_pairs / multiprobe / recall_eval / batch_topk):
-  same rounding-boundary margin over every i<j pair in the corpus.
+- PQ ADC approximate scores: the LUT sums are CR-identical literal
+  arithmetic in both engines, so the only residual is the ROUND
+  implementations disagreeing at a boundary — min distance of
+  adc+1e-9 to a 4-dp half boundary over every vector.
+
+(The previous rounds' SemDeDup-pair and all-pairs-cosine rounding
+decisions are GONE from this audit: round 7 converted every emitted
+or thresholded embedding cosine to the quantized-exact key, which is
+bit-identical cross-engine with no rounding — nothing left to
+measure.)
 - libm-rounded report columns (priority_woe_iv, benford_first_digit,
   events_decay_score): min distance of value+1e-9 to a 4-dp
   half-rounding boundary.
@@ -135,36 +138,21 @@ def main() -> int:
         worst = min(worst, _argmin_gap(s))
     record("pq_argmin/m4_k16", float(worst), len(vecs) * _PQ_M)
 
-    # 5. SemDeDup pairwise rounding boundary (clusters = IVF k8 above)
-    labels = scores.argmin(axis=1)
-    nrm = np.linalg.norm(vecs, axis=1)
-    worst, n_pairs = np.inf, 0
-    for c in range(8):
-        idx = np.nonzero(labels == c)[0]
-        if len(idx) < 2:
-            continue
-        x = vecs[idx]
-        cos = (x @ x.T) / np.outer(nrm[idx], nrm[idx])
-        iu = np.triu_indices(len(idx), k=1)
-        vals = cos[iu] + 1e-9
-        worst = min(worst, _half_margin(vals))
-        n_pairs += len(vals)
-    record("semdedup_round4/k8_th0.35", float(worst), n_pairs)
-
-    # 5b. ALL-pairs cosine rounding boundary — covers every
-    # fold-vs-list_cosine_similarity query (embedding_topk / neardup /
-    # lsh_pairs / multiprobe / recall_eval / batch_topk): their
-    # emitted/ranked value is ROUND(cos + 1e-9, 4) and the ≥ threshold
-    # test compares the ROUNDED multiple of 1e-4 against an exact
-    # 2-dp literal, so the rounding boundary is the only boundary.
-    nrm_all = np.linalg.norm(vecs, axis=1)
-    cos_all = (vecs @ vecs.T) / np.outer(nrm_all, nrm_all)
-    iu_all = np.triu_indices(len(vecs), k=1)
-    record(
-        "allpairs_round4/cosine_queries",
-        _half_margin(cos_all[iu_all] + 1e-9),
-        iu_all[0].size,
-    )
+    # 5. PQ ADC rounded approximate scores (inputs CR-identical in
+    # both engines; the boundary is the only divergence channel).
+    q0 = vecs[np.nonzero(ids == 0)[0][0]]
+    qnorm = float(np.linalg.norm(q0))
+    adc = np.zeros(len(vecs))
+    nsq = np.zeros(len(vecs))
+    for j in range(_PQ_M):
+        cb = _lloyd_fit(sample[:, j * dsub : (j + 1) * dsub], _PQ_K, 42 + j, 10)
+        cb_sq = (cb**2).sum(axis=1)
+        s = cb_sq[None, :] - 2.0 * (vecs[:, j * dsub : (j + 1) * dsub] @ cb.T)
+        code = s.argmin(axis=1)
+        adc += (cb @ q0[j * dsub : (j + 1) * dsub])[code]
+        nsq += cb_sq[code]
+    adc_score = adc / (qnorm * np.sqrt(nsq) + 1e-12) + 1e-9
+    record("pq_adc_round4/m4_k16", _half_margin(adc_score), len(vecs))
 
     # 6. libm-rounded report columns
     import duckdb

@@ -63,12 +63,82 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_similarity_col(a: Column, b: Column) -> Column:
-    """Exact cosine similarity between two array columns, in double."""
+    """Float cosine similarity between two array columns, in double.
+
+    Utility for ad-hoc similarity math. NOT for hashed/ranked/
+    thresholded catalog outputs — those must use the quantized-exact
+    key (``quantized_vec_col``/``quantized_key`` below), whose value
+    is bit-identical across engines and builds; this float fold is
+    sequential-deterministic per engine but its last ulp differs from
+    other implementations of "cosine"."""
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def _query_vec_literal(vec) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
+
+
+# ---------------------------------------------------------------------------
+# Quantized-exact cosine (determinism by construction — round-7)
+#
+# The emitted/ranked cosine of every embedding query is computed over
+# floor(x·10⁶) integer components: every product and partial sum stays
+# below 2⁵³, so the dots are EXACT in any accumulation order and in
+# either engine, and the ranking key num/sqrt(den_a·den_b) is one fixed
+# correctly-rounded IEEE sequence — bit-identical cross-engine with no
+# rounding and no epsilon nudges. The quantized cosine differs from the
+# float cosine by O(10⁻⁶); the payoff is that neither a different BLAS
+# build nor a different DuckDB loop can flip a value or a threshold
+# (the round-6 incident class, eliminated rather than margin-argued).
+# ---------------------------------------------------------------------------
+
+
+def quantized_vec_col(col: Column) -> Column:
+    """floor(x·10⁶) components as integer-valued doubles — the exact-
+    dot carrier (array<double> so DuckDB's list_dot_product mirrors
+    the Catalyst fold verbatim)."""
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1e6)).cast("double"),
+    )
+
+
+def quantized_den_col(qcol: Column) -> Column:
+    """Σq² of a quantized array — exact (integer partial sums < 2⁵³)."""
+    return F.aggregate(
+        F.transform(qcol, lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_key(num: Column, den_prod: Column) -> Column:
+    """The CR ranking key: num/sqrt(den_a·den_b) with -2.0 (below any
+    cosine) when a norm is zero. ``den_prod`` must be built as ONE
+    multiply of the two exact dens so the op sequence matches the
+    oracle's."""
+    return F.when(den_prod > F.lit(0.0), num / F.sqrt(den_prod)).otherwise(
+        F.lit(-2.0)
+    )
+
+
+def _quantize_query(vec) -> tuple[list[float], float]:
+    """Driver-side quantization of a query vector: the same
+    floor(float64(x)·10⁶) both engines apply, plus its exact den."""
+    q = [float(np.floor(np.float64(x) * 1e6)) for x in vec]
+    return q, float(sum(int(v) * int(v) for v in q))
+
+
+def _sql_qvec(expr: str) -> str:
+    """DuckDB expression quantizing a vector column identically."""
+    return f"list_transform(CAST({expr} AS DOUBLE[]), x -> FLOOR(x * 1000000.0))"
+
+
+def _sql_qkey(num: str, den_a: str, den_b: str) -> str:
+    """DuckDB mirror of :func:`quantized_key` — the identical CR op
+    sequence (one den multiply, sqrt, divide; -2.0 on zero norm)."""
+    prod = f"(({den_a}) * ({den_b}))"
+    return f"CASE WHEN {prod} > 0 THEN ({num}) / SQRT{prod} ELSE -2.0 END"
 
 
 def brute_force_topk(
@@ -81,13 +151,17 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k vs a literal query vector.
 
-    Ordering is on the ROUNDED similarity with id tiebreak, so results
-    are deterministic and FP-noise-proof across engines.
+    Ordering is on the quantized-exact similarity (bit-identical
+    cross-engine, see the quantized-cosine block above) with id
+    tiebreak, so results are deterministic under ANY build.
     """
-    qv = _query_vec_literal(query_vec)
+    qlist, qden = _quantize_query(query_vec)
+    qv = F.array(*[F.lit(v) for v in qlist])
+    qe = quantized_vec_col(F.col(vec_col))
+    den_prod = quantized_den_col(qe) * F.lit(qden)
     out = emb.select(
         F.col(id_col),
-        F.round(cosine_similarity_col(F.col(vec_col), qv) + 1e-9, 4).alias("cosine_sim"),
+        quantized_key(_dot(qe, qv), den_prod).alias("cosine_sim"),
     )
     if exclude_ids:
         out = out.filter(~F.col(id_col).isin(*exclude_ids))
@@ -100,17 +174,33 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact all-pairs near-dup by cosine ≥ threshold (i < j)."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    """Exact all-pairs near-dup by quantized cosine ≥ threshold
+    (i < j). Per-vector quantization + den run ONCE per side
+    (O(N·d)); each pair pays one exact dot and the CR key."""
+    qd = emb.select(
+        F.col(id_col),
+        quantized_vec_col(F.col(vec_col)).alias("_q"),
+    ).select(
+        id_col, "_q", quantized_den_col(F.col("_q")).alias("_den")
+    )
+    a = qd.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_q").alias("qa"),
+        F.col("_den").alias("da"),
+    )
+    b = qd.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_q").alias("qb"),
+        F.col("_den").alias("db"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(cosine_similarity_col(F.col("va"), F.col("vb")) + 1e-9, 4).alias(
-            "cosine_sim"
-        ),
-    ).filter(F.col("cosine_sim") >= threshold)
+        quantized_key(
+            _dot(F.col("qa"), F.col("qb")), F.col("da") * F.col("db")
+        ).alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= F.lit(float(threshold)))
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -219,26 +309,44 @@ def lsh_bucketed_pairs(
         )
         with_bucket = exploded
         join_keys = ["tbl", "bucket"]
+    # Rerank on the quantized-exact key: quantization + den once per
+    # (row, table) side, each candidate pair pays one exact dot.
+    with_bucket = with_bucket.select(
+        *join_keys,
+        F.col(id_col),
+        quantized_vec_col(F.col(vec_col)).alias("_q"),
+    ).select(
+        *join_keys,
+        id_col,
+        "_q",
+        quantized_den_col(F.col("_q")).alias("_den"),
+    )
     a = with_bucket.select(
-        *join_keys, F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        *join_keys,
+        F.col(id_col).alias("id_a"),
+        F.col("_q").alias("qa"),
+        F.col("_den").alias("da"),
     )
     b = with_bucket.select(
-        *join_keys, F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        *join_keys,
+        F.col(id_col).alias("id_b"),
+        F.col("_q").alias("qb"),
+        F.col("_den").alias("db"),
     )
     cand = a.join(b, join_keys).filter(F.col("id_a") < F.col("id_b"))
     if n_tables > 1:
         # Dedup candidates BEFORE the d-dim rerank: a pair that
         # collides in k tables must cost one cosine, not k.
-        cand = cand.select("id_a", "id_b", "va", "vb").dropDuplicates(
+        cand = cand.select("id_a", "id_b", "qa", "da", "qb", "db").dropDuplicates(
             ["id_a", "id_b"]
         )
     return cand.select(
         "id_a",
         "id_b",
-        F.round(cosine_similarity_col(F.col("va"), F.col("vb")) + 1e-9, 4).alias(
-            "cosine_sim"
-        ),
-    ).filter(F.col("cosine_sim") >= threshold)
+        quantized_key(
+            _dot(F.col("qa"), F.col("qb")), F.col("da") * F.col("db")
+        ).alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= F.lit(float(threshold)))
 
 
 # ---------------------------------------------------------------------------
@@ -246,22 +354,33 @@ def lsh_bucketed_pairs(
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "embedding_topk",
-    """
-    WITH q AS (
-      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+def _topk_oracle_sql() -> str:
+    key = _sql_qkey(
+        "list_dot_product(bb.q, (SELECT q FROM qq))",
+        "bb.den",
+        "(SELECT den FROM qq)",
     )
-    SELECT vec_id,
-           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) + 1e-9, 4)
-             AS cosine_sim
-    FROM embeddings
+    return f"""
+    WITH b AS (
+      SELECT vec_id, {_sql_qvec("embedding")} AS q FROM embeddings
+    ), bb AS (
+      SELECT vec_id, q, list_dot_product(q, q) AS den FROM b
+    ), qq AS (SELECT q, den FROM bb WHERE vec_id = 0)
+    SELECT bb.vec_id AS vec_id,
+           {key} AS cosine_sim
+    FROM bb
     WHERE vec_id <> 0
     ORDER BY cosine_sim DESC, vec_id ASC
     LIMIT 10
-    """,
+    """
+
+
+@query(
+    "embedding_topk",
+    _topk_oracle_sql(),
     doc="Brute-force exact cosine top-k ANN baseline over "
-    "array<float> embeddings (zip_with/aggregate fold, no UDF).",
+    "array<float> embeddings (zip_with/aggregate fold, no UDF; "
+    "quantized-exact ranking key, bit-identical cross-engine).",
 )
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -269,21 +388,31 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, qvec, k=10, exclude_ids=(0,))
 
 
+def _neardup_oracle_sql(threshold: float = 0.35) -> str:
+    key = _sql_qkey("list_dot_product(a.q, c.q)", "a.den", "c.den")
+    return f"""
+    WITH b AS (
+      SELECT vec_id, {_sql_qvec("embedding")} AS q FROM embeddings
+    ), bb AS (
+      SELECT vec_id, q, list_dot_product(q, q) AS den FROM b
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           {key} AS cosine_sim
+    FROM bb a JOIN bb c ON a.vec_id < c.vec_id
+    WHERE {key} >= '{threshold!r}'::DOUBLE
+    """
+
+
 @query(
     "embedding_neardup",
-    """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])) + 1e-9, 4) AS cosine_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])) + 1e-9, 4) >= 0.35
-    """,
+    _neardup_oracle_sql(),
     doc="Exact embedding-cosine near-dup pairs (all-pairs verify "
-    "path). Threshold 0.35: the synthetic embeddings are near-random "
-    "(max pairwise cosine ≈ 0.51 at sf0.01), so a production-style "
-    "0.8 would always return the empty set — 0.35 keeps a few "
-    "hundred pairs so the correctness row checks real values.",
+    "path; quantized-exact keys so the threshold decision is "
+    "bit-identical cross-engine). Threshold 0.35: the synthetic "
+    "embeddings are near-random (max pairwise cosine ≈ 0.51 at "
+    "sf0.01), so a production-style 0.8 would always return the "
+    "empty set — 0.35 keeps a few hundred pairs so the correctness "
+    "row checks real values.",
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -342,15 +471,18 @@ def _lsh_pairs_oracle_sql() -> str:
     bucket = _sql_bucket(
         hyperplanes(_LSH_DIM, _LSH_PLANES, 42), "CAST(embedding AS DOUBLE[])"
     )
+    key = _sql_qkey("list_dot_product(a.q, c.q)", "a.den", "c.den")
     return f"""
     WITH b AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bucket} AS bucket
+      SELECT vec_id, {_sql_qvec("embedding")} AS q, {bucket} AS bucket
       FROM embeddings
+    ), bb AS (
+      SELECT vec_id, q, bucket, list_dot_product(q, q) AS den FROM b
     )
     SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-           ROUND(list_cosine_similarity(a.v, c.v) + 1e-9, 4) AS cosine_sim
-    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE ROUND(list_cosine_similarity(a.v, c.v) + 1e-9, 4) >= {_LSH_THRESH}
+           {key} AS cosine_sim
+    FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {key} >= '{_LSH_THRESH!r}'::DOUBLE
     """
 
 
@@ -364,11 +496,18 @@ def _lsh_multiprobe_oracle_sql() -> str:
             hyperplanes(_LSH_DIM, _LSH_PLANES, 42 + 1000 * t), "v"
         )
         branches.append(
-            f"SELECT vec_id, v, {t} AS tbl, {bucket} AS bucket FROM vecs"
+            f"SELECT vec_id, q, den, {t} AS tbl, {bucket} AS bucket FROM vecs"
         )
     union = "\nUNION ALL\n".join(branches)
+    key = _sql_qkey("list_dot_product(va.q, vb.q)", "va.den", "vb.den")
     return f"""
-    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_sql_qvec("embedding")} AS q,
+             list_dot_product({_sql_qvec("embedding")},
+                              {_sql_qvec("embedding")}) AS den
+      FROM embeddings
+    ),
     b AS ({union}),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
@@ -376,11 +515,11 @@ def _lsh_multiprobe_oracle_sql() -> str:
                        AND a.vec_id < c.vec_id
     )
     SELECT id_a, id_b,
-           ROUND(list_cosine_similarity(va.v, vb.v) + 1e-9, 4) AS cosine_sim
+           {key} AS cosine_sim
     FROM cand
     JOIN vecs va ON va.vec_id = id_a
     JOIN vecs vb ON vb.vec_id = id_b
-    WHERE ROUND(list_cosine_similarity(va.v, vb.v) + 1e-9, 4) >= {_LSH_THRESH}
+    WHERE {key} >= '{_LSH_THRESH!r}'::DOUBLE
     """
 
 
@@ -445,16 +584,24 @@ def _recall_eval_oracle_sql(n_queries: int = 5, k: int = 5) -> str:
         )
     union = "\nUNION ALL\n".join(branches)
     qunion = "\nUNION ALL\n".join(qbranches)
+    ekey = _sql_qkey("list_dot_product(c.qz, q.qz)", "c.den", "q.den")
+    akey = _sql_qkey("list_dot_product(cv.qz, qq.qz)", "cv.den", "qq.den")
     return f"""
-    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {n_queries}),
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_sql_qvec("embedding")} AS qz,
+             list_dot_product({_sql_qvec("embedding")},
+                              {_sql_qvec("embedding")}) AS den
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, qz, den FROM vecs
+          WHERE vec_id < {n_queries}),
     exact AS (
       SELECT query_id, vec_id FROM (
         SELECT q.query_id, c.vec_id,
                ROW_NUMBER() OVER (
                  PARTITION BY q.query_id
-                 ORDER BY ROUND(list_cosine_similarity(c.v, q.qv) + 1e-9, 4)
-                            DESC, c.vec_id ASC) AS rn
+                 ORDER BY {ekey} DESC, c.vec_id ASC) AS rn
         FROM q JOIN vecs c ON c.vec_id <> q.query_id
       ) WHERE rn <= {k}
     ),
@@ -470,8 +617,7 @@ def _recall_eval_oracle_sql(n_queries: int = 5, k: int = 5) -> str:
         SELECT cand.query_id, cand.vec_id,
                ROW_NUMBER() OVER (
                  PARTITION BY cand.query_id
-                 ORDER BY ROUND(list_cosine_similarity(cv.v, qq.qv) + 1e-9, 4)
-                            DESC, cand.vec_id ASC) AS rn
+                 ORDER BY {akey} DESC, cand.vec_id ASC) AS rn
         FROM cand
         JOIN vecs cv ON cv.vec_id = cand.vec_id
         JOIN q qq ON qq.query_id = cand.query_id
@@ -479,7 +625,8 @@ def _recall_eval_oracle_sql(n_queries: int = 5, k: int = 5) -> str:
     )
     SELECT q.query_id AS query_id,
            COALESCE(o.n, 0) AS n_overlap,
-           ROUND(COALESCE(o.n, 0) / {k}.0 + 1e-9, 4) AS recall_at_k
+           CAST(COALESCE(o.n, 0) AS DOUBLE) / CAST({k} AS DOUBLE)
+             AS recall_at_k
     FROM q
     LEFT JOIN (
       SELECT e.query_id, COUNT(*) AS n
@@ -545,14 +692,22 @@ def q_embedding_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("vec_id")
     )
+    cq = quantized_vec_col(F.col("embedding"))
+    qq = quantized_vec_col(F.col("query_vec"))
     approx = (
         cand.select(
             "query_id",
             "vec_id",
-            F.round(
-                cosine_similarity_col(F.col("embedding"), F.col("query_vec"))
-                + 1e-9,
-                4,
+            cq.alias("_cq"),
+            qq.alias("_qq"),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            quantized_key(
+                _dot(F.col("_cq"), F.col("_qq")),
+                quantized_den_col(F.col("_cq"))
+                * quantized_den_col(F.col("_qq")),
             ).alias("cosine_sim"),
         )
         .withColumn("rn", F.row_number().over(w))
@@ -570,9 +725,9 @@ def q_embedding_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.coalesce(F.col("n"), F.lit(0)).alias("n_overlap"),
-            F.round(
-                F.coalesce(F.col("n"), F.lit(0)) / F.lit(float(k)) + F.lit(1e-9),
-                4,
+            (
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.lit(float(k))
             ).alias("recall_at_k"),
         )
         .orderBy("query_id")
@@ -801,20 +956,27 @@ def _ivf_topk_oracle_sql(
         for cs, c in zip(cents_sq, cents)
     )
     return f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+             {_sql_qvec("embedding")} AS qz,
+             list_dot_product({_sql_qvec("embedding")},
+                              {_sql_qvec("embedding")}) AS den
+      FROM embeddings
+    ),
     d AS (
-      SELECT vec_id, ve,
+      SELECT vec_id, ve, qz, den,
           [{dists}] AS dists
       FROM v
     ),
     a AS (
-      SELECT vec_id, ve,
+      SELECT vec_id, qz, den,
              list_indexof(dists, list_aggregate(dists, 'min')) - 1 AS ivf_list
       FROM d
     )
     SELECT a.vec_id AS vec_id,
-           ROUND(list_cosine_similarity(a.ve, q.ve) + 1e-9, 4) AS cosine_sim
-    FROM a, (SELECT ve FROM v WHERE vec_id = {query_id}) q
+           {_sql_qkey("list_dot_product(a.qz, q.qz)", "a.den", "q.den")}
+             AS cosine_sim
+    FROM a, (SELECT qz, den FROM v WHERE vec_id = {query_id}) q
     WHERE a.ivf_list IN ({probe}) AND a.vec_id <> {query_id}
     ORDER BY cosine_sim DESC, a.vec_id ASC
     LIMIT {k}
@@ -1000,16 +1162,26 @@ def semantic_dedup(
             ids = pdf[id_col].to_numpy()
             order = np.argsort(ids)
             ids = ids[order]
-            x = np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
-            nrm = np.linalg.norm(x, axis=1)
+            # Quantized-exact cosine (determinism by construction):
+            # floor(x·1e6) integer components keep every dot exact in
+            # any accumulation order; the key num/sqrt(den_i·den_j)
+            # is one CR sequence, bit-identical to the declarative
+            # twin and the DuckDB oracle — no rounding, no epsilon.
+            x = np.floor(
+                np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+                * 1e6
+            )
+            den = np.einsum("ij,ij->i", x, x)  # exact integer-valued
             n = len(ids)
             dup_row = np.full(n, -1, dtype=np.int64)
             for j0 in range(0, n, block):
                 j1 = min(j0 + block, n)
-                # Half-AWAY rounding (DuckDB ROUND semantics; inlined
-                # to keep the kernel numpy-only — see _round_half_away).
-                c = (x @ x[j0:j1].T) / np.outer(nrm, nrm[j0:j1]) + 1e-9
-                s = np.sign(c) * np.floor(np.abs(c) * 1e4 + 0.5) / 1e4
+                prod = np.outer(den, den[j0:j1])  # one CR multiply each
+                s = np.where(
+                    prod > 0,
+                    (x @ x[j0:j1].T) / np.sqrt(np.where(prod > 0, prod, 1.0)),
+                    -2.0,
+                )
                 hit = s >= th
                 # only i < j pairs: mask the diagonal and below
                 cols = np.arange(j0, j1)
@@ -1038,32 +1210,34 @@ def semantic_dedup(
             )
         )
 
-    # Norms are per-VECTOR, not per-pair: compute them once on each
-    # side of the self-join (O(N·d)) so each of the O(Σ|c|²) pairs
-    # pays only the dot product, not two redundant norm folds.
+    # Quantization + den are per-VECTOR, not per-pair: compute them
+    # once on each side of the self-join (O(N·d)) so each of the
+    # O(Σ|c|²) pairs pays only the exact dot plus the CR key.
     normed = assigned.select(
-        "cluster", id_col, vec_col, _norm(F.col(vec_col)).alias("nrm")
+        "cluster", id_col, quantized_vec_col(F.col(vec_col)).alias("_q")
+    ).select(
+        "cluster", id_col, "_q", quantized_den_col(F.col("_q")).alias("_den")
     )
     a = normed.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.col("nrm").alias("na"),
+        F.col("_q").alias("qa"),
+        F.col("_den").alias("da"),
     )
     b = normed.select(
         F.col("cluster"),
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("nrm").alias("nb"),
+        F.col("_q").alias("qb"),
+        F.col("_den").alias("db"),
     )
-    sim = F.round(
-        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) + 1e-9, 4
+    sim = quantized_key(
+        _dot(F.col("qa"), F.col("qb")), F.col("da") * F.col("db")
     )
     # Smaller-id neighbor ≥ threshold → this vector is a duplicate.
     dup_of = (
         a.join(b, ["cluster"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(sim >= threshold)
+        .filter(sim >= F.lit(float(threshold)))
         .groupBy(F.col("id_b").alias(id_col))
         .agg(F.min("id_a").alias("dup_of"))
     )
@@ -1114,10 +1288,16 @@ def _semdedup_oracle_sql(
                AS cluster
       FROM d
     ),
+    q AS (
+      SELECT vec_id, cluster, {_sql_qvec("ve")} AS qz,
+             list_dot_product({_sql_qvec("ve")}, {_sql_qvec("ve")}) AS den
+      FROM a
+    ),
     dup AS (
       SELECT y.vec_id AS vec_id, MIN(x.vec_id) AS dup_of
-      FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-      WHERE ROUND(list_cosine_similarity(x.ve, y.ve) + 1e-9, 4) >= {threshold}
+      FROM q x JOIN q y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE {_sql_qkey("list_dot_product(x.qz, y.qz)", "x.den", "y.den")}
+            >= '{threshold!r}'::DOUBLE
       GROUP BY y.vec_id
     )
     SELECT a.vec_id AS vec_id, a.cluster AS cluster,
@@ -1311,7 +1491,10 @@ _PQ_M, _PQ_K, _PQ_RERANK = 4, 16, 50
 
 
 def _sql_lut(vals: np.ndarray) -> str:
-    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+    # _sql_f elements: bare numeric lists are DECIMAL-unified and the
+    # decimal→double parse loses ulps (see _sql_f) — the LUT values
+    # must be bit-identical to the Spark plan's F.lit doubles.
+    return "[" + ", ".join(_sql_f(v) for v in vals) + "]"
 
 
 def _pq_topk_oracle_sql(
@@ -1377,11 +1560,22 @@ def _pq_topk_oracle_sql(
       SELECT vec_id, ve FROM s
       ORDER BY approx_cos DESC, vec_id ASC
       LIMIT {rerank}
+    ),
+    cq AS (
+      SELECT vec_id, {_sql_qvec("ve")} AS qz,
+             list_dot_product({_sql_qvec("ve")}, {_sql_qvec("ve")}) AS den
+      FROM cand
+    ),
+    qv AS (
+      SELECT {_sql_qvec("ve")} AS qz,
+             list_dot_product({_sql_qvec("ve")}, {_sql_qvec("ve")}) AS den
+      FROM v WHERE vec_id = {query_id}
     )
-    SELECT cand.vec_id AS vec_id,
-           ROUND(list_cosine_similarity(cand.ve, q.ve) + 1e-9, 4) AS cosine_sim
-    FROM cand, (SELECT ve FROM v WHERE vec_id = {query_id}) q
-    ORDER BY cosine_sim DESC, cand.vec_id ASC
+    SELECT cq.vec_id AS vec_id,
+           {_sql_qkey("list_dot_product(cq.qz, qv.qz)", "cq.den", "qv.den")}
+             AS cosine_sim
+    FROM cq, qv
+    ORDER BY cosine_sim DESC, cq.vec_id ASC
     LIMIT {k}
     """
 
@@ -1693,11 +1887,22 @@ def _ivfpq_topk_oracle_sql(
       SELECT vec_id, ve FROM s
       ORDER BY approx_cos DESC, vec_id ASC
       LIMIT {rerank}
+    ),
+    cq AS (
+      SELECT vec_id, {_sql_qvec("ve")} AS qz,
+             list_dot_product({_sql_qvec("ve")}, {_sql_qvec("ve")}) AS den
+      FROM cand
+    ),
+    qv AS (
+      SELECT {_sql_qvec("ve")} AS qz,
+             list_dot_product({_sql_qvec("ve")}, {_sql_qvec("ve")}) AS den
+      FROM v WHERE vec_id = {query_id}
     )
-    SELECT cand.vec_id AS vec_id,
-           ROUND(list_cosine_similarity(cand.ve, q.ve) + 1e-9, 4) AS cosine_sim
-    FROM cand, (SELECT ve FROM v WHERE vec_id = {query_id}) q
-    ORDER BY cosine_sim DESC, cand.vec_id ASC
+    SELECT cq.vec_id AS vec_id,
+           {_sql_qkey("list_dot_product(cq.qz, qv.qz)", "cq.den", "qv.den")}
+             AS cosine_sim
+    FROM cq, qv
+    ORDER BY cosine_sim DESC, cq.vec_id ASC
     LIMIT {k}
     """
 
@@ -1753,15 +1958,24 @@ def batch_topk(
     Self-exclusion: a corpus vector never matches its own query id.
     """
     q = queries.select(
-        F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
+        F.col(query_id_col).alias("_qid"),
+        quantized_vec_col(F.col(query_vec_col)).alias("_qv"),
+    ).select(
+        "_qid", "_qv", quantized_den_col(F.col("_qv")).alias("_qden")
+    )
+    corpus = emb.select(
+        F.col(id_col), quantized_vec_col(F.col(vec_col)).alias("_cv")
+    ).select(
+        id_col, "_cv", quantized_den_col(F.col("_cv")).alias("_cden")
     )
     scored = (
-        emb.join(F.broadcast(q), F.col(id_col) != F.col("_qid"))
+        corpus.join(F.broadcast(q), F.col(id_col) != F.col("_qid"))
         .select(
             F.col("_qid").alias(query_id_col),
             F.col(id_col),
-            F.round(
-                cosine_similarity_col(F.col(vec_col), F.col("_qv")) + 1e-9, 4
+            quantized_key(
+                _dot(F.col("_cv"), F.col("_qv")),
+                F.col("_cden") * F.col("_qden"),
             ).alias("cosine_sim"),
         )
     )
@@ -1779,15 +1993,19 @@ def batch_topk(
 
 @query(
     "embedding_batch_topk",
-    """
-    WITH q AS (
-      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id < 5
+    f"""
+    WITH base AS (
+      SELECT vec_id, {_sql_qvec("embedding")} AS q FROM embeddings
+    ), bb AS (
+      SELECT vec_id, q, list_dot_product(q, q) AS den FROM base
+    ), qq AS (
+      SELECT vec_id AS query_id, q AS qv, den AS qden
+      FROM bb WHERE vec_id < 5
     )
     SELECT query_id, vec_id,
-           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
-                 + 1e-9, 4) AS cosine_sim
-    FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+           {_sql_qkey("list_dot_product(e.q, qq.qv)", "e.den", "qq.qden")}
+             AS cosine_sim
+    FROM bb e JOIN qq ON e.vec_id <> qq.query_id
     QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cosine_sim DESC, vec_id ASC) <= 5
     """,
@@ -2315,13 +2533,20 @@ def rrf_fuse(
       SELECT doc_id,
              ROW_NUMBER() OVER (ORDER BY overlap DESC, doc_id ASC) AS r
       FROM lex
+    ), vq AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> FLOOR(x * 1000000.0)) AS qz
+      FROM embeddings
+    ), vqd AS (
+      SELECT vec_id, qz, list_dot_product(qz, qz) AS dn FROM vq
     ), den AS (
       SELECT e.vec_id AS doc_id,
-             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v)
-                   + 1e-9, 4) AS cos
-      FROM embeddings e,
-           (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-            WHERE vec_id = 0) qv
+             CASE WHEN (e.dn * qv.dn) > 0
+                  THEN list_dot_product(e.qz, qv.qz) / SQRT(e.dn * qv.dn)
+                  ELSE -2.0 END AS cos
+      FROM vqd e,
+           (SELECT qz, dn FROM vqd WHERE vec_id = 0) qv
       WHERE e.vec_id <> 0
       ORDER BY cos DESC, doc_id ASC LIMIT 50
     ), denr AS (

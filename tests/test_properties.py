@@ -401,10 +401,12 @@ def test_python_kernels_never_use_np_round():
 
 
 def test_inlined_kernel_rounding_matches_helper():
-    """The numpy-only closures inline the half-away formula instead of
-    importing the module helper (executor importability); pin that the
-    inlined formula IS _round_half_away, including on binary halves
-    and negatives."""
+    """Any numpy kernel that must round half-away inlines the formula
+    instead of importing the module helper (executor importability) —
+    as of round 7 no similarity kernel rounds at all (quantized-exact
+    keys), but the formula stays the canonical pattern for future
+    kernels; pin that it IS _round_half_away, including on binary
+    halves and negatives."""
     import numpy as np
 
     from teleco_etl_pipeline_spark.operators.similarity import _round_half_away
