@@ -62,8 +62,9 @@ _RECORD_ORDER = [
     "benford_first_digit",
     "supplier_fulfillment_concurrency",
     "zorder_layout_report",
-    # r7-new operator (zone-map manifest) — first driver recording
+    # r7-new operators — first driver recording
     "lineitem_zonemap_report",
+    "bloom_pruned_join",
     "conditional_projection",
     "grouped_counts",
     "count_distinct",
@@ -100,13 +101,15 @@ _RECORD_ORDER = [
     "events_daily_anomaly",
     "lineitem_corr_matrix",
     "events_transition_matrix",
-    "customer_rfm_segments",
 ]
 # Past-window ordering if the driver ever widens its window: the
 # long-since-proven core first, then the displaced round-6 window
 # (all 47 driver-green THIS vintage). True sketches without oracles
 # sort last (tier 3 in queries()).
 _RECORD_LAST = [
+    # displaced from the r7 window by bloom_pruned_join (r5 driver
+    # row + current-vintage LOCAL_PARITY_r07 match)
+    "customer_rfm_segments",
     "heavy_hitter_tokens",
     "tfidf_top_terms",
     "neardup_keep_best",

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "score_calibration_bins",   # reliability-diagram decile bins
     # -- round-7 additions ------------------------------------------
     "lineitem_zonemap_report",  # footer-only zone-map manifest + prune verdict
+    "bloom_pruned_join",        # broadcast Bloom bitset fact-scan pruning
     "priority_target_encoding",  # leave-one-out target encoding (exact cents)
     "benford_first_digit",      # Benford fraud/DQ screen
     "supplier_fulfillment_concurrency",  # interval-sweep concurrency

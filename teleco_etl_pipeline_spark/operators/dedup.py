@@ -1257,22 +1257,33 @@ def ngram_containment_pairs(
         .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "set_size": "size_a"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "set_size": "size_b"}), "doc_b")
     )
-    c_ab = inter.select(
-        F.col("doc_a").alias("contained_id"),
-        F.col("doc_b").alias("container_id"),
-        F.round(F.col("shared") / F.col("size_a") + F.lit(1e-9), 4).alias(
-            "containment"
-        ),
-    )
-    c_ba = inter.select(
-        F.col("doc_b").alias("contained_id"),
-        F.col("doc_a").alias("container_id"),
-        F.round(F.col("shared") / F.col("size_b") + F.lit(1e-9), 4).alias(
-            "containment"
-        ),
+    # Both directions from ONE pass over the pair aggregate: a union
+    # of two projections re-executes the join+groupBy per branch
+    # (Catalyst does not reuse the exchange across union arms here —
+    # measured 2× the aggregate cost); exploding a 2-element struct
+    # array emits (A⊂B) and (B⊂A) rows from each aggregate row once.
+    both = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("contained_id"),
+                    F.col("doc_b").alias("container_id"),
+                    (F.col("shared") / F.col("size_a")).alias("raw"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("contained_id"),
+                    F.col("doc_a").alias("container_id"),
+                    (F.col("shared") / F.col("size_b")).alias("raw"),
+                ),
+            )
+        ).alias("e")
     )
     return (
-        c_ab.unionAll(c_ba)
+        both.select(
+            F.col("e.contained_id").alias("contained_id"),
+            F.col("e.container_id").alias("container_id"),
+            F.round(F.col("e.raw") + F.lit(1e-9), 4).alias("containment"),
+        )
         .filter(F.col("containment") >= threshold)
         .orderBy("contained_id", "container_id")
     )

@@ -808,3 +808,143 @@ def q_initcap_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.initcap(F.trim(F.col("c_mktsegment"))).alias("segment_title"),
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (J-family scale strategy)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M_BITS = 4096
+_BLOOM_K = 3
+
+
+def bloom_bit_positions(key, m_bits: int, k_hashes: int) -> list:
+    """``k_hashes`` deterministic Bloom bit positions in [0, m_bits)
+    for a key column: position_i = int(md5(key || 'bp{i}')[:8], 16) %
+    m_bits. Integer-only (md5 → 32-bit hex slice → modulo), so the
+    positions are bit-identical in Spark, DuckDB, and any executor
+    build — same construction as operators/sampling.py:_hash_bucket.
+    """
+    s = key.cast("string")
+    return [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(s, F.lit(f"bp{i}"))), 1, 8), 16, 10
+            ).cast("bigint")
+            % m_bits
+        )
+        for i in range(k_hashes)
+    ]
+
+
+@query(
+    "bloom_pruned_join",
+    f"""
+    WITH dimk AS (
+      SELECT DISTINCT c_custkey AS k FROM customer
+      WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000
+    ),
+    dimpos AS (
+      SELECT k,
+             (CAST(concat('0x', substr(md5(concat(CAST(k AS VARCHAR), 'bp0')), 1, 8)) AS BIGINT) % {_BLOOM_M_BITS}) AS p0,
+             (CAST(concat('0x', substr(md5(concat(CAST(k AS VARCHAR), 'bp1')), 1, 8)) AS BIGINT) % {_BLOOM_M_BITS}) AS p1,
+             (CAST(concat('0x', substr(md5(concat(CAST(k AS VARCHAR), 'bp2')), 1, 8)) AS BIGINT) % {_BLOOM_M_BITS}) AS p2
+      FROM dimk
+    ),
+    bits AS (
+      SELECT list(DISTINCT p) AS bloom,
+             (SELECT COUNT(*) FROM dimk) AS n_dim_keys
+      FROM (
+        SELECT p0 AS p FROM dimpos
+        UNION ALL SELECT p1 FROM dimpos
+        UNION ALL SELECT p2 FROM dimpos
+      )
+    ),
+    probe AS (
+      SELECT
+        list_contains(b.bloom, (CAST(concat('0x', substr(md5(concat(CAST(o.o_custkey AS VARCHAR), 'bp0')), 1, 8)) AS BIGINT) % {_BLOOM_M_BITS}))
+        AND list_contains(b.bloom, (CAST(concat('0x', substr(md5(concat(CAST(o.o_custkey AS VARCHAR), 'bp1')), 1, 8)) AS BIGINT) % {_BLOOM_M_BITS}))
+        AND list_contains(b.bloom, (CAST(concat('0x', substr(md5(concat(CAST(o.o_custkey AS VARCHAR), 'bp2')), 1, 8)) AS BIGINT) % {_BLOOM_M_BITS}))
+          AS bloom_pass,
+        d.k IS NOT NULL AS matched,
+        b.n_dim_keys
+      FROM orders o
+      CROSS JOIN bits b
+      LEFT JOIN dimk d ON o.o_custkey = d.k
+    )
+    SELECT CAST({_BLOOM_M_BITS} AS BIGINT)               AS m_bits,
+           CAST({_BLOOM_K} AS BIGINT)                    AS k_hashes,
+           MAX(n_dim_keys)                               AS n_dim_keys,
+           COUNT(*)                                      AS n_fact,
+           COUNT(*) FILTER (WHERE bloom_pass)            AS n_candidates,
+           COUNT(*) FILTER (WHERE matched)               AS n_matched,
+           COUNT(*) FILTER (WHERE bloom_pass AND NOT matched) AS n_false_pos,
+           COUNT(*) FILTER (WHERE matched AND NOT bloom_pass) AS n_missed
+    FROM probe
+    """,
+    doc="Bloom-filter join pruning: the build side (selective "
+    "customer subset) is reduced to a deterministic md5-based bit-"
+    "position set, broadcast as ONE row, and the fact scan is pruned "
+    "by k array_contains probes BEFORE any join — the runtime-filter "
+    "strategy for 100 TB fact↔selective-dim joins where shipping the "
+    "key set itself would be too large (the bitset is m_bits/8 bytes "
+    "regardless of key count; size m ≈ 10·|keys| bits for ~1% FP). "
+    "The report also LEFT-joins the true key set purely to ACCOUNT "
+    "false positives — the production path is the bloom filter "
+    "alone, then the exact join on the ~n_candidates survivors. "
+    "n_missed is structurally 0 (a Bloom filter has no false "
+    "negatives); the oracle re-derives it so the cross-engine check "
+    "proves the property, not just the counts. All outputs are "
+    "integers — deterministic by construction (PARITY.md).",
+)
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m, k = _BLOOM_M_BITS, _BLOOM_K
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") > 9000)
+        )
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    bits = dim.select(
+        "k", F.explode(F.array(*bloom_bit_positions(F.col("k"), m, k))).alias("p")
+    ).agg(
+        F.sort_array(F.collect_set("p")).alias("bloom"),
+        F.count_distinct("k").alias("n_dim_keys"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    probe = (
+        o.crossJoin(F.broadcast(bits))  # 1-row scalar broadcast
+        .join(F.broadcast(dim), o["o_custkey"] == dim["k"], "left")
+        .select(
+            "n_dim_keys",
+            F.col("k").isNotNull().alias("matched"),
+            *[
+                p.alias(f"q{i}")
+                for i, p in enumerate(
+                    bloom_bit_positions(F.col("o_custkey"), m, k)
+                )
+            ],
+            "bloom",
+        )
+        .withColumn(
+            "bloom_pass",
+            F.expr(
+                " AND ".join(
+                    f"array_contains(bloom, q{i})" for i in range(k)
+                )
+            ),
+        )
+    )
+    cnt_if = lambda c: F.count(F.when(c, F.lit(1)))  # noqa: E731
+    return probe.agg(
+        F.lit(m).cast("bigint").alias("m_bits"),
+        F.lit(k).cast("bigint").alias("k_hashes"),
+        F.max("n_dim_keys").alias("n_dim_keys"),
+        F.count(F.lit(1)).alias("n_fact"),
+        cnt_if(F.col("bloom_pass")).alias("n_candidates"),
+        cnt_if(F.col("matched")).alias("n_matched"),
+        cnt_if(F.col("bloom_pass") & ~F.col("matched")).alias("n_false_pos"),
+        cnt_if(F.col("matched") & ~F.col("bloom_pass")).alias("n_missed"),
+    )

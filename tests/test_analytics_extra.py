@@ -289,3 +289,31 @@ def test_woe_iv_zero_cell_smoothing(spark, tmp_path):
     assert out["2-HIGH"]["woe"] is not None and out["2-HIGH"]["woe"] < 0
     assert out["1-URGENT"]["woe"] > 0
     assert all(r["iv_term"] >= 0 for r in out.values())
+
+
+def test_bloom_pruned_join_properties(spark, sf_dir):
+    """The Bloom pruning contract: no false negatives (every true
+    match passes the filter — n_missed == 0 structurally), candidate
+    superset bounded by the fact, and FP accounting consistent."""
+    r = all_queries()["bloom_pruned_join"].build(spark, sf_dir).collect()[0]
+    assert r["n_missed"] == 0
+    assert r["n_matched"] <= r["n_candidates"] <= r["n_fact"]
+    assert r["n_false_pos"] == r["n_candidates"] - r["n_matched"]
+    # the filter must actually prune: a selective dim keeps the
+    # candidate set a small fraction of the fact scan
+    assert r["n_dim_keys"] > 0 and r["n_candidates"] < r["n_fact"] * 0.5
+
+
+def test_bloom_prune_plans_broadcast_not_shuffle(spark, sf_dir):
+    """Both joins must broadcast (the 1-row bitset and the FP-
+    accounting dim) — the fact side is scanned once with no shuffle
+    before the final 1-row aggregate."""
+    plan = (
+        all_queries()["bloom_pruned_join"]
+        .build(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # dim FP-accounting join
+    assert "SortMergeJoin" not in plan

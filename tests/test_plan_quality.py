@@ -48,6 +48,9 @@ ALLPAIRS_BASELINES = {
 SCALAR_BROADCASTS = {
     # grand-total row joined onto the per-category WOE aggregate
     "priority_woe_iv",
+    # the 1-row Bloom bitset (sorted bit-position array, ≤ m_bits
+    # elements) broadcast onto the fact scan — |fact| × 1 product
+    "bloom_pruned_join",
 }
 
 
