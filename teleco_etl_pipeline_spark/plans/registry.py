@@ -52,6 +52,7 @@ def all_queries() -> dict[str, Query]:
     from teleco_etl_pipeline_spark.plans import tpch_extra  # noqa: F401
     from teleco_etl_pipeline_spark.operators import dedup  # noqa: F401
     from teleco_etl_pipeline_spark.operators import freq  # noqa: F401
+    from teleco_etl_pipeline_spark.operators import graph  # noqa: F401
     from teleco_etl_pipeline_spark.operators import layout  # noqa: F401
     from teleco_etl_pipeline_spark.operators import maintenance  # noqa: F401
     from teleco_etl_pipeline_spark.operators import multimodal  # noqa: F401

@@ -1,0 +1,77 @@
+"""Integer PageRank over the customer↔supplier trade graph
+(operators/graph.py) — pinned against an independent pure-Python
+implementation of the same integer recurrence, so a regression in
+either the SQL unrolling or the edge derivation is caught without
+reference to the DuckDB oracle."""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import pytest
+
+from teleco_etl_pipeline_spark.operators.graph import (
+    _D_DEN,
+    _D_NUM,
+    _ITERS,
+    _SCALE,
+    _TOPK,
+    q_trade_graph_pagerank,
+)
+
+
+def _python_pagerank(edges, iters, scale, d_num, d_den, topk):
+    """The identical integer recurrence, driver-side, dict-based."""
+    nodes = sorted({s for s, _ in edges})
+    n = len(nodes)
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    base = ((d_den - d_num) * scale) // (d_den * n)
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: rank[v] // outdeg[v] for v in nodes}
+        inbox = defaultdict(int)
+        for s, d in edges:
+            inbox[d] += contrib[s]
+        rank = {v: base + (d_num * tot) // d_den for v, tot in inbox.items()}
+    ranked = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+    return [(v, r) for v, r in ranked]
+
+
+def test_pagerank_matches_pure_python(spark, sf_dir):
+    if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+        pytest.skip("harness testdata absent")
+    got = [(r["node"], r["rank_units"]) for r in q_trade_graph_pagerank(spark, sf_dir).collect()]
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    edges = []
+    for r in pairs:
+        c, s = f"C{r['o_custkey']}", f"S{r['l_suppkey']}"
+        edges.append((c, s))
+        edges.append((s, c))
+    want = _python_pagerank(edges, _ITERS, _SCALE, _D_NUM, _D_DEN, _TOPK)
+
+    assert got == want
+    # sanity: ranks strictly positive, sorted desc, ties by node asc
+    assert all(r > 0 for _, r in got)
+    assert got == sorted(got, key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_pagerank_mass_only_shrinks(spark, sf_dir):
+    """Floor division drops mass — total rank must stay ≤ scale, which
+    is the overflow-safety invariant the docstring's 2^63 bound rests
+    on."""
+    if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+        pytest.skip("harness testdata absent")
+    df = q_trade_graph_pagerank(spark, sf_dir)
+    total_topk = sum(r["rank_units"] for r in df.collect())
+    assert 0 < total_topk <= _SCALE
