@@ -65,6 +65,7 @@ _RECORD_ORDER = [
     # r7-new operators — first driver recording
     "lineitem_zonemap_report",
     "bloom_pruned_join",
+    "trade_graph_pagerank",
     "conditional_projection",
     "grouped_counts",
     "count_distinct",
@@ -100,13 +101,15 @@ _RECORD_ORDER = [
     "doc_hybrid_rrf",
     "events_daily_anomaly",
     "lineitem_corr_matrix",
-    "events_transition_matrix",
 ]
 # Past-window ordering if the driver ever widens its window: the
 # long-since-proven core first, then the displaced round-6 window
 # (all 47 driver-green THIS vintage). True sketches without oracles
 # sort last (tier 3 in queries()).
 _RECORD_LAST = [
+    # displaced from the r7 window by trade_graph_pagerank (r4 driver
+    # row + current-vintage LOCAL_PARITY_r07 match)
+    "events_transition_matrix",
     # displaced from the r7 window by bloom_pruned_join (r5 driver
     # row + current-vintage LOCAL_PARITY_r07 match)
     "customer_rfm_segments",
