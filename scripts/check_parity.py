@@ -6,10 +6,13 @@ row count, column names, and an order-insensitive multiset of values
 (columns sorted by name). Doubles are compared by EXACT IEEE-754
 bit pattern (struct.pack('>d').hex()) — the round-6 lesson: the
 driver value-hashes exact values, and a round(v, 9) tolerance here
-let last-ulp cross-engine divergences ship red. The only
-canonicalizations: NaN → "NaN", integral doubles → int (fetchdf
-widens DuckDB HUGEINT/DECIMAL columns to float64, and Spark DECIMAL
-collects as decimal.Decimal — type-level noise, not value noise).
+let last-ulp cross-engine divergences ship red. The round-8 lesson:
+type class IS value — the oracle side is fetched via ``fetchdf``
+exactly like the driver, so a DuckDB HUGEINT/DECIMAL output column
+widens to float64 and MUST mismatch Spark's int64 (the r5-r7 red
+class: uncast integer SUMs). No integral-double→int folding; the
+only canonicalization is NaN → "NaN" and numpy scalar → Python
+scalar (which preserves int-vs-float class).
 
 Usage: python scripts/check_parity.py [--json OUT] [sf_dir] [query ...]
 """
@@ -26,6 +29,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
 
 from teleco_etl_pipeline_spark.plans.registry import all_queries
 from teleco_etl_pipeline_spark.session import get_spark
@@ -35,22 +39,26 @@ from teleco_etl_pipeline_spark.sources.tables import TABLE_NAMES
 def _canon(v):
     if v is None:
         return None
+    if isinstance(v, np.generic):
+        # numpy scalar (fetchdf/itertuples side) → Python scalar;
+        # np.int64→int, np.float64→float, np.bool_→bool — class is
+        # preserved, so an int-vs-float divergence still mismatches.
+        v = v.item()
     if isinstance(v, bool):
         return int(v)
     if isinstance(v, decimal.Decimal):
-        # Spark DECIMAL collects as Decimal while DuckDB's fetchdf
-        # widens DECIMAL to float64 — both sides go through ONE
-        # correctly-rounded decimal→double conversion, so equal
-        # decimal values land on identical bits.
-        v = float(v)
+        # Spark DECIMAL collects as Decimal; leave it as Decimal so a
+        # float64-widened DuckDB DECIMAL on the other side MISMATCHES
+        # (the driver hashes the fetched representations — type class
+        # is part of the value; the oracle-type lint in
+        # tests/test_oracle_types.py forbids DECIMAL outputs anyway).
+        return ("decimal", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v.is_integer() and abs(v) <= 2**53:
-            # fetchdf widens DuckDB HUGEINT sums to float64; fold
-            # integral doubles onto ints so int-vs-double SCHEMA
-            # noise doesn't mask (or fake) value differences.
-            return int(v)
+        # EXACT bits, no integral-double→int fold: fetchdf widens
+        # DuckDB HUGEINT (uncast integer SUM) to float64, and the
+        # driver hashes 6.0 != 6 — folding hid that for 3 rounds.
         return struct.pack(">d", v).hex()
     return v
 

@@ -87,7 +87,7 @@ def _pagerank_sql(iters: int, scale: int, d_num: int, d_den: int, topk: int) -> 
              CAST({scale} AS BIGINT) IDIV (SELECT n FROM c) AS rank_units
       FROM nodes
     ),{",".join(its)}
-    SELECT node, rank_units
+    SELECT node, CAST(rank_units AS BIGINT) AS rank_units
     FROM {prev}
     ORDER BY rank_units DESC, node
     LIMIT {topk}
@@ -131,7 +131,7 @@ def _pagerank_sql_baked(
       SELECT DISTINCT src AS node, CAST({r0} AS BIGINT) AS rank_units
       FROM edges
     ),{",".join(its)}
-    SELECT node, rank_units
+    SELECT node, CAST(rank_units AS BIGINT) AS rank_units
     FROM {prev}
     ORDER BY rank_units DESC, node
     LIMIT {topk}

@@ -2360,7 +2360,8 @@ def _knn_classify_oracle_sql() -> str:
     SELECT q.label AS label,
            COUNT(*) AS n_total,
            COUNT(p.pred) AS n_predicted,
-           SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END) AS n_correct,
+           CAST(SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
            CASE WHEN COUNT(p.pred) = 0 THEN -1.0
                 ELSE CAST(SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END)
                           AS DOUBLE) / CAST(COUNT(p.pred) AS DOUBLE)
@@ -2444,7 +2445,8 @@ def _knn_classify_total_oracle_sql() -> str:
     SELECT q.label AS label,
            COUNT(*) AS n_total,
            COUNT(p.pred) AS n_predicted,
-           SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END) AS n_correct,
+           CAST(SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
            CASE WHEN COUNT(p.pred) = 0 THEN -1.0
                 ELSE CAST(SUM(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END)
                           AS DOUBLE) / CAST(COUNT(p.pred) AS DOUBLE)

@@ -860,7 +860,7 @@ def q_events_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFra
                                    ROWS UNBOUNDED PRECEDING) AS n_risk
       FROM cells
     )
-    SELECT t_days, n_risk, d AS n_churned,
+    SELECT t_days, CAST(n_risk AS BIGINT) AS n_risk, d AS n_churned,
            CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
                      OVER (ORDER BY t_days ASC ROWS UNBOUNDED PRECEDING) = 1
                 THEN 0.0
