@@ -36,201 +36,190 @@ def entry(spark: SparkSession) -> DataFrame:
 # evidence. _RECORD_ORDER is the explicit 50-slot recording window,
 # rotated every round toward the weakest current evidence.
 #
-# Round-7 rotation: slots 1–3 are the three round-6 red rows,
-# re-recorded after the determinism-by-construction rewrite (exact
-# quantized-integer kNN ranking key; exact ordered Kaplan-Meier
-# product — no libm, no rounding, bit-identical doubles cross-
-# engine). Slots 4–12 are the nine queries that have NEVER had a
-# driver-recorded row (registry vs union of CORRECTNESS_r01..r06):
-# the five r6-new operator families plus four strays. Slots 13–20
-# are the last eight r1-only-evidence queries (the residue the r6
-# rotation deliberately left out). The remaining 30 slots backfill
-# the oldest-evidence (r4) stragglers from the displaced r5 window.
-# Every query displaced from the window has an r5/r6 driver-green
-# row AND a current-vintage match in the committed LOCAL_PARITY
-# sweeps.
+# Round-8 rotation: slots 1-4 are the four round-7 hash-red rows,
+# re-recorded after the HUGEINT root-cause fix (the oracle left an
+# integer SUM output uncast; DuckDB types it INT128 and the driver's
+# pandas fetch widens it to float64, hashing 6.0 against Spark's 6 —
+# see tests/test_oracle_types.py). Slots 5-50 backfill 46 of the 49
+# oldest-evidence queries (latest driver-green row is r4-vintage),
+# so their evidence refreshes under the current code. All displaced
+# queries have an r5-r7 driver-green row AND a current-vintage
+# exact-bit match in the committed LOCAL_PARITY_r08 dual-SF sweeps.
 _RECORD_ORDER = [
     "embedding_knn_classify",
     "embedding_knn_classify_total",
     "user_survival_curve",
-    "token_jaccard_prefix_pairs",
-    "doc_sparse_tfidf_topk",
-    "embedding_pca_label_stats",
-    "priority_woe_iv",
-    "score_calibration_bins",
-    "priority_target_encoding",
-    "benford_first_digit",
-    "supplier_fulfillment_concurrency",
-    "zorder_layout_report",
-    # r7-new operators — first driver recording
-    "lineitem_zonemap_report",
-    "bloom_pruned_join",
     "trade_graph_pagerank",
-    "conditional_projection",
-    "grouped_counts",
-    "count_distinct",
-    "cube_summary",
-    "distinct_values",
-    "topk_per_group",
-    "union_summary",
-    "approx_distinct_users",
-    "scd2_user_value",
-    "asof_nearest_purchase",
-    "events_user_streaks",
-    "events_decay_score",
-    "events_type_quantiles",
-    "events_variant_shred",
-    "events_trailing_hour_count",
-    "contamination_ngram_overlap",
-    "price_winsorize_report",
-    "forecast_revenue",
-    "embedding_ivfpq_topk",
-    "ivf_balance_report",
-    "events_active_users_7d",
-    "customer_pareto_abc",
-    "events_type_weekday_chi2",
-    "customer_linkage_blocked",
-    "doc_frequent_ngram_scrub",
-    "embedding_pq_topk",
-    "doc_temperature_mix",
-    "embedding_batch_topk",
-    "events_cohort_retention",
-    "unpivot_metrics",
-    "value_histogram",
-    "corpus_semantic_prune",
-    "doc_hybrid_rrf",
-    "events_daily_anomaly",
-    "lineitem_corr_matrix",
-]
-# Past-window ordering if the driver ever widens its window: the
-# long-since-proven core first, then the displaced round-6 window
-# (all 47 driver-green THIS vintage). True sketches without oracles
-# sort last (tier 3 in queries()).
-_RECORD_LAST = [
-    # displaced from the r7 window by trade_graph_pagerank (r4 driver
-    # row + current-vintage LOCAL_PARITY_r07 match)
-    "events_transition_matrix",
-    # displaced from the r7 window by bloom_pruned_join (r5 driver
-    # row + current-vintage LOCAL_PARITY_r07 match)
-    "customer_rfm_segments",
-    "heavy_hitter_tokens",
-    "tfidf_top_terms",
-    "neardup_keep_best",
-    "doc_unigram_logprob",
-    "events_funnel",
-    "embedding_ivf_topk",
-    "minhash_lsh_pairs",
-    "simhash_neardup",
-    "embedding_semantic_dedup",
-    "latest_per_key",
-    "watermark_window",
-    "window_dup_flag",
-    "delete_then_insert",
-    "surrogate_keys",
-    "nullsafe_join",
-    "correlated_scalar",
-    "events_tumbling_hourly",
-    "events_sessionize",
-    "events_locf_daily",
+    # round-8-new operator — first driver recording
+    "lineitem_pruned_window",
     "scrub_cast",
-    "asof_last_purchase",
-    "banded_price_join",
-    "embedding_topk",
-    "embedding_neardup",
-    "embedding_lsh_pairs",
-    "multimodal_frame_sample",
-    "ml_inference_contract",
-    "ngram_jaccard_guarded",
-    "doc_split_assign",
-    "doc_stratified_sample",
-    "doc_balanced_mix",
-    "doc_pii_redaction",
-    "neardup_clusters",
-    "doc_chunking",
-    "doc_pack_windows",
-    "top_ngrams",
-    "train_test_contamination",
-    "doc_repetition_stats",
-    "doc_wordshape_filter",
-    "bpe_pair_counts",
-    "doc_length_band_filter",
-    "corpus_curation",
-    "nation_volume_shipping",
-    "large_volume_customers",
-    "customer_distribution",
-    "promo_revenue_pct",
-    "idle_rich_customers",
-    "cumulative_spend",
-    "priority_set_ops",
-    "priority_exists_counts",
-    "linestatus_priority_matrix",
-    "top_supplier_revenue",
-    "nation_balance_share",
-    "small_quantity_revenue",
-    "disjunctive_revenue",
-    "sole_return_suppliers",
-    "order_gap_stats",
-    "balance_deciles",
-    "grouping_sets_summary",
-    "market_share",
-    "supplier_class_counts",
-    "heavy_part_shippers",
     "pricing_summary",
     "star_join",
-    "expr_key_join",
     "upsert_merge",
     "topk_orders",
+    "ml_inference_contract",
+    "asof_last_purchase",
+    "balance_deciles",
+    "banded_price_join",
+    "bpe_pair_counts",
+    "corpus_curation",
+    "cumulative_spend",
+    "customer_distribution",
+    "disjunctive_revenue",
+    "doc_balanced_mix",
+    "doc_chunking",
+    "doc_pack_windows",
+    "doc_pii_redaction",
+    "doc_repetition_stats",
+    "doc_stratified_sample",
+    "embedding_lsh_pairs",
+    "embedding_neardup",
+    "embedding_topk",
+    "expr_key_join",
+    "grouping_sets_summary",
+    "heavy_part_shippers",
+    "idle_rich_customers",
+    "large_volume_customers",
+    "linestatus_priority_matrix",
+    "market_share",
+    "multimodal_frame_sample",
+    "nation_balance_share",
+    "nation_volume_shipping",
+    "neardup_clusters",
+    "ngram_jaccard_guarded",
+    "order_gap_stats",
+    "priority_exists_counts",
+    "priority_set_ops",
+    "promo_revenue_pct",
     "quantile_profile",
+    "small_quantity_revenue",
+    "sole_return_suppliers",
+    "supplier_class_counts",
+    "top_ngrams",
+    "top_supplier_revenue",
+]
+# Past-window ordering if the driver ever widens its window: stalest
+# evidence first — the three r4-vintage queries the 50-slot window
+# could not fit, then r5/r6/r7-vintage greens (freshest last). True
+# sketches without oracles sort last (tier 3 in queries()).
+_RECORD_LAST = [
+    "train_test_contamination",
+    "doc_length_band_filter",
+    "doc_wordshape_filter",
+    "doc_split_assign",
+    "correlated_scalar",
+    "customer_rfm_segments",
+    "delete_then_insert",
+    "doc_unigram_logprob",
+    "embedding_ivf_topk",
+    "embedding_semantic_dedup",
+    "events_funnel",
+    "events_locf_daily",
+    "events_sessionize",
+    "events_transition_matrix",
+    "events_tumbling_hourly",
+    "heavy_hitter_tokens",
+    "latest_per_key",
+    "minhash_lsh_pairs",
+    "neardup_keep_best",
+    "nullsafe_join",
     "part_basket_lift",
-    # displaced round-6 window — all 47 driver-green in
-    # CORRECTNESS_r06 (current vintage, freshest possible evidence)
+    "simhash_neardup",
+    "surrogate_keys",
+    "tfidf_top_terms",
+    "watermark_window",
+    "window_dup_flag",
+    "anti_join",
+    "brand_size_rank_ties",
+    "conditional_counts",
+    "corpus_zipf_slope",
+    "customer_linkage_sorted_neighborhood",
+    "customer_spend_percentile",
+    "doc_bigram_logprob",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "doc_langid_confusion",
+    "doc_oov_rate",
+    "doc_quality_score",
+    "doc_regex_tokens",
     "doc_token_budget_mix",
-    "events_cohort_ltv",
+    "doc_token_stats",
+    "doc_weighted_sample",
+    "dup_finder",
+    "embedding_lsh_multiprobe",
+    "embedding_recall_eval",
+    "error_rate",
     "events_attribution_first_last",
+    "events_cohort_ltv",
     "events_daily_anomaly_mad",
+    "events_hopping_counts",
+    "events_json_props",
     "events_ohlc_hourly",
     "events_rolling_7d",
     "events_seq_examples",
-    "customer_spend_percentile",
-    "customer_linkage_sorted_neighborhood",
-    "brand_size_rank_ties",
-    "ngram_containment_pairs",
-    "doc_bigram_logprob",
-    "doc_langid_confusion",
-    "doc_oov_rate",
-    "doc_weighted_sample",
-    "corpus_zipf_slope",
-    "product_profit",
-    "returned_item_report",
-    "min_cost_supplier",
-    "embedding_lsh_multiprobe",
-    "embedding_recall_eval",
-    "multimodal_resize_plan",
-    "approx_quantile_profile",
-    "anti_join",
-    "semi_join",
-    "conditional_counts",
-    "doc_fingerprint",
-    "doc_lang_id",
-    "doc_quality_score",
-    "doc_regex_tokens",
-    "doc_token_stats",
-    "dup_finder",
-    "error_rate",
-    "events_hopping_counts",
-    "events_json_props",
     "exact_dedup",
     "initcap_norm",
     "local_supplier_volume",
     "md5_checksum",
+    "min_cost_supplier",
     "minmax_profile",
     "multimodal_features",
+    "multimodal_resize_plan",
+    "ngram_containment_pairs",
     "ngram_jaccard_pairs",
     "pivot_status_matrix",
+    "product_profit",
+    "returned_item_report",
     "rollup_summary",
     "salted_join_agg",
+    "semi_join",
     "shipping_priority",
     "tenure_months_calc",
+    "asof_nearest_purchase",
+    "benford_first_digit",
+    "bloom_pruned_join",
+    "conditional_projection",
+    "contamination_ngram_overlap",
+    "corpus_semantic_prune",
+    "count_distinct",
+    "cube_summary",
+    "customer_linkage_blocked",
+    "customer_pareto_abc",
+    "distinct_values",
+    "doc_frequent_ngram_scrub",
+    "doc_hybrid_rrf",
+    "doc_sparse_tfidf_topk",
+    "doc_temperature_mix",
+    "embedding_batch_topk",
+    "embedding_ivfpq_topk",
+    "embedding_pca_label_stats",
+    "embedding_pq_topk",
+    "events_active_users_7d",
+    "events_cohort_retention",
+    "events_daily_anomaly",
+    "events_decay_score",
+    "events_trailing_hour_count",
+    "events_type_quantiles",
+    "events_type_weekday_chi2",
+    "events_user_streaks",
+    "events_variant_shred",
+    "forecast_revenue",
+    "grouped_counts",
+    "ivf_balance_report",
+    "lineitem_corr_matrix",
+    "lineitem_zonemap_report",
+    "price_winsorize_report",
+    "priority_target_encoding",
+    "priority_woe_iv",
+    "scd2_user_value",
+    "score_calibration_bins",
+    "supplier_fulfillment_concurrency",
+    "token_jaccard_prefix_pairs",
+    "topk_per_group",
+    "union_summary",
+    "unpivot_metrics",
+    "value_histogram",
+    "zorder_layout_report",
 ]
 
 

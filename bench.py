@@ -145,7 +145,17 @@ BENCH_QUERIES = [
     "priority_target_encoding",  # leave-one-out target encoding (exact cents)
     "benford_first_digit",      # Benford fraud/DQ screen
     "supplier_fulfillment_concurrency",  # interval-sweep concurrency
+    # -- round-8 additions ------------------------------------------
+    "trade_graph_pagerank",     # 3-iteration integer PageRank (per-iter edge-join shuffles)
+    "lineitem_pruned_window",   # zone-map-manifest pruned scan + residual filter
 ]
+# Deliberately EXCLUDED from the headline set (not silently — the
+# costs are declared here and measured in SCALING_r0N.json):
+# - embedding_neardup: the declared exact O(N^2) all-pairs baseline
+#   (81.5 s at sf0.1, 19.4x per 10x rows). It now refuses inputs
+#   past 4096 rows (loud ValueError in embedding_neardup_pairs);
+#   its benched scale paths are minhash_lsh_pairs /
+#   embedding_lsh_pairs / simhash_neardup.
 
 
 def main() -> None:

@@ -543,10 +543,14 @@ def sparse_tfidf_topk(
     boundary the ≤1-ulp ln disagreement can only cross if idf sits
     within ~1e-13 of a milli-boundary, per DISTINCT df value, not
     per weight). From there every quantity is exact: w = tf·idf_q is
-    an integer, Σw², Σw·qw have integer partial sums < 2⁵³ (exact in
-    any accumulation order, either engine), and the cosine ranking
-    key num/sqrt(den_d·den_q) is the same correctly-rounded IEEE
-    sequence as the kNN join's — emitted raw, no ROUND boundary.
+    an integer on BOTH engines (the oracle CASTs the floored idf to
+    BIGINT — DuckDB FLOOR returns DOUBLE, whose w·w accumulation is
+    only exact below 2⁵³ partials; as integers Spark sums exact
+    int64 and DuckDB exact HUGEINT, order-independent up to 2⁶³),
+    and the cosine ranking key num/sqrt(den_d·den_q) is the same
+    correctly-rounded IEEE sequence as the kNN join's — emitted raw,
+    no ROUND boundary. tests/test_freq.py pins the per-doc Σw²
+    margin against the 2⁶³ bound on real testdata.
     """
     tok = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
@@ -603,9 +607,14 @@ def sparse_tfidf_topk(
       SELECT token, COUNT(*) AS df FROM tf GROUP BY token
     ), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
     w AS (
+      -- CAST the quantized idf to BIGINT so w is an integer column:
+      -- DuckDB FLOOR returns DOUBLE, and double-accumulating w*w is
+      -- only exact while every partial sum < 2^53; as BIGINT the sums
+      -- run in HUGEINT (exact), matching Spark's exact int64 sums up
+      -- to 2^63 with no accumulation-order caveat (round-8 advice).
       SELECT tf.doc_id, tf.token,
-             tf.tf * FLOOR((ln((nd.n_docs + 1.0) / (df.df + 1.0)) + 1)
-                           * 1000.0) AS w
+             tf.tf * CAST(FLOOR((ln((nd.n_docs + 1.0) / (df.df + 1.0)) + 1)
+                                * 1000.0) AS BIGINT) AS w
       FROM tf JOIN df USING (token) CROSS JOIN nd
     ), dens AS (
       SELECT doc_id, SUM(w * w) AS den FROM w GROUP BY doc_id

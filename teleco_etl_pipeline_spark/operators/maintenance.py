@@ -347,7 +347,13 @@ def read_pruned(
     """
     from pyspark.sql import functions as F
 
-    zm = parquet_zonemap(spark, path, [col])
+    # Resolve manifest file NAMES back to full paths via the same
+    # listing the manifest was built from — os.path.join(path, name)
+    # broke the single-file-table case (path/yesname/name).
+    by_name = {
+        f.rsplit("/", 1)[-1]: f for f in _list_parquet_files(spark, path)
+    }
+    zm = _zonemap_from_files(spark, sorted(by_name.values()), [col])
     keep = {
         r["file_name"]
         for r in zonemap_prune(zm, col, lo, hi)
@@ -358,7 +364,7 @@ def read_pruned(
     pred = (F.col(col) >= lo) & (F.col(col) <= hi)
     if not keep:
         return spark.read.parquet(path).filter(pred).limit(0)
-    files = [os.path.join(path, f) for f in sorted(keep)]
+    files = [by_name[n] for n in sorted(keep)]
     return spark.read.parquet(*files).filter(pred)
 
 
@@ -390,12 +396,12 @@ def _zonemap_oracle_sql() -> str:
     SELECT 'lineitem.parquet' AS file_name, row_group, n_rows, col,
            min_val, max_val, n_nulls,
            CASE WHEN col = 'l_orderkey'
-                THEN CASE WHEN NOT (max_val < {_ZM_OK_LO}
-                                    OR min_val > {_ZM_OK_HI})
-                          THEN 1 ELSE 0 END
-                ELSE CASE WHEN NOT (max_val < {_ZM_PX_LO}
-                                    OR min_val > {_ZM_PX_HI})
-                          THEN 1 ELSE 0 END
+                THEN COALESCE(CAST(NOT (max_val < {_ZM_OK_LO}
+                                        OR min_val > {_ZM_OK_HI})
+                                   AS INTEGER), 1)
+                ELSE COALESCE(CAST(NOT (max_val < {_ZM_PX_LO}
+                                        OR min_val > {_ZM_PX_HI})
+                                   AS INTEGER), 1)
            END AS would_scan
     FROM m ORDER BY row_group, col
     """
@@ -440,5 +446,57 @@ def q_lineitem_zonemap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_val",
         "max_val",
         "n_nulls",
-        F.when(scan, 1).otherwise(0).alias("would_scan"),
+        # Missing stats (NULL min/max) ⇒ the disjoint predicate is
+        # NULL ⇒ MUST scan (would_scan=1), matching zonemap_prune's
+        # safety rule — a bare when/otherwise mapped NULL to "skip",
+        # the unsafe verdict (round-8 advice). Same COALESCE in the
+        # oracle.
+        F.coalesce(scan.cast("int"), F.lit(1)).alias("would_scan"),
     ).orderBy("row_group", "col")
+
+
+@query(
+    "lineitem_pruned_window",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           MIN(l_orderkey) AS min_orderkey,
+           MAX(l_orderkey) AS max_orderkey
+    FROM lineitem
+    WHERE l_orderkey >= {_ZM_OK_LO} AND l_orderkey <= {_ZM_OK_HI}
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Manifest-driven pruned scan as an engine feature, not an "
+    "exhibit: the selective orderkey window is answered through "
+    ":func:`read_pruned` — consult the footer-stats zone map, hand "
+    "Spark ONLY the files whose min/max can contain the range, apply "
+    "the residual filter — then aggregate to a bounded per-flag "
+    "report. Semantically identical to filtering the full table (the "
+    "oracle runs the plain WHERE; tests/test_maintenance.py asserts "
+    "the multi-file case reads strictly fewer files for the same "
+    "rows). The 100 TB shape: the manifest prunes ~10⁵ files down to "
+    "the handful straddling the watermark window before Spark's scan "
+    "planning ever lists them.",
+)
+def q_lineitem_pruned_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = read_pruned(
+        spark,
+        os.path.join(sf_dir, "lineitem.parquet"),
+        "l_orderkey",
+        _ZM_OK_LO,
+        _ZM_OK_HI,
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -173,10 +173,28 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs near-dup by quantized cosine ≥ threshold
     (i < j). Per-vector quantization + den run ONCE per side
-    (O(N·d)); each pair pays one exact dot and the CR key."""
+    (O(N·d)); each pair pays one exact dot and the CR key.
+
+    This is the DECLARED O(N²) exact baseline (the verify path for
+    the sketch family); the scale paths are ``minhash_lsh_pairs`` /
+    ``lsh_bucketed_pairs``. ``max_rows`` is the loud guard for that
+    declaration: when set, an input above the cap raises instead of
+    silently launching a quadratic job (measured 19.4× growth per
+    10× rows — SCALING_r07.json). The count is one bounded scalar
+    aggregate at plan-build time, the IVF-fit precedent."""
+    if max_rows is not None:
+        n = emb.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_neardup_pairs is the exact O(N^2) baseline, "
+                f"capped at {max_rows} rows; got {n}. Use "
+                f"minhash_lsh_pairs / lsh_bucketed_pairs (the sketch "
+                f"scale paths) for corpora past the cap."
+            )
     qd = emb.select(
         F.col(id_col),
         quantized_vec_col(F.col(vec_col)).alias("_q"),
@@ -412,11 +430,13 @@ def _neardup_oracle_sql(threshold: float = 0.35) -> str:
     "embeddings are near-random (max pairwise cosine ≈ 0.51 at "
     "sf0.01), so a production-style 0.8 would always return the "
     "empty set — 0.35 keeps a few hundred pairs so the correctness "
-    "row checks real values.",
+    "row checks real values. Row-capped at 4096 (loud guard): past "
+    "the cap the exact baseline refuses to run and points at the "
+    "sketch scale paths.",
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.35)
+    return embedding_neardup_pairs(emb, threshold=0.35, max_rows=4096)
 
 
 def _sql_f(x: float) -> str:
@@ -2073,10 +2093,15 @@ def lsh_knn_join(
     total_coverage: bool = False,
     fallback_candidates: int = 256,
 ) -> DataFrame:
-    """Approximate kNN JOIN: for every vector, its k nearest
+    """Approximate kNN JOIN: for every vector, UP TO k nearest
     same-bucket neighbors by exact cosine — the set-returning join
     Spark has no native operator for (each left row matches its own
-    top-k right rows, not a predicate).
+    top-k right rows, not a predicate). The coverage guarantee is
+    "at least one neighbor per vector" (with ``total_coverage``),
+    never "k neighbors": a vector whose bucket holds fewer than k
+    collisions keeps its short candidate list, and the brute-force
+    leftovers pass scores only ``fallback_candidates`` sampled
+    candidates.
 
     Candidates are sign-LSH bucket collisions (the
     :func:`lsh_bucketed_pairs` machinery), so the pair space is
@@ -2244,7 +2269,7 @@ def knn_label_classify(
 ) -> DataFrame:
     """kNN majority-vote label propagation + per-label agreement
     report — the weak-labeling / label-noise-audit operator: predict
-    every vector's label from its approximate k nearest neighbors and
+    every vector's label from its up-to-k approximate neighbors and
     count how often the prediction agrees with the stored label (low
     agreement for a label ⇒ noisy or non-clusterable class).
 

@@ -1646,7 +1646,7 @@ def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * 100 AS DOUBLE) AS enc,
              (SUM(cents) OVER (PARTITION BY o_orderpriority) - cents)
                * (SELECT n_tot FROM g) + 10 * (SELECT t FROM g) AS enc_num,
-             (SELECT n_tot FROM g)
+             CAST((SELECT n_tot FROM g) AS HUGEINT)
                * (COUNT(*) OVER (PARTITION BY o_orderpriority) + 9)
                * 100 AS enc_den
       FROM c
@@ -1691,8 +1691,23 @@ def q_priority_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tot.select("t").scalar()
     n_tot = tot.select("n_tot").scalar()
     w = Window.partitionBy("o_orderpriority")
-    enc_num = (F.sum("cents").over(w) - F.col("cents")) * n_tot + 10 * t
-    enc_den = n_tot * (F.count(F.lit(1)).over(w) + 9) * 100
+    # DECIMAL(38,0) numerator/denominator, not int64: the numerator is
+    # ~(S_c · N), which reaches 74% of int64 max at TPC-H sf1 and
+    # silently wraps past sf≈1.2 while the oracle's HUGEINT window sum
+    # stays exact (round-8 advice). DECIMAL(38,0) holds every SF the
+    # engine will ever see (<1e38) and the enc cast stays one CR
+    # decimal→double conversion on both engines.
+    dec = "decimal(38,0)"
+    enc_num = (
+        (F.sum("cents").over(w) - F.col("cents")).cast(dec)
+        * F.lit(n_tot).cast(dec)
+        + F.lit(10 * t).cast(dec)
+    )
+    enc_den = (
+        F.lit(n_tot).cast(dec)
+        * (F.count(F.lit(1)).over(w) + 9).cast(dec)
+        * 100
+    )
     enc = enc_num.cast("double") / enc_den.cast("double")
     return (
         c.select(

@@ -274,3 +274,32 @@ def test_weighted_sample_key_monotone_in_weight(spark):
     # u^(1/w) is increasing in w for u in (0,1): same id, larger
     # weight -> key at least as large (rounded).
     assert all(kh[i] >= kl[i] for i in kl)
+
+
+def test_sparse_tfidf_weight_sums_within_exact_int64_budget(spark, sf_dir):
+    """Σw² per doc must stay far below 2^63: Spark sums the integer
+    tf-idf weights as int64 (silent wrap past 2^63 in non-ANSI mode)
+    while the oracle's BIGINT weights sum in HUGEINT — a margin audit
+    on real testdata, the embedding-quantization-budget precedent
+    (round-8 advice)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id"), F.col("text")
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    idf_q = F.floor((F.log((n_docs + 1) / (F.col("df") + 1)) + 1) * 1e3)
+    w = tf.join(df_, "token").select((F.col("tf") * idf_q).alias("w"))
+    max_den = (
+        w.select((F.col("w") * F.col("w")).alias("ww"))
+        .agg(F.sum("ww"))
+        .first()[0]
+    )
+    # 2^63 with three orders of magnitude of headroom; the WHOLE
+    # corpus' Σw² bounds any per-doc Σw².
+    assert max_den < 2**63 / 1000

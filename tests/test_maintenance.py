@@ -176,3 +176,42 @@ def test_zorder_narrows_row_group_ranges_on_both_keys(spark, tmp_path):
     assert statistics.median(c_y) > 900, statistics.median(c_y)
     # rows preserved
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_read_pruned_reads_fewer_files_same_rows(spark, tmp_path):
+    """The manifest-driven scan must (a) return exactly the rows a
+    plain filtered read returns, and (b) hand Spark strictly fewer
+    FILES when the table is clustered so most files' [min,max] miss
+    the probe range — the files-read contract behind
+    lineitem_pruned_window (round-8 stretch ask)."""
+    from teleco_etl_pipeline_spark.operators.maintenance import read_pruned
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 10_000).selectExpr("id AS k", "id % 7 AS v")
+    # range-partitioned by k => 8 files with disjoint k ranges
+    df.repartitionByRange(8, "k").write.parquet(path)
+    assert len(_parquet_files(path)) == 8
+
+    full = spark.read.parquet(path).filter("k >= 2000 AND k <= 2500")
+    pruned = read_pruned(spark, path, "k", 2000, 2500)
+
+    assert sorted(r.k for r in pruned.collect()) == sorted(
+        r.k for r in full.collect()
+    )
+    assert len(set(pruned.inputFiles())) < len(_parquet_files(path))
+    assert len(set(pruned.inputFiles())) >= 1
+
+
+def test_read_pruned_single_file_table(spark, sf_dir):
+    """Single-FILE tables (the testdata shape) must resolve paths
+    correctly — regression for the os.path.join(path, name) bug."""
+    from teleco_etl_pipeline_spark.operators.maintenance import read_pruned
+
+    path = f"{sf_dir}/lineitem.parquet"
+    got = read_pruned(spark, path, "l_orderkey", 1000, 2000).count()
+    want = (
+        spark.read.parquet(path)
+        .filter("l_orderkey >= 1000 AND l_orderkey <= 2000")
+        .count()
+    )
+    assert got == want and got > 0
