@@ -40,7 +40,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-recorded after the HUGEINT root-cause fix (the oracle left an
 # integer SUM output uncast; DuckDB types it INT128 and the driver's
 # pandas fetch widens it to float64, hashing 6.0 against Spark's 6 —
-# see tests/test_oracle_types.py). Slots 5-50 backfill 46 of the 49
+# see tests/test_oracle_types.py). Slots 5-13 are the round-8-new
+# operators (never driver-recorded = the weakest evidence class):
+# the zone-map-pruned scan, the three deterministic oracle-backed
+# sketches (HLL / count-min / KMV, operators/sketch.py), the
+# co-fulfillment graph pair (degree-ordered triangles / unrolled
+# k-core peel, operators/graph.py), the CDC snapshot hash-diff
+# (operators/cdc.py), the one-pass column profiler
+# (operators/profile.py), and the unrolled BPE merge-training
+# recurrence (operators/bpe.py). Slots 14-50 backfill the
 # oldest-evidence queries (latest driver-green row is r4-vintage),
 # so their evidence refreshes under the current code. All displaced
 # queries have an r5-r7 driver-green row AND a current-vintage
@@ -50,8 +58,16 @@ _RECORD_ORDER = [
     "embedding_knn_classify_total",
     "user_survival_curve",
     "trade_graph_pagerank",
-    # round-8-new operator — first driver recording
+    # round-8-new operators — first driver recording
     "lineitem_pruned_window",
+    "hll_sketch_estimate",
+    "cms_frequency_estimates",
+    "supplier_triangle_count",
+    "supplier_kcore_peel",
+    "orders_snapshot_diff",
+    "orders_column_profile",
+    "kmv_set_cardinality",
+    "bpe_learn_merges",
     "scrub_cast",
     "pricing_summary",
     "star_join",
@@ -89,6 +105,12 @@ _RECORD_ORDER = [
     "ngram_jaccard_guarded",
     "order_gap_stats",
     "priority_exists_counts",
+]
+# Past-window ordering if the driver ever widens its window: stalest
+# evidence first — the three r4-vintage queries the 50-slot window
+# could not fit, then r5/r6/r7-vintage greens (freshest last). True
+# sketches without oracles sort last (tier 3 in queries()).
+_RECORD_LAST = [
     "priority_set_ops",
     "promo_revenue_pct",
     "quantile_profile",
@@ -97,12 +119,6 @@ _RECORD_ORDER = [
     "supplier_class_counts",
     "top_ngrams",
     "top_supplier_revenue",
-]
-# Past-window ordering if the driver ever widens its window: stalest
-# evidence first — the three r4-vintage queries the 50-slot window
-# could not fit, then r5/r6/r7-vintage greens (freshest last). True
-# sketches without oracles sort last (tier 3 in queries()).
-_RECORD_LAST = [
     "train_test_contamination",
     "doc_length_band_filter",
     "doc_wordshape_filter",

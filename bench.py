@@ -148,6 +148,14 @@ BENCH_QUERIES = [
     # -- round-8 additions ------------------------------------------
     "trade_graph_pagerank",     # 3-iteration integer PageRank (per-iter edge-join shuffles)
     "lineitem_pruned_window",   # zone-map-manifest pruned scan + residual filter
+    "hll_sketch_estimate",      # deterministic HLL registers + CR estimate
+    "cms_frequency_estimates",  # count-min cells + top-k probe report
+    "supplier_triangle_count",  # degree-ordered triangle enumeration
+    "supplier_kcore_peel",      # unrolled k-core peeling trajectory
+    "kmv_set_cardinality",      # KMV sketch set-algebra estimates
+    "orders_snapshot_diff",     # CDC hash-diff full-outer join
+    "orders_column_profile",    # one-pass profiler (multi-distinct Expand)
+    "bpe_learn_merges",         # 3-merge unrolled BPE training recurrence
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

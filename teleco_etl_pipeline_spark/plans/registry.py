@@ -50,6 +50,8 @@ def all_queries() -> dict[str, Query]:
     from teleco_etl_pipeline_spark.plans import ml  # noqa: F401
     from teleco_etl_pipeline_spark.plans import relational  # noqa: F401
     from teleco_etl_pipeline_spark.plans import tpch_extra  # noqa: F401
+    from teleco_etl_pipeline_spark.operators import bpe  # noqa: F401
+    from teleco_etl_pipeline_spark.operators import cdc  # noqa: F401
     from teleco_etl_pipeline_spark.operators import dedup  # noqa: F401
     from teleco_etl_pipeline_spark.operators import freq  # noqa: F401
     from teleco_etl_pipeline_spark.operators import graph  # noqa: F401
@@ -57,9 +59,11 @@ def all_queries() -> dict[str, Query]:
     from teleco_etl_pipeline_spark.operators import maintenance  # noqa: F401
     from teleco_etl_pipeline_spark.operators import multimodal  # noqa: F401
     from teleco_etl_pipeline_spark.operators import temporal  # noqa: F401
+    from teleco_etl_pipeline_spark.operators import profile  # noqa: F401
     from teleco_etl_pipeline_spark.operators import sampling  # noqa: F401
     from teleco_etl_pipeline_spark.operators import scd  # noqa: F401
     from teleco_etl_pipeline_spark.operators import similarity  # noqa: F401
+    from teleco_etl_pipeline_spark.operators import sketch  # noqa: F401
     from teleco_etl_pipeline_spark.operators import text  # noqa: F401
 
     return dict(_REGISTRY)

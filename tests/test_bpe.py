@@ -1,0 +1,100 @@
+"""BPE merge induction (operators/bpe.py) vs the textbook algorithm
+(Sennrich et al. ACL'16) implemented independently in pure Python —
+including the greedy-pairing edge case (symbol runs) the delimited-
+string replace has to get right."""
+
+from __future__ import annotations
+
+import os
+from collections import Counter, defaultdict
+
+import pytest
+
+from teleco_etl_pipeline_spark.operators.bpe import (
+    _N_MERGES,
+    _TOP_TOKENS,
+    _spark_sql,
+    q_bpe_learn_merges,
+)
+
+
+def _python_bpe(word_freq, n_merges):
+    """Textbook BPE: argmax pair (count desc, pair-string asc over the
+    '|x||y|' spelling used by the SQL for an identical tie-break),
+    greedy left-to-right merge application on symbol lists."""
+    vocab = {w: list(w) for w in word_freq}
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for w, syms in vocab.items():
+            f = word_freq[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], f"|{p[0]}||{p[1]}|"))
+        merges.append((pair, counts[pair]))
+        merged = pair[0] + pair[1]
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    tok_counts = defaultdict(int)
+    for w, syms in vocab.items():
+        for s in syms:
+            tok_counts[s] += word_freq[w]
+    return merges, tok_counts
+
+
+def _run_query_on_texts(spark, texts):
+    d = spark.createDataFrame([(t,) for t in texts], "text string")
+    return spark.sql(_spark_sql(_N_MERGES, _TOP_TOKENS), documents=d).collect()
+
+
+def _check_against_python(rows, texts):
+    word_freq = Counter(
+        w for t in texts for w in t.strip().split() if w and "|" not in w
+    )
+    merges, tok_counts = _python_bpe(word_freq, _N_MERGES)
+    got_merges = [
+        (r["item"], r["weight"]) for r in rows if r["kind"] == "merge"
+    ]
+    assert got_merges == [(a + b, c) for (a, b), c in merges]
+    want_top = sorted(tok_counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :_TOP_TOKENS
+    ]
+    got_top = [(r["item"], r["weight"]) for r in rows if r["kind"] == "token"]
+    assert got_top == want_top
+
+
+def test_bpe_greedy_run_pairing(spark):
+    # 'aaaa' must merge to [aa][aa] (count 2·freq), 'aaaaa' to
+    # [aa][aa][a] — the leftmost-non-overlapping semantics.
+    texts = ["aaaa aaaa aaaaa b b b", "aaaa ab ba"]
+    _check_against_python(_run_query_on_texts(spark, texts), texts)
+
+
+def test_bpe_merged_symbol_participates_in_later_merges(spark):
+    # 'st' should win merge 1, then 'est'/'st…' compounds become
+    # available — round 2 counts pairs over the POST-merge encoding.
+    texts = ["best rest test best rest test nest", "st st best"]
+    _check_against_python(_run_query_on_texts(spark, texts), texts)
+
+
+def test_bpe_on_corpus_matches_python(spark, sf_dir):
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        pytest.skip("harness testdata absent")
+    rows = q_bpe_learn_merges(spark, sf_dir).collect()
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).collect()
+    ]
+    _check_against_python(rows, texts)

@@ -51,6 +51,10 @@ SCALAR_BROADCASTS = {
     # the 1-row Bloom bitset (sorted bit-position array, ≤ m_bits
     # elements) broadcast onto the fact scan — |fact| × 1 product
     "bloom_pruned_join",
+    # five single-row aggregates (per-side k-th-minimum hashes, the
+    # union window count, the exact-distinct triple) cross-joined
+    # into the one-row KMV report — a 1×1×…×1 product, zero fan-out
+    "kmv_set_cardinality",
 }
 
 
