@@ -40,15 +40,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-recorded after the HUGEINT root-cause fix (the oracle left an
 # integer SUM output uncast; DuckDB types it INT128 and the driver's
 # pandas fetch widens it to float64, hashing 6.0 against Spark's 6 —
-# see tests/test_oracle_types.py). Slots 5-13 are the round-8-new
+# see tests/test_oracle_types.py). Slots 5-16 are the round-8-new
 # operators (never driver-recorded = the weakest evidence class):
-# the zone-map-pruned scan, the three deterministic oracle-backed
-# sketches (HLL / count-min / KMV, operators/sketch.py), the
-# co-fulfillment graph pair (degree-ordered triangles / unrolled
-# k-core peel, operators/graph.py), the CDC snapshot hash-diff
-# (operators/cdc.py), the one-pass column profiler
-# (operators/profile.py), and the unrolled BPE merge-training
-# recurrence (operators/bpe.py). Slots 14-50 backfill the
+# the zone-map-pruned scan, the five deterministic oracle-backed
+# sketches (HLL / count-min / KMV / AMS join-size / histogram
+# quantile, operators/sketch.py), the co-fulfillment graph pair
+# (degree-ordered triangles / unrolled k-core peel,
+# operators/graph.py), the CDC snapshot hash-diff
+# (operators/cdc.py), the one-pass column profiler + star-schema
+# FK-integrity sweep (operators/profile.py), and the unrolled BPE
+# merge-training recurrence (operators/bpe.py). Slots 17-50
+# backfill the
 # oldest-evidence queries (latest driver-green row is r4-vintage),
 # so their evidence refreshes under the current code. All displaced
 # queries have an r5-r7 driver-green row AND a current-vintage
@@ -68,6 +70,9 @@ _RECORD_ORDER = [
     "orders_column_profile",
     "kmv_set_cardinality",
     "bpe_learn_merges",
+    "fk_integrity_report",
+    "ams_join_size_estimate",
+    "histogram_quantile_sketch",
     "scrub_cast",
     "pricing_summary",
     "star_join",
@@ -102,15 +107,15 @@ _RECORD_ORDER = [
     "nation_balance_share",
     "nation_volume_shipping",
     "neardup_clusters",
-    "ngram_jaccard_guarded",
-    "order_gap_stats",
-    "priority_exists_counts",
 ]
 # Past-window ordering if the driver ever widens its window: stalest
 # evidence first — the three r4-vintage queries the 50-slot window
 # could not fit, then r5/r6/r7-vintage greens (freshest last). True
 # sketches without oracles sort last (tier 3 in queries()).
 _RECORD_LAST = [
+    "ngram_jaccard_guarded",
+    "order_gap_stats",
+    "priority_exists_counts",
     "priority_set_ops",
     "promo_revenue_pct",
     "quantile_profile",

@@ -156,6 +156,9 @@ BENCH_QUERIES = [
     "orders_snapshot_diff",     # CDC hash-diff full-outer join
     "orders_column_profile",    # one-pass profiler (multi-distinct Expand)
     "bpe_learn_merges",         # 3-merge unrolled BPE training recurrence
+    "fk_integrity_report",      # star-schema referential-integrity sweep
+    "ams_join_size_estimate",   # AMS F2/join-size tug-of-war sketch
+    "histogram_quantile_sketch",  # mergeable binned-CDF quantiles
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

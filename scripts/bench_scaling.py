@@ -76,6 +76,26 @@ QUERIES = [
     "embedding_knn_classify_total",
     # footer-only zone-map manifest (grows with row groups, not rows)
     "lineitem_zonemap_report",
+    # -- round-8 additions --------------------------------------------
+    # deterministic sketches: work ∝ data for the hash pass, shuffle
+    # bounded by sketch size (registers / cells / k-minima)
+    "hll_sketch_estimate",
+    "cms_frequency_estimates",
+    "kmv_set_cardinality",
+    # graph family: basket-bounded edge build + wedge join (triangles)
+    # / peel rounds (k-core) — growth tracks edge count, thresholded
+    "supplier_triangle_count",
+    "supplier_kcore_peel",
+    # iterative PageRank (3 unrolled edge-join rounds)
+    "trade_graph_pagerank",
+    # CDC hash-diff (one fingerprint shuffle, ~40 B/row)
+    "orders_snapshot_diff",
+    # one-pass profiler (multi-distinct Expand ∝ N·cols)
+    "orders_column_profile",
+    # BPE trainer (vocab-sized recurrence after one token-count pass)
+    "bpe_learn_merges",
+    # manifest-pruned selective scan (files read, not rows)
+    "lineitem_pruned_window",
 ]
 
 

@@ -327,24 +327,42 @@ def _kcore_body(k: int, iters: int) -> str:
 
 
 def _cofulfill_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-fulfillment edges via the basket-array formulation: one
+    groupBy(order) collecting the supplier set, then pairs exploded
+    from the sorted array — fan-out bounded by basket size (the
+    `part_basket_lift` precedent), ONE wide shuffle on the order key
+    instead of the naive self-join's pair-stream shuffle (which moves
+    |basket|² rows per order; the oracle keeps that naive form as the
+    equivalence proof). The pair aggregate that applies the >= _MIN_CO
+    threshold then shuffles only distinct candidate pairs."""
     from pyspark.sql import functions as F
 
-    ds = (
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("supps"))
+        .filter(F.size("supps") >= 2)
     )
-    a = ds.alias("a")
-    b = ds.alias("b")
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("supps") - 2),
+                    lambda i: F.transform(
+                        F.slice(
+                            F.col("supps"), i + 2, F.size("supps") - i - 1
+                        ),
+                        lambda y: F.struct(
+                            F.element_at(F.col("supps"), i + 1).alias("u"),
+                            y.alias("v"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-        )
+        pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= _MIN_CO)
         .select("u", "v")

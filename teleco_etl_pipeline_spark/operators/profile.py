@@ -103,3 +103,79 @@ def _profile_oracle(cols: Sequence[str]) -> str:
 def q_orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return table_profile(o, _PROFILE_COLS).orderBy("column_name")
+
+
+# --- referential-integrity profile across the star schema -------------------
+
+_FK_EDGES = [
+    # (child, fk_col, parent, pk_col)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_oracle() -> str:
+    branches = "\n    UNION ALL ".join(
+        f"""SELECT '{c}.{fk} -> {p}.{pk}' AS fk_edge,
+           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(SUM(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+           CAST(SUM(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM {c} c LEFT JOIN (SELECT DISTINCT {pk} FROM {p}) p ON c.{fk} = p.{pk}"""
+        for c, fk, p, pk in _FK_EDGES
+    )
+    return branches + "\n    ORDER BY fk_edge"
+
+
+@query(
+    "fk_integrity_report",
+    _fk_oracle(),
+    doc="Referential-integrity profile of the WHOLE star schema in "
+    "one report: per declared FK edge, child rows / NULL FKs / "
+    "orphans (FK set but no parent). Each edge is a broadcast left "
+    "join against the DISTINCT parent keys — dims broadcast, the "
+    "fact scans stay pruned to the key column, and the orphan test "
+    "is the `anti_join` operator generalized to a schema-wide "
+    "constraint-discovery sweep (the DQ-corpus rules assert known "
+    "edges one at a time; this surfaces the whole map).",
+)
+def q_fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reports = []
+    for c, fk, p, pk in _FK_EDGES:
+        reports.append(
+            fk_edge_report(
+                load_table(spark, sf_dir, c),
+                fk,
+                load_table(spark, sf_dir, p),
+                pk,
+                label=f"{c}.{fk} -> {p}.{pk}",
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("fk_edge")
+
+
+def fk_edge_report(
+    child: DataFrame, fk: str, parent: DataFrame, pk: str, label: str
+) -> DataFrame:
+    """One FK edge → a 1-row (fk_edge, n_child_rows, n_null_fk,
+    n_orphans) report via a broadcast left join on distinct parent
+    keys."""
+    c = child.select(fk)
+    p = parent.select(pk).distinct()
+    joined = c.join(F.broadcast(p), c[fk] == p[pk], "left")
+    return joined.agg(
+        F.lit(label).alias("fk_edge"),
+        F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+        F.sum(c[fk].isNull().cast("long")).cast("long").alias("n_null_fk"),
+        F.sum((c[fk].isNotNull() & p[pk].isNull()).cast("long"))
+        .cast("long")
+        .alias("n_orphans"),
+    )

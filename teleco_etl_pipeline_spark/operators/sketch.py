@@ -379,3 +379,242 @@ def q_kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_union",
         )
     )
+
+
+# --- AMS/AGMS sketch: second frequency moment + join-size estimation --------
+#
+# The fourth mergeable-summary shape: tug-of-war sketches (Alon,
+# Matias & Szegedy, STOC'96; the AGMS join-size form of Alon, Gionis,
+# Matias & Szegedy) answer SIZE-OF-JOIN and self-join (F2) questions
+# from constant state: per seed i, X_i = Σ_v f(v)·s_i(v) with
+# four-wise-independent ±1 signs; E[X_i²] = F2 and E[X_i·Y_i] = the
+# equi-join size Σ_v fA(v)·fB(v). Here the signs come from an md5
+# parity bit, each X_i is an exact BIGINT, and the only float in the
+# output is one CR divide (Σ over d seeds) / d — same determinism
+# contract as the HLL/CMS/KMV trio. Sketch state is d integers per
+# side and merges by per-seed SUM (f is additive under s_i), so
+# per-partition sketches combine with no key shuffle — the cardinal
+# input to a cost-based join planner at 100 TB, where computing the
+# exact join size to DECIDE a join strategy would cost the join
+# itself. Exact values ride along as the accuracy report.
+
+_AMS_D = 16  # independent sign seeds
+
+
+def _ams_sign_sql(key, seed: str) -> str:
+    return (
+        f"(1 - 2 * (CAST(concat('0x', substr(md5(concat(CAST({key} AS VARCHAR),"
+        f" 'ams', CAST({seed} AS VARCHAR))), 1, 1)) AS BIGINT) % 2))"
+    )
+
+
+def _ams_sql() -> str:
+    seeds = ", ".join(f"({i})" for i in range(_AMS_D))
+    return f"""
+    WITH lc AS (
+      SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS f FROM lineitem GROUP BY l_partkey
+    ),
+    lo AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS f FROM lineitem GROUP BY l_orderkey
+    ),
+    oo AS (
+      SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS f
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderkey
+    ),
+    sk_part AS (
+      SELECT s.i AS seed, CAST(SUM(f * {_ams_sign_sql('k', 's.i')}) AS BIGINT) AS x
+      FROM lc CROSS JOIN (VALUES {seeds}) s(i) GROUP BY s.i
+    ),
+    sk_lo AS (
+      SELECT s.i AS seed, CAST(SUM(f * {_ams_sign_sql('k', 's.i')}) AS BIGINT) AS x
+      FROM lo CROSS JOIN (VALUES {seeds}) s(i) GROUP BY s.i
+    ),
+    sk_oo AS (
+      SELECT s.i AS seed, CAST(SUM(f * {_ams_sign_sql('k', 's.i')}) AS BIGINT) AS x
+      FROM oo CROSS JOIN (VALUES {seeds}) s(i) GROUP BY s.i
+    ),
+    f2 AS (
+      SELECT CAST(SUM(a.x * a.x) AS BIGINT) AS acc FROM sk_part a
+    ),
+    js AS (
+      SELECT CAST(SUM(a.x * b.x) AS BIGINT) AS acc
+      FROM sk_lo a JOIN sk_oo b ON a.seed = b.seed
+    ),
+    f2_exact AS (SELECT CAST(SUM(f * f) AS BIGINT) AS v FROM lc),
+    js_exact AS (
+      SELECT CAST(SUM(a.f * b.f) AS BIGINT) AS v
+      FROM lo a JOIN oo b ON a.k = b.k
+    )
+    SELECT 'f2_partkey_selfjoin' AS kind,
+           CAST({_AMS_D} AS BIGINT) AS d,
+           f2.acc AS sketch_acc,
+           CAST(f2.acc AS DOUBLE) / {_AMS_D} AS estimate,
+           f2_exact.v AS exact_size
+    FROM f2, f2_exact
+    UNION ALL
+    SELECT 'joinsize_lineitem_orders_F' AS kind,
+           CAST({_AMS_D} AS BIGINT) AS d,
+           js.acc AS sketch_acc,
+           CAST(js.acc AS DOUBLE) / {_AMS_D} AS estimate,
+           js_exact.v AS exact_size
+    FROM js, js_exact
+    ORDER BY kind
+    """
+
+
+@query(
+    "ams_join_size_estimate",
+    _ams_sql(),
+    doc=f"AMS tug-of-war sketch (d={_AMS_D} md5 ±1 sign seeds): the "
+    "self-join size (second frequency moment) of l_partkey and the "
+    "equi-join size |lineitem ⋈ F-status orders| estimated from d "
+    "exact-integer sketch sums (one CR divide each), with the exact "
+    "sizes alongside — the constant-state join-cardinality input a "
+    "cost-based planner needs BEFORE paying for the join. Mergeable "
+    "by per-seed SUM; both exact twins run as plain count-join "
+    "aggregates in the same plan.",
+)
+def q_ams_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    oo = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+
+    def counts(df, key):
+        return df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("f")
+        )
+
+    def sketch(kc):
+        seeds = F.array(*[F.lit(i) for i in range(_AMS_D)])
+        sign = F.lit(1) - 2 * (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("k").cast("string"),
+                            F.lit("ams"),
+                            F.col("seed").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+        return (
+            kc.select("k", "f", F.explode(seeds).alias("seed"))
+            .groupBy("seed")
+            .agg(F.sum(F.col("f") * sign).cast("long").alias("x"))
+        )
+
+    lc, lo, of = counts(li, "l_partkey"), counts(li, "l_orderkey"), counts(oo, "o_orderkey")
+    sk_part, sk_lo, sk_oo = sketch(lc), sketch(lo), sketch(of)
+    f2_acc = sk_part.agg(F.sum(F.col("x") * F.col("x")).cast("long").alias("acc"))
+    js_acc = (
+        sk_lo.alias("a")
+        .join(sk_oo.alias("b"), "seed")
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).cast("long").alias("acc"))
+    )
+    f2_exact = lc.agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("v"))
+    js_exact = (
+        lo.alias("a")
+        .join(of.alias("b"), "k")
+        .agg(F.sum(F.col("a.f") * F.col("b.f")).cast("long").alias("v"))
+    )
+
+    def report(kind, acc_df, exact_df):
+        return (
+            acc_df.crossJoin(exact_df)
+            .select(
+                F.lit(kind).alias("kind"),
+                F.lit(_AMS_D).cast("long").alias("d"),
+                F.col("acc").alias("sketch_acc"),
+                (F.col("acc").cast("double") / F.lit(_AMS_D)).alias("estimate"),
+                F.col("v").alias("exact_size"),
+            )
+        )
+
+    return (
+        report("f2_partkey_selfjoin", f2_acc, f2_exact)
+        .unionByName(report("joinsize_lineitem_orders_F", js_acc, js_exact))
+        .orderBy("kind")
+    )
+
+
+# --- mergeable histogram (equi-width) quantile sketch -----------------------
+#
+# The quantile member of the deterministic-sketch family: a fixed
+# equi-width histogram over [min, max] is the simplest MERGEABLE
+# quantile summary (cells merge by per-bin SUM — per-partition/
+# per-day histograms combine with no raw-value shuffle), and unlike
+# the engine-native KLL/t-digest (`approx_quantile_profile`,
+# rows-only by necessity) every number here is engine-identical:
+# bin ids are floor((x-lo)·NB/(hi-lo)) — a sub/mul/div/floor CR
+# sequence on bit-identical parquet doubles — rank targets are exact
+# integer ceilings of q·N computed as (N·qn + qd − 1) div qd, and the
+# within-bin interpolation is the identical CR expression on both
+# sides, so even the interpolated DOUBLE estimates hash-match.
+# Error bound: rank exact to the bin, value within one bin width
+# (range/256 here) — the classic histogram trade-off; exact twin
+# `quantile_profile`, engine-sketch twin `approx_quantile_profile`.
+
+_HQ_BINS = 256
+
+
+def _histo_quantile_sql(idiv: str) -> str:
+    return f"""
+    WITH b AS (
+      SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR((l_extendedprice - b.lo) * {_HQ_BINS} / (b.hi - b.lo)) AS BIGINT),
+                   {_HQ_BINS - 1}) AS bin
+      FROM lineitem CROSS JOIN b
+    ),
+    cells AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM binned GROUP BY bin),
+    cdf AS (
+      SELECT bin, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+      FROM cells
+    ),
+    targets AS (
+      SELECT q.label, CAST((b.n_rows * q.qn + q.qd - 1) {idiv} q.qd AS BIGINT) AS target
+      FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)) q(label, qn, qd)
+      CROSS JOIN b
+    ),
+    pick AS (
+      SELECT t.label, t.target, MIN(c.bin) AS bin
+      FROM targets t JOIN cdf c ON c.cum >= t.target
+      GROUP BY t.label, t.target
+    )
+    SELECT p.label, p.target AS target_rank, p.bin,
+           c.cnt AS bin_count,
+           b.lo + (p.bin + CAST(p.target - (c.cum - c.cnt) AS DOUBLE) / c.cnt)
+                * ((b.hi - b.lo) / {_HQ_BINS}) AS q_estimate
+    FROM pick p JOIN cdf c ON c.bin = p.bin CROSS JOIN b
+    ORDER BY p.label
+    """
+
+
+@query(
+    "histogram_quantile_sketch",
+    _histo_quantile_sql("//"),
+    doc=f"Mergeable equi-width histogram quantile sketch ({_HQ_BINS} "
+    "bins over [min, max] of l_extendedprice): p50/p90/p99 from the "
+    "binned CDF with exact integer rank targets and CR within-bin "
+    "interpolation — value error ≤ one bin width, every output "
+    "engine-identical (unlike the KLL `approx_quantile_profile`, "
+    "which is rows-only by necessity). Bins merge by per-bin SUM — "
+    "the per-partition quantile path with no raw-value shuffle; "
+    "exact twin `quantile_profile`.",
+)
+def q_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return spark.sql(
+        _histo_quantile_sql("div").replace("FROM lineitem", "FROM {lineitem}"),
+        lineitem=li,
+    )

@@ -165,3 +165,79 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --- streaming HLL: the mergeable sketch as streaming state -----------------
+
+STREAMING_HLL_OUTPUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_nonzero", T.LongType()),
+        T.StructField("z_scaled", T.LongType()),
+        T.StructField("raw_estimate", T.DoubleType()),
+    ]
+)
+STREAMING_HLL_STATE = T.StructType(
+    [T.StructField("regs", T.ArrayType(T.LongType()))]
+)
+
+
+def _make_streaming_hll_fn(m: int, r: int, c: float):
+    """Factory closure (pickled by value — executor workers need not
+    import this repo): per-key HLL registers carried across
+    micro-batches. Register update is the per-bucket MAX fold from
+    `operators/sketch.py` — because registers are a MERGEABLE
+    summary, the streaming accumulator IS the batch operator's
+    partial-aggregate state, updated incrementally with O(m) memory
+    per key and never re-reading history. Hash family is the same
+    md5(bucket=first 2 hex, tail=next 13 hex) so a streaming register
+    set is comparable bit-for-bit with the batch sketch.
+    """
+
+    def update(key, pdfs, state):
+        import hashlib
+
+        regs = list(state.get[0]) if state.exists else [0] * m
+        for pdf in pdfs:
+            for v in pdf["user_id"]:
+                h = hashlib.md5(str(v).encode()).hexdigest()
+                b = int(h[:2], 16)
+                tail = int(h[2:15], 16)
+                rho = r if tail == 0 else 52 - tail.bit_length() + 1
+                if rho > regs[b]:
+                    regs[b] = rho
+        state.update((regs,))
+        n_nonzero = sum(1 for x in regs if x)
+        z_scaled = sum(1 << (r - x) for x in regs)  # zero regs add 2^r
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_nonzero": [n_nonzero],
+                "z_scaled": [z_scaled],
+                "raw_estimate": [c / float(z_scaled)],
+            }
+        )
+
+    return update
+
+
+def streaming_hll_distinct(stream: DataFrame) -> DataFrame:
+    """Per-event-type streaming distinct-user HLL (p=8): emits the
+    updated register summary + raw estimate every micro-batch. Input
+    needs ``event_type`` and ``user_id`` columns. Exactly-once via
+    the checkpointed state store; estimate semantics identical to the
+    batch `hll_sketch_estimate` contract (no ln-based small-range
+    branch — consumers correct from n_zero = m − n_nonzero)."""
+    from teleco_etl_pipeline_spark.operators.sketch import (
+        _HLL_C,
+        _HLL_M,
+        _HLL_R,
+    )
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _make_streaming_hll_fn(_HLL_M, _HLL_R, _HLL_C),
+        outputStructType=STREAMING_HLL_OUTPUT,
+        stateStructType=STREAMING_HLL_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

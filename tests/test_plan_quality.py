@@ -55,6 +55,13 @@ SCALAR_BROADCASTS = {
     # union window count, the exact-distinct triple) cross-joined
     # into the one-row KMV report — a 1×1×…×1 product, zero fan-out
     "kmv_set_cardinality",
+    # sketch-accumulator × exact-size single-row aggregates joined
+    # into the two-row AMS report — 1×1 products
+    "ams_join_size_estimate",
+    # 1-row [min,max,n] bounds onto the scan (the value_histogram
+    # shape) + the 3-quantile × 256-bin CDF range probe — both
+    # constant-bounded products
+    "histogram_quantile_sketch",
 }
 
 
