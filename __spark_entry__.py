@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-recorded after the HUGEINT root-cause fix (the oracle left an
 # integer SUM output uncast; DuckDB types it INT128 and the driver's
 # pandas fetch widens it to float64, hashing 6.0 against Spark's 6 —
-# see tests/test_oracle_types.py). Slots 5-16 are the round-8-new
+# see tests/test_oracle_types.py). Slots 5-19 are the round-8-new
 # operators (never driver-recorded = the weakest evidence class):
 # the zone-map-pruned scan, the five deterministic oracle-backed
 # sketches (HLL / count-min / KMV / AMS join-size / histogram
@@ -49,8 +49,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # operators/graph.py), the CDC snapshot hash-diff
 # (operators/cdc.py), the one-pass column profiler + star-schema
 # FK-integrity sweep (operators/profile.py), and the unrolled BPE
-# merge-training recurrence (operators/bpe.py). Slots 17-50
-# backfill the
+# merge-training recurrence + trained-tokenizer encode
+# (operators/bpe.py), PMI collocation mining (operators/freq.py),
+# and MATCH_RECOGNIZE-style sequence-pattern analytics
+# (plans/events.py). Slots 20-50 backfill the
 # oldest-evidence queries (latest driver-green row is r4-vintage),
 # so their evidence refreshes under the current code. All displaced
 # queries have an r5-r7 driver-green row AND a current-vintage
@@ -73,6 +75,9 @@ _RECORD_ORDER = [
     "fk_integrity_report",
     "ams_join_size_estimate",
     "histogram_quantile_sketch",
+    "bpe_encode_docs",
+    "collocation_pmi_topk",
+    "event_sequence_patterns",
     "scrub_cast",
     "pricing_summary",
     "star_join",
@@ -104,15 +109,15 @@ _RECORD_ORDER = [
     "linestatus_priority_matrix",
     "market_share",
     "multimodal_frame_sample",
-    "nation_balance_share",
-    "nation_volume_shipping",
-    "neardup_clusters",
 ]
 # Past-window ordering if the driver ever widens its window: stalest
 # evidence first — the three r4-vintage queries the 50-slot window
 # could not fit, then r5/r6/r7-vintage greens (freshest last). True
 # sketches without oracles sort last (tier 3 in queries()).
 _RECORD_LAST = [
+    "nation_balance_share",
+    "nation_volume_shipping",
+    "neardup_clusters",
     "ngram_jaccard_guarded",
     "order_gap_stats",
     "priority_exists_counts",

@@ -159,6 +159,9 @@ BENCH_QUERIES = [
     "fk_integrity_report",      # star-schema referential-integrity sweep
     "ams_join_size_estimate",   # AMS F2/join-size tug-of-war sketch
     "histogram_quantile_sketch",  # mergeable binned-CDF quantiles
+    "bpe_encode_docs",          # trained-tokenizer encode (vocab broadcast)
+    "collocation_pmi_topk",     # PMI-lift phrase mining
+    "event_sequence_patterns",  # regex journey classes over code strings
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

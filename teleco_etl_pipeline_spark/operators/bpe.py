@@ -58,7 +58,7 @@ def _duck_sql(k: int, topk: int) -> str:
     ),
     m{i} AS (SELECT pair, c FROM p{i} ORDER BY c DESC, pair LIMIT 1),
     e{i} AS (
-      SELECT replace(enc, (SELECT pair FROM m{i}),
+      SELECT w, replace(enc, (SELECT pair FROM m{i}),
                      '|'||replace((SELECT pair FROM m{i}),'|','')||'|') AS enc, freq
       FROM {prev}
     )"""
@@ -76,7 +76,7 @@ def _duck_sql(k: int, topk: int) -> str:
       ) ww WHERE length(w) >= 1 AND w NOT LIKE '%|%' GROUP BY w
     ),
     e0 AS (
-      SELECT '|' || regexp_replace(w, '(.)', '\\1||', 'g') || '|' AS enc, freq
+      SELECT w, '|' || regexp_replace(w, '(.)', '\\1||', 'g') || '|' AS enc, freq
       FROM wf
     ),{",".join(ctes)},
     vocab AS (
@@ -117,7 +117,7 @@ def _spark_sql(k: int, topk: int) -> str:
     ),
     m{i} AS (SELECT pair, c FROM p{i} ORDER BY c DESC, pair LIMIT 1),
     e{i} AS (
-      SELECT replace(enc, (SELECT pair FROM m{i}),
+      SELECT w, replace(enc, (SELECT pair FROM m{i}),
                      '|'||replace((SELECT pair FROM m{i}),'|','')||'|') AS enc, freq
       FROM {prev}
     )"""
@@ -135,7 +135,7 @@ def _spark_sql(k: int, topk: int) -> str:
       ) ww WHERE length(w) >= 1 AND w NOT LIKE '%|%' GROUP BY w
     ),
     e0 AS (
-      SELECT '|' || regexp_replace(w, '(.)', '$1||') || '|' AS enc, freq
+      SELECT w, '|' || regexp_replace(w, '(.)', '$1||') || '|' AS enc, freq
       FROM wf
     ),{",".join(ctes)},
     vocab AS (
@@ -173,3 +173,80 @@ def _spark_sql(k: int, topk: int) -> str:
 def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("text")
     return spark.sql(_spark_sql(_N_MERGES, _TOP_TOKENS), documents=d)
+
+
+def _encode_chain(dialect_sql, k: int) -> str:
+    """The wf→e0→…→eK merge chain from the learn query (same text,
+    `w` carried through), with the learn query's final SELECT
+    stripped so an encode finisher can build on e{k}."""
+    body = dialect_sql(k, 1)
+    # cut everything from the vocab CTE on; keep WITH … e{k}(…)
+    cut = body.index(",\n    vocab AS (")
+    return body[:cut]
+
+
+def _encode_finisher_duck(k: int) -> str:
+    return f""",
+    wordtok AS (
+      SELECT w,
+             CAST(len(string_split(trim(enc,'|'),'||')) AS BIGINT) AS n_tok,
+             CAST(length(w) AS BIGINT) AS n_sym
+      FROM e{k}
+    ),
+    doctok AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents
+      ) dt WHERE length(w) >= 1 AND w NOT LIKE '%|%'
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(t.n_sym) AS BIGINT) AS n_chars,
+           CAST(SUM(t.n_tok) AS BIGINT) AS n_bpe_tokens
+    FROM doctok d JOIN wordtok t ON d.w = t.w
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+def _encode_finisher_spark(k: int) -> str:
+    return f""",
+    wordtok AS (
+      SELECT w,
+             CAST(size(split(trim(BOTH '|' FROM enc), '\\\\|\\\\|')) AS BIGINT) AS n_tok,
+             CAST(length(w) AS BIGINT) AS n_sym
+      FROM e{k}
+    ),
+    doctok AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS w
+        FROM {{documents}}
+      ) dt WHERE length(w) >= 1 AND w NOT LIKE '%|%'
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(t.n_sym) AS BIGINT) AS n_chars,
+           CAST(SUM(t.n_tok) AS BIGINT) AS n_bpe_tokens
+    FROM doctok d JOIN wordtok t ON d.w = t.w
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query(
+    "bpe_encode_docs",
+    _encode_chain(_duck_sql, _N_MERGES) + _encode_finisher_duck(_N_MERGES),
+    doc="The trained tokenizer APPLIED: learn the merge table "
+    f"in-plan (same {_N_MERGES}-round recurrence as "
+    "`bpe_learn_merges`), then encode every document through it — "
+    "per-doc word / character-symbol / post-BPE token counts. The "
+    "application is a broadcast join of the token stream against the "
+    "vocab-sized (word → token count) table, i.e. tokenization cost "
+    "at 100 TB is one map-side lookup per word occurrence, all the "
+    "per-character work confined to the vocab. n_chars vs "
+    "n_bpe_tokens is the compression the merges bought.",
+)
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sql = _encode_chain(_spark_sql, _N_MERGES) + _encode_finisher_spark(_N_MERGES)
+    return spark.sql(sql, documents=d)

@@ -643,3 +643,108 @@ def sparse_tfidf_topk(
 )
 def q_doc_sparse_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparse_tfidf_topk(load_table(spark, sf_dir, "documents"))
+
+
+# --- PMI collocation extraction ---------------------------------------------
+
+_PMI_MIN_SUPPORT = 5
+_PMI_TOPK = 20
+
+
+def _pmi_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM (
+        SELECT unnest(ws) AS w FROM toks
+      ) u GROUP BY w
+    ),
+    bi AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM (
+        SELECT p.w1, p.w2 FROM toks t,
+          LATERAL (SELECT unnest([{{'w1': t.ws[j], 'w2': t.ws[j+1]}}
+                                  for j in generate_series(1, len(t.ws)-1)],
+                                 recursive := true)) p
+      ) b GROUP BY w1, w2 HAVING COUNT(*) >= {_PMI_MIN_SUPPORT}
+    ),
+    n AS (
+      SELECT CAST(SUM(c_w) AS BIGINT) AS n_uni FROM uni
+    ),
+    nb AS (
+      SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bi FROM bi
+    )
+    SELECT b.w1, b.w2, b.c_ab,
+           CAST(b.c_ab AS DOUBLE)
+             * (CAST(n.n_uni AS DOUBLE) * CAST(n.n_uni AS DOUBLE))
+             / (CAST(nb.n_bi AS DOUBLE)
+                * (CAST(u1.c_w AS DOUBLE) * CAST(u2.c_w AS DOUBLE))) AS lift
+    FROM bi b
+    JOIN uni u1 ON u1.w = b.w1
+    JOIN uni u2 ON u2.w = b.w2
+    CROSS JOIN n CROSS JOIN nb
+    ORDER BY lift DESC, b.w1, b.w2
+    LIMIT {_PMI_TOPK}
+    """
+
+
+@query(
+    "collocation_pmi_topk",
+    _pmi_sql(),
+    doc="Collocation extraction by pointwise-mutual-information LIFT "
+    "(p(ab)/(p(a)p(b)) — same ranking as PMI, exp/log-free so the "
+    "hashed double is one CR multiply/divide chain, identical in any "
+    f"engine): top-{_PMI_TOPK} adjacent word pairs with support ≥ "
+    f"{_PMI_MIN_SUPPORT}. The min-support floor is the standard "
+    "guard against rare-pair PMI blowup. One token-stream pass for "
+    "unigrams + one windowed pair extract for bigrams, then a "
+    "vocab-sized join — phrase mining / multi-word-expression "
+    "detection for tokenizer and stopword curation.",
+)
+def q_collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    toks = d.select(tokens("text").alias("ws"))
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_w"))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("ws"), i + 1).alias("w1"),
+                    F.element_at(F.col("ws"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_SUPPORT)
+    )
+    n_uni = uni.agg(F.sum("c_w").cast("long").alias("n_uni"))
+    n_bi = bi.agg(F.sum("c_ab").cast("long").alias("n_bi"))
+    lift = (
+        F.col("c_ab").cast("double")
+        * (F.col("n_uni").cast("double") * F.col("n_uni").cast("double"))
+        / (
+            F.col("n_bi").cast("double")
+            * (F.col("u1.c_w").cast("double") * F.col("u2.c_w").cast("double"))
+        )
+    )
+    out = (
+        bi.alias("b")
+        .join(F.broadcast(uni.alias("u1")), F.col("b.w1") == F.col("u1.w"))
+        .join(F.broadcast(uni.alias("u2")), F.col("b.w2") == F.col("u2.w"))
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select("b.w1", "b.w2", "b.c_ab", lift.alias("lift"))
+    )
+    return out.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2")).limit(_PMI_TOPK)

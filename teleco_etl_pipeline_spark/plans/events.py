@@ -1028,3 +1028,98 @@ def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev").cast("double"), 2).alias("cohort_revenue"),
         F.round(F.sum("rev").over(w).cast("double"), 2).alias("cumulative_ltv"),
     ).orderBy("cohort_week", "weeks_since")
+
+
+# --- sequence-pattern matching (MATCH_RECOGNIZE emulation) ------------------
+
+_SEQ_CODES = [
+    ("click", "c"),
+    ("error", "e"),
+    ("purchase", "p"),
+    ("signup", "s"),
+    ("view", "v"),
+]
+_SEQ_PATTERNS = [
+    # (label, RE2/Java-common regex over the per-user code string)
+    ("signup_then_purchase", "s.*p"),
+    ("clean_conversion", "s[^e]*p"),
+    ("error_then_recovered", "e.*p"),
+    ("view_only", "^v+$"),
+]
+
+
+def _seq_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN event_type = '{t}' THEN '{c}'" for t, c in _SEQ_CODES
+    )
+    return f"CASE {whens} ELSE '?' END"
+
+
+@query(
+    "event_sequence_patterns",
+    f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg({_seq_case_sql()}, '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    ),
+    f AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        {", ".join(
+            f"CAST(SUM(CASE WHEN regexp_matches(s, '{rx}') THEN 1 ELSE 0 END) AS BIGINT) AS m{i}"
+            for i, (_lbl, rx) in enumerate(_SEQ_PATTERNS)
+        )}
+      FROM seq
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{lbl}' AS pattern, '{rx}' AS regex, m{i} AS n_users_matching, n_users FROM f"
+        for i, (lbl, rx) in enumerate(_SEQ_PATTERNS)
+    )}
+    ORDER BY pattern
+    """,
+    doc="MATCH_RECOGNIZE-style sequence-pattern analytics: each "
+    "user's event history becomes a 1-char-per-event code string in "
+    "total (ts, event_id) order, and funnel/journey classes are "
+    "plain regexes over it — ordered conversion (s.*p), "
+    "error-free conversion (s[^e]*p — a NOT-BETWEEN constraint no "
+    "join formulation expresses cheaply), error recovery, "
+    "bounce (^v+$). One groupBy(user) shuffle builds every "
+    "sequence; patterns are RE2/Java-common (no lookaround). The "
+    "per-user string is bounded by history length — at 100 TB, cap "
+    "with a trailing window or sessionize first (events_sessionize) "
+    "so state stays bounded.",
+)
+def q_event_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    code = None
+    for t, c in _SEQ_CODES:
+        code = (
+            F.when(F.col("event_type") == t, F.lit(c))
+            if code is None
+            else code.when(F.col("event_type") == t, F.lit(c))
+        )
+    code = code.otherwise(F.lit("?"))
+    seq = (
+        ev.select("user_id", F.struct("ts", "event_id", code.alias("code")).alias("x"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("x")), lambda s: s["code"]),
+                "",
+            ).alias("s")
+        )
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_users")] + [
+        F.sum(F.col("s").rlike(rx).cast("long")).cast("long").alias(f"m{i}")
+        for i, (_lbl, rx) in enumerate(_SEQ_PATTERNS)
+    ]
+    f = seq.agg(*aggs)
+    stack = ", ".join(
+        f"'{lbl}', '{rx.replace(chr(39), chr(39)*2)}', m{i}"
+        for i, (lbl, rx) in enumerate(_SEQ_PATTERNS)
+    )
+    return f.selectExpr(
+        "n_users",
+        f"stack({len(_SEQ_PATTERNS)}, {stack}) AS (pattern, regex, n_users_matching)",
+    ).select("pattern", "regex", "n_users_matching", "n_users").orderBy("pattern")

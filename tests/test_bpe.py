@@ -98,3 +98,36 @@ def test_bpe_on_corpus_matches_python(spark, sf_dir):
         ).collect()
     ]
     _check_against_python(rows, texts)
+
+
+def test_bpe_encode_docs_matches_python(spark, sf_dir):
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        pytest.skip("harness testdata absent")
+    from teleco_etl_pipeline_spark.operators.bpe import q_bpe_encode_docs
+
+    got = {r["doc_id"]: r for r in q_bpe_encode_docs(spark, sf_dir).collect()}
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).collect()
+    word_freq = Counter(
+        w for r in docs for w in r["text"].strip().split() if w and "|" not in w
+    )
+    _merges, _ = _python_bpe(word_freq, _N_MERGES)
+    # re-apply the learned merges to get per-word token counts
+    vocab = {w: list(w) for w in word_freq}
+    for (a, b), _c in _merges:
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    for r in docs:
+        words = [w for w in r["text"].strip().split() if w and "|" not in w]
+        row = got[r["doc_id"]]
+        assert row["n_words"] == len(words)
+        assert row["n_chars"] == sum(len(w) for w in words)
+        assert row["n_bpe_tokens"] == sum(len(vocab[w]) for w in words)
+        assert row["n_bpe_tokens"] <= row["n_chars"]  # merges only shrink

@@ -75,3 +75,40 @@ def test_current_vintage_is_noop_ntz(hostile_tz, tmp_path):
     df = load_table(spark, str(tmp_path), "events")
     assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
     assert df.collect()[0].ts == _WALL
+
+
+def test_event_sequence_patterns_matches_pure_python(spark, sf_dir):
+    """Sequence-pattern counts vs a Python re replay over the same
+    totally-ordered (ts, event_id) per-user code strings."""
+    import os
+    import re as _re
+    from collections import defaultdict
+
+    import pytest as _pytest
+
+    if not os.path.exists(os.path.join(sf_dir, "events.parquet")):
+        _pytest.skip("harness testdata absent")
+    from teleco_etl_pipeline_spark.plans.events import (
+        _SEQ_CODES,
+        _SEQ_PATTERNS,
+        q_event_sequence_patterns,
+    )
+
+    got = {r["pattern"]: r for r in q_event_sequence_patterns(spark, sf_dir).collect()}
+    code = dict(_SEQ_CODES)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).collect()
+    seqs = defaultdict(list)
+    for r in ev:
+        seqs[r["user_id"]].append((r["ts"], r["event_id"], code.get(r["event_type"], "?")))
+    strings = ["".join(c for _t, _i, c in sorted(v)) for v in seqs.values()]
+    for lbl, rx in _SEQ_PATTERNS:
+        row = got[lbl]
+        want = sum(1 for s in strings if _re.search(rx, s))
+        assert row["n_users_matching"] == want
+        assert row["n_users"] == len(strings)
+        assert row["regex"] == rx
+    # clean conversions are a subset of ordered conversions
+    assert (
+        got["clean_conversion"]["n_users_matching"]
+        <= got["signup_then_purchase"]["n_users_matching"]
+    )

@@ -303,3 +303,49 @@ def test_sparse_tfidf_weight_sums_within_exact_int64_budget(spark, sf_dir):
     # 2^63 with three orders of magnitude of headroom; the WHOLE
     # corpus' Σw² bounds any per-doc Σw².
     assert max_den < 2**63 / 1000
+
+
+def test_collocation_pmi_matches_pure_python(spark, sf_dir):
+    import os
+    from collections import Counter
+
+    import pytest as _pytest
+
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        _pytest.skip("harness testdata absent")
+    from teleco_etl_pipeline_spark.operators.freq import (
+        _PMI_MIN_SUPPORT,
+        _PMI_TOPK,
+        q_collocation_pmi_topk,
+    )
+
+    got = [
+        (r["w1"], r["w2"], r["c_ab"], r["lift"])
+        for r in q_collocation_pmi_topk(spark, sf_dir).collect()
+    ]
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).collect()
+    uni, bi = Counter(), Counter()
+    for r in docs:
+        ws = r["text"].strip().split()
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    n_uni = sum(uni.values())
+    n_bi = sum(c for c in bi.values() if True)
+    kept = {p: c for p, c in bi.items() if c >= _PMI_MIN_SUPPORT}
+    n_bi = sum(kept.values())
+    want = sorted(
+        (
+            (
+                w1,
+                w2,
+                c,
+                float(c) * (float(n_uni) * float(n_uni))
+                / (float(n_bi) * (float(uni[w1]) * float(uni[w2]))),
+            )
+            for (w1, w2), c in kept.items()
+        ),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )[:_PMI_TOPK]
+    assert got == want
+    # lift of a true collocation beats independence (lift > 1)
+    assert all(t[3] > 1.0 for t in got)

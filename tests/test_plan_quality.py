@@ -62,6 +62,9 @@ SCALAR_BROADCASTS = {
     # shape) + the 3-quantile × 256-bin CDF range probe — both
     # constant-bounded products
     "histogram_quantile_sketch",
+    # the 1-row total-token and total-bigram counts broadcast onto
+    # the (supported-pair)-sized lift projection — |pairs| × 1
+    "collocation_pmi_topk",
 }
 
 
@@ -426,5 +429,49 @@ def test_winsorize_bounds_are_scalar_subqueries_not_nlj(spark, sf_dir):
     df = all_queries()["price_winsorize_report"].build(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Subquery subquery" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_scan_prunes_to_key_column(spark, sf_dir):
+    """The count-min build must read ONLY the sketched key from the
+    16-column fact table, and probe via broadcast joins."""
+    plan = _plan(spark, sf_dir, "cms_frequency_estimates")
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_partkey" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_profile_is_one_scan_one_expand(spark, sf_dir):
+    """The column profiler must be a single scan with ONE Expand for
+    the multi-distinct — not N per-column scans."""
+    plan = _plan(spark, sf_dir, "orders_column_profile")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Expand") == 1
+
+
+def test_fk_integrity_broadcasts_every_dim(spark, sf_dir):
+    """All 7 FK edges must probe via broadcast joins of the distinct
+    parent keys — no shuffle join anywhere in the sweep."""
+    plan = _plan(spark, sf_dir, "fk_integrity_report")
+    assert plan.count("BroadcastHashJoin") == 7
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_triangle_join_has_no_shuffle_explosion_markers(spark, sf_dir):
+    """Triangle enumeration is equi-joins only (wedge closes on an
+    equality of oriented edges) — no theta join may appear."""
+    plan = _plan(spark, sf_dir, "supplier_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_encode_vocab_join_broadcasts(spark, sf_dir):
+    """Tokenizer application joins the doc token stream against the
+    vocab-sized word→token-count table — the vocab side must hash-join
+    (broadcast at this scale), never nested-loop."""
+    plan = _plan(spark, sf_dir, "bpe_encode_docs")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
