@@ -162,6 +162,12 @@ BENCH_QUERIES = [
     "bpe_encode_docs",          # trained-tokenizer encode (vocab broadcast)
     "collocation_pmi_topk",     # PMI-lift phrase mining
     "event_sequence_patterns",  # regex journey classes over code strings
+    "part_price_skyline",       # O(n log n) Pareto-frontier sweep
+    "mannwhitney_priority",     # global rank window + tie-corrected U/z
+    "segment_gini_spend",       # per-segment sort window + DECIMAL(38) sums
+    "daily_revenue_acf",        # day-grain lag joins, 7 lags one pass
+    "priority_view_refresh",    # CDC delta algebra incremental MV refresh
+    "revenue_seasonal_decompose",  # month-grain 2x12 MA decomposition
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

