@@ -96,6 +96,15 @@ QUERIES = [
     "bpe_learn_merges",
     # manifest-pruned selective scan (files read, not rows)
     "lineitem_pruned_window",
+    # rank statistics: global/per-group sort windows (ORDER BY class)
+    "mannwhitney_priority",
+    "segment_gini_spend",
+    "ks_priority_totalprice",
+    # incremental MV refresh: cost ∝ churn (fingerprint shuffle) not size
+    "priority_view_refresh",
+    # day/month-grain screens: fact scan dominates, windows are trivia
+    "daily_revenue_acf",
+    "part_price_skyline",
 ]
 
 

@@ -411,3 +411,158 @@ def q_supplier_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _kcore_body(_KCORE_K, _KCORE_ITERS).strip()
     )
     return spark.sql(sql, edges=edges)
+
+
+# --- multi-source BFS: hop-distance levels over the trade graph -------------
+#
+# Completes the traversal family (CC = undirected reachability,
+# PageRank = weighted importance, triangles/k-core = local density):
+# BFS levels answer "how far is everything from THIS seed set" —
+# blast-radius / exposure analysis (which suppliers are 1 hop from a
+# sanctioned nation's customers, which customers 2 hops). Unrolled
+# _BFS_HOPS rounds, one edge-join + anti-join per round (frontier
+# expansion minus visited), fully declarative like the PageRank
+# unroll — no driver-side loop.
+#
+# Scale (100 TB): each round shuffles |frontier ⋈ edges| rows on the
+# node key; with the edge list bucketed by src the join is
+# co-located. The visited set rides along as a distinct-union —
+# growth is bounded by reachable-node count, not edge count.
+# Determinism: keys and counts only, no float anywhere.
+
+_BFS_HOPS = 3
+_BFS_NATION = 1
+
+_BFS_SQL_DUCK = f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT concat('C', CAST(c AS VARCHAR)) AS src,
+             concat('S', CAST(s AS VARCHAR)) AS dst
+      FROM pairs
+      UNION ALL
+      SELECT concat('S', CAST(s AS VARCHAR)), concat('C', CAST(c AS VARCHAR))
+      FROM pairs
+    ),
+    l0 AS (
+      SELECT DISTINCT concat('C', CAST(c_custkey AS VARCHAR)) AS node
+      FROM customer WHERE c_nationkey = {_BFS_NATION}
+    ),
+    v0 AS (SELECT node FROM l0),
+    l1 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e
+      JOIN l0 ON e.src = l0.node
+      WHERE NOT EXISTS (SELECT 1 FROM v0 WHERE v0.node = e.dst)
+    ),
+    v1 AS (SELECT node FROM v0 UNION SELECT node FROM l1),
+    l2 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e
+      JOIN l1 ON e.src = l1.node
+      WHERE NOT EXISTS (SELECT 1 FROM v1 WHERE v1.node = e.dst)
+    ),
+    v2 AS (SELECT node FROM v1 UNION SELECT node FROM l2),
+    l3 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e
+      JOIN l2 ON e.src = l2.node
+      WHERE NOT EXISTS (SELECT 1 FROM v2 WHERE v2.node = e.dst)
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(COALESCE(SUM(CASE WHEN node LIKE 'C%' THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_customers,
+             CAST(COALESCE(SUM(CASE WHEN node LIKE 'S%' THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_suppliers
+      FROM l0
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN node LIKE 'C%' THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN node LIKE 'S%' THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM l1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN node LIKE 'C%' THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN node LIKE 'S%' THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM l2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN node LIKE 'C%' THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN node LIKE 'S%' THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM l3
+    ) t ORDER BY level
+"""
+
+
+@query(
+    "trade_graph_bfs_levels",
+    _BFS_SQL_DUCK,
+    doc="Multi-source BFS hop-distance levels over the bidirectional "
+    "customer↔supplier trade graph: seeds = every customer of one "
+    "nation, levels 0-3 = exposure rings (suppliers one hop out, "
+    "their other customers two hops, ...). Unrolled frontier "
+    "expansion — per round one edge equi-join + one anti-join "
+    "against the visited set, the declarative Pregel round; counts "
+    "split by node class. No float anywhere; the traversal-family "
+    "complement to CC/PageRank/triangles/k-core.",
+)
+def q_trade_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    edges = pairs.selectExpr(
+        "concat('C', CAST(o_custkey AS STRING)) AS src",
+        "concat('S', CAST(l_suppkey AS STRING)) AS dst",
+    ).unionAll(
+        pairs.selectExpr(
+            "concat('S', CAST(l_suppkey AS STRING)) AS src",
+            "concat('C', CAST(o_custkey AS STRING)) AS dst",
+        )
+    )
+    # Same lifetime contract as the PageRank edge cache: the edge
+    # list feeds one join per BFS round; released by the suite
+    # runner's clearCache().
+    edges = edges.cache()
+    frontier = (
+        cust.filter(F.col("c_nationkey") == _BFS_NATION)
+        .selectExpr("concat('C', CAST(c_custkey AS STRING)) AS node")
+        .distinct()
+    )
+    levels = [frontier]
+    visited = frontier
+    for _ in range(_BFS_HOPS):
+        nxt = (
+            edges.join(levels[-1], edges["src"] == levels[-1]["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["node"], "left_anti")
+        )
+        levels.append(nxt)
+        visited = visited.unionByName(nxt).distinct()
+    counts = None
+    for lvl, nodes in enumerate(levels):
+        c = nodes.agg(
+            F.lit(lvl).cast("long").alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.coalesce(
+                F.sum(F.when(F.col("node").startswith("C"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_customers"),
+            F.coalesce(
+                F.sum(F.when(F.col("node").startswith("S"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_suppliers"),
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts.orderBy("level")

@@ -649,3 +649,76 @@ def q_revenue_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "revenue_theilsen_trend",
+    """
+    WITH monthly AS (
+      SELECT DATE_TRUNC('month', o_orderdate) AS month,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY month) AS i FROM monthly
+    ),
+    slopes AS (
+      SELECT CAST(b.cents - a.cents AS DOUBLE) / (b.i - a.i) AS slope
+      FROM seq a JOIN seq b ON b.i > a.i
+    ),
+    ranked AS (
+      SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS r,
+             COUNT(*) OVER () AS n
+      FROM slopes
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+           ROUND((MAX(CASE WHEN r = (n + 1) // 2 THEN slope END)
+                  + MAX(CASE WHEN r = (n + 2) // 2 THEN slope END)) / 2
+                 + 1e-9, 4) AS sen_slope_cents
+    FROM ranked
+    """,
+    doc="Theil-Sen robust trend of monthly revenue: the median of "
+    "all pairwise slopes — immune to up to ~29% outlier months, "
+    "where the OLS slope (corpus_zipf_slope machinery) is not. Each "
+    "slope is ONE correctly-rounded divide of exact integer cents "
+    "by an integer month gap, so every slope double is bit-identical "
+    "cross-engine and the median (exact middle ranks, averaged for "
+    "even n) is deterministic. The pair set is month-grain: bounded "
+    "by the calendar span squared (~3.4k pairs for 83 months) at ANY "
+    "scale factor — the fact-table aggregate is the only data-sized "
+    "stage.",
+)
+def q_revenue_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.sum(_cents("o_totalprice")).alias("cents"))
+    seq = monthly.select(
+        "cents", F.row_number().over(Window.orderBy("month")).alias("i")
+    )
+    a, b = seq.alias("a"), seq.alias("b")
+    slopes = a.join(b, F.col("b.i") > F.col("a.i")).select(
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.i") - F.col("a.i"))
+        ).alias("slope")
+    )
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(Window.orderBy("slope")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("(n + 2) div 2")
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.round(
+            (
+                F.max(F.when(F.col("r") == lo, F.col("slope")))
+                + F.max(F.when(F.col("r") == hi, F.col("slope")))
+            )
+            / 2
+            + F.lit(1e-9),
+            4,
+        ).alias("sen_slope_cents"),
+    )

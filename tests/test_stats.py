@@ -185,3 +185,36 @@ def test_incremental_refresh_equals_full_recompute(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, expect.collect())
     )
+
+
+def test_theilsen_robust_to_outlier(spark):
+    # Linear series y = 5x with one wild outlier: OLS slope is pulled
+    # far off, the pairwise-slope median stays ~5.
+    pts = [(i, 5 * i if i != 10 else 100000) for i in range(1, 21)]
+    df = spark.createDataFrame(pts, ["i", "y"])
+    a, b = df.alias("a"), df.alias("b")
+    slopes = a.join(b, F.col("b.i") > F.col("a.i")).select(
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.i") - F.col("a.i"))
+        ).alias("slope")
+    )
+    vals = sorted(r.slope for r in slopes.collect())
+    n = len(vals)
+    med = (vals[(n - 1) // 2] + vals[n // 2]) / 2
+    assert abs(med - 5.0) < 1e-9
+
+
+def test_bfs_levels_partition_reachable_set(spark, sf_dir):
+    # Levels are disjoint by construction; on the bipartite trade
+    # graph even levels are all customers, odd levels all suppliers.
+    q = all_queries()["trade_graph_bfs_levels"]
+    rows = q.build(spark, sf_dir).collect()
+    assert [r.level for r in rows] == [0, 1, 2, 3]
+    for r in rows:
+        assert r.n_nodes == r.n_customers + r.n_suppliers
+        if r.level % 2 == 0:
+            assert r.n_suppliers == 0
+        else:
+            assert r.n_customers == 0
+    assert rows[0].n_nodes > 0
