@@ -99,6 +99,26 @@ _RECORD_ORDER = [
     "doc_repetition_stats",
     "doc_stratified_sample",
     "embedding_lsh_pairs",
+    # session-new round-8 operators (never driver-recorded — the
+    # weakest evidence class, so they take the remaining slots over
+    # r4-vintage greens that already hold driver rows + current-
+    # vintage exact-bit parity)
+    "part_price_skyline",
+    "mannwhitney_priority",
+    "segment_gini_spend",
+    "ks_priority_totalprice",
+    "daily_revenue_acf",
+    "orders_cusum_shift",
+    "revenue_seasonal_decompose",
+    "priority_view_refresh",
+    "trade_graph_bfs_levels",
+    "revenue_theilsen_trend",
+]
+# Past-window ordering if the driver ever widens its window: stalest
+# evidence first — the three r4-vintage queries the 50-slot window
+# could not fit, then r5/r6/r7-vintage greens (freshest last). True
+# sketches without oracles sort last (tier 3 in queries()).
+_RECORD_LAST = [
     "embedding_neardup",
     "embedding_topk",
     "expr_key_join",
@@ -109,12 +129,6 @@ _RECORD_ORDER = [
     "linestatus_priority_matrix",
     "market_share",
     "multimodal_frame_sample",
-]
-# Past-window ordering if the driver ever widens its window: stalest
-# evidence first — the three r4-vintage queries the 50-slot window
-# could not fit, then r5/r6/r7-vintage greens (freshest last). True
-# sketches without oracles sort last (tier 3 in queries()).
-_RECORD_LAST = [
     "nation_balance_share",
     "nation_volume_shipping",
     "neardup_clusters",
