@@ -196,8 +196,14 @@ def main() -> None:
     for name in BENCH_QUERIES:
         best = float("inf")
         for _ in range(2):
-            df = registry[name].build(spark, sf_dir)
+            # Time build() + action together: iterative operators
+            # (pagerank's edge-cache fill, k-core's per-round
+            # localCheckpoint supersteps) legitimately materialize
+            # work at build time, and timing only the final action
+            # would under-report them. For the lazy majority build()
+            # is pure plan construction (milliseconds of Python).
             t0 = time.perf_counter()
+            df = registry[name].build(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
