@@ -96,64 +96,97 @@ def _duck_sql(k: int, topk: int) -> str:
     """
 
 
-def _spark_sql(k: int, topk: int) -> str:
-    """Structural twin of ``_duck_sql`` in Spark SQL: unnest→explode,
-    list comprehension→transform(sequence), string_split→split with
-    an escaped regex, trim(x,'|')→trim(BOTH '|' FROM x)."""
-    ctes = []
-    prev = "e0"
-    for i in range(1, k + 1):
-        ctes.append(
-            f"""
-    p{i} AS (
-      SELECT pair, CAST(SUM(freq) AS BIGINT) AS c FROM (
-        SELECT explode(transform(sequence(1, size(s)-1),
-                 j -> '|'||element_at(s,j)||'||'||element_at(s,j+1)||'|')) AS pair,
-               freq
-        FROM (SELECT split(trim(BOTH '|' FROM enc), '\\\\|\\\\|') AS s, freq
-              FROM {prev}) t{i}
-        WHERE size(s) >= 2
-      ) pp{i} GROUP BY pair
-    ),
-    m{i} AS (SELECT pair, c FROM p{i} ORDER BY c DESC, pair LIMIT 1),
-    e{i} AS (
-      SELECT w, replace(enc, (SELECT pair FROM m{i}),
-                     '|'||replace((SELECT pair FROM m{i}),'|','')||'|') AS enc, freq
-      FROM {prev}
-    )"""
-        )
-        prev = f"e{i}"
-    merges = "\n    UNION ALL ".join(
-        f"SELECT 'merge' AS kind, CAST({i} AS BIGINT) AS rank, "
-        f"replace(pair,'|','') AS item, c AS weight FROM m{i}"
-        for i in range(1, k + 1)
-    )
-    return f"""
-    WITH wf AS (
-      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-        SELECT explode(split(trim(text), '\\\\s+')) AS w FROM {{documents}}
-      ) ww WHERE length(w) >= 1 AND w NOT LIKE '%|%' GROUP BY w
-    ),
-    e0 AS (
-      SELECT w, '|' || regexp_replace(w, '(.)', '$1||') || '|' AS enc, freq
-      FROM wf
-    ),{",".join(ctes)},
-    vocab AS (
-      SELECT tok, CAST(SUM(freq) AS BIGINT) AS c FROM (
-        SELECT explode(split(trim(BOTH '|' FROM enc), '\\\\|\\\\|')) AS tok, freq
-        FROM {prev}
-      ) v GROUP BY tok
-    ),
-    topv AS (
-      SELECT 'token' AS kind,
-             CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rank,
-             tok AS item, c AS weight
-      FROM vocab ORDER BY c DESC, tok LIMIT {topk}
-    )
-    {merges}
-    UNION ALL SELECT * FROM topv
-    ORDER BY kind, rank
+def _train(spark: SparkSession, documents: DataFrame, k: int):
+    """Materialized BPE trainer: the engine-side twin of ``_duck_sql``
+    with each round's vocab encoding CHECKPOINTED and the argmax pair
+    baked as a literal (the IVF fit-at-build precedent).
+
+    The SQL spelling chains e0→…→eK through CTEs that Spark inlines;
+    every m{i} argmax scalar is referenced 3x and each reference
+    re-derives the whole upstream chain — measured ~40 recomputations
+    of the corpus tokenization at K=3 (3.7 s at sf0.1 vs 1.3 s
+    here). The vocab frame is megabytes at any corpus size, so the
+    per-round checkpoint is the textbook trainer's working set, and
+    the single corpus-sized pass is the word-frequency aggregate.
+
+    Returns (enc, merges): the final word→(enc, freq) frame and
+    [(rank, merged_token, pair_spelling, count)].
     """
+    from pyspark.sql import functions as F
+
+    words = documents.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).filter((F.length("w") >= 1) & (~F.col("w").like("%|%")))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    enc = wf.select(
+        "w",
+        F.concat(
+            F.lit("|"), F.regexp_replace("w", "(.)", "$1||"), F.lit("|")
+        ).alias("enc"),
+        "freq",
+    ).localCheckpoint(eager=True)
+    merges = []
+    for i in range(1, k + 1):
+        t = enc.select(
+            F.split(F.expr("trim(BOTH '|' FROM enc)"), r"\|\|").alias("s"),
+            "freq",
+        ).filter(F.size("s") >= 2)
+        pc = t.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1), "
+                    "j -> '|' || element_at(s, j) || '||' "
+                    "|| element_at(s, j + 1) || '|')"
+                )
+            ).alias("pair"),
+            "freq",
+        ).groupBy("pair").agg(F.sum("freq").cast("long").alias("c"))
+        best = pc.orderBy(F.col("c").desc(), "pair").first()
+        if best is None:  # vocab fully merged — mirrors the textbook stop
+            break
+        pair, c = best["pair"], best["c"]
+        merged = pair.replace("|", "")
+        merges.append((i, merged, pair, c))
+        enc = enc.select(
+            "w",
+            F.replace(
+                F.col("enc"), F.lit(pair), F.lit("|" + merged + "|")
+            ).alias("enc"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return enc, merges
+
+
+def bpe_learn_frame(spark: SparkSession, documents: DataFrame) -> DataFrame:
+    """The learn query's result frame for an arbitrary documents(text)
+    input: learned merge table + top post-merge vocabulary tokens."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    enc, merges = _train(spark, documents, _N_MERGES)
+    vocab = enc.select(
+        F.explode(
+            F.split(F.expr("trim(BOTH '|' FROM enc)"), r"\|\|")
+        ).alias("tok"),
+        "freq",
+    ).groupBy("tok").agg(F.sum("freq").cast("long").alias("c"))
+    topv = (
+        vocab.select(
+            F.lit("token").alias("kind"),
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "tok"))
+            .cast("long")
+            .alias("rank"),
+            F.col("tok").alias("item"),
+            F.col("c").alias("weight"),
+        )
+        .filter(F.col("rank") <= _TOP_TOKENS)
+    )
+    mrows = spark.createDataFrame(
+        [("merge", i, merged, c) for i, merged, _pair, c in merges],
+        schema="kind string, rank bigint, item string, weight bigint",
+    )
+    return mrows.unionByName(topv).orderBy("kind", "rank")
 
 
 @query(
@@ -172,7 +205,7 @@ def _spark_sql(k: int, topk: int) -> str:
 )
 def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("text")
-    return spark.sql(_spark_sql(_N_MERGES, _TOP_TOKENS), documents=d)
+    return bpe_learn_frame(spark, d)
 
 
 def _encode_chain(dialect_sql, k: int) -> str:
@@ -209,30 +242,6 @@ def _encode_finisher_duck(k: int) -> str:
     """
 
 
-def _encode_finisher_spark(k: int) -> str:
-    return f""",
-    wordtok AS (
-      SELECT w,
-             CAST(size(split(trim(BOTH '|' FROM enc), '\\\\|\\\\|')) AS BIGINT) AS n_tok,
-             CAST(length(w) AS BIGINT) AS n_sym
-      FROM e{k}
-    ),
-    doctok AS (
-      SELECT doc_id, w FROM (
-        SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS w
-        FROM {{documents}}
-      ) dt WHERE length(w) >= 1 AND w NOT LIKE '%|%'
-    )
-    SELECT d.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_words,
-           CAST(SUM(t.n_sym) AS BIGINT) AS n_chars,
-           CAST(SUM(t.n_tok) AS BIGINT) AS n_bpe_tokens
-    FROM doctok d JOIN wordtok t ON d.w = t.w
-    GROUP BY d.doc_id
-    ORDER BY d.doc_id
-    """
-
-
 @query(
     "bpe_encode_docs",
     _encode_chain(_duck_sql, _N_MERGES) + _encode_finisher_duck(_N_MERGES),
@@ -247,6 +256,28 @@ def _encode_finisher_spark(k: int) -> str:
     "n_bpe_tokens is the compression the merges bought.",
 )
 def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sql = _encode_chain(_spark_sql, _N_MERGES) + _encode_finisher_spark(_N_MERGES)
-    return spark.sql(sql, documents=d)
+    enc, _merges = _train(spark, d.select("text"), _N_MERGES)
+    wordtok = enc.select(
+        "w",
+        F.size(F.split(F.expr("trim(BOTH '|' FROM enc)"), r"\|\|"))
+        .cast("long")
+        .alias("n_tok"),
+        F.length("w").cast("long").alias("n_sym"),
+    )
+    doctok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    ).filter((F.length("w") >= 1) & (~F.col("w").like("%|%")))
+    return (
+        doctok.join(F.broadcast(wordtok), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_chars"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -13,7 +13,7 @@ import pytest
 from teleco_etl_pipeline_spark.operators.bpe import (
     _N_MERGES,
     _TOP_TOKENS,
-    _spark_sql,
+    bpe_learn_frame,
     q_bpe_learn_merges,
 )
 
@@ -54,7 +54,7 @@ def _python_bpe(word_freq, n_merges):
 
 def _run_query_on_texts(spark, texts):
     d = spark.createDataFrame([(t,) for t in texts], "text string")
-    return spark.sql(_spark_sql(_N_MERGES, _TOP_TOKENS), documents=d).collect()
+    return bpe_learn_frame(spark, d).collect()
 
 
 def _check_against_python(rows, texts):
