@@ -195,49 +195,47 @@ def q_trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         pairs.selectExpr("2 * l_suppkey + 1 AS src", "2 * o_custkey AS dst")
     )
-    # The edge list feeds every iteration's join plus outdeg/nodes/n;
-    # uncached, the lineitem⋈orders distinct would re-execute per
-    # reference. Same LIFETIME contract as the PPJoin caches: lazy
-    # plan, released by the suite runner's clearCache() between
-    # queries (bench.py does), MEMORY_AND_DISK so worst case is
-    # recompute, never OOM. On a real cluster, write the edge list
-    # bucketed by the node key instead and every iteration join is
-    # co-located.
-    edges = edges.cache()
-    # Node count fixed at build time (one bounded scalar aggregate —
-    # the IVF/PQ "fit at build, bake as literal" precedent); it also
-    # fills the edge cache so every iteration joins against memory.
-    n = edges.select("src").distinct().count()
-    base = ((_D_DEN - _D_NUM) * _SCALE) // (_D_DEN * n)
-    r0_units = _SCALE // n
-    # Materialized supersteps (the k-core lesson): outdeg is computed
-    # ONCE and each iteration's rank vector is checkpointed, so the
-    # unrolled chain never re-derives outdeg (the SQL spelling
-    # recomputes it per iteration under CTE inlining) and the rank
-    # lineage stays one superstep deep. Arithmetic is the exact
+    # The raw edge list is scanned twice (outdeg, wedges) before the
+    # iterations take over the materialized wedges — checkpoint it so
+    # the lineitem⋈orders distinct runs once. On a real cluster,
+    # write the edge list bucketed by the node key instead and every
+    # iteration join is co-located.
+    edges = edges.localCheckpoint(eager=True)
+    # Materialized supersteps (the k-core lesson), with the out-degree
+    # FOLDED INTO THE EDGE LIST once up front: the per-iteration
+    # rank⋈outdeg join of the naive spelling is redundant because
+    # contrib = rank div outdeg distributes over the edge join — each
+    # (src, dst, outdeg) row computes it after the single rank⋈edges
+    # join, the same exact integer per src either way. That turns
+    # every superstep into ONE equi-join + one partial-aggregated
+    # groupBy (down from two joins), and the weighted edge list is
+    # checkpointed so iterations scan materialized rows, not the
+    # lineitem⋈orders lineage. The node set and count both come from
+    # outdeg (the graph is symmetric, so every node appears as src) —
+    # no separate distinct+count jobs. Arithmetic is the exact
     # integer sequence of the oracle: contrib = rank div outdeg,
     # rank' = base + (d_num * sum(contrib)) div d_den.
     outdeg = (
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ).localCheckpoint(eager=True)
-    rank = (
-        edges.select("src")
-        .distinct()
-        .select(
-            F.col("src").alias("node"),
-            F.lit(r0_units).cast("long").alias("rank_units"),
-        )
+    n = outdeg.count()
+    base = ((_D_DEN - _D_NUM) * _SCALE) // (_D_DEN * n)
+    r0_units = _SCALE // n
+    wedges = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", "outdeg")
         .localCheckpoint(eager=True)
     )
+    rank = outdeg.select(
+        F.col("src").alias("node"),
+        F.lit(r0_units).cast("long").alias("rank_units"),
+    ).localCheckpoint(eager=True)
     for _ in range(_ITERS):
-        contrib = rank.join(
-            outdeg, rank["node"] == outdeg["src"]
-        ).select(
-            F.col("node").alias("cnode"),
-            F.expr("rank_units div outdeg").alias("contrib"),
-        )
         rank = (
-            edges.join(contrib, edges["src"] == contrib["cnode"])
+            wedges.join(rank, wedges["src"] == rank["node"])
+            .select(
+                "dst", F.expr("rank_units div outdeg").alias("contrib")
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 (
@@ -718,3 +716,156 @@ def q_trade_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         counts = c if counts is None else counts.unionByName(c)
     return counts.orderBy("level")
+
+
+# --- HITS hubs & authorities over the directed trade graph ------------------
+#
+# PageRank ranks nodes of the SYMMETRIZED trade graph by recursive
+# importance; HITS (Kleinberg, JACM'99 "Authoritative sources in a
+# hyperlinked environment") keeps the bipartite DIRECTION and
+# produces two coupled scores — customers as HUBS (a good hub buys
+# from good authorities) and suppliers as AUTHORITIES (a good
+# authority is bought from by good hubs) — the mutual-reinforcement
+# recurrence a = Eᵀh, h = Ea with per-step normalization.
+#
+# Cross-engine determinism: all integer. Scores live in micro-units
+# (SCALE = 10^6); the per-step normalization is a DIVISION by the
+# scalar (total div SCALE) — never `raw * SCALE div total`, whose
+# multiply overflows int64 once raws pass ~9e12. Here every value is
+# produced by ADDITION of previously-normalized units (bounded by
+# their global sum) plus one floor-divide, so the largest integer
+# ever formed is Σraw = E·SCALE on the first superstep — int64-safe
+# to ~9·10^12 edges (documented bound, far past any TPC-H SF).
+# Floor division on all-positive values is identical in Spark
+# (`div`) and DuckDB (`//`).
+#
+# Scale (100 TB): identical shuffle shape to PageRank — per
+# iteration one edge⋈score equi-join + one partial-aggregated
+# groupBy; the normalizing scalar is a 1-row broadcast. Unit
+# resolution degrades as E/SCALE (a node below total/SCALE units
+# floors to 0) — acceptable for the top-k screen this reports;
+# raise SCALE toward 10^9 (bound: E·SCALE < 2^63) when absolute
+# small-node scores matter.
+
+_HITS_SCALE = 10**6
+_HITS_ITERS = 2
+_HITS_TOPK = 10
+
+
+def _hits_oracle() -> str:
+    s = _HITS_SCALE
+    steps = []
+    prev_h = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        steps.append(
+            f"""a{i}r AS (
+      SELECT s, SUM(h) AS r FROM pairs JOIN {prev_h} USING (c) GROUP BY s
+    ),
+    a{i} AS (
+      SELECT s, r // GREATEST(1, (SELECT SUM(r) FROM a{i}r) // {s}) AS a
+      FROM a{i}r
+    ),
+    h{i}r AS (
+      SELECT c, SUM(a) AS r FROM pairs JOIN a{i} USING (s) GROUP BY c
+    ),
+    h{i} AS (
+      SELECT c, r // GREATEST(1, (SELECT SUM(r) FROM h{i}r) // {s}) AS h
+      FROM h{i}r
+    )"""
+        )
+        prev_h = f"h{i}"
+    k = _HITS_ITERS
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    h0 AS (
+      SELECT c, CAST({s} AS BIGINT) AS h FROM (SELECT DISTINCT c FROM pairs)
+    ),
+    {steps_sql}
+    SELECT role, node, CAST(score_units AS BIGINT) AS score_units FROM (
+      (SELECT 'auth' AS role, 'S' || CAST(s AS VARCHAR) AS node,
+              a AS score_units
+       FROM a{k} ORDER BY a DESC, s ASC LIMIT {_HITS_TOPK})
+      UNION ALL
+      (SELECT 'hub' AS role, 'C' || CAST(c AS VARCHAR) AS node,
+              h AS score_units
+       FROM h{k} ORDER BY h DESC, c ASC LIMIT {_HITS_TOPK})
+    )
+    ORDER BY role, score_units DESC, node
+    """
+
+
+@query(
+    "trade_graph_hits",
+    _hits_oracle(),
+    doc="HITS hubs & authorities (Kleinberg JACM'99) over the "
+    "DIRECTED customer→supplier trade graph: 2 unrolled mutual-"
+    "reinforcement supersteps, top-10 per role. All-integer "
+    "micro-unit scores with divide-by-(total div scale) "
+    "normalization — no multiply can overflow, both engines run the "
+    "identical integer sequence. Same join+groupBy superstep shape "
+    "as trade_graph_pagerank; the directional complement (who "
+    "CONCENTRATES demand vs who ATTRACTS it).",
+)
+def q_trade_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .selectExpr("o_custkey AS c", "l_suppkey AS s")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds every superstep twice
+    )
+
+    def _norm(scored, key: str, raw: str, out: str):
+        tot = scored.agg(F.sum(raw).alias("__t"))
+        return (
+            scored.crossJoin(F.broadcast(tot))
+            .select(
+                key,
+                F.expr(
+                    f"{raw} div greatest(1, __t div {_HITS_SCALE})"
+                ).alias(out),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    hub = pairs.select("c").distinct().select(
+        "c", F.lit(_HITS_SCALE).cast("long").alias("h")
+    )
+    auth = None
+    for _ in range(_HITS_ITERS):
+        araw = (
+            pairs.join(hub, "c").groupBy("s").agg(F.sum("h").alias("r"))
+        )
+        auth = _norm(araw, "s", "r", "a")
+        hraw = (
+            pairs.join(auth, "s").groupBy("c").agg(F.sum("a").alias("r"))
+        )
+        hub = _norm(hraw, "c", "r", "h")
+    top_a = (
+        auth.orderBy(F.desc("a"), F.asc("s"))
+        .limit(_HITS_TOPK)
+        .select(
+            F.lit("auth").alias("role"),
+            F.concat(F.lit("S"), F.col("s").cast("string")).alias("node"),
+            F.col("a").cast("long").alias("score_units"),
+        )
+    )
+    top_h = (
+        hub.orderBy(F.desc("h"), F.asc("c"))
+        .limit(_HITS_TOPK)
+        .select(
+            F.lit("hub").alias("role"),
+            F.concat(F.lit("C"), F.col("c").cast("string")).alias("node"),
+            F.col("h").cast("long").alias("score_units"),
+        )
+    )
+    return top_a.unionByName(top_h).orderBy(
+        "role", F.desc("score_units"), "node"
+    )

@@ -46,6 +46,7 @@ def all_queries() -> dict[str, Query]:
     # Import side-effect modules that populate the registry.
     from teleco_etl_pipeline_spark.plans import analytics  # noqa: F401
     from teleco_etl_pipeline_spark.plans import corpus  # noqa: F401
+    from teleco_etl_pipeline_spark.plans import drift  # noqa: F401
     from teleco_etl_pipeline_spark.plans import events  # noqa: F401
     from teleco_etl_pipeline_spark.plans import ml  # noqa: F401
     from teleco_etl_pipeline_spark.plans import relational  # noqa: F401
