@@ -2814,3 +2814,158 @@ def q_embedding_pca_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"var_pc{i}")
         )
     return p.groupBy("label").agg(*aggs)
+
+
+# --- greedy k-center coreset (farthest-point diversity selection) ----------
+#
+# Training-data curation's diversity primitive: pick k points such
+# that every point is close to some pick — the greedy farthest-point
+# traversal (Gonzalez, TCS'85 "Clustering to minimize the maximum
+# intercluster distance"), a 2-approximation to optimal k-center and
+# the standard seed for coreset selection / diverse sampling over
+# embedding corpora.
+#
+# Scale (100 TB): inherently k SEQUENTIAL passes, but each pass is
+# embarrassingly parallel — broadcast the ONE newly-selected center,
+# map every row's running min-distance down with `least`, and argmax
+# via a sort-limit(1) aggregate. State between passes is one
+# (vec_id, q, den, mind) frame, localCheckpoint-materialized (the
+# k-core/PageRank superstep lesson) so round r never re-derives
+# rounds 1..r-1. k stays small by design (diversity seeds, not
+# clustering); for k in the thousands switch to k-center with
+# pivot BATCHES (pick the top-B farthest per pass).
+#
+# Determinism: quantized-exact squared Euclidean — d² = den_a +
+# den_b − 2·dot(q_a, q_b) over floor(x·10⁶) integer-valued doubles;
+# dim 64 · (2·5.3e5)² keeps every partial sum < 2⁵³, so Spark's
+# fold order and DuckDB's list_dot_product order are unobservable.
+# Ties on distance break on vec_id; the seed is MIN(vec_id).
+
+_KCENTER_K = 8
+
+
+def _kcenter_oracle(k: int) -> str:
+    d2 = (
+        "m{p}.den + (SELECT den FROM c{p}) "
+        "- 2 * list_dot_product(m{p}.q, (SELECT q FROM c{p}))"
+    )
+    # Every CTE is MATERIALIZED: the rounds chain m{r} -> c{r-1} ->
+    # m{r-1} -> ... with 3 references each, and DuckDB's default CTE
+    # INLINING would expand that into 3^k parquet scans (observed as
+    # "Too many open files" at k=8).
+    parts = [
+        f"""cand AS MATERIALIZED (
+      SELECT vec_id, {_sql_qvec('embedding')} AS q FROM embeddings
+    ),
+    m0 AS MATERIALIZED (
+      SELECT vec_id, q, list_dot_product(q, q) AS den FROM cand
+    ),
+    c0 AS MATERIALIZED (
+      SELECT vec_id, q, den, CAST(0 AS DOUBLE) AS mind
+      FROM m0 ORDER BY vec_id LIMIT 1
+    )"""
+    ]
+    for r in range(1, k):
+        p = r - 1
+        prev_d2 = d2.format(p=p)
+        mind = (
+            f"LEAST(m{p}.mind, {prev_d2})" if p > 0 else prev_d2
+        )
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+      SELECT m{p}.vec_id, m{p}.q, m{p}.den, {mind} AS mind
+      FROM m{p} WHERE m{p}.vec_id != (SELECT vec_id FROM c{p})
+    ),
+    c{r} AS MATERIALIZED (
+      SELECT vec_id, q, den, mind FROM m{r}
+      ORDER BY mind DESC, vec_id ASC LIMIT 1
+    )"""
+        )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {r} AS sel_round, vec_id, CAST(mind AS BIGINT) AS dist_sq "
+        f"FROM c{r}"
+        for r in range(k)
+    )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT CAST(sel_round AS BIGINT) AS sel_round, vec_id, dist_sq
+    FROM ({selects})
+    ORDER BY sel_round
+    """
+
+
+@query(
+    "embedding_kcenter_coreset",
+    _kcenter_oracle(_KCENTER_K),
+    doc="Greedy k-center coreset (Gonzalez'85 farthest-point, "
+    "2-approx): 8 diversity seeds over the embedding corpus, each "
+    "pass = broadcast one new center + `least` min-distance fold + "
+    "argmax. dist_sq is the selection radius (how far the NEXT pick "
+    "was from everything already kept — the coverage guarantee "
+    "curve). Quantized-exact integer squared distances; "
+    "cross-engine identical by construction.",
+)
+def q_embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, k=_KCENTER_K)
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = _KCENTER_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(sel_round, vec_id, dist_sq): the k greedy farthest-point picks
+    in selection order; dist_sq = squared quantized distance to the
+    previously-selected set at pick time (0 for the seed)."""
+    q = quantized_vec_col(F.col(vec_col))
+    cand = emb.select(
+        F.col(id_col).alias("vec_id"), q.alias("q")
+    ).select("vec_id", "q", quantized_den_col(F.col("q")).alias("den"))
+    state = cand.localCheckpoint(eager=True)
+    center = (
+        state.orderBy("vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            "q",
+            "den",
+            F.lit(0.0).alias("mind"),
+        )
+    )
+    picks = [center.select("vec_id", F.lit(0).cast("long").alias("rnd"), "mind")]
+    m = state
+    have_mind = False
+    for _ in range(1, k):
+        c = center.select(
+            F.col("vec_id").alias("cid"),
+            F.col("q").alias("cq"),
+            F.col("den").alias("cden"),
+        )
+        d2 = F.col("den") + F.col("cden") - 2.0 * _dot(F.col("q"), F.col("cq"))
+        mind = F.least(F.col("mind"), d2) if have_mind else d2
+        m = (
+            m.crossJoin(F.broadcast(c))
+            .filter(F.col("vec_id") != F.col("cid"))
+            .select("vec_id", "q", "den", mind.alias("mind"))
+            .localCheckpoint(eager=True)
+        )
+        have_mind = True
+        center = m.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1)
+        picks.append(
+            center.select(
+                "vec_id",
+                F.lit(len(picks)).cast("long").alias("rnd"),
+                "mind",
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("rnd").alias("sel_round"),
+        "vec_id",
+        F.col("mind").cast("long").alias("dist_sq"),
+    ).orderBy("sel_round")

@@ -1,0 +1,110 @@
+"""Winnowing fingerprints (operators/dedup.py) and greedy k-center
+coreset selection (operators/similarity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from teleco_etl_pipeline_spark.operators.dedup import (
+    winnowing_fingerprints,
+    winnowing_pairs,
+)
+from teleco_etl_pipeline_spark.operators.similarity import kcenter_coreset
+from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_winnowing_coverage_guarantee(spark):
+    # The paper's theorem: any shared token run of length >= k+w-1
+    # (here 3+4-1=6) contributes at least one common fingerprint.
+    shared = "alpha beta gamma delta epsilon zeta"
+    d = _docs(
+        spark,
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"{shared} completely different tail here now"),
+            (3, "nothing in common with anything else at all"),
+        ],
+    )
+    pairs = winnowing_pairs(d, min_shared=1, max_doc_freq=None).collect()
+    got = {(r.doc_id_a, r.doc_id_b) for r in pairs}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_winnowing_short_docs_drop(spark):
+    # Fewer than k+w-1 = 6 tokens -> no full window -> no fingerprints.
+    d = _docs(spark, [(1, "a b c d e"), (2, "a b c d e f")])
+    out = winnowing_fingerprints(d).groupBy("doc_id").count().collect()
+    assert {r.doc_id for r in out} == {2}
+
+
+def test_winnowing_identical_docs_share_all_fps(spark):
+    text = "the quick brown fox jumps over the lazy dog again"
+    d = _docs(spark, [(1, text), (2, text)])
+    fps = winnowing_fingerprints(d)
+    n1 = fps.filter("doc_id = 1").count()
+    pair = winnowing_pairs(d, min_shared=1, max_doc_freq=None).collect()
+    assert len(pair) == 1
+    assert pair[0].shared_fps == n1
+
+
+def test_winnowing_density(spark, sf_dir):
+    # Expected fingerprint density ~2/(w+1) of k-gram positions; allow
+    # a generous band (distinct-ing reduces it further).
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_kg = docs.select(
+        F.sum(
+            F.greatest(
+                F.size(F.split(F.trim("text"), r"\s+")) - 2, F.lit(0)
+            )
+        )
+    ).collect()[0][0]
+    n_fp = winnowing_fingerprints(docs).count()
+    assert 0.05 * n_kg < n_fp < 0.6 * n_kg
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_kcenter_picks_spread_points(spark):
+    # Three tight clusters + k=3 -> one pick per cluster.
+    import itertools
+
+    rows = []
+    vid = 0
+    for cx in (0.0, 0.3, -0.4):
+        for d in (0.0, 0.001, 0.002):
+            rows.append((vid, [cx + d, cx - d] + [0.0] * 6))
+            vid += 1
+    df = _emb(spark, rows)
+    out = kcenter_coreset(df, k=3).collect()
+    assert [r.sel_round for r in out] == [0, 1, 2]
+    picked_clusters = {r.vec_id // 3 for r in out}
+    assert picked_clusters == {0, 1, 2}
+    # selection radii are non-increasing after round 1 (greedy max-min)
+    d = [r.dist_sq for r in out]
+    assert d[0] == 0
+    assert d[1] >= d[2] >= 0
+
+
+def test_kcenter_seed_is_min_vec_id(spark):
+    df = _emb(spark, [(7, [0.1, 0.2]), (3, [0.3, 0.4]), (9, [0.0, 0.0])])
+    out = kcenter_coreset(df, k=2).collect()
+    assert out[0].sel_round == 0
+    assert out[0].vec_id == 3
+    assert out[0].dist_sq == 0
+
+
+def test_kcenter_query_shape(spark, sf_dir):
+    out = all_queries()["embedding_kcenter_coreset"].build(spark, sf_dir).collect()
+    assert len(out) == 8
+    assert [r.sel_round for r in out] == list(range(8))
+    assert len({r.vec_id for r in out}) == 8
+    radii = [r.dist_sq for r in out[1:]]
+    assert radii == sorted(radii, reverse=True)
+    assert all(r > 0 for r in radii)
