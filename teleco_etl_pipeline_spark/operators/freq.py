@@ -748,3 +748,87 @@ def q_collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("b.w1", "b.w2", "b.c_ab", lift.alias("lift"))
     )
     return out.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2")).limit(_PMI_TOPK)
+
+
+# --- skip-gram pair counts (word2vec-style training pairs) -------------------
+
+
+@query(
+    "token_skipgram_counts",
+    r"""
+    WITH tok AS (
+      SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT list_concat(
+               [toks[i] || ' ' || toks[i+1]
+                for i in generate_series(1, len(toks) - 1)],
+               [toks[i] || ' ' || toks[i+2]
+                for i in generate_series(1, len(toks) - 2)]) AS prs
+      FROM tok WHERE len(toks) >= 2
+    ),
+    ex AS (SELECT unnest(prs) AS pr FROM p)
+    SELECT split_part(pr, ' ', 1) AS w1, split_part(pr, ' ', 2) AS w2,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ex GROUP BY 1, 2
+    ORDER BY cnt DESC, w1, w2
+    LIMIT 20
+    """,
+    doc="Skip-gram (center, context) pair counts, forward window "
+    "<= 2 — the word2vec/item2vec TRAINING-PAIR generator (Mikolov "
+    "et al. 2013 data prep, counts only): pairs are built inside an "
+    "array comprehension (one explode, NO positional self-join — "
+    "the join spelling shuffles token rows twice), then one "
+    "groupBy. Forward-only pairs; symmetric counts are the "
+    "transpose. Top-20 by count with total tie-break. Distinct "
+    "from collocation_pmi_topk (adjacent-only, association-scored): "
+    "this is the raw pair-frequency table a trainer consumes.",
+)
+def q_token_skipgram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_skipgram_counts(docs, window=2, top_n=20)
+
+
+def token_skipgram_counts(
+    docs: DataFrame, window: int = 2, top_n: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """(w1, w2, cnt): forward skip-gram pair frequencies within the
+    given window, heaviest first."""
+    from teleco_etl_pipeline_spark.operators.text import tokens
+
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    toks = tokens(text_col)
+
+    # Closure factory, NOT a `d=d` default argument: pyspark's
+    # higher-order-function binding treats a TWO-parameter lambda as
+    # the (element, index) variant, so `lambda i, d=d` silently binds
+    # d to the array index instead of the Python int.
+    def pair_at(d: int):
+        return lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + d).alias("w2"),
+        )
+
+    arrs = []
+    for d in range(1, window + 1):
+        arrs.append(
+            F.when(
+                F.size(toks) >= d + 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - d), pair_at(d)
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        )
+    return (
+        docs.repartition(parallelism)
+        .select(F.explode(F.concat(*arrs)).alias("p"))
+        .groupBy(
+            F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "w1", "w2")
+        .limit(top_n)
+    )

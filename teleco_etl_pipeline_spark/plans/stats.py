@@ -722,3 +722,147 @@ def q_revenue_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("sen_slope_cents"),
     )
+
+
+# --- quantile normalization against a reference distribution ----------------
+
+
+@query(
+    "acctbal_quantile_normalize",
+    """
+    WITH c AS (
+      SELECT c_mktsegment,
+             ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM customer
+    ),
+    s AS (
+      SELECT CAST(ROUND(s_acctbal * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (ORDER BY s_acctbal, s_suppkey) AS rm,
+             COUNT(*) OVER () AS m
+      FROM supplier
+    ),
+    mapped AS (
+      SELECT c.c_mktsegment, s.cents
+      FROM c JOIN s
+        ON ((c.rn - 1) * (s.m - 1)) // (c.n - 1) + 1 = s.rm
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                 / COUNT(*) / 100.0 + 1e-9, 2) AS mean_norm,
+           CAST(MIN(cents) AS BIGINT) AS min_norm_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_norm_cents
+    FROM mapped
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="Quantile normalization (the microarray / feature-alignment "
+    "standard): each customer's account balance is replaced by the "
+    "SUPPLIER balance at the same rank quantile — rank both sides, "
+    "map rank i of n onto position ((i-1)(m-1)) div (n-1) + 1 with "
+    "exact integer arithmetic, equi-join on the position. After "
+    "normalization every segment's values are drawn from the "
+    "identical reference distribution, so remaining per-segment "
+    "mean differences are COMPOSITION effects, not scale effects. "
+    "Both rank sorts are range-partitioned ORDER BYs (the "
+    "Mann-Whitney/KS machinery); the rank map is pure integer "
+    "codegen.",
+)
+def q_acctbal_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.select(
+        "c_mktsegment",
+        F.row_number()
+        .over(Window.orderBy("c_acctbal", "c_custkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    s = supp.select(
+        _cents("s_acctbal").alias("cents"),
+        F.row_number()
+        .over(Window.orderBy("s_acctbal", "s_suppkey"))
+        .alias("rm"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    mapped = c.join(
+        s,
+        F.expr("((rn - 1) * (m - 1)) div (n - 1) + 1") == F.col("rm"),
+    )
+    return (
+        mapped.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(
+                F.sum(F.col("cents").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+                / 100.0
+                + F.lit(1e-9),
+                2,
+            ).alias("mean_norm"),
+            F.min("cents").cast("long").alias("min_norm_cents"),
+            F.max("cents").cast("long").alias("max_norm_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- mutual information contributions (feature-selection screen) ------------
+
+
+@query(
+    "priority_status_mutual_info",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT pri, st, n,
+             SUM(n) OVER (PARTITION BY pri) AS r,
+             SUM(n) OVER (PARTITION BY st) AS c,
+             SUM(n) OVER () AS tot
+      FROM cells
+    )
+    SELECT pri, st, CAST(n AS BIGINT) AS n,
+           ROUND((CAST(n AS DOUBLE) / tot)
+                 * LN(CAST(n AS DOUBLE) * tot / (CAST(r AS DOUBLE) * c))
+                 + 1e-9, 6) AS mi_term
+    FROM m
+    ORDER BY pri, st
+    """,
+    doc="Mutual-information contributions of the order-priority × "
+    "order-status contingency table — the feature-selection screen "
+    "(which categorical pairs carry signal about each other). Same "
+    "margins-as-window-sums-over-CELLS shape as the chi2 query: one "
+    "fact-table aggregate, then windows over the tiny cell frame. "
+    "Per-cell signed terms p·ln(p/(p_r·p_c)) are emitted as ROWS "
+    "(no cross-row float sum — engine accumulation order never "
+    "touches a hashed value); the exact-integer n·tot and r·c "
+    "products sit inside the ln.",
+)
+def q_priority_status_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = cells.select(
+        "pri",
+        "st",
+        "n",
+        F.sum("n").over(Window.partitionBy("pri")).alias("r"),
+        F.sum("n").over(Window.partitionBy("st")).alias("c"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    nd = F.col("n").cast("double")
+    term = (nd / F.col("tot")) * F.log(
+        nd * F.col("tot") / (F.col("r").cast("double") * F.col("c"))
+    )
+    return m.select(
+        "pri",
+        "st",
+        F.col("n").cast("long").alias("n"),
+        F.round(term + F.lit(1e-9), 6).alias("mi_term"),
+    ).orderBy("pri", "st")
