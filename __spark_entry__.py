@@ -84,16 +84,20 @@ _RECORD_ORDER = [
     "upsert_merge",
     "topk_orders",
     "ml_inference_contract",
-    "asof_last_purchase",
-    "balance_deciles",
-    "banded_price_join",
-    "bpe_pair_counts",
-    "corpus_curation",
-    "cumulative_spend",
-    "customer_distribution",
-    "disjunctive_revenue",
-    "doc_balanced_mix",
-    "doc_chunking",
+    # second-session round-8 operators (never driver-recorded — they
+    # take precedence over r4-vintage greens that already hold driver
+    # rows + current-vintage exact-bit parity; the displaced ten move
+    # to the front of _RECORD_LAST)
+    "totalprice_psi_drift",
+    "split_token_jsd",
+    "poisson_bootstrap_ci",
+    "revenue_orders_ccf",
+    "trade_graph_hits",
+    "winnowing_fingerprint_pairs",
+    "embedding_kcenter_coreset",
+    "token_skipgram_counts",
+    "acctbal_quantile_normalize",
+    "priority_status_mutual_info",
     "doc_pack_windows",
     "doc_pii_redaction",
     "doc_repetition_stats",
@@ -115,10 +119,22 @@ _RECORD_ORDER = [
     "revenue_theilsen_trend",
 ]
 # Past-window ordering if the driver ever widens its window: stalest
-# evidence first — the three r4-vintage queries the 50-slot window
-# could not fit, then r5/r6/r7-vintage greens (freshest last). True
-# sketches without oracles sort last (tier 3 in queries()).
+# evidence first — the ten r4-vintage greens displaced by the
+# second-session rotation, then the r4-vintage queries the 50-slot
+# window could not fit, then r5/r6/r7-vintage greens (freshest
+# last). True sketches without oracles sort last (tier 3 in
+# queries()).
 _RECORD_LAST = [
+    "asof_last_purchase",
+    "balance_deciles",
+    "banded_price_join",
+    "bpe_pair_counts",
+    "corpus_curation",
+    "cumulative_spend",
+    "customer_distribution",
+    "disjunctive_revenue",
+    "doc_balanced_mix",
+    "doc_chunking",
     "embedding_neardup",
     "embedding_topk",
     "expr_key_join",

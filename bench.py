@@ -168,6 +168,17 @@ BENCH_QUERIES = [
     "daily_revenue_acf",        # day-grain lag joins, 7 lags one pass
     "priority_view_refresh",    # CDC delta algebra incremental MV refresh
     "revenue_seasonal_decompose",  # month-grain 2x12 MA decomposition
+    # -- round-8 second-session additions ----------------------------
+    "totalprice_psi_drift",     # PSI vs baseline deciles (broadcast edges)
+    "split_token_jsd",          # heavy-token JSD between hash splits
+    "poisson_bootstrap_ci",     # 64-replicate one-groupBy bootstrap
+    "revenue_orders_ccf",       # lead/lag cross-correlation, day grain
+    "trade_graph_hits",         # HITS mutual-reinforcement supersteps
+    "winnowing_fingerprint_pairs",  # MOSS window-min fingerprint join
+    "embedding_kcenter_coreset",  # greedy farthest-point diversity seeds
+    "token_skipgram_counts",    # word2vec-style pair generation
+    "acctbal_quantile_normalize",  # rank-map onto reference distribution
+    "priority_status_mutual_info",  # per-cell MI contributions
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):
