@@ -102,7 +102,13 @@ def _profile_oracle(cols: Sequence[str]) -> str:
 )
 def q_orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return table_profile(o, _PROFILE_COLS).orderBy("column_name")
+    # Single-file tables are one byte-split: without the repartition
+    # the 4N-measure Expand + partial aggregate runs on one core
+    # (2.2 s -> 1.1 s at sf0.1; the dedup._doc_shingles rationale).
+    par = spark.sparkContext.defaultParallelism
+    return table_profile(o.repartition(par), _PROFILE_COLS).orderBy(
+        "column_name"
+    )
 
 
 # --- referential-integrity profile across the star schema -------------------

@@ -503,8 +503,15 @@ def q_ams_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
             % 2
         )
+        # Explicit repartition before the d-way seed fan-out: the
+        # key-count frame is small, so AQE coalesces the groupBy
+        # output to one partition and the d×|keys| md5 pass would run
+        # on one core (the single-split stall class; explicit
+        # REPARTITION_BY_NUM is never coalesced).
+        par = kc.sparkSession.sparkContext.defaultParallelism
         return (
-            kc.select("k", "f", F.explode(seeds).alias("seed"))
+            kc.repartition(par, "k")
+            .select("k", "f", F.explode(seeds).alias("seed"))
             .groupBy("seed")
             .agg(F.sum(F.col("f") * sign).cast("long").alias("x"))
         )
