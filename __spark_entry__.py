@@ -94,11 +94,11 @@ _RECORD_ORDER = [
     "revenue_orders_ccf",
     "trade_graph_hits",
     "winnowing_fingerprint_pairs",
+    "contamination_winnowing",
     "embedding_kcenter_coreset",
     "token_skipgram_counts",
     "acctbal_quantile_normalize",
     "priority_status_mutual_info",
-    "doc_pack_windows",
     "doc_pii_redaction",
     "doc_repetition_stats",
     "doc_stratified_sample",
@@ -125,6 +125,7 @@ _RECORD_ORDER = [
 # last). True sketches without oracles sort last (tier 3 in
 # queries()).
 _RECORD_LAST = [
+    "doc_pack_windows",
     "asof_last_purchase",
     "balance_deciles",
     "banded_price_join",

@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "revenue_orders_ccf",       # lead/lag cross-correlation, day grain
     "trade_graph_hits",         # HITS mutual-reinforcement supersteps
     "winnowing_fingerprint_pairs",  # MOSS window-min fingerprint join
+    "contamination_winnowing",  # substring-level cross-split leakage
     "embedding_kcenter_coreset",  # greedy farthest-point diversity seeds
     "token_skipgram_counts",    # word2vec-style pair generation
     "acctbal_quantile_normalize",  # rank-map onto reference distribution

@@ -1819,7 +1819,14 @@ def winnowing_pairs(
     """Candidate near-dup pairs: docs sharing >= min_shared winnowing
     fingerprints, with the stop-fingerprint guard bounding per-key
     join fan-out."""
-    ex = winnowing_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    # Materialized once (the superstep lesson): the fingerprint frame
+    # feeds the stop-fingerprint aggregate AND both sides of the
+    # self-join — lazy lineage would re-run the tokenize+hash+window
+    # pipeline up to three times. Fingerprint rows are ~2/(w+1) of
+    # the token count (bounded, spillable MEMORY_AND_DISK).
+    ex = winnowing_fingerprints(
+        docs, k=k, w=w, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=False)
     if max_doc_freq is not None:
         kept = (
             ex.groupBy("fp")
@@ -1843,4 +1850,109 @@ def winnowing_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
         .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+# Winnowing ACROSS the train/test split: the substring-level
+# decontamination check. train_test_contamination (sampling.py)
+# hashes the first 8 tokens — it catches templated near-copies that
+# share a HEAD; this catches a test paragraph embedded ANYWHERE in a
+# training document (the winnowing coverage theorem: any shared run
+# of >= k+w-1 tokens yields a common fingerprint). This is the check
+# that matters for eval integrity: benchmark answers rarely leak as
+# whole documents, they leak as quoted passages.
+
+_CONTAM_MIN_SHARED = 2
+
+
+@query(
+    "contamination_winnowing",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 1000000 < 800000 THEN 'train'
+                  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 1000000 >= 900000 THEN 'test' END AS split
+      FROM documents
+    ),
+    hs_t AS (
+      SELECT doc_id, split,
+             [CAST(concat('0x', substr(md5(array_to_string(
+                    toks[i:i+{_WINNOW_K - 1}], ' ')), 1, 12)) AS BIGINT)
+              for i in generate_series(1, len(toks) - {_WINNOW_K - 1})] AS hs
+      FROM tok
+      WHERE split IS NOT NULL AND len(toks) >= {_WINNOW_K + _WINNOW_W - 1}
+    ),
+    fp_t AS (
+      SELECT doc_id, split,
+             list_distinct([list_min(hs[j:j+{_WINNOW_W - 1}])
+                            for j in generate_series(1, len(hs) - {_WINNOW_W - 1})]) AS fps
+      FROM hs_t
+    ),
+    ex AS (SELECT doc_id, split, unnest(fps) AS fp FROM fp_t),
+    kept AS (
+      SELECT fp FROM ex GROUP BY fp
+      HAVING COUNT(*) <= {_WINNOW_MAXDOC}
+    ),
+    exk AS (SELECT ex.doc_id, ex.split, ex.fp FROM ex JOIN kept USING (fp))
+    SELECT t.doc_id AS train_doc_id, e.doc_id AS test_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM exk t JOIN exk e ON t.fp = e.fp
+    WHERE t.split = 'train' AND e.split = 'test'
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_CONTAM_MIN_SHARED}
+    ORDER BY train_doc_id, test_doc_id
+    """,
+    doc="Substring-level train/test decontamination: winnowing "
+    "fingerprints joined ACROSS the deterministic md5 split — a test "
+    "passage of >= k+w-1 tokens embedded anywhere in a training "
+    "document is guaranteed a shared fingerprint (coverage theorem), "
+    "which the head-hash check (train_test_contamination) structurally "
+    "misses. Same stop-fingerprint guard and hash-key equi-join; the "
+    "held-out fingerprint side is small enough to broadcast in "
+    "production.",
+)
+def q_contamination_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    split = (
+        F.when(b < 800000, F.lit("train"))
+        .when(b >= 900000, F.lit("test"))
+        .alias("split")
+    )
+    # Materialized once — three consumers (guard aggregate, train
+    # side, test side), same rationale as winnowing_pairs.
+    fps = winnowing_fingerprints(
+        docs, k=_WINNOW_K, w=_WINNOW_W
+    ).localCheckpoint(eager=False)
+    kept = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= _WINNOW_MAXDOC)
+        .select("fp")
+    )
+    ex = (
+        fps.join(kept, "fp")
+        .join(
+            docs.select(F.col("doc_id"), split).filter(
+                F.col("split").isNotNull()
+            ),
+            "doc_id",
+        )
+    )
+    t = ex.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "fp"
+    )
+    e = ex.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), "fp"
+    )
+    return (
+        t.join(e, "fp")
+        .groupBy("train_doc_id", "test_doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= _CONTAM_MIN_SHARED)
+        .orderBy("train_doc_id", "test_doc_id")
     )

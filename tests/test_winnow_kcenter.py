@@ -108,3 +108,66 @@ def test_kcenter_query_shape(spark, sf_dir):
     radii = [r.dist_sq for r in out[1:]]
     assert radii == sorted(radii, reverse=True)
     assert all(r > 0 for r in radii)
+
+
+def test_contamination_winnowing_query(spark, sf_dir):
+    out = (
+        all_queries()["contamination_winnowing"].build(spark, sf_dir).collect()
+    )
+    # every reported pair crosses the split boundary and meets the
+    # shared-fingerprint floor
+    from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = hash_bucket("doc_id")
+    splits = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id",
+            F.when(b < 800000, "train")
+            .when(b >= 900000, "test")
+            .alias("s"),
+        ).collect()
+    }
+    assert out, "synthetic corpus contains cross-split near-dups"
+    for r in out:
+        assert splits[r.train_doc_id] == "train"
+        assert splits[r.test_doc_id] == "test"
+        assert r.shared_fps >= 2
+
+
+def test_contamination_winnowing_catches_embedded_passage(spark):
+    # A test doc whose passage is EMBEDDED mid-document in a train doc
+    # must be flagged; head-hash fingerprints cannot see it.
+    from pyspark.sql import functions as F
+    from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
+
+    # find ids landing in train / test buckets
+    ids = spark.range(0, 2000).select(
+        F.col("id"), hash_bucket(F.col("id")).alias("b")
+    )
+    train_id = ids.filter("b < 800000").first().id
+    test_id = ids.filter("b >= 900000").first().id
+    passage = "quick zephyrs blow vexing daft jim forward now"
+    rows = [
+        (train_id, f"lots of leading filler words here {passage} and trailing tail"),
+        (test_id, passage),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    from teleco_etl_pipeline_spark.operators.dedup import (
+        winnowing_fingerprints,
+        _WINNOW_K,
+        _WINNOW_W,
+    )
+
+    fps = winnowing_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
+    shared = (
+        fps.filter(F.col("doc_id") == train_id)
+        .select("fp")
+        .intersect(fps.filter(F.col("doc_id") == test_id).select("fp"))
+        .count()
+    )
+    # coverage theorem: the 8-token shared run guarantees >= 1 common
+    # fingerprint; this passage yields >= 2
+    assert shared >= 2
