@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "token_skipgram_counts",    # word2vec-style pair generation
     "acctbal_quantile_normalize",  # rank-map onto reference distribution
     "priority_status_mutual_info",  # per-cell MI contributions
+    "lineitem_spearman_matrix", # exact integer double-rank Spearman
+    "orders_hbos_outliers",     # histogram-based outlier score top-k
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

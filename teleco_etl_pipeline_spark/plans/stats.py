@@ -866,3 +866,199 @@ def q_priority_status_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n").cast("long").alias("n"),
         F.round(term + F.lit(1e-9), 6).alias("mi_term"),
     ).orderBy("pri", "st")
+
+
+# --- Spearman rank correlation (exact integer double-ranks) ------------------
+
+
+@query(
+    "lineitem_spearman_matrix",
+    """
+    WITH r AS (
+      SELECT
+        2 * RANK() OVER (ORDER BY l_quantity)
+          + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS q,
+        2 * RANK() OVER (ORDER BY l_extendedprice)
+          + COUNT(*) OVER (PARTITION BY l_extendedprice) - 1 AS p,
+        2 * RANK() OVER (ORDER BY l_discount)
+          + COUNT(*) OVER (PARTITION BY l_discount) - 1 AS d
+      FROM lineitem
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(q AS DECIMAL(38,0))) AS sq,
+             SUM(CAST(p AS DECIMAL(38,0))) AS sp,
+             SUM(CAST(d AS DECIMAL(38,0))) AS sd,
+             SUM(CAST(q AS DECIMAL(38,0)) * q) AS sqq,
+             SUM(CAST(p AS DECIMAL(38,0)) * p) AS spp,
+             SUM(CAST(d AS DECIMAL(38,0)) * d) AS sdd,
+             SUM(CAST(q AS DECIMAL(38,0)) * p) AS sqp,
+             SUM(CAST(q AS DECIMAL(38,0)) * d) AS sqd,
+             SUM(CAST(p AS DECIMAL(38,0)) * d) AS spd
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                         - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                           - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+                 + 1e-9, 4) AS rho_qty_price,
+           ROUND((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                         - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                           - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+                 + 1e-9, 4) AS rho_qty_disc,
+           ROUND((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE)
+                  - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                         - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                           - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+                 + 1e-9, 4) AS rho_price_disc
+    FROM m
+    """,
+    doc="Spearman rank-correlation matrix over the fact measures — "
+    "the ROBUST twin of lineitem_corr_matrix (Pearson): monotone but "
+    "non-linear relations score |rho| near 1, and outliers move a "
+    "rank by at most one slot. Average-rank ties are carried as "
+    "exact INTEGER double-ranks (2·rank + tiecount − 1, the "
+    "Mann-Whitney idiom), so the moments are DECIMAL(38,0)-exact and "
+    "only the final display expression is floating point. Three "
+    "global rank sorts (range-partitioned, the rank-test machinery) "
+    "feed one moment aggregate.",
+)
+def q_lineitem_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def dr(col: str):
+        return (
+            2 * F.rank().over(Window.orderBy(col))
+            + F.count(F.lit(1)).over(Window.partitionBy(col))
+            - 1
+        )
+
+    r = li.select(dr("l_quantity").alias("q"), dr("l_extendedprice").alias("p"), dr("l_discount").alias("d"))
+    dec = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    m = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("q")).alias("sq"),
+        F.sum(dec("p")).alias("sp"),
+        F.sum(dec("d")).alias("sd"),
+        F.sum(dec("q") * F.col("q")).alias("sqq"),
+        F.sum(dec("p") * F.col("p")).alias("spp"),
+        F.sum(dec("d") * F.col("d")).alias("sdd"),
+        F.sum(dec("q") * F.col("p")).alias("sqp"),
+        F.sum(dec("q") * F.col("d")).alias("sqd"),
+        F.sum(dec("p") * F.col("d")).alias("spd"),
+    )
+
+    def rho(sxy: str, sx: str, sy: str, sxx: str, syy: str):
+        nd = F.col("n").cast("double")
+        xd, yd = F.col(sx).cast("double"), F.col(sy).cast("double")
+        return F.round(
+            (nd * F.col(sxy).cast("double") - xd * yd)
+            / F.sqrt(
+                (nd * F.col(sxx).cast("double") - xd * xd)
+                * (nd * F.col(syy).cast("double") - yd * yd)
+            )
+            + F.lit(1e-9),
+            4,
+        )
+
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        rho("sqp", "sq", "sp", "sqq", "spp").alias("rho_qty_price"),
+        rho("sqd", "sq", "sd", "sqq", "sdd").alias("rho_qty_disc"),
+        rho("spd", "sp", "sd", "spp", "sdd").alias("rho_price_disc"),
+    )
+
+
+# --- HBOS: histogram-based outlier score -------------------------------------
+
+
+@query(
+    "orders_hbos_outliers",
+    """
+    WITH edges AS (
+      SELECT ROUND(UNNEST(quantile_cont(o_totalprice,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) + 1e-9, 2) AS e
+      FROM orders
+    ),
+    feat AS (
+      SELECT o_orderkey,
+             (SELECT COUNT(*) FROM edges WHERE e <= o_totalprice) AS pb,
+             o_orderpriority AS pri,
+             CAST(strftime(o_orderdate, '%m') AS BIGINT) AS mon,
+             COUNT(*) OVER () AS n
+      FROM orders
+    ),
+    cb AS (SELECT pb, COUNT(*) AS c FROM feat GROUP BY pb),
+    cp AS (SELECT pri, COUNT(*) AS c FROM feat GROUP BY pri),
+    cm AS (SELECT mon, COUNT(*) AS c FROM feat GROUP BY mon)
+    SELECT f.o_orderkey,
+           ROUND(LN(CAST(f.n AS DOUBLE) / cb.c)
+                 + LN(CAST(f.n AS DOUBLE) / cp.c)
+                 + LN(CAST(f.n AS DOUBLE) / cm.c) + 1e-9, 4) AS hbos
+    FROM feat f
+    JOIN cb ON cb.pb = f.pb
+    JOIN cp ON cp.pri = f.pri
+    JOIN cm ON cm.mon = f.mon
+    ORDER BY hbos DESC, f.o_orderkey ASC
+    LIMIT 20
+    """,
+    doc="HBOS — histogram-based outlier score (Goldstein & Dengel, "
+    "KI'12): per order, the sum of ln(N / bin-count) over three "
+    "feature histograms (price decile, priority, order month); rare "
+    "bin combinations score high. The linear-time unsupervised "
+    "anomaly detector that actually scales — three bounded bin "
+    "tables broadcast back onto one fact scan + TakeOrdered, no "
+    "pairwise distances. Scores are sums of exactly three ln terms "
+    "in fixed expression order over integer counts (no cross-row "
+    "float accumulation); ranked on the ROUNDED score with a key "
+    "tie-break.",
+)
+def q_orders_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.agg(
+        F.percentile(
+            "o_totalprice", F.lit([i / 10.0 for i in range(1, 10)])
+        ).alias("__raw")
+    ).select(
+        F.expr("transform(__raw, e -> round(e + 1e-9, 2))").alias("edges")
+    )
+    feat = (
+        o.crossJoin(F.broadcast(edges))
+        .select(
+            "o_orderkey",
+            F.expr(
+                "size(filter(edges, e -> e <= o_totalprice))"
+            ).alias("pb"),
+            F.col("o_orderpriority").alias("pri"),
+            F.month("o_orderdate").cast("long").alias("mon"),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    cb = feat.groupBy("pb").agg(F.count(F.lit(1)).alias("cb"))
+    cp = feat.groupBy("pri").agg(F.count(F.lit(1)).alias("cp"))
+    cm = feat.groupBy("mon").agg(F.count(F.lit(1)).alias("cm"))
+    nd = F.col("n").cast("double")
+    score = (
+        F.log(nd / F.col("cb"))
+        + F.log(nd / F.col("cp"))
+        + F.log(nd / F.col("cm"))
+    )
+    return (
+        feat.join(F.broadcast(cb), "pb")
+        .join(F.broadcast(cp), "pri")
+        .join(F.broadcast(cm), "mon")
+        .select(
+            "o_orderkey",
+            F.round(score + F.lit(1e-9), 4).alias("hbos"),
+        )
+        .orderBy(F.desc("hbos"), F.asc("o_orderkey"))
+        .limit(20)
+    )

@@ -155,3 +155,41 @@ def test_hits_query_shape(spark, sf_dir):
     assert all(
         r.node.startswith("S" if r.role == "auth" else "C") for r in out
     )
+
+
+def test_spearman_monotone_nonlinear_is_one(spark):
+    # y = x^3 is monotone: Spearman rho = 1 while Pearson < 1.
+    df = spark.createDataFrame(
+        [(float(x), float(x**3), float(-x)) for x in range(1, 40)],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    df.write.mode("overwrite").parquet("/tmp/__sp_li/lineitem.parquet")
+    from teleco_etl_pipeline_spark.plans.registry import all_queries as q
+
+    row = q()["lineitem_spearman_matrix"].build(spark, "/tmp/__sp_li").collect()[0]
+    assert row.rho_qty_price == 1.0
+    assert row.rho_qty_disc == -1.0
+    assert row.n_rows == 39
+
+
+def test_spearman_ties_average_rank(spark):
+    # all-equal column: zero variance -> NaN guard? the data has ties
+    # but non-degenerate columns must stay in [-1, 1]
+    out = all_queries()["lineitem_spearman_matrix"]
+    # covered at sf_dir scale in the oracle sweep; here bound check
+    row = out.build(spark, "/root/testdata/sf0.001").collect()[0]
+    for c in ("rho_qty_price", "rho_qty_disc", "rho_price_disc"):
+        assert -1.0 <= getattr(row, c) <= 1.0
+
+
+def test_hbos_flags_rare_combination(spark, sf_dir):
+    out = all_queries()["orders_hbos_outliers"].build(spark, sf_dir).collect()
+    assert len(out) == 20
+    scores = [r.hbos for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # HBOS over 10 price bins x priorities x 12 months: max possible
+    # score is ln(N)*3; all scores positive and below that bound
+    import math
+
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert all(0 < s <= 3 * math.log(n) + 1e-6 for s in scores)
