@@ -105,6 +105,25 @@ QUERIES = [
     # day/month-grain screens: fact scan dominates, windows are trivia
     "daily_revenue_acf",
     "part_price_skyline",
+    # -- round-8 second-session additions ------------------------------
+    # winnowing: hash pass ∝ tokens, fp self-join bounded by the
+    # stop-fingerprint guard (the fourth dedup path)
+    "winnowing_fingerprint_pairs",
+    "contamination_winnowing",
+    # Poisson bootstrap: map rows ×B/4 digests, shuffle = B partials
+    "poisson_bootstrap_ci",
+    # k-center: k broadcast passes over N rows (k fixed)
+    "embedding_kcenter_coreset",
+    # HITS: two edge-join supersteps, same class as pagerank
+    "trade_graph_hits",
+    # drift screens: one fact aggregate + bounded cell/bin frames
+    "totalprice_psi_drift",
+    "split_token_jsd",
+    # global rank maps / sorts (ORDER BY class)
+    "acctbal_quantile_normalize",
+    "lineitem_spearman_matrix",
+    # broadcast-histogram scoring + TakeOrdered
+    "orders_hbos_outliers",
 ]
 
 
