@@ -101,8 +101,8 @@ _RECORD_ORDER = [
     "priority_status_mutual_info",
     "lineitem_spearman_matrix",
     "orders_hbos_outliers",
-    "doc_pii_redaction",
-    "doc_repetition_stats",
+    "priority_moments_profile",
+    "funnel_latency_quantiles",
     # session-new round-8 operators (never driver-recorded — the
     # weakest evidence class, so they take the remaining slots over
     # r4-vintage greens that already hold driver rows + current-
@@ -125,6 +125,8 @@ _RECORD_ORDER = [
 # last). True sketches without oracles sort last (tier 3 in
 # queries()).
 _RECORD_LAST = [
+    "doc_pii_redaction",
+    "doc_repetition_stats",
     "doc_stratified_sample",
     "embedding_lsh_pairs",
     "doc_pack_windows",

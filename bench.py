@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "priority_status_mutual_info",  # per-cell MI contributions
     "lineitem_spearman_matrix", # exact integer double-rank Spearman
     "orders_hbos_outliers",     # histogram-based outlier score top-k
+    "priority_moments_profile", # exact DECIMAL power-sum skew/kurtosis
+    "funnel_latency_quantiles", # first-click->first-buy latency p50/p90/p99
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

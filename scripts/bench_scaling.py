@@ -142,17 +142,20 @@ def main() -> None:
     registry = all_queries()
     registry["distinct_values"].build(spark, SF_DIRS[0]).count()  # warm-up
 
-    # Data-fitted plans (PQ/IVF) re-fit per sf_dir inside build() —
-    # that cost runs at plan build, so the timed region below measures
-    # pure execution at each scale, matching bench.py's convention.
+    # Time build() + action TOGETHER (bench.py's convention): the
+    # iterative operators (PageRank/HITS/k-core/k-center/BFS)
+    # materialize their supersteps with EAGER localCheckpoint inside
+    # build(), so an action-only timer would miss almost all of their
+    # work and report flat ~25 ms growth curves for the very
+    # operators whose growth this harness exists to measure.
     results: dict[str, dict] = {}
     for name in QUERIES:
         per_sf: list[float] = []
         for sf_dir in SF_DIRS:
             best = float("inf")
             for _ in range(2):
-                df = registry[name].build(spark, sf_dir)
                 t0 = time.perf_counter()
+                df = registry[name].build(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             per_sf.append(round(best, 3))

@@ -1123,3 +1123,85 @@ def q_event_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         f"stack({len(_SEQ_PATTERNS)}, {stack}) AS (pattern, regex, n_users_matching)",
     ).select("pattern", "regex", "n_users_matching", "n_users").orderBy("pattern")
+
+
+# --- funnel conversion-latency quantiles -------------------------------------
+
+
+@query(
+    "funnel_latency_quantiles",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      -- epoch-microsecond difference // 1e6, NOT DATE_DIFF('second'):
+      -- the testdata timestamps carry sub-second parts, and
+      -- DATE_DIFF counts boundary CROSSINGS while the engine side
+      -- truncates the DIFFERENCE — off-by-one on any pair whose
+      -- fractional parts straddle a second boundary.
+      SELECT (epoch_us(t_buy) - epoch_us(t_click)) // 1000000 AS lat_s
+      FROM firsts
+      WHERE t_click IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_click
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(lat_s, 0.50) + 1e-9, 1) AS p50_s,
+           ROUND(quantile_cont(lat_s, 0.90) + 1e-9, 1) AS p90_s,
+           ROUND(quantile_cont(lat_s, 0.99) + 1e-9, 1) AS p99_s,
+           CAST(MAX(lat_s) AS BIGINT) AS max_s
+    FROM conv
+    """,
+    doc="Conversion-latency quantiles: first click -> first purchase "
+    "per user, exact interpolated p50/p90/p99 of the lag. "
+    "events_funnel reports WHO converts; this reports HOW FAST — "
+    "the product/SLA follow-up. One event-table aggregate to "
+    "(user, first-click, first-buy) — the MIN(CASE) conditional-"
+    "aggregate idiom keeps it a single scan, no per-step self-joins "
+    "— then a percentile over the converted-users frame (users, not "
+    "events). Latencies are exact integer seconds (epoch-micros "
+    "div), so the interpolated quantile arithmetic is "
+    "engine-identical under the shared ROUND guard.",
+)
+def q_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.functions import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("t_click"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_buy"),
+    )
+    conv = firsts.filter(
+        F.col("t_click").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_click"))
+    ).select(
+        # integer `div`, not float /-then-cast: a correctly-rounded
+        # double quotient can round UP across an integer before the
+        # truncating cast when the exact quotient sits within half an
+        # ulp below it — floor division has no such edge.
+        (
+            (epoch_us(F.col("t_buy")) - epoch_us(F.col("t_click")))
+            .cast("long")
+            .alias("__us")
+        ),
+    ).select(F.expr("__us div 1000000").alias("lat_s"))
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.percentile("lat_s", F.lit(0.50)) + F.lit(1e-9), 1).alias(
+            "p50_s"
+        ),
+        F.round(F.percentile("lat_s", F.lit(0.90)) + F.lit(1e-9), 1).alias(
+            "p90_s"
+        ),
+        F.round(F.percentile("lat_s", F.lit(0.99)) + F.lit(1e-9), 1).alias(
+            "p99_s"
+        ),
+        F.max("lat_s").cast("long").alias("max_s"),
+    )

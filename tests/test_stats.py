@@ -218,3 +218,38 @@ def test_bfs_levels_partition_reachable_set(spark, sf_dir):
         else:
             assert r.n_customers == 0
     assert rows[0].n_nodes > 0
+
+
+def test_moments_profile_matches_python(spark):
+    # crafted skewed sample: exponential-ish values
+    vals = [1.0, 1.0, 2.0, 3.0, 5.0, 8.0, 13.0, 50.0]
+    df = spark.createDataFrame(
+        [("1-URGENT", v) for v in vals], ["o_orderpriority", "o_totalprice"]
+    )
+    df.write.mode("overwrite").parquet("/tmp/__mom/orders.parquet")
+    row = (
+        all_queries()["priority_moments_profile"]
+        .build(spark, "/tmp/__mom")
+        .collect()[0]
+    )
+    n = len(vals)
+    m1 = sum(vals) / n
+    mu2 = sum((v - m1) ** 2 for v in vals) / n
+    mu3 = sum((v - m1) ** 3 for v in vals) / n
+    mu4 = sum((v - m1) ** 4 for v in vals) / n
+    assert row.n == n
+    assert abs(row.mean_dollars - round(m1, 2)) < 0.011
+    assert abs(row.stddev_pop - mu2**0.5) < 0.02
+    assert abs(row.skewness - mu3 / mu2**1.5) < 0.001
+    assert abs(row.excess_kurtosis - (mu4 / mu2**2 - 3)) < 0.001
+    # a right-tailed sample is positively skewed and leptokurtic
+    assert row.skewness > 1.0
+    assert row.excess_kurtosis > 0.0
+
+
+def test_funnel_latency_quantiles(spark, sf_dir):
+    row = (
+        all_queries()["funnel_latency_quantiles"].build(spark, sf_dir).collect()[0]
+    )
+    assert row.n_converted > 0
+    assert 0 <= row.p50_s <= row.p90_s <= row.p99_s <= row.max_s
