@@ -823,16 +823,19 @@ def q_trade_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _norm(scored, key: str, raw: str, out: str):
+        # Checkpoint the RAW aggregate, not the normalized projection:
+        # `scored` has two consumers (the normalizing-total aggregate
+        # and the select), so a lazy frame would re-run the whole
+        # superstep join+groupBy once per consumer. The projection
+        # itself is a broadcast-scalar map over materialized rows —
+        # cheap for its single downstream consumer.
+        scored = scored.localCheckpoint(eager=True)
         tot = scored.agg(F.sum(raw).alias("__t"))
-        return (
-            scored.crossJoin(F.broadcast(tot))
-            .select(
-                key,
-                F.expr(
-                    f"{raw} div greatest(1, __t div {_HITS_SCALE})"
-                ).alias(out),
-            )
-            .localCheckpoint(eager=True)
+        return scored.crossJoin(F.broadcast(tot)).select(
+            key,
+            F.expr(
+                f"{raw} div greatest(1, __t div {_HITS_SCALE})"
+            ).alias(out),
         )
 
     hub = pairs.select("c").distinct().select(
