@@ -78,7 +78,6 @@ _RECORD_ORDER = [
     "bpe_encode_docs",
     "collocation_pmi_topk",
     "event_sequence_patterns",
-    "scrub_cast",
     "pricing_summary",
     "star_join",
     "upsert_merge",
@@ -103,6 +102,7 @@ _RECORD_ORDER = [
     "orders_hbos_outliers",
     "priority_moments_profile",
     "funnel_latency_quantiles",
+    "minhash_recall_eval",
     # session-new round-8 operators (never driver-recorded — the
     # weakest evidence class, so they take the remaining slots over
     # r4-vintage greens that already hold driver rows + current-
@@ -125,6 +125,7 @@ _RECORD_ORDER = [
 # last). True sketches without oracles sort last (tier 3 in
 # queries()).
 _RECORD_LAST = [
+    "scrub_cast",
     "doc_pii_redaction",
     "doc_repetition_stats",
     "doc_stratified_sample",

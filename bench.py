@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "orders_hbos_outliers",     # histogram-based outlier score top-k
     "priority_moments_profile", # exact DECIMAL power-sum skew/kurtosis
     "funnel_latency_quantiles", # first-click->first-buy latency p50/p90/p99
+    "minhash_recall_eval",      # sketch-vs-exact dedup precision/recall
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

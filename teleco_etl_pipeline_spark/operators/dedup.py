@@ -224,9 +224,11 @@ def ngram_jaccard_pairs(
     )
 
 
-@query(
-    "ngram_jaccard_pairs",
-    r"""
+def _ngram_exact_sql(threshold: float) -> str:
+    """Exact n-gram Jaccard pair oracle, parameterized on the
+    (rounded-value) threshold so the minhash eval below can reuse it
+    at the sketch's own cut."""
+    return rf"""
     WITH tok AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
       FROM documents
@@ -246,8 +248,13 @@ def ngram_jaccard_pairs(
     SELECT doc_id_a, doc_id_b,
            ROUND(CAST(shared AS DOUBLE) / (size_a + size_b - shared) + 1e-9, 4) AS jaccard
     FROM inter
-    WHERE ROUND(CAST(shared AS DOUBLE) / (size_a + size_b - shared) + 1e-9, 4) >= 0.12
-    """,
+    WHERE ROUND(CAST(shared AS DOUBLE) / (size_a + size_b - shared) + 1e-9, 4) >= {threshold}
+    """
+
+
+@query(
+    "ngram_jaccard_pairs",
+    _ngram_exact_sql(0.12),
     doc="Exact n-gram Jaccard near-dup pairs (shingle self-join).",
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1955,4 +1962,89 @@ def q_contamination_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= _CONTAM_MIN_SHARED)
         .orderBy("train_doc_id", "test_doc_id")
+    )
+
+
+# --- sketch-vs-exact dedup evaluation ----------------------------------------
+#
+# The dedup twin of embedding_recall_eval: how good are the MinHash
+# candidates against ground truth? Precision says how much of the
+# sketch's output is real; recall says how much real duplication the
+# banding misses (the S-curve tail below the band threshold). At
+# 100 TB the exact side is quadratic BY DESIGN — run this eval on a
+# SAMPLED slice (the standard index-quality spot check, same contract
+# as embedding_recall_eval), never the full corpus; the sketch side
+# alone is the production path.
+
+_DEDUP_EVAL_T = 0.25
+
+
+@query(
+    "minhash_recall_eval",
+    f"""
+    WITH sketch AS (
+      {_minhash_oracle_sql(threshold=_DEDUP_EVAL_T)}
+    ),
+    exact AS (
+      {_ngram_exact_sql(_DEDUP_EVAL_T)}
+    ),
+    j AS (
+      SELECT CASE WHEN s.doc_id_a IS NOT NULL THEN 1 ELSE 0 END AS in_s,
+             CASE WHEN e.doc_id_a IS NOT NULL THEN 1 ELSE 0 END AS in_e
+      FROM sketch s
+      FULL OUTER JOIN exact e
+        ON s.doc_id_a = e.doc_id_a AND s.doc_id_b = e.doc_id_b
+    )
+    SELECT CAST(SUM(in_e) AS BIGINT) AS n_exact,
+           CAST(SUM(in_s) AS BIGINT) AS n_sketch,
+           CAST(SUM(in_s * in_e) AS BIGINT) AS n_true_pos,
+           ROUND(SUM(in_s * in_e) / CAST(SUM(in_s) AS DOUBLE) + 1e-9, 4)
+             AS precision_est,
+           ROUND(SUM(in_s * in_e) / CAST(SUM(in_e) AS DOUBLE) + 1e-9, 4)
+             AS recall_est
+    FROM j
+    """,
+    doc="Sketch-quality evaluation for the dedup family (the "
+    "embedding_recall_eval twin): MinHash+LSH candidate pairs at "
+    "est >= 0.25 scored against exact n-gram Jaccard pairs at the "
+    "same threshold — precision (sketch pairs that are real) and "
+    "recall (real pairs the banding catches). One full-outer join "
+    "of two pair sets + one aggregate. The exact side is the "
+    "declared quadratic baseline: run on a sampled slice in "
+    "production; this is the index-quality spot check, not a "
+    "pipeline stage.",
+)
+def q_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sk = minhash_lsh_pairs(
+        docs,
+        n=3,
+        num_hashes=32,
+        bands=8,
+        threshold=_DEDUP_EVAL_T,
+        hash_family="md5",
+    ).select("doc_id_a", "doc_id_b", F.lit(1).alias("in_s"))
+    ex = ngram_jaccard_pairs(
+        docs, n=3, threshold=_DEDUP_EVAL_T, max_shingle_freq=None
+    ).select("doc_id_a", "doc_id_b", F.lit(1).alias("in_e"))
+    j = sk.join(ex, ["doc_id_a", "doc_id_b"], "full_outer").select(
+        F.coalesce(F.col("in_s"), F.lit(0)).alias("in_s"),
+        F.coalesce(F.col("in_e"), F.lit(0)).alias("in_e"),
+    )
+    return j.agg(
+        F.sum("in_e").cast("long").alias("n_exact"),
+        F.sum("in_s").cast("long").alias("n_sketch"),
+        F.sum(F.col("in_s") * F.col("in_e")).cast("long").alias("n_true_pos"),
+        F.round(
+            F.sum(F.col("in_s") * F.col("in_e"))
+            / F.sum("in_s").cast("double")
+            + F.lit(1e-9),
+            4,
+        ).alias("precision_est"),
+        F.round(
+            F.sum(F.col("in_s") * F.col("in_e"))
+            / F.sum("in_e").cast("double")
+            + F.lit(1e-9),
+            4,
+        ).alias("recall_est"),
     )

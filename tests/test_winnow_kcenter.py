@@ -171,3 +171,15 @@ def test_contamination_winnowing_catches_embedded_passage(spark):
     # coverage theorem: the 8-token shared run guarantees >= 1 common
     # fingerprint; this passage yields >= 2
     assert shared >= 2
+
+
+def test_minhash_recall_eval_consistency(spark, sf_dir):
+    row = (
+        all_queries()["minhash_recall_eval"].build(spark, sf_dir).collect()[0]
+    )
+    assert row.n_true_pos <= min(row.n_exact, row.n_sketch)
+    assert 0.0 <= row.precision_est <= 1.0
+    assert 0.0 <= row.recall_est <= 1.0
+    # on this corpus the banding catches most real >= 0.25 pairs
+    assert row.n_exact > 0
+    assert row.recall_est > 0.5
