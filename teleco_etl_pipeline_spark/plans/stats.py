@@ -796,11 +796,20 @@ def q_acctbal_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.orderBy("s_acctbal", "s_suppkey"))
         .alias("rm"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
     )
-    mapped = c.join(
-        s,
-        F.expr("((rn - 1) * (m - 1)) div (n - 1) + 1") == F.col("rm"),
+    # The rank-map position is computed ON THE LEFT (m arrives as a
+    # 1-row scalar broadcast) BEFORE the join: a condition mixing
+    # columns from both sides (… * (m-1) … = rm) is a non-equi
+    # predicate Catalyst can only nest-loop; with pos materialized,
+    # pos = rm is a plain hash equi-join.
+    m_row = supp.agg(F.count(F.lit(1)).alias("m"))
+    mapped = (
+        c.crossJoin(F.broadcast(m_row))
+        .select(
+            "c_mktsegment",
+            F.expr("((rn - 1) * (m - 1)) div (n - 1) + 1").alias("pos"),
+        )
+        .join(s, F.col("pos") == F.col("rm"))
     )
     return (
         mapped.groupBy("c_mktsegment")

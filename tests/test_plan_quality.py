@@ -65,6 +65,43 @@ SCALAR_BROADCASTS = {
     # the 1-row total-token and total-bigram counts broadcast onto
     # the (supported-pair)-sized lift projection — |pairs| × 1
     "collocation_pmi_topk",
+    # two 1-row scalars (group sizes, tie correction) joined onto
+    # the 1-row U-statistic aggregate — 1×1 products
+    "mannwhitney_priority",
+    # the 1-row group-total pair broadcast onto the cumulative-rank
+    # frame for the D-statistic scan — |values| × 1
+    "ks_priority_totalprice",
+    # the 1-row baseline-decile EDGES array + the 1-row bin totals,
+    # each broadcast onto a bounded frame (fact scan for binning,
+    # 10-row cell frame for the PSI terms) — |rows| × 1 products
+    "totalprice_psi_drift",
+    # the 1-row (train-total, test-total) counts broadcast onto the
+    # per-token cell aggregate — |vocab cells| × 1
+    "split_token_jsd",
+    # the 1-row point-mean broadcast onto the 64-row replicate frame
+    # — 64 × 1
+    "poisson_bootstrap_ci",
+    # the 7-row constant lag frame broadcast onto the day-grain
+    # aggregate (the daily_revenue_acf shape) — |days| × 7, a
+    # constant fan-out however large the fact table
+    "revenue_orders_ccf",
+    # the 1-row decile-edges array + the 1-row customer rank-map
+    # scalar, each onto bounded frames — |rows| × 1 products
+    "orders_hbos_outliers",
+    "acctbal_quantile_normalize",
+    # the 7-row constant lag frame onto the day-grain aggregate —
+    # |days| × 7 however large the fact table (the ccf twin)
+    "daily_revenue_acf",
+    # Theil-Sen's pairwise-slope i<j self-join over the MONTH-grain
+    # frame — O(months²) pairs by definition, bounded by the time
+    # span (~80 rows here), never by fact-table size
+    "revenue_theilsen_trend",
+    # per-round 1-row node/edge trajectory counts cross-joined into
+    # the convergence report — 1×1 products
+    "supplier_kcore_peel",
+    # the 1-row normalizing-total scalar broadcast onto each
+    # superstep's score frame — |nodes| × 1 per round
+    "trade_graph_hits",
 }
 
 
