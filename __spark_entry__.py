@@ -80,8 +80,6 @@ _RECORD_ORDER = [
     "event_sequence_patterns",
     "pricing_summary",
     "star_join",
-    "upsert_merge",
-    "topk_orders",
     "ml_inference_contract",
     # second-session round-8 operators (never driver-recorded — they
     # take precedence over r4-vintage greens that already hold driver
@@ -103,6 +101,8 @@ _RECORD_ORDER = [
     "priority_moments_profile",
     "funnel_latency_quantiles",
     "minhash_recall_eval",
+    "doc_novelty_scores",
+    "priority_revenue_trend",
     # session-new round-8 operators (never driver-recorded — the
     # weakest evidence class, so they take the remaining slots over
     # r4-vintage greens that already hold driver rows + current-
@@ -125,6 +125,8 @@ _RECORD_ORDER = [
 # last). True sketches without oracles sort last (tier 3 in
 # queries()).
 _RECORD_LAST = [
+    "upsert_merge",
+    "topk_orders",
     "scrub_cast",
     "doc_pii_redaction",
     "doc_repetition_stats",

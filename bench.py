@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "priority_moments_profile", # exact DECIMAL power-sum skew/kurtosis
     "funnel_latency_quantiles", # first-click->first-buy latency p50/p90/p99
     "minhash_recall_eval",      # sketch-vs-exact dedup precision/recall
+    "doc_novelty_scores",       # per-doc cross-corpus n-gram novelty
+    "priority_revenue_trend",   # grouped OLS via exact DECIMAL moments
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

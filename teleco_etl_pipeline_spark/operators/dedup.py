@@ -2048,3 +2048,59 @@ def q_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("recall_est"),
     )
+
+
+# --- per-document n-gram novelty (cross-doc memorization screen) -------------
+
+
+@query(
+    "doc_novelty_scores",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, len(toks) - 2)]) AS shingles
+      FROM tok WHERE len(toks) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), df AS (
+      SELECT shingle, COUNT(*) AS d FROM ex GROUP BY shingle
+    )
+    SELECT ex.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           ROUND(SUM(CASE WHEN df.d > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) + 1e-9, 4) AS pct_shared
+    FROM ex JOIN df USING (shingle)
+    GROUP BY ex.doc_id
+    ORDER BY ex.doc_id
+    """,
+    doc="Per-document n-gram novelty: the fraction of a doc's "
+    "distinct 3-gram shingles that appear in at least one OTHER "
+    "document — the cross-doc memorization/boilerplate screen "
+    "(pct_shared near 1 = assembled from corpus-common text; near 0 "
+    "= novel content). Linear, not pairwise: one shingle explode, "
+    "one document-frequency aggregate, one join back — the per-doc "
+    "PRIORITIZER for the pairwise dedup family (run the expensive "
+    "pair search on the high-pct_shared slice first).",
+)
+def q_doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ex = _doc_shingles(docs, 3)
+    df_counts = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        ex.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.round(
+                F.sum((F.col("d") > 1).cast("int"))
+                / F.count(F.lit(1)).cast("double")
+                + F.lit(1e-9),
+                4,
+            ).alias("pct_shared"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1188,3 +1188,96 @@ def q_priority_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "excess_kurtosis"
         ),
     ).orderBy("pri")
+
+
+# --- per-group OLS trend (exact-moment grouped regression) --------------------
+
+
+@query(
+    "priority_revenue_trend",
+    """
+    WITH daily AS (
+      SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT pri, cents,
+             DATE_DIFF('day', MIN(day) OVER (PARTITION BY pri), day) AS xi
+      FROM daily
+    ),
+    m AS (
+      SELECT pri, COUNT(*) AS n,
+             SUM(CAST(xi AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(cents AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(xi AS DECIMAL(38,0)) * cents) AS sxy,
+             SUM(CAST(xi AS DECIMAL(38,0)) * xi) AS sxx,
+             SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS syy
+      FROM x GROUP BY pri
+    )
+    SELECT pri, CAST(n AS BIGINT) AS n_days,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / 100.0 + 1e-9, 4) AS slope_dollars_per_day,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 + 1e-9, 4) AS r2
+    FROM m ORDER BY pri
+    """,
+    doc="Per-group OLS revenue trend: slope + R² of daily revenue on "
+    "the day index, one fit PER priority class — grouped regression "
+    "as five exact DECIMAL(38,0) moment sums per group (the "
+    "ACF/Spearman machinery; the engine-native regr_slope aggregates "
+    "accumulate FLOATS across rows, whose order-dependent noise at "
+    "cents scale lands above the rounding guard). The day index is "
+    "per-group-origin (slope and R² are shift-invariant), so no "
+    "global scalar is needed — one fact aggregate to (pri, day) "
+    "grain, a per-group min window over that tiny frame, one moment "
+    "aggregate.",
+)
+def q_priority_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("cents")
+    )
+    x = daily.select(
+        "pri",
+        "cents",
+        F.datediff(
+            F.col("day"), F.min("day").over(Window.partitionBy("pri"))
+        ).alias("xi"),
+    )
+    m = x.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xi").cast(_DEC)).alias("sx"),
+        F.sum(F.col("cents").cast(_DEC)).alias("sy"),
+        F.sum(F.col("xi").cast(_DEC) * F.col("cents")).alias("sxy"),
+        F.sum(F.col("xi").cast(_DEC) * F.col("xi")).alias("sxx"),
+        F.sum(F.col("cents").cast(_DEC) * F.col("cents")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    den_x = nd * F.col("sxx").cast("double") - sxd * sxd
+    den_y = nd * F.col("syy").cast("double") - syd * syd
+    return m.select(
+        "pri",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(num / den_x / 100.0 + F.lit(1e-9), 4).alias(
+            "slope_dollars_per_day"
+        ),
+        F.round(num * num / (den_x * den_y) + F.lit(1e-9), 4).alias("r2"),
+    ).orderBy("pri")

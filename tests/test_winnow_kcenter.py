@@ -183,3 +183,55 @@ def test_minhash_recall_eval_consistency(spark, sf_dir):
     # on this corpus the banding catches most real >= 0.25 pairs
     assert row.n_exact > 0
     assert row.recall_est > 0.5
+
+
+def test_novelty_scores_bounds_and_duplicate_detection(spark):
+    # doc 1 and 2 share everything; doc 3 is unique
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "omega psi chi phi upsilon tau"),
+        ],
+        ["doc_id", "text"],
+    )
+    d.write.mode("overwrite").parquet("/tmp/__nov/documents.parquet")
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["doc_novelty_scores"]
+        .build(spark, "/tmp/__nov")
+        .collect()
+    }
+    assert rows[1].pct_shared == 1.0
+    assert rows[2].pct_shared == 1.0
+    assert rows[3].pct_shared == 0.0
+    assert rows[3].n_shingles == 4
+
+
+def test_priority_revenue_trend_recovers_injected_slope(spark):
+    import datetime
+
+    rows = []
+    base = datetime.datetime(2020, 1, 1)
+    for day in range(60):
+        # revenue grows exactly $10/day
+        rows.append(
+            (
+                "1-URGENT",
+                base + datetime.timedelta(days=day),
+                100.0 + 10.0 * day,
+            )
+        )
+    df = spark.createDataFrame(
+        rows, ["o_orderpriority", "o_orderdate", "o_totalprice"]
+    )
+    df.write.mode("overwrite").parquet("/tmp/__trend/orders.parquet")
+    out = (
+        all_queries()["priority_revenue_trend"]
+        .build(spark, "/tmp/__trend")
+        .collect()
+    )
+    assert len(out) == 1
+    assert abs(out[0].slope_dollars_per_day - 10.0) < 1e-6
+    assert abs(out[0].r2 - 1.0) < 1e-9
+    assert out[0].n_days == 60
