@@ -40,23 +40,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-recorded after the HUGEINT root-cause fix (the oracle left an
 # integer SUM output uncast; DuckDB types it INT128 and the driver's
 # pandas fetch widens it to float64, hashing 6.0 against Spark's 6 —
-# see tests/test_oracle_types.py). Slots 5-19 are the round-8-new
-# operators (never driver-recorded = the weakest evidence class):
-# the zone-map-pruned scan, the five deterministic oracle-backed
-# sketches (HLL / count-min / KMV / AMS join-size / histogram
-# quantile, operators/sketch.py), the co-fulfillment graph pair
-# (degree-ordered triangles / unrolled k-core peel,
-# operators/graph.py), the CDC snapshot hash-diff
-# (operators/cdc.py), the one-pass column profiler + star-schema
-# FK-integrity sweep (operators/profile.py), and the unrolled BPE
-# merge-training recurrence + trained-tokenizer encode
-# (operators/bpe.py), PMI collocation mining (operators/freq.py),
-# and MATCH_RECOGNIZE-style sequence-pattern analytics
-# (plans/events.py). Slots 20-50 backfill the
-# oldest-evidence queries (latest driver-green row is r4-vintage),
-# so their evidence refreshes under the current code. All displaced
-# queries have an r5-r7 driver-green row AND a current-vintage
-# exact-bit match in the committed LOCAL_PARITY_r08 dual-SF sweeps.
+# see tests/test_oracle_types.py). Everything else never driver-
+# recorded takes precedence over r4-vintage greens that already hold
+# driver rows: slots 5-19 are the first-session round-8 operators
+# (zone-map-pruned scan, the five deterministic sketches, the
+# co-fulfillment graph pair, CDC hash-diff, profiler + FK sweep, BPE
+# train/encode, PMI, sequence patterns), slots 23-39 the
+# second-session families (drift screens, Poisson bootstrap, CCF,
+# HITS, winnowing + cross-split contamination, k-center, skip-grams,
+# quantile normalization, MI, Spearman, HBOS, moments,
+# funnel latency, minhash eval, novelty, grouped OLS), and the tail
+# the ten session-one distribution-statistics queries. Three
+# r4-vintage refreshes (pricing_summary, star_join,
+# ml_inference_contract) keep the oldest reference-surface evidence
+# current. Every displaced query has an r4-r7 driver-green row AND a
+# current-vintage exact-bit match in the committed LOCAL_PARITY_r08
+# dual-SF sweeps.
 _RECORD_ORDER = [
     "embedding_knn_classify",
     "embedding_knn_classify_total",
