@@ -49,9 +49,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # second-session families (drift screens, Poisson bootstrap, CCF,
 # HITS, winnowing + cross-split contamination, k-center, skip-grams,
 # quantile normalization, MI, Spearman, HBOS, moments,
-# funnel latency, minhash eval, novelty, grouped OLS), and the tail
-# the ten session-one distribution-statistics queries. Three
-# r4-vintage refreshes (pricing_summary, star_join,
+# funnel latency, minhash eval, novelty, grouped OLS, centroid
+# drift), and the tail the ten session-one distribution-statistics
+# queries. Two r4-vintage refreshes (pricing_summary,
 # ml_inference_contract) keep the oldest reference-surface evidence
 # current. Every displaced query has an r4-r7 driver-green row AND a
 # current-vintage exact-bit match in the committed LOCAL_PARITY_r08
@@ -78,7 +78,6 @@ _RECORD_ORDER = [
     "collocation_pmi_topk",
     "event_sequence_patterns",
     "pricing_summary",
-    "star_join",
     "ml_inference_contract",
     # second-session round-8 operators (never driver-recorded — they
     # take precedence over r4-vintage greens that already hold driver
@@ -102,6 +101,7 @@ _RECORD_ORDER = [
     "minhash_recall_eval",
     "doc_novelty_scores",
     "priority_revenue_trend",
+    "embedding_centroid_drift",
     # session-new round-8 operators (never driver-recorded — the
     # weakest evidence class, so they take the remaining slots over
     # r4-vintage greens that already hold driver rows + current-
@@ -124,6 +124,7 @@ _RECORD_ORDER = [
 # last). True sketches without oracles sort last (tier 3 in
 # queries()).
 _RECORD_LAST = [
+    "star_join",
     "upsert_merge",
     "topk_orders",
     "scrub_cast",

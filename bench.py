@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "minhash_recall_eval",      # sketch-vs-exact dedup precision/recall
     "doc_novelty_scores",       # per-doc cross-corpus n-gram novelty
     "priority_revenue_trend",   # grouped OLS via exact DECIMAL moments
+    "embedding_centroid_drift", # per-label split-centroid shift (exact)
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

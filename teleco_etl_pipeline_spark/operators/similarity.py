@@ -2969,3 +2969,153 @@ def kcenter_coreset(
         "vec_id",
         F.col("mind").cast("long").alias("dist_sq"),
     ).orderBy("sel_round")
+
+
+# --- representation drift: per-label centroid shift between splits ----------
+#
+# The third drift screen (with totalprice_psi_drift = feature drift
+# and split_token_jsd = vocabulary drift): has the EMBEDDING
+# distribution moved between the train and test hash-splits? Per
+# label, the Euclidean distance between the two split centroids —
+# near 0 when the splits sample one population, large when a label's
+# representation differs across the boundary (skewed sharding,
+# embedding-model version mixing, leakage of a re-embedded slice).
+#
+# Exactness: quantized integer components; the centroid difference
+# is cleared of denominators — ||μ_t − μ_s||² · (n_t·n_s)² =
+# Σ_d (S_t[d]·n_s − S_s[d]·n_t)², every factor an exact integer
+# (per-dim sums < 2⁵³ as integer-valued doubles, the cleared diff
+# cast to int64, its square accumulated in DECIMAL(38,0)) — so both
+# engines hash the identical double after ONE sqrt + divide.
+# Int64 bound on the cleared diff: n_t·n_s·q_max < 2⁶³ ⇒ about
+# 1.3e6 vectors per (label, split) at q_max ≈ 5.3e5; past that,
+# swap the clearing for the float-centroid fold + margin audit.
+#
+# Scale: one dims explode (64 rows per vector) into a
+# map-side-combined (label, dim) aggregate — shuffle is
+# |labels|·dims rows, not data; the count frame broadcasts.
+
+_CDRIFT_SCALE = 10**6
+
+
+@query(
+    "embedding_centroid_drift",
+    f"""
+    WITH qv AS (
+      SELECT label,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 1000000 < 800000 THEN 'train'
+                  WHEN CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 1000000 >= 900000 THEN 'test' END AS split,
+             {_sql_qvec('embedding')} AS q
+      FROM embeddings
+    ),
+    f AS (SELECT * FROM qv WHERE split IS NOT NULL),
+    cnt AS (
+      SELECT label,
+             SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_t,
+             SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_s
+      FROM f GROUP BY label
+    ),
+    dims AS (
+      SELECT label, u.dim AS dim,
+             SUM(CASE WHEN split = 'train' THEN u.val ELSE 0 END) AS st,
+             SUM(CASE WHEN split = 'test' THEN u.val ELSE 0 END) AS ss
+      FROM f, UNNEST(list_transform(generate_series(1, len(q)),
+                                    i -> {{'dim': i, 'val': q[i]}})) AS x(u)
+      GROUP BY label, u.dim
+    ),
+    num AS (
+      SELECT d.label,
+             SUM(CAST(CAST(d.st * c.n_s - d.ss * c.n_t AS BIGINT)
+                      AS DECIMAL(38,0))
+                 * CAST(d.st * c.n_s - d.ss * c.n_t AS BIGINT)) AS sq
+      FROM dims d JOIN cnt c USING (label)
+      GROUP BY d.label
+    )
+    SELECT c.label,
+           CAST(c.n_t AS BIGINT) AS n_train,
+           CAST(c.n_s AS BIGINT) AS n_test,
+           ROUND(SQRT(CAST(n.sq AS DOUBLE))
+                 / (CAST(c.n_t AS DOUBLE) * c.n_s * {_CDRIFT_SCALE}.0)
+                 + 1e-9, 6) AS centroid_dist
+    FROM cnt c JOIN num n USING (label)
+    WHERE c.n_t > 0 AND c.n_s > 0
+    ORDER BY c.label
+    """,
+    doc="Representation-drift screen: per label, the Euclidean "
+    "distance between the train-split and test-split embedding "
+    "centroids (the companion to the PSI feature-drift and JSD "
+    "vocabulary-drift screens). Denominator-cleared exact integer "
+    "arithmetic — Σ(S_t·n_s − S_s·n_t)² in DECIMAL(38,0) — so the "
+    "hashed double comes from one sqrt + one divide on both "
+    "engines. One 64-rows-per-vector explode into a (label, dim) "
+    "map-side-combined aggregate: shuffle is labels×dims, not data.",
+)
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = hash_bucket("vec_id")
+    f = emb.select(
+        "label",
+        F.when(b < 800000, F.lit("train"))
+        .when(b >= 900000, F.lit("test"))
+        .alias("split"),
+        quantized_vec_col(F.col("embedding")).alias("q"),
+    ).filter(F.col("split").isNotNull())
+    cnt = f.groupBy("label").agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("n_t"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_s"),
+    )
+    dims = (
+        f.select(
+            "label", "split", F.posexplode_outer("q").alias("dim0", "val")
+        )
+        .filter(F.col("val").isNotNull())
+        .select("label", "split", (F.col("dim0") + 1).alias("dim"), "val")
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(
+                F.when(F.col("split") == "train", F.col("val")).otherwise(
+                    0.0
+                )
+            ).alias("st"),
+            F.sum(
+                F.when(F.col("split") == "test", F.col("val")).otherwise(0.0)
+            ).alias("ss"),
+        )
+    )
+    diff = (
+        F.col("st") * F.col("n_s") - F.col("ss") * F.col("n_t")
+    ).cast("long")
+    num = (
+        dims.join(F.broadcast(cnt), "label")
+        .select("label", diff.alias("diff"))
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.col("diff").cast("decimal(38,0)") * F.col("diff")
+            ).alias("sq")
+        )
+    )
+    return (
+        cnt.join(num, "label")
+        .filter((F.col("n_t") > 0) & (F.col("n_s") > 0))
+        .select(
+            "label",
+            F.col("n_t").cast("long").alias("n_train"),
+            F.col("n_s").cast("long").alias("n_test"),
+            F.round(
+                F.sqrt(F.col("sq").cast("double"))
+                / (
+                    F.col("n_t").cast("double")
+                    * F.col("n_s")
+                    * float(_CDRIFT_SCALE)
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("centroid_dist"),
+        )
+        .orderBy("label")
+    )

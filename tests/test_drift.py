@@ -193,3 +193,44 @@ def test_hbos_flags_rare_combination(spark, sf_dir):
 
     n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     assert all(0 < s <= 3 * math.log(n) + 1e-6 for s in scores)
+
+
+def test_centroid_drift_small_on_random_split(spark, sf_dir):
+    out = (
+        all_queries()["embedding_centroid_drift"].build(spark, sf_dir).collect()
+    )
+    assert out, "every label should have both splits at sf>=0.001"
+    for r in out:
+        assert r.n_train > 0 and r.n_test > 0
+        # a hash split samples ONE population: centroid distance is
+        # sampling noise — with only a handful of test-split vectors
+        # per label at sf0.001 that noise is O(sigma*sqrt(d/n)) ~ 0.5,
+        # still far below the ~8.5 maximum for |x| <= 0.53 in 64 dims
+        assert 0.0 <= r.centroid_dist < 1.5
+
+
+def test_centroid_drift_detects_injected_shift(spark):
+    import numpy as np
+    from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
+    from pyspark.sql import functions as F
+
+    ids = spark.range(0, 4000).select(
+        "id", hash_bucket(F.col("id")).alias("b")
+    )
+    train_ids = [r.id for r in ids.filter("b < 800000").limit(50).collect()]
+    test_ids = [r.id for r in ids.filter("b >= 900000").limit(50).collect()]
+    rows = [(int(i), [0.1] * 8, 1) for i in train_ids]
+    # test split shifted by +0.3 in every component -> dist ~ sqrt(8)*0.3
+    rows += [(int(i), [0.4] * 8, 1) for i in test_ids]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    df.selectExpr(
+        "vec_id", "CAST(embedding AS array<float>) AS embedding", "label"
+    ).write.mode("overwrite").parquet("/tmp/__cdrift/embeddings.parquet")
+    out = (
+        all_queries()["embedding_centroid_drift"]
+        .build(spark, "/tmp/__cdrift")
+        .collect()
+    )
+    assert len(out) == 1
+    expect = (8 * 0.3**2) ** 0.5
+    assert abs(out[0].centroid_dist - expect) < 1e-3
