@@ -260,6 +260,9 @@ def main() -> None:
         "events_tumbling_hourly",
         "events_sessionize",
         "ngram_jaccard_guarded",
+        # cross-round perf watch items from the round-6/7 verdicts
+        "embedding_knn_classify",
+        "trade_graph_pagerank",
     ]
     slowest = sorted(timings, key=timings.get, reverse=True)[:10]
     compact = {q: timings[q] for q in dict.fromkeys(watch + slowest) if q in timings}
