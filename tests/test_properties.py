@@ -548,3 +548,86 @@ def test_embedding_magnitudes_within_quantized_exactness_budget():
         )
         checked += 1
     assert checked, "no testdata found to check"
+
+
+# --- round-8 second-session families -----------------------------------------
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=6, max_size=30).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=5,
+    ),
+)
+@settings(**SETTINGS)
+def test_winnowing_coverage_theorem(spark, docs):
+    """Any two docs sharing a run of >= k+w-1 tokens share >= 1
+    fingerprint (Schleimer'03 coverage) — enforced by PLANTING a
+    common 6-token passage into the first two docs."""
+    from teleco_etl_pipeline_spark.operators.dedup import (
+        winnowing_fingerprints,
+        _WINNOW_K,
+        _WINNOW_W,
+    )
+
+    passage = "zz1 zz2 zz3 zz4 zz5 zz6"  # k+w-1 = 6 tokens, unique marker
+    rows = [
+        (0, docs[0] + " " + passage),
+        (1, passage + " " + docs[1]),
+    ] + [(i, t) for i, t in enumerate(docs[2:], start=2)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnowing_fingerprints(df, k=_WINNOW_K, w=_WINNOW_W)
+    a = {r.fp for r in fps.filter("doc_id = 0").collect()}
+    b = {r.fp for r in fps.filter("doc_id = 1").collect()}
+    assert a & b, "planted common run must yield a shared fingerprint"
+
+
+@given(seed_rows=st.lists(st.integers(0, 10**6), min_size=5, max_size=40, unique=True))
+@settings(**SETTINGS)
+def test_kcenter_greedy_invariants(spark, seed_rows):
+    """The greedy pick at round r is at least as far from the
+    selected set as every LATER pick was at ITS round (max-min radii
+    are non-increasing), and picks are distinct."""
+    from teleco_etl_pipeline_spark.operators.similarity import kcenter_coreset
+
+    rows = [
+        (int(i), [((i * 37 + d * 11) % 97) / 97.0 - 0.5 for d in range(4)])
+        for i in seed_rows
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    k = min(4, len(rows))
+    out = kcenter_coreset(df, k=k).collect()
+    assert len({r.vec_id for r in out}) == len(out) == k
+    radii = [r.dist_sq for r in out[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
+@given(
+    vals=st.lists(st.integers(1, 10**6), min_size=3, max_size=50),
+)
+@settings(**SETTINGS)
+def test_histogram_double_rank_equals_window_rank(spark, vals):
+    """The value-histogram double-rank (2*cum - cnt + 1, the Spearman
+    machinery) equals the window spelling 2*rank + ties - 1 on every
+    value, duplicates included."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    win = (
+        2 * F.rank().over(Window.orderBy("v"))
+        + F.count(F.lit(1)).over(Window.partitionBy("v"))
+        - 1
+    ).alias("dr_win")
+    expect = {r.v: r.dr_win for r in df.select("v", win).collect()}
+    vc = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    cum = F.sum("c").over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = {
+        r.v: r.dr
+        for r in vc.select("v", (2 * cum - F.col("c") + 1).alias("dr")).collect()
+    }
+    assert got == expect
