@@ -33,6 +33,8 @@ is ONE declarative plan — no driver-side loop.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from teleco_etl_pipeline_spark.plans.registry import query
@@ -240,6 +242,134 @@ def _encode_finisher_duck(k: int) -> str:
     GROUP BY d.doc_id
     ORDER BY d.doc_id
     """
+
+
+# --- tokenizer-artifact lifecycle --------------------------------------------
+#
+# A trained tokenizer is a PIPELINE ARTIFACT, not a per-query
+# computation: train once, version the merge table, encode forever.
+# Same contract as the churn-model artifacts (plans/ml.py:97-139 —
+# versioned save dirs, lexicographic latest-wins, score through the
+# RELOADED artifact): the merge table is saved as a versioned
+# parquet directory (rank, pair, merged, weight), resolution picks
+# the lexicographically-latest version, and the stored-encode path
+# rebuilds the word→token-count map from ONLY the loaded rows —
+# proving the artifact is sufficient to reproduce tokenization
+# without retraining. The merge table is k rows (a few hundred in a
+# production tokenizer) — a bounded driver-side artifact by
+# construction, so collecting it is the correct move, not a scale
+# smell: the k replaces then run as ONE literal string-kernel
+# projection chain in whole-stage codegen, zero joins, zero
+# checkpoints.
+
+
+def save_merge_table(
+    spark: SparkSession,
+    documents: DataFrame,
+    artifacts_dir: str,
+    version: str,
+    k: int = _N_MERGES,
+) -> str:
+    """Train the merge table and persist it as the versioned artifact
+    ``{artifacts_dir}/bpe_merges_{version}`` (ml.py's dated-artifact
+    pattern). Returns the artifact path."""
+    from pyspark.sql import functions as F  # noqa: F401  (schema side)
+
+    _enc, merges = _train(spark, documents, k)
+    df = spark.createDataFrame(
+        [(i, pair, merged, c) for i, merged, pair, c in merges],
+        schema="rank bigint, pair string, merged string, weight bigint",
+    )
+    path = os.path.join(artifacts_dir, f"bpe_merges_{version}")
+    # k rows → one file; the artifact is metadata, not data.
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def latest_merge_table(artifacts_dir: str) -> str:
+    """Latest-wins artifact resolution (lexicographic max of
+    versioned names — the plans/ml.py:127 precedent)."""
+    cands = sorted(
+        d for d in os.listdir(artifacts_dir) if d.startswith("bpe_merges_")
+    )
+    if not cands:
+        raise FileNotFoundError(f"no BPE artifacts under {artifacts_dir}")
+    return os.path.join(artifacts_dir, cands[-1])
+
+
+def load_merge_table(spark: SparkSession, path: str) -> list[tuple]:
+    """Load a stored merge table as [(rank, pair, merged)] in rank
+    order — the bounded (k-row) driver-side tokenizer artifact."""
+    return [
+        (r["rank"], r["pair"], r["merged"])
+        for r in spark.read.parquet(path).orderBy("rank").collect()
+    ]
+
+
+def wordtok_from_merges(documents: DataFrame, merges: list[tuple]) -> DataFrame:
+    """(w, n_tok, n_sym) from ONLY a loaded merge table: seed the
+    double-delimited char encoding and apply the stored merges in
+    rank order as one nested literal-replace projection — no argmax,
+    no training pass, no per-round materialization."""
+    from pyspark.sql import functions as F
+
+    words = documents.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).filter((F.length("w") >= 1) & (~F.col("w").like("%|%")))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    enc_col = F.concat(
+        F.lit("|"), F.regexp_replace("w", "(.)", "$1||"), F.lit("|")
+    )
+    for _rank, pair, merged in merges:
+        enc_col = F.replace(enc_col, F.lit(pair), F.lit("|" + merged + "|"))
+    return wf.select("w", enc_col.alias("__enc")).select(
+        "w",
+        F.size(F.split(F.expr("trim(BOTH '|' FROM __enc)"), r"\|\|"))
+        .cast("long")
+        .alias("n_tok"),
+        F.length("w").cast("long").alias("n_sym"),
+    )
+
+
+@query(
+    "bpe_encode_stored",
+    _encode_chain(_duck_sql, _N_MERGES) + _encode_finisher_duck(_N_MERGES),
+    doc="Tokenizer-ARTIFACT encode: train the merge table, SAVE it "
+    "as a versioned parquet artifact (the plans/ml.py dated-artifact "
+    "pattern: bpe_merges_{version} dirs, lexicographic latest-wins), "
+    "reload it, and encode every document using ONLY the stored "
+    "rows — the production lifecycle where tokenization never "
+    "retrains. Values provably identical to the in-plan trainer "
+    "(bpe_encode_docs): the artifact round-trip is lossless, which "
+    "is exactly what this query certifies. The loaded merge table "
+    "is k rows — a bounded driver artifact — and the stored-encode "
+    "plan is one nested literal-replace projection over the vocab "
+    "plus the same broadcast word-count join.",
+)
+def q_bpe_encode_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    art_dir = tempfile.mkdtemp(prefix="bpe_artifacts_")
+    save_merge_table(spark, d.select("text"), art_dir, version="v1")
+    merges = load_merge_table(spark, latest_merge_table(art_dir))
+    wordtok = wordtok_from_merges(d.select("text"), merges)
+    doctok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    ).filter((F.length("w") >= 1) & (~F.col("w").like("%|%")))
+    return (
+        doctok.join(F.broadcast(wordtok.select("w", "n_tok", "n_sym")), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_chars"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(

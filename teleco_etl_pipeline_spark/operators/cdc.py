@@ -207,7 +207,13 @@ def incremental_agg_refresh(
     ).select(*keys)
 
     def _leg(snapshot: DataFrame, sign: int) -> DataFrame:
-        touched = snapshot.join(F.broadcast(delta_keys), list(keys), "semi")
+        # No broadcast hint: the delta is churn-sized on a typical
+        # refresh but SNAPSHOT-sized on a retention sweep (e.g. the
+        # aged-out DELETE mass in priority_view_refresh), where a
+        # forced broadcast would OOM the executors. AQE promotes the
+        # semi-join to broadcast at runtime whenever the delta
+        # measures small, so the common case loses nothing.
+        touched = snapshot.join(delta_keys, list(keys), "semi")
         return touched.groupBy(F.col(group_col).alias("g")).agg(
             (F.lit(sign) * F.count(F.lit(1))).alias("_n"),
             *[

@@ -1931,25 +1931,30 @@ def q_contamination_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split")
     )
     # Materialized once — three consumers (guard aggregate, train
-    # side, test side), same rationale as winnowing_pairs.
-    fps = winnowing_fingerprints(
-        docs, k=_WINNOW_K, w=_WINNOW_W
-    ).localCheckpoint(eager=False)
+    # side, test side), same rationale as winnowing_pairs. The split
+    # filter is applied BEFORE fingerprinting AND before the
+    # stop-fingerprint guard, so the doc-frequency count sees exactly
+    # the split-assigned population the oracle counts (its hs_t CTE
+    # carries WHERE split IS NOT NULL): a fingerprint whose frequency
+    # crosses _WINNOW_MAXDOC only when unassigned-bucket docs are
+    # included must still be KEPT, because those docs never reach the
+    # pair join. Bonus: the ~10% unassigned docs are never
+    # fingerprinted at all.
+    split_docs = docs.select("doc_id", "text", split).filter(
+        F.col("split").isNotNull()
+    )
+    fps = (
+        winnowing_fingerprints(split_docs, k=_WINNOW_K, w=_WINNOW_W)
+        .join(split_docs.select("doc_id", "split"), "doc_id")
+        .localCheckpoint(eager=False)
+    )
     kept = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") <= _WINNOW_MAXDOC)
         .select("fp")
     )
-    ex = (
-        fps.join(kept, "fp")
-        .join(
-            docs.select(F.col("doc_id"), split).filter(
-                F.col("split").isNotNull()
-            ),
-            "doc_id",
-        )
-    )
+    ex = fps.join(kept, "fp")
     t = ex.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc_id"), "fp"
     )

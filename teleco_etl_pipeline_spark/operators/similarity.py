@@ -2984,9 +2984,11 @@ def kcenter_coreset(
 # Exactness: quantized integer components; the centroid difference
 # is cleared of denominators — ||μ_t − μ_s||² · (n_t·n_s)² =
 # Σ_d (S_t[d]·n_s − S_s[d]·n_t)², every factor an exact integer
-# (per-dim sums < 2⁵³ as integer-valued doubles, the cleared diff
-# cast to int64, its square accumulated in DECIMAL(38,0)) — so both
-# engines hash the identical double after ONE sqrt + divide.
+# (per-dim sums < 2⁵³ as integer-valued doubles, the clearing done
+# in INT64 arithmetic — sums cast to int64 BEFORE the multiply, so
+# the product is not squeezed through double's 2⁵³ mantissa — and
+# the square accumulated in DECIMAL(38,0)) — so both engines hash
+# the identical double after ONE sqrt + divide.
 # Int64 bound on the cleared diff: n_t·n_s·q_max < 2⁶³ ⇒ about
 # 1.3e6 vectors per (label, split) at q_max ≈ 5.3e5; past that,
 # swap the clearing for the float-centroid fold + margin audit.
@@ -3027,9 +3029,11 @@ _CDRIFT_SCALE = 10**6
     ),
     num AS (
       SELECT d.label,
-             SUM(CAST(CAST(d.st * c.n_s - d.ss * c.n_t AS BIGINT)
+             SUM(CAST(CAST(CAST(d.st AS BIGINT) * c.n_s
+                           - CAST(d.ss AS BIGINT) * c.n_t AS BIGINT)
                       AS DECIMAL(38,0))
-                 * CAST(d.st * c.n_s - d.ss * c.n_t AS BIGINT)) AS sq
+                 * CAST(CAST(d.st AS BIGINT) * c.n_s
+                        - CAST(d.ss AS BIGINT) * c.n_t AS BIGINT)) AS sq
       FROM dims d JOIN cnt c USING (label)
       GROUP BY d.label
     )
@@ -3086,9 +3090,16 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ss"),
         )
     )
+    # The cleared diff is computed in INTEGER arithmetic (st/ss are
+    # integer-valued double sums, exact < 2^53 per dim; cast to long
+    # BEFORE the multiply), not double-then-cast: a double product
+    # is exact only to 2^53, which would cap the documented
+    # n_t*n_s*q_max < 2^63 capacity ~1000x below its claim. The
+    # oracle clears in BIGINT identically.
     diff = (
-        F.col("st") * F.col("n_s") - F.col("ss") * F.col("n_t")
-    ).cast("long")
+        F.col("st").cast("long") * F.col("n_s")
+        - F.col("ss").cast("long") * F.col("n_t")
+    )
     num = (
         dims.join(F.broadcast(cnt), "label")
         .select("label", diff.alias("diff"))

@@ -44,6 +44,11 @@ from teleco_etl_pipeline_spark.plans.registry import query
 from teleco_etl_pipeline_spark.sources.tables import load_table
 
 _DEC = "decimal(38,0)"
+# Level-1 range-bucket count for the two-level rank cumsum
+# (lineitem_spearman_matrix): the level-2 offset window is one task
+# over exactly this many rows — a CONSTANT, independent of data
+# volume or value domain.
+_RANK_BUCKETS = 1024
 
 
 def _cents(col: str):
@@ -975,11 +980,55 @@ def q_lineitem_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("l_discount", "d"),
     ):
         vc = li.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
-        cum = F.sum("__c").over(
-            Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        # TWO-LEVEL cumsum over the distinct-value frame: a flat
+        # Window.orderBy(col) puts every distinct value in ONE task,
+        # fine for l_quantity/l_discount (bounded domains) but a
+        # ceiling for l_extendedprice, whose distinct count grows
+        # toward 10^6-10^7 with data volume. Level 1 range-buckets
+        # the values (monotone double bucketing — only ORDER matters,
+        # so decimal->double rounding is harmless) and cumsums WITHIN
+        # each bucket in parallel; level 2 cumsums the _RANK_BUCKETS
+        # per-bucket totals in one task bounded by the CONSTANT
+        # bucket count, never by the domain. cum(v) = exclusive
+        # bucket offset + inclusive within-bucket running count —
+        # the identical integer the flat window produces.
+        mm = vc.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
+        spread = F.col("__hi").cast("double") - F.col("__lo").cast("double")
+        bucket = F.when(spread <= 0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(_RANK_BUCKETS - 1),
+                F.floor(
+                    (F.col(col).cast("double") - F.col("__lo").cast("double"))
+                    / spread
+                    * _RANK_BUCKETS
+                ).cast("int"),
+            )
         )
-        rank_map = vc.select(
-            col, (2 * cum - F.col("__c") + 1).alias(out)
+        vcb = vc.crossJoin(F.broadcast(mm)).select(
+            col, "__c", bucket.alias("__b")
+        )
+        within = F.sum("__c").over(
+            Window.partitionBy("__b")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        boff = vcb.groupBy("__b").agg(F.sum("__c").alias("__bt"))
+        boff = boff.select(
+            "__b",
+            F.coalesce(
+                F.sum("__bt").over(
+                    Window.orderBy("__b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("__off"),
+        )
+        cum = F.col("__off") + F.col("__w")
+        rank_map = (
+            vcb.select(col, "__c", "__b", within.alias("__w"))
+            .join(F.broadcast(boff), "__b")
+            .select(col, (2 * cum - F.col("__c") + 1).alias(out))
         )
         r = r.join(rank_map, col)
     r = r.select("q", "p", "d")

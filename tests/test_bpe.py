@@ -131,3 +131,37 @@ def test_bpe_encode_docs_matches_python(spark, sf_dir):
         assert row["n_chars"] == sum(len(w) for w in words)
         assert row["n_bpe_tokens"] == sum(len(vocab[w]) for w in words)
         assert row["n_bpe_tokens"] <= row["n_chars"]  # merges only shrink
+
+
+def test_bpe_artifact_roundtrip_and_stored_encode(spark, sf_dir, tmp_path):
+    # Artifact lifecycle: save -> latest-wins resolve -> load must
+    # reproduce the trainer's merge list exactly, and encoding from
+    # ONLY the stored table must equal the in-plan trainer's encode.
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        pytest.skip("harness testdata absent")
+    from teleco_etl_pipeline_spark.operators.bpe import (
+        _train,
+        latest_merge_table,
+        load_merge_table,
+        q_bpe_encode_docs,
+        q_bpe_encode_stored,
+        save_merge_table,
+    )
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    art = str(tmp_path)
+    save_merge_table(spark, docs, art, version="20240101")
+    save_merge_table(spark, docs, art, version="20240202")
+    path = latest_merge_table(art)
+    assert path.endswith("bpe_merges_20240202")  # lexicographic latest wins
+    loaded = load_merge_table(spark, path)
+    _enc, trained = _train(spark, docs, _N_MERGES)
+    assert loaded == [(i, pair, merged) for i, merged, pair, _c in trained]
+    stored = sorted(
+        tuple(r) for r in q_bpe_encode_stored(spark, sf_dir).collect()
+    )
+    inplan = sorted(
+        tuple(r) for r in q_bpe_encode_docs(spark, sf_dir).collect()
+    )
+    assert stored == inplan

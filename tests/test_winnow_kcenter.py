@@ -173,6 +173,37 @@ def test_contamination_winnowing_catches_embedded_passage(spark):
     assert shared >= 2
 
 
+def test_contamination_guard_counts_split_docs_only(spark):
+    # Regression (round-9 ADVICE): the stop-fingerprint guard must
+    # count doc-frequency over SPLIT-ASSIGNED docs only, mirroring
+    # the oracle's WHERE split IS NOT NULL placement. Here a passage
+    # appears in exactly _WINNOW_MAXDOC assigned docs (19 train + 1
+    # test -> kept) plus 6 UNASSIGNED docs; counting the unassigned
+    # population would push the frequency to 26 > 20 and silently
+    # drop every fingerprint, missing the contamination. Bucket ids
+    # precomputed from md5(str(id))[:8] % 1e6 (hash_bucket's form):
+    # train < 800000, test >= 900000, unassigned in between.
+    train_ids = [0, 1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 15, 16, 17, 18, 19, 21]
+    test_id = 4
+    unassigned_ids = [14, 28, 37, 40, 41, 42]
+    passage = (
+        "quick zephyrs blow vexing daft jim forward now "
+        "and backwards again"
+    )
+    rows = [(i, passage) for i in train_ids + [test_id] + unassigned_ids]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    docs.write.mode("overwrite").parquet("/tmp/__contam/documents.parquet")
+    out = (
+        all_queries()["contamination_winnowing"]
+        .build(spark, "/tmp/__contam")
+        .collect()
+    )
+    got = {(r.train_doc_id, r.test_doc_id) for r in out}
+    assert (train_ids[0], test_id) in got
+    assert len(got) == len(train_ids)
+    assert all(r.shared_fps >= 2 for r in out)
+
+
 def test_minhash_recall_eval_consistency(spark, sf_dir):
     row = (
         all_queries()["minhash_recall_eval"].build(spark, sf_dir).collect()[0]
