@@ -36,103 +36,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # evidence. _RECORD_ORDER is the explicit 50-slot recording window,
 # rotated every round toward the weakest current evidence.
 #
-# Round-8 rotation: slots 1-4 are the four round-7 hash-red rows,
-# re-recorded after the HUGEINT root-cause fix (the oracle left an
-# integer SUM output uncast; DuckDB types it INT128 and the driver's
-# pandas fetch widens it to float64, hashing 6.0 against Spark's 6 —
-# see tests/test_oracle_types.py). Everything else never driver-
-# recorded takes precedence over r4-vintage greens that already hold
-# driver rows: slots 5-19 are the first-session round-8 operators
-# (zone-map-pruned scan, the five deterministic sketches, the
-# co-fulfillment graph pair, CDC hash-diff, profiler + FK sweep, BPE
-# train/encode, PMI, sequence patterns), slots 23-39 the
-# second-session families (drift screens, Poisson bootstrap, CCF,
-# HITS, winnowing + cross-split contamination, k-center, skip-grams,
-# quantile normalization, MI, Spearman, HBOS, moments,
-# funnel latency, minhash eval, novelty, grouped OLS, centroid
-# drift), and the tail the ten session-one distribution-statistics
-# queries. Two r4-vintage refreshes (pricing_summary,
-# ml_inference_contract) keep the oldest reference-surface evidence
-# current. Every displaced query has an r4-r7 driver-green row AND a
-# current-vintage exact-bit match in the committed LOCAL_PARITY_r08
-# dual-SF sweeps.
+# Round-9 rotation: with zero reds outstanding, the window's value is
+# (a) re-recording queries whose BEHAVIOR changed this round and
+# (b) refreshing the stalest driver evidence, oldest-first (the
+# round-8 verdict's #1 ask). Slots 1-4 are the four round-9-changed
+# queries (contamination_winnowing's stop-fingerprint guard now
+# counts split-assigned docs only; embedding_centroid_drift clears
+# denominators in int64 on both engines; trade_graph_pagerank
+# decodes labels with integer div; lineitem_spearman_matrix ranks
+# via a two-level bucketed cumsum), slot 5 the round-9-new
+# bpe_encode_stored (tokenizer-artifact encode), and slots 6-50
+# forty-five of the forty-seven queries whose newest driver row is
+# round-4 vintage. The two r4 queries deferred to keep the changed
+# queries in-window (embedding_neardup — the guarded quadratic
+# baseline — and multimodal_frame_sample) lead _RECORD_LAST; both
+# hold r4 driver rows AND current-vintage exact-bit matches in the
+# committed dual-SF LOCAL_PARITY sweeps, as does every other
+# displaced query.
 _RECORD_ORDER = [
-    "embedding_knn_classify",
-    "embedding_knn_classify_total",
-    "user_survival_curve",
-    "trade_graph_pagerank",
-    # round-8-new operators — first driver recording
-    "lineitem_pruned_window",
-    "hll_sketch_estimate",
-    "cms_frequency_estimates",
-    "supplier_triangle_count",
-    "supplier_kcore_peel",
-    "orders_snapshot_diff",
-    "orders_column_profile",
-    "kmv_set_cardinality",
-    "bpe_learn_merges",
-    "fk_integrity_report",
-    "ams_join_size_estimate",
-    "histogram_quantile_sketch",
-    "bpe_encode_docs",
-    "collocation_pmi_topk",
-    "event_sequence_patterns",
-    "pricing_summary",
-    "ml_inference_contract",
-    # second-session round-8 operators (never driver-recorded — they
-    # take precedence over r4-vintage greens that already hold driver
-    # rows + current-vintage exact-bit parity; the displaced ten move
-    # to the front of _RECORD_LAST)
-    "totalprice_psi_drift",
-    "split_token_jsd",
-    "poisson_bootstrap_ci",
-    "revenue_orders_ccf",
-    "trade_graph_hits",
-    "winnowing_fingerprint_pairs",
     "contamination_winnowing",
-    "embedding_kcenter_coreset",
-    "token_skipgram_counts",
-    "acctbal_quantile_normalize",
-    "priority_status_mutual_info",
-    "lineitem_spearman_matrix",
-    "orders_hbos_outliers",
-    "priority_moments_profile",
-    "funnel_latency_quantiles",
-    "minhash_recall_eval",
-    "doc_novelty_scores",
-    "priority_revenue_trend",
     "embedding_centroid_drift",
-    # session-new round-8 operators (never driver-recorded — the
-    # weakest evidence class, so they take the remaining slots over
-    # r4-vintage greens that already hold driver rows + current-
-    # vintage exact-bit parity)
-    "part_price_skyline",
-    "mannwhitney_priority",
-    "segment_gini_spend",
-    "ks_priority_totalprice",
-    "daily_revenue_acf",
-    "orders_cusum_shift",
-    "revenue_seasonal_decompose",
-    "priority_view_refresh",
-    "trade_graph_bfs_levels",
-    "revenue_theilsen_trend",
-]
-# Past-window ordering if the driver ever widens its window: stalest
-# evidence first — the ten r4-vintage greens displaced by the
-# second-session rotation, then the r4-vintage queries the 50-slot
-# window could not fit, then r5/r6/r7-vintage greens (freshest
-# last). True sketches without oracles sort last (tier 3 in
-# queries()).
-_RECORD_LAST = [
-    "star_join",
-    "upsert_merge",
-    "topk_orders",
-    "scrub_cast",
-    "doc_pii_redaction",
-    "doc_repetition_stats",
-    "doc_stratified_sample",
-    "embedding_lsh_pairs",
-    "doc_pack_windows",
+    "trade_graph_pagerank",
+    "lineitem_spearman_matrix",
+    "bpe_encode_stored",
     "asof_last_purchase",
     "balance_deciles",
     "banded_price_join",
@@ -143,7 +69,14 @@ _RECORD_LAST = [
     "disjunctive_revenue",
     "doc_balanced_mix",
     "doc_chunking",
-    "embedding_neardup",
+    "doc_length_band_filter",
+    "doc_pack_windows",
+    "doc_pii_redaction",
+    "doc_repetition_stats",
+    "doc_split_assign",
+    "doc_stratified_sample",
+    "doc_wordshape_filter",
+    "embedding_lsh_pairs",
     "embedding_topk",
     "expr_key_join",
     "grouping_sets_summary",
@@ -152,7 +85,6 @@ _RECORD_LAST = [
     "large_volume_customers",
     "linestatus_priority_matrix",
     "market_share",
-    "multimodal_frame_sample",
     "nation_balance_share",
     "nation_volume_shipping",
     "neardup_clusters",
@@ -162,15 +94,24 @@ _RECORD_LAST = [
     "priority_set_ops",
     "promo_revenue_pct",
     "quantile_profile",
+    "scrub_cast",
     "small_quantity_revenue",
     "sole_return_suppliers",
+    "star_join",
     "supplier_class_counts",
     "top_ngrams",
     "top_supplier_revenue",
+    "topk_orders",
     "train_test_contamination",
-    "doc_length_band_filter",
-    "doc_wordshape_filter",
-    "doc_split_assign",
+    "upsert_merge",
+]
+# Past-window ordering if the driver ever widens its window: stalest
+# driver evidence first (the two deferred r4 queries, then r5
+# through r8 vintages, freshest last). True sketches without oracles
+# sort last (tier 3 in queries()).
+_RECORD_LAST = [
+    "embedding_neardup",
+    "multimodal_frame_sample",
     "correlated_scalar",
     "customer_rfm_segments",
     "delete_then_insert",
@@ -284,6 +225,52 @@ _RECORD_LAST = [
     "unpivot_metrics",
     "value_histogram",
     "zorder_layout_report",
+    "acctbal_quantile_normalize",
+    "ams_join_size_estimate",
+    "bpe_encode_docs",
+    "bpe_learn_merges",
+    "cms_frequency_estimates",
+    "collocation_pmi_topk",
+    "daily_revenue_acf",
+    "doc_novelty_scores",
+    "embedding_kcenter_coreset",
+    "embedding_knn_classify",
+    "embedding_knn_classify_total",
+    "event_sequence_patterns",
+    "fk_integrity_report",
+    "funnel_latency_quantiles",
+    "histogram_quantile_sketch",
+    "hll_sketch_estimate",
+    "kmv_set_cardinality",
+    "ks_priority_totalprice",
+    "lineitem_pruned_window",
+    "mannwhitney_priority",
+    "minhash_recall_eval",
+    "ml_inference_contract",
+    "orders_column_profile",
+    "orders_cusum_shift",
+    "orders_hbos_outliers",
+    "orders_snapshot_diff",
+    "part_price_skyline",
+    "poisson_bootstrap_ci",
+    "pricing_summary",
+    "priority_moments_profile",
+    "priority_revenue_trend",
+    "priority_status_mutual_info",
+    "priority_view_refresh",
+    "revenue_orders_ccf",
+    "revenue_seasonal_decompose",
+    "revenue_theilsen_trend",
+    "segment_gini_spend",
+    "split_token_jsd",
+    "supplier_kcore_peel",
+    "supplier_triangle_count",
+    "token_skipgram_counts",
+    "totalprice_psi_drift",
+    "trade_graph_bfs_levels",
+    "trade_graph_hits",
+    "user_survival_curve",
+    "winnowing_fingerprint_pairs",
 ]
 
 
