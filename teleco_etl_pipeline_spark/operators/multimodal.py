@@ -10,12 +10,14 @@ The Spark-side contract is fully real and tested:
   sha-like rolling checksum, magic-byte sniffing) that exercises the
   full path without media libraries
 
-The actual media decode (PIL/librosa/ffmpeg) is STUBBED — those libs
-aren't in this container. ``decode_image_batch`` raises
-NotImplementedError unless ``fake=True``, in which case a
-deterministic fake decoder (seeded by payload bytes) produces the
-same shaped output a real decoder would, so downstream plumbing is
-testable end-to-end.
+Decode status: ``decode_image_batch`` is REAL for PNG — a pure-stdlib
+decoder (zlib inflate + scanline unfiltering, see ``_png_decode_fn``)
+since round 9; undecodable payloads yield NULL feature columns. Its
+``fake=True`` mode keeps the deterministic checksum-seeded fake for
+plumbing tests over arbitrary payloads. Audio/video decode
+(librosa/ffmpeg) and raster RESIZE remain stubbed —
+``resize_plan``'s execute path still raises NotImplementedError
+unless ``fake=True`` (those libs aren't in this container).
 """
 
 from __future__ import annotations
@@ -97,8 +99,99 @@ def _checksum_fn():
     return cks
 
 
+def _png_decode_fn():
+    """REAL image decode for the one format a stdlib can handle: PNG
+    (public spec / RFC 2083 — zlib inflate + the five scanline
+    filters), 8-bit greyscale/RGB/(A), non-interlaced. No PIL/opencv
+    in this container, so this pure-stdlib decoder is what upgrades
+    `decode_image_batch(fake=False)` from a NotImplementedError guard
+    to a working path. Same factory-closure pickling contract as the
+    helpers above (stdlib imports INSIDE the closure — executor
+    workers need no repo imports).
+
+    Scale note: filters are unfiltered per-row sequentially (Paeth is
+    an inherently sequential recurrence), so this is the
+    small-image metadata/thumbnail path — production frame decode at
+    100 TB belongs in a vectorized native library; the Spark-side
+    contract (Arrow batches via mapInPandas, bounded memory, nullable
+    columns for undecodable payloads) is identical either way.
+
+    Returns (width, height, mean_pixel) or None for anything that is
+    not a decodable PNG.
+    """
+
+    def decode(p: bytes | None):
+        import struct
+        import zlib
+
+        if not p or len(p) < 8 or p[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        pos, w, h, ctype, idat = 8, None, None, None, []
+        try:
+            while pos + 8 <= len(p):
+                (ln,) = struct.unpack(">I", p[pos : pos + 4])
+                typ = p[pos + 4 : pos + 8]
+                data = p[pos + 8 : pos + 8 + ln]
+                pos += 12 + ln  # length + type + data + crc
+                if typ == b"IHDR":
+                    w, h, depth, ctype, _co, _fi, inter = struct.unpack(
+                        ">IIBBBBB", data
+                    )
+                    if depth != 8 or inter != 0 or ctype not in (0, 2, 4, 6):
+                        return None
+                elif typ == b"IDAT":
+                    idat.append(data)
+                elif typ == b"IEND":
+                    break
+            if not w or not h or not idat:
+                return None
+            nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+            raw = zlib.decompress(b"".join(idat))
+            stride = w * nch
+            if len(raw) < h * (stride + 1):
+                return None
+            total, prev, pos2 = 0, bytearray(stride), 0
+            for _y in range(h):
+                f = raw[pos2]
+                line = bytearray(raw[pos2 + 1 : pos2 + 1 + stride])
+                pos2 += 1 + stride
+                if f == 1:  # Sub
+                    for i in range(nch, stride):
+                        line[i] = (line[i] + line[i - nch]) & 0xFF
+                elif f == 2:  # Up
+                    for i in range(stride):
+                        line[i] = (line[i] + prev[i]) & 0xFF
+                elif f == 3:  # Average
+                    for i in range(stride):
+                        a = line[i - nch] if i >= nch else 0
+                        line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+                elif f == 4:  # Paeth
+                    for i in range(stride):
+                        a = line[i - nch] if i >= nch else 0
+                        b = prev[i]
+                        c = prev[i - nch] if i >= nch else 0
+                        pp = a + b - c
+                        pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                        pred = (
+                            a
+                            if pa <= pb and pa <= pc
+                            else (b if pb <= pc else c)
+                        )
+                        line[i] = (line[i] + pred) & 0xFF
+                elif f != 0:
+                    return None
+                total += sum(line)
+                prev = line
+            return (int(w), int(h), round(total / (h * stride), 4))
+        except Exception:
+            return None
+
+    return decode
+
+
 sniff_mime = _sniff_fn()
 _rolling_checksum = _checksum_fn()
+decode_png = _png_decode_fn()
 
 
 def extract_binary_features(media: DataFrame) -> DataFrame:
@@ -137,30 +230,44 @@ DECODED_SCHEMA = T.StructType(
 def decode_image_batch(media: DataFrame, fake: bool = False) -> DataFrame:
     """Image decode → (width, height, mean pixel) features.
 
-    STUB: real decode requires PIL/opencv (not in this container).
-    ``fake=True`` runs a deterministic fake decoder so the Spark
-    plumbing (schema, batching, partitioning) is fully exercised.
+    ``fake=False`` (default) runs the REAL stdlib PNG decoder
+    (``decode_png``: zlib inflate + scanline unfiltering, 8-bit
+    non-interlaced) — payloads that are not decodable PNGs yield
+    NULL feature columns, the standard multimodal-pipeline contract
+    (decode failures are data, not exceptions). ``fake=True`` keeps
+    the deterministic checksum-seeded fake so tests can cover the
+    plumbing with arbitrary non-PNG payloads.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv; not available in this "
-            "environment — run with fake=True to exercise the plumbing"
-        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
+            if fake:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": payloads.map(
+                            lambda p: 16 + (_rolling_checksum(p) % 64)
+                        ),
+                        "height": payloads.map(
+                            lambda p: 16 + ((_rolling_checksum(p) >> 8) % 64)
+                        ),
+                        "pixels_mean": payloads.map(
+                            lambda p: round(
+                                (_rolling_checksum(p) % 25600) / 100.0, 2
+                            )
+                        ),
+                    }
+                )
+                continue
+            decoded = payloads.map(decode_png)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": payloads.map(
-                        lambda p: 16 + (_rolling_checksum(p) % 64)
-                    ),
-                    "height": payloads.map(
-                        lambda p: 16 + ((_rolling_checksum(p) >> 8) % 64)
-                    ),
-                    "pixels_mean": payloads.map(
-                        lambda p: round((_rolling_checksum(p) % 25600) / 100.0, 2)
+                    "width": decoded.map(lambda d: d[0] if d else None),
+                    "height": decoded.map(lambda d: d[1] if d else None),
+                    "pixels_mean": decoded.map(
+                        lambda d: d[2] if d else None
                     ),
                 }
             )

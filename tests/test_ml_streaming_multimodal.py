@@ -135,14 +135,108 @@ def test_multimodal_plumbing(spark):
     assert feats[4]["n_bytes"] == 0
     assert feats[1]["n_bytes"] == 106
 
-    # decode is stubbed: raises without fake=True
-    with pytest.raises(NotImplementedError):
-        decode_image_batch(media).collect()
+    # real decode path (r9): non-PNG / truncated payloads yield NULL
+    # feature columns instead of raising
+    real = {r["media_id"]: r for r in decode_image_batch(media).collect()}
+    assert all(real[i]["width"] is None for i in (1, 2, 3, 4))
     decoded = {r["media_id"]: r for r in decode_image_batch(media, fake=True).collect()}
     assert 16 <= decoded[1]["width"] < 80
 
     frames = frame_sample_plan(media.filter(F.col("media_id") == 3), every_ms=1000)
     assert frames.count() == 4  # 0,1000,2000,3000 for 3500ms
+
+
+def _encode_png(pixels, nch, filters=None):
+    """Minimal test-side PNG writer (spec-straight: IHDR/IDAT/IEND,
+    chosen per-row filter types) so the decoder is checked against an
+    INDEPENDENT encoder, not itself."""
+    import struct
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0]) // nch
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = bytearray(w * nch)
+    for y, row in enumerate(pixels):
+        f = filters[y]
+        raw.append(f)
+        line = bytearray(row)
+        enc = bytearray(line)
+        for i in range(len(line)):
+            a = line[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if f == 1:
+                enc[i] = (line[i] - a) & 0xFF
+            elif f == 2:
+                enc[i] = (line[i] - b) & 0xFF
+            elif f == 3:
+                enc[i] = (line[i] - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[i] = (line[i] - pred) & 0xFF
+        raw.extend(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_png_decode(spark):
+    from teleco_etl_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_batch,
+        decode_png,
+    )
+
+    # 4x3 RGB gradient exercising every filter type, + a grey image
+    rgb = [
+        bytes(((x * 37 + y * 11 + c * 5) & 0xFF) for x in range(4) for c in range(3))
+        for y in range(3)
+    ]
+    png_rgb = _encode_png(rgb, 3, filters=[0, 1, 2])
+    png_rgb_paeth = _encode_png(rgb, 3, filters=[3, 4, 4])
+    grey = [bytes((x * 50 + y) & 0xFF for x in range(5)) for y in range(2)]
+    png_grey = _encode_png(grey, 1, filters=[2, 1])
+    exp_rgb = round(sum(sum(r) for r in rgb) / (3 * 4 * 3), 4)
+    exp_grey = round(sum(sum(r) for r in grey) / (2 * 5), 4)
+
+    # pure-function check: filters must not change the decoded pixels
+    assert decode_png(png_rgb) == (4, 3, exp_rgb)
+    assert decode_png(png_rgb_paeth) == (4, 3, exp_rgb)
+    assert decode_png(png_grey) == (5, 2, exp_grey)
+    assert decode_png(b"\x89PNG\r\n\x1a\n" + b"junk") is None
+
+    # through the Arrow-batched Spark path, mixed with undecodables
+    rows = [
+        (1, png_rgb, "image/png", (4, 3, None)),
+        (2, png_grey, "image/png", (5, 2, None)),
+        (3, b"\xff\xd8\xffjpegish", "image/jpeg", (None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_image_batch(media).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (4, 3)
+    assert got[1]["pixels_mean"] == exp_rgb
+    assert (got[2]["width"], got[2]["height"]) == (5, 2)
+    assert got[2]["pixels_mean"] == exp_grey
+    assert got[3]["width"] is None and got[3]["pixels_mean"] is None
 
 
 def test_session_window_matches_lag_cumsum_sessionize(spark):
