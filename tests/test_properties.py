@@ -631,3 +631,42 @@ def test_histogram_double_rank_equals_window_rank(spark, vals):
         for r in vc.select("v", (2 * cum - F.col("c") + 1).alias("dr")).collect()
     }
     assert got == expect
+
+
+# --- PNG decoder round-trip (operators/multimodal.py:_png_decode_fn) ---------
+#
+# Spec-level property: for ANY 8-bit non-interlaced image and ANY
+# per-row filter choice, encode(pixels, filters) must decode back to
+# the same dimensions and exact mean — i.e. the five scanline filters
+# are information-free re-codings. The encoder lives in the test
+# suite (tests/test_ml_streaming_multimodal.py), so the decoder is
+# never checked against itself.
+
+
+@given(
+    data=st.data(),
+    w=st.integers(1, 9),
+    h=st.integers(1, 7),
+    nch=st.sampled_from([1, 2, 3, 4]),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_decode_roundtrip_any_filters(data, w, h, nch):
+    from teleco_etl_pipeline_spark.operators.multimodal import decode_png
+    from tests.test_ml_streaming_multimodal import _encode_png
+
+    pixels = [
+        bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * nch, max_size=w * nch
+                )
+            )
+        )
+        for _ in range(h)
+    ]
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    png = _encode_png(pixels, nch, filters=filters)
+    exp_mean = round(sum(sum(r) for r in pixels) / (h * w * nch), 4)
+    assert decode_png(png) == (w, h, exp_mean)
