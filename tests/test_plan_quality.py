@@ -99,9 +99,12 @@ SCALAR_BROADCASTS = {
     # per-round 1-row node/edge trajectory counts cross-joined into
     # the convergence report — 1×1 products
     "supplier_kcore_peel",
-    # the 1-row normalizing-total scalar broadcast onto each
-    # superstep's score frame — |nodes| × 1 per round
-    "trade_graph_hits",
+    # the 1-row (min, max) bucket-range scalar broadcast onto each
+    # column's DISTINCT-VALUE frame for the two-level rank cumsum —
+    # |distinct values| × 1 per column (r9). trade_graph_hits left
+    # this list the same round: its normalizing totals are now
+    # driver-scalar literals, so its plan is lint-clean again.
+    "lineitem_spearman_matrix",
 }
 
 
