@@ -12,7 +12,12 @@ Construction, per table:
 - region/nation/supplier/part: copied unchanged (dims grow slower
   than facts; fixed dims also keep join fan-out growth honest).
 - customer: x10, c_custkey -> 10*key + rep (orders co-scale, so
-  per-customer order counts stay constant).
+  per-customer order counts stay constant); c_name is REBUILT from
+  the new key in the source's exact format — replicating the name
+  verbatim would hand every customer 10 exact name twins and
+  quadratically explode the entity-resolution pair families with
+  duplicates no real 10x growth would contain (measured: blocked
+  linkage x23 per 10x before this fix).
 - orders: x10, o_orderkey/o_custkey remapped likewise;
   o_totalprice += rep/100 so the DISTINCT-value domain grows with
   the data (pure replication would freeze it and flatter every
@@ -28,9 +33,14 @@ Construction, per table:
   explode every near-dup pair join. ~8% of docs are near-dup
   mutations (5% token substitution) of an earlier doc, mirroring the
   corpus's duplicate density.
-- embeddings: x10, each base vector + N(0, 0.02) noise, renormalized
-  to unit length (keeps cluster structure so IVF/kNN stay
-  meaningful), label kept, vec_id -> 10*id + rep.
+- embeddings: x10, each base vector + N(0, 0.15) noise, renormalized
+  to unit length, label kept, vec_id -> 10*id + rep. The noise scale
+  matters: sigma=0.02 put the 10 siblings at pairwise cosine ~0.97 —
+  every vector gained 9 near-duplicate twins and the LSH/kNN pair
+  families exploded x40-50 per 10x (an artifact no organic 10x
+  growth would show). sigma=0.15 puts siblings at cosine ~0.4
+  (64 dims: 1/(1+64*0.0225) ~ 0.41): same CLUSTER structure for
+  IVF/kNN, no manufactured near-dup mass.
 
 Usage: python scripts/gen_scaledata.py [out_dir]   (default
 .scaledata/sf1 next to the repo root; skips work if out_dir exists)
@@ -59,7 +69,9 @@ def _replicated(con: duckdb.DuckDBPyConnection, out: str) -> None:
         "supplier": None,
         "part": None,
         "customer": """
-            SELECT c_custkey * 10 + r.rep AS c_custkey, c_name,
+            SELECT c_custkey * 10 + r.rep AS c_custkey,
+                   'Customer#' || lpad(CAST(c_custkey * 10 + r.rep AS VARCHAR),
+                                       9, '0') AS c_name,
                    c_nationkey, c_acctbal, c_mktsegment
             FROM t, r""",
         "orders": """
@@ -165,7 +177,7 @@ def _embeddings(out: str) -> None:
     for vid, emb, lab in base:
         v = np.asarray(emb, dtype=np.float32)
         for rep in range(REPS):
-            p = v + rng.normal(0.0, 0.02, size=v.shape).astype(np.float32)
+            p = v + rng.normal(0.0, 0.15, size=v.shape).astype(np.float32)
             p /= np.linalg.norm(p)
             ids.append(vid * 10 + rep)
             vecs.append(p.astype(np.float32))
