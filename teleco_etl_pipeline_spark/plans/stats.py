@@ -1105,47 +1105,78 @@ def q_lineitem_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feature histograms (price decile, priority, order month); rare "
     "bin combinations score high. The linear-time unsupervised "
     "anomaly detector that actually scales — three bounded bin "
-    "tables broadcast back onto one fact scan + TakeOrdered, no "
-    "pairwise distances. Scores are sums of exactly three ln terms "
+    "tables (<= 27 rows by histogram definition) counted in one "
+    "explode+groupBy pass and folded into the scoring scan as "
+    "literal maps + TakeOrdered, no joins, no pairwise distances. "
+    "Scores are sums of exactly three ln terms "
     "in fixed expression order over integer counts (no cross-row "
     "float accumulation); ranked on the ROUNDED score with a key "
     "tie-break.",
 )
 def q_orders_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    edges = o.agg(
+    # The decile edges + N are ONE bounded 1-row statistic, fetched
+    # driver-side once and folded in as literals (the HITS
+    # normalizing-total precedent). Two prior spellings both lose at
+    # scale: an unpartitioned count-over-window funnels the whole
+    # fact table through ONE task (the single-task ceiling, x6.3
+    # growth per 10x at the r9 sf1 point), and a broadcast 1-row
+    # crossJoin re-executes the exact-percentile aggregate once per
+    # downstream consumer (four here — measured ~2x slower than even
+    # the window form). Literals cost one aggregate job, then every
+    # consumer is a plain parallel scan.
+    er = o.agg(
         F.percentile(
             "o_totalprice", F.lit([i / 10.0 for i in range(1, 10)])
-        ).alias("__raw")
-    ).select(
-        F.expr("transform(__raw, e -> round(e + 1e-9, 2))").alias("edges")
+        ).alias("__raw"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    edges_lit = F.lit([round(e + 1e-9, 2) for e in er["__raw"]])
+    feat = o.select(
+        "o_orderkey",
+        F.size(
+            F.filter(edges_lit, lambda e: e <= F.col("o_totalprice"))
+        ).alias("pb"),
+        F.col("o_orderpriority").alias("pri"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.lit(er["n"]).alias("n"),
     )
-    feat = (
-        o.crossJoin(F.broadcast(edges))
-        .select(
-            "o_orderkey",
-            F.expr(
-                "size(filter(edges, e -> e <= o_totalprice))"
-            ).alias("pb"),
-            F.col("o_orderpriority").alias("pri"),
-            F.month("o_orderdate").cast("long").alias("mon"),
+    # The three bin tables total <= 10 + 5 + 12 rows — BOUNDED by the
+    # histogram definitions, not by data — so they are counted in ONE
+    # explode+groupBy pass (map-side combined to ~27 rows) and folded
+    # into the scoring scan as literal maps: two fact scans total
+    # (counts + score), zero joins, no per-consumer re-aggregation.
+    counts = (
+        feat.select(
+            F.explode(
+                F.array(
+                    F.concat(F.lit("b:"), F.col("pb").cast("string")),
+                    F.concat(F.lit("p:"), F.col("pri")),
+                    F.concat(F.lit("m:"), F.col("mon").cast("string")),
+                )
+            ).alias("k")
         )
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
     )
-    cb = feat.groupBy("pb").agg(F.count(F.lit(1)).alias("cb"))
-    cp = feat.groupBy("pri").agg(F.count(F.lit(1)).alias("cp"))
-    cm = feat.groupBy("mon").agg(F.count(F.lit(1)).alias("cm"))
-    nd = F.col("n").cast("double")
+    cmap = {r["k"]: r["c"] for r in counts}
+
+    def binmap(prefix: str) -> F.Column:
+        items: list[F.Column] = []
+        for k, c in sorted(cmap.items()):
+            if k.startswith(prefix):
+                items += [F.lit(k.split(":", 1)[1]), F.lit(c)]
+        return F.create_map(*items)
+
+    nd = F.lit(float(er["n"]))
     score = (
-        F.log(nd / F.col("cb"))
-        + F.log(nd / F.col("cp"))
-        + F.log(nd / F.col("cm"))
+        F.log(nd / F.element_at(binmap("b:"), F.col("pb").cast("string")))
+        + F.log(nd / F.element_at(binmap("p:"), F.col("pri")))
+        + F.log(nd / F.element_at(binmap("m:"), F.col("mon").cast("string")))
     )
     return (
-        feat.join(F.broadcast(cb), "pb")
-        .join(F.broadcast(cp), "pri")
-        .join(F.broadcast(cm), "mon")
-        .select(
+        feat.select(
             "o_orderkey",
             F.round(score + F.lit(1e-9), 4).alias("hbos"),
         )

@@ -266,3 +266,18 @@ def test_priority_revenue_trend_recovers_injected_slope(spark):
     assert abs(out[0].slope_dollars_per_day - 10.0) < 1e-6
     assert abs(out[0].r2 - 1.0) < 1e-9
     assert out[0].n_days == 60
+
+
+def test_recommended_planes_sizing():
+    from teleco_etl_pipeline_spark.operators.similarity import (
+        recommended_planes,
+    )
+
+    # buckets hold ~target rows: 2^planes >= n / target
+    assert recommended_planes(100) == 1
+    assert recommended_planes(2_000, 256) == 3
+    assert recommended_planes(20_000, 256) == 7
+    assert recommended_planes(10**9, 256) == 22
+    for n in (10**3, 10**6, 10**9):
+        p = recommended_planes(n)
+        assert n / (2**p) <= 256 < n / (2 ** (p - 1)) or n <= 256
