@@ -44,21 +44,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # counts split-assigned docs only; embedding_centroid_drift clears
 # denominators in int64 on both engines; trade_graph_pagerank
 # decodes labels with integer div; lineitem_spearman_matrix ranks
-# via a two-level bucketed cumsum), slot 5 the round-9-new
-# bpe_encode_stored (tokenizer-artifact encode), and slots 6-50
-# forty-five of the forty-seven queries whose newest driver row is
-# round-4 vintage. The two r4 queries deferred to keep the changed
-# queries in-window (embedding_neardup — the guarded quadratic
-# baseline — and multimodal_frame_sample) lead _RECORD_LAST; both
-# hold r4 driver rows AND current-vintage exact-bit matches in the
-# committed dual-SF LOCAL_PARITY sweeps, as does every other
-# displaced query.
+# via a two-level bucketed cumsum), slots 5-6 the two round-9-new
+# artifact-lifecycle queries (bpe_encode_stored — tokenizer-artifact
+# encode; embedding_ivf_topk_stored — persisted-index ANN), and
+# slots 7-50 forty-four of the forty-seven queries whose newest
+# driver row is round-4 vintage. The three r4 queries deferred to
+# keep the changed/new queries in-window (embedding_neardup — the
+# guarded quadratic baseline — multimodal_frame_sample, and
+# top_supplier_revenue) lead _RECORD_LAST; all three hold r4 driver
+# rows AND current-vintage exact-bit matches in the committed
+# dual-SF LOCAL_PARITY sweeps, as does every other displaced query.
 _RECORD_ORDER = [
     "contamination_winnowing",
     "embedding_centroid_drift",
     "trade_graph_pagerank",
     "lineitem_spearman_matrix",
     "bpe_encode_stored",
+    "embedding_ivf_topk_stored",
     "asof_last_purchase",
     "balance_deciles",
     "banded_price_join",
@@ -100,7 +102,6 @@ _RECORD_ORDER = [
     "star_join",
     "supplier_class_counts",
     "top_ngrams",
-    "top_supplier_revenue",
     "topk_orders",
     "train_test_contamination",
     "upsert_merge",
@@ -112,6 +113,7 @@ _RECORD_ORDER = [
 _RECORD_LAST = [
     "embedding_neardup",
     "multimodal_frame_sample",
+    "top_supplier_revenue",
     "correlated_scalar",
     "customer_rfm_segments",
     "delete_then_insert",

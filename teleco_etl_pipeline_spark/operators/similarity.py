@@ -1026,6 +1026,94 @@ def _ivf_topk_oracle_sql(
     """
 
 
+# --- IVF index persistence ----------------------------------------------------
+#
+# A fitted coarse quantizer is an INDEX ARTIFACT: at production scale
+# the centroids are trained once, versioned, and every query-time
+# assign/probe runs from the stored table — refitting per query would
+# re-randomize list membership under data drift and waste the fit.
+# Same lifecycle contract as the churn-model artifacts (plans/ml.py:
+# 97-139) and the BPE merge tables (operators/bpe.py): versioned
+# parquet dirs, lexicographic latest-wins, query path reads ONLY the
+# loaded artifact. Centroids are float64 end-to-end (numpy -> parquet
+# DOUBLE -> numpy is bit-exact), so the stored-index query is
+# value-identical to the fit-in-plan query — which is precisely what
+# the shared oracle certifies.
+
+
+def save_ivf_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    artifacts_dir: str,
+    version: str,
+    n_centroids: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample: int = 4096,
+    max_iter: int = 10,
+) -> str:
+    """Fit the coarse quantizer (deterministic md5-ordered sample +
+    seeded Lloyd) and persist the centroid table as the versioned
+    artifact ``{artifacts_dir}/ivf_centroids_{version}``."""
+    x = _fit_sample(emb, id_col, vec_col, fit_sample)
+    centroids = _lloyd_fit(x, n_centroids, seed, max_iter)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        schema="centroid_id int, centroid array<double>",
+    )
+    path = os.path.join(artifacts_dir, f"ivf_centroids_{version}")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def latest_ivf_index(artifacts_dir: str) -> str:
+    """Latest-wins index resolution (lexicographic max of versioned
+    names — the plans/ml.py:127 precedent)."""
+    cands = sorted(
+        d for d in os.listdir(artifacts_dir) if d.startswith("ivf_centroids_")
+    )
+    if not cands:
+        raise FileNotFoundError(f"no IVF artifacts under {artifacts_dir}")
+    return os.path.join(artifacts_dir, cands[-1])
+
+
+def load_ivf_index(spark: SparkSession, path: str) -> np.ndarray:
+    """Load a stored centroid table back into the (k, dim) float64
+    matrix the assign/probe path consumes — k rows, a bounded
+    driver-side artifact by construction."""
+    rows = spark.read.parquet(path).orderBy("centroid_id").collect()
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+@query(
+    "embedding_ivf_topk_stored",
+    _ivf_topk_oracle_sql(),
+    doc="IVF ANN from a PERSISTED index: fit the coarse quantizer, "
+    "SAVE the centroid table as a versioned parquet artifact "
+    "(ivf_centroids_{version}, lexicographic latest-wins — the "
+    "plans/ml.py model-artifact pattern), reload it, and run "
+    "assign + n_probe scan + exact rerank using ONLY the stored "
+    "rows — the production lifecycle where the index is trained "
+    "once and served forever. Values provably identical to the "
+    "fit-in-plan embedding_ivf_topk (float64 survives the parquet "
+    "round-trip bit-exact), which is exactly what the shared "
+    "oracle certifies.",
+)
+def q_embedding_ivf_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    art_dir = tempfile.mkdtemp(prefix="ivf_artifacts_")
+    save_ivf_index(spark, emb, art_dir, version="v1", n_centroids=8)
+    cents = load_ivf_index(spark, latest_ivf_index(art_dir))
+    assigned = _assign_nearest(emb, "embedding", cents, "ivf_list")
+    return ivf_topk(
+        assigned, cents, qvec, k=10, n_probe=4, exclude_ids=(0,)
+    ).select("vec_id", "cosine_sim")
+
+
 @query(
     "embedding_ivf_topk",
     _ivf_topk_oracle_sql(),

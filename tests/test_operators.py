@@ -1763,3 +1763,42 @@ def test_zonemap_update_reads_only_new_files(spark, tmp_path):
     vname = victim.rsplit("/", 1)[-1]
     m2 = zonemap_update(spark, m1, path, ["k"])
     assert vname not in {r["file_name"] for r in m2.collect()}
+
+
+def test_ivf_index_artifact_roundtrip_and_stored_query(spark, sf_dir):
+    # Index persistence: save -> latest-wins resolve -> load must
+    # reproduce the fitted centroids bit-exactly (float64 survives
+    # the parquet round trip), and the stored-index query must equal
+    # the fit-in-plan query row for row.
+    import numpy as np
+
+    from teleco_etl_pipeline_spark.operators.similarity import (
+        _fit_sample,
+        _lloyd_fit,
+        latest_ivf_index,
+        load_ivf_index,
+        q_embedding_ivf_topk,
+        q_embedding_ivf_topk_stored,
+        save_ivf_index,
+    )
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    art = "/tmp/__ivf_art"
+    import shutil
+
+    shutil.rmtree(art, ignore_errors=True)
+    import os as _os
+
+    _os.makedirs(art)
+    save_ivf_index(spark, emb, art, version="20240101", n_centroids=8)
+    save_ivf_index(spark, emb, art, version="20240202", n_centroids=8)
+    path = latest_ivf_index(art)
+    assert path.endswith("ivf_centroids_20240202")
+    loaded = load_ivf_index(spark, path)
+    refit = _lloyd_fit(_fit_sample(emb, "vec_id", "embedding", 4096), 8, 42, 10)
+    assert loaded.shape == refit.shape
+    assert np.array_equal(loaded, refit)  # bit-exact round trip
+    stored = [tuple(r) for r in q_embedding_ivf_topk_stored(spark, sf_dir).collect()]
+    inplan = [tuple(r) for r in q_embedding_ivf_topk(spark, sf_dir).collect()]
+    assert stored == inplan
