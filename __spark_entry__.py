@@ -47,13 +47,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # via a two-level bucketed cumsum), slots 5-6 the two round-9-new
 # artifact-lifecycle queries (bpe_encode_stored — tokenizer-artifact
 # encode; embedding_ivf_topk_stored — persisted-index ANN), and
-# slots 7-50 forty-four of the forty-seven queries whose newest
-# driver row is round-4 vintage. The three r4 queries deferred to
-# keep the changed/new queries in-window (embedding_neardup — the
-# guarded quadratic baseline — multimodal_frame_sample, and
-# top_supplier_revenue) lead _RECORD_LAST; all three hold r4 driver
-# rows AND current-vintage exact-bit matches in the committed
-# dual-SF LOCAL_PARITY sweeps, as does every other displaced query.
+# slot 7 the round-9-new part_lpa_communities (label-propagation
+# community detection), and slots 8-50 forty-three of the
+# forty-seven queries whose newest driver row is round-4 vintage.
+# The four r4 queries deferred to keep the changed/new queries
+# in-window (embedding_neardup — the guarded quadratic baseline —
+# multimodal_frame_sample, top_supplier_revenue, and top_ngrams)
+# lead _RECORD_LAST; all four hold r4 driver rows AND
+# current-vintage exact-bit matches in the committed dual-SF
+# LOCAL_PARITY sweeps, as does every other displaced query.
 _RECORD_ORDER = [
     "contamination_winnowing",
     "embedding_centroid_drift",
@@ -61,6 +63,7 @@ _RECORD_ORDER = [
     "lineitem_spearman_matrix",
     "bpe_encode_stored",
     "embedding_ivf_topk_stored",
+    "part_lpa_communities",
     "asof_last_purchase",
     "balance_deciles",
     "banded_price_join",
@@ -101,7 +104,6 @@ _RECORD_ORDER = [
     "sole_return_suppliers",
     "star_join",
     "supplier_class_counts",
-    "top_ngrams",
     "topk_orders",
     "train_test_contamination",
     "upsert_merge",
@@ -114,6 +116,7 @@ _RECORD_LAST = [
     "embedding_neardup",
     "multimodal_frame_sample",
     "top_supplier_revenue",
+    "top_ngrams",
     "correlated_scalar",
     "customer_rfm_segments",
     "delete_then_insert",

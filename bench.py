@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",      # UNGUARDED exact shingle self-join twin
     "grouping_sets_summary",    # GROUPING SETS multi-grain Expand agg
     "bpe_encode_stored",        # tokenizer-artifact save/load/encode
+    "embedding_ivf_topk_stored",  # persisted-index ANN (save/resolve/load)
+    "part_lpa_communities",     # label-propagation communities, 2 supersteps
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

@@ -558,6 +558,169 @@ def q_supplier_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy("iter")
 
 
+# --- label propagation communities (synchronous LPA) -------------------------
+#
+# Raghavan et al. PRE'07 ("Near linear time algorithm to detect
+# community structures"): init label(v) = v, then each round every
+# node adopts the most frequent label among its NEIGHBORS (count
+# DESC, label ASC tie-break — the deterministic synchronous variant;
+# the paper's random tie-break trades determinism for oscillation
+# resistance, and 2 fixed rounds cannot oscillate). Completes the
+# graph family's missing primitive: CC answers reachability, LPA
+# answers cohesion GROUPING without a density parameter (k-core's k)
+# — the standard cheap community detector for co-occurrence graphs.
+#
+# Scale: per round one edge join (labels onto neighbor endpoints) +
+# one (node, label) vote aggregate + a NODE-partitioned top-1 window
+# — every shuffle keyed, the window bounded per node by its degree,
+# labels frame node-sized, eager localCheckpoint per round (the
+# k-core lesson above). All-integer; no floats anywhere.
+
+_LPA_ITERS = 2
+_LPA_TOPK = 10
+# LPA runs on the PART co-purchase graph, not the supplier
+# co-fulfillment one: the supplier graph at >= 5 co-orders is a
+# near-clique (LPA correctly collapses it to ONE community — no
+# structure to find), while parts co-bought >= _LPA_MIN_CO times
+# form hundreds of distinct communities at sf0.01 (basket-driven
+# item clusters, the market-basket twin of part_basket_lift).
+_LPA_MIN_CO = 2
+
+_PART_EDGES_DUCK = """
+    WITH ds AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM ds a
+      JOIN ds b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= {min_co}
+    )"""
+
+
+def _lpa_body(iters: int, topk: int) -> str:
+    parts = [
+        """
+    und AS (
+      SELECT u AS a, v AS b FROM edges
+      UNION ALL SELECT v AS a, u AS b FROM edges
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS lab FROM und)"""
+    ]
+    prev = "l0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+    v{i} AS (
+      SELECT e.a AS node, l.lab AS lab, COUNT(*) AS c
+      FROM und e JOIN {prev} l ON l.node = e.b
+      GROUP BY e.a, l.lab
+    ),
+    l{i} AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lab ASC) AS rn
+        FROM v{i}
+      ) r{i} WHERE rn = 1
+    )"""
+        )
+        prev = f"l{i}"
+    return ",".join(parts) + f"""
+    SELECT CAST(lab AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM {prev}
+    GROUP BY lab
+    ORDER BY n_members DESC, community
+    LIMIT {topk}
+    """
+
+
+def _part_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-purchase edges via the same basket-array formulation
+    as :func:`_cofulfill_edges_spark` (fan-out bounded by basket
+    size, one wide shuffle on the order key)."""
+    from pyspark.sql import functions as F
+
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ps") - 2),
+                    lambda i: F.transform(
+                        F.slice(F.col("ps"), i + 2, F.size("ps") - i - 1),
+                        lambda y: F.struct(
+                            F.element_at(F.col("ps"), i + 1).alias("u"),
+                            y.alias("v"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    return (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= _LPA_MIN_CO)
+        .select("u", "v")
+    )
+
+
+@query(
+    "part_lpa_communities",
+    _PART_EDGES_DUCK.format(min_co=_LPA_MIN_CO)
+    + ","
+    + _lpa_body(_LPA_ITERS, _LPA_TOPK).strip(),
+    doc=f"Synchronous label propagation (Raghavan PRE'07), "
+    f"{_LPA_ITERS} unrolled rounds over the part co-purchase graph "
+    f"(parts co-bought in >= {_LPA_MIN_CO} orders): every node "
+    "adopts its neighbors' most frequent label (count DESC / label "
+    "ASC tie-break — fully deterministic), reporting the "
+    f"top-{_LPA_TOPK} communities by size. The parameter-free "
+    "community detector completing the graph family "
+    "(CC = reachability, k-core = density, LPA = cohesion grouping); "
+    "per round one keyed edge join + vote aggregate + "
+    "node-partitioned top-1 window, all integer.",
+)
+def q_part_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    edges = _part_edges_spark(spark, sf_dir).cache()
+    und = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(_LPA_ITERS):
+        votes = (
+            und.join(labels, und["b"] == labels["node"])
+            .groupBy(und["a"].alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("lab").cast("long").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(_LPA_TOPK)
+    )
+
+
 # --- multi-source BFS: hop-distance levels over the trade graph -------------
 #
 # Completes the traversal family (CC = undirected reachability,

@@ -75,3 +75,61 @@ def test_pagerank_mass_only_shrinks(spark, sf_dir):
     df = q_trade_graph_pagerank(spark, sf_dir)
     total_topk = sum(r["rank_units"] for r in df.collect())
     assert 0 < total_topk <= _SCALE
+
+
+def test_lpa_two_cliques(spark):
+    # Two 4-cliques joined by one bridge edge: synchronous LPA with
+    # min-label tie-break converges to one community per clique
+    # (labels 1 and 5) in two rounds.
+    from pyspark.sql import functions as F
+
+    from teleco_etl_pipeline_spark.operators.graph import (
+        _LPA_ITERS,
+        _lpa_body,  # noqa: F401 — oracle twin exercised via registry
+    )
+    import itertools
+
+    c1, c2 = [1, 2, 3, 4], [5, 6, 7, 8]
+    edges = (
+        [(a, b) for a, b in itertools.combinations(c1, 2)]
+        + [(a, b) for a, b in itertools.combinations(c2, 2)]
+        + [(4, 5)]
+    )
+    e = spark.createDataFrame(edges, ["u", "v"])
+    und = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    from pyspark.sql import Window
+
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(_LPA_ITERS):
+        votes = (
+            und.join(labels, und["b"] == labels["node"])
+            .groupBy(und["a"].alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("node", "lab")
+        )
+    got = {r["node"]: r["lab"] for r in labels.collect()}
+    assert all(got[n] == 1 for n in c1)
+    assert all(got[n] in (1, 5) for n in c2)
+    # the two cliques do not merge into one community
+    assert len({got[n] for n in c1} | {got[n] for n in c2}) == 2
+
+
+def test_lpa_query_shape(spark, sf_dir):
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    out = all_queries()["part_lpa_communities"].build(spark, sf_dir).collect()
+    assert 1 <= len(out) <= 10
+    sizes = [r.n_members for r in out]
+    assert sizes == sorted(sizes, reverse=True)
+    assert all(r.n_members >= 1 for r in out)
