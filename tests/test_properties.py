@@ -670,3 +670,65 @@ def test_png_decode_roundtrip_any_filters(data, w, h, nch):
     png = _encode_png(pixels, nch, filters=filters)
     exp_mean = round(sum(sum(r) for r in pixels) / (h * w * nch), 4)
     assert decode_png(png) == (w, h, exp_mean)
+
+
+# --- synchronous LPA vs pure-Python reference (operators/graph.py) ------------
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(1, 9), st.integers(1, 9)).filter(
+            lambda t: t[0] < t[1]
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lpa_supersteps_match_python_reference(spark, edges):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from teleco_etl_pipeline_spark.operators.graph import _LPA_ITERS
+
+    # pure-Python synchronous LPA, count-DESC / label-ASC tie-break
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    lab = {n: n for n in adj}
+    for _ in range(_LPA_ITERS):
+        new = {}
+        for n, nbrs in adj.items():
+            votes: dict[int, int] = {}
+            for m in nbrs:
+                votes[lab[m]] = votes.get(lab[m], 0) + 1
+            new[n] = min(
+                (l for l in votes),
+                key=lambda l: (-votes[l], l),
+            )
+        lab = new
+
+    e = spark.createDataFrame(sorted(edges), ["u", "v"])
+    und = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(_LPA_ITERS):
+        votes_df = (
+            und.join(labels, und["b"] == labels["node"])
+            .groupBy(und["a"].alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes_df.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("node", "lab")
+        )
+    got = {r["node"]: r["lab"] for r in labels.collect()}
+    assert got == lab
