@@ -735,6 +735,18 @@ def q_part_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 # At 100 TB the standard hub guard applies: super-hub centers
 # contribute low-information wedges and should be degree-capped
 # before enumeration (same knob as the frequent-shingle guard).
+#
+# THE threshold contract (measured at the r9 sf1 point): the
+# co-occurrence cut is an ABSOLUTE count, so it must scale with data
+# volume — co-occurrence counts grow linearly with orders, and a
+# fixed cut lets the graph densify until wedge enumeration is
+# quadratic. Measured: sf0.1 @ min_co=2 -> 3,573 edges / 1.5 s;
+# sf1 @ min_co=2 -> 1,196,000 edges / 34 s (the fixed-threshold
+# densification); sf1 @ min_co=20 (cut scaled with the 10x volume)
+# -> the IDENTICAL 3,573-edge graph at 0.69 s. Production sizes
+# min_co proportional to volume (or uses a support RATIO), exactly
+# like the LSH plane-count knob (`recommended_planes`); the
+# registered query keeps the baked cut for oracle determinism.
 
 _LINKPRED_TOPK = 15
 
