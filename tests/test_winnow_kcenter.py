@@ -281,3 +281,59 @@ def test_recommended_planes_sizing():
     for n in (10**3, 10**6, 10**9):
         p = recommended_planes(n)
         assert n / (2**p) <= 256 < n / (2 ** (p - 1)) or n <= 256
+
+
+def test_sized_planes_exact_integer_rule():
+    """sized_planes is the exact-integer twin of recommended_planes
+    and of the DuckDB LENGTH(BIN(...)) expression in the sized
+    oracles — same value for every n, no float log anywhere."""
+    import math
+
+    import duckdb
+
+    from teleco_etl_pipeline_spark.operators.similarity import (
+        _LSH_TARGET,
+        _KNN_TARGET,
+        sized_planes,
+    )
+
+    # The committed SF anchor points (see the registered-query docs):
+    assert sized_planes(500, _LSH_TARGET) == 6  # == the old fixed-6
+    assert sized_planes(2_000, _LSH_TARGET) == 8
+    assert sized_planes(20_000, _LSH_TARGET) == 12  # sf1 measured-flat
+    assert sized_planes(500, _KNN_TARGET) == 4  # == the old fixed-4
+    assert sized_planes(20_000, _KNN_TARGET) == 10
+    con = duckdb.connect()
+    for target in (_LSH_TARGET, _KNN_TARGET, 256):
+        for n in (1, 7, 8, 9, 63, 64, 65, 500, 2_000, 20_000, 10**6):
+            py = sized_planes(n, target)
+            # ceil(log2(ceil(n/target))) in exact-math form
+            assert py == max(1, math.ceil(math.log2(-(-n // target)))), (
+                n,
+                target,
+            )
+            sql = con.execute(
+                f"SELECT LENGTH(BIN(({n} + {target - 1}) // {target} - 1))"
+            ).fetchone()[0]
+            assert sql == py, (n, target, sql, py)
+
+
+def test_hyperplanes_prefix_stable():
+    """The masked-bit sized oracles bake 16-plane literal matrices
+    and gate bits on the runtime plane count; the Spark side
+    generates only p planes. Both produce the same bucket ONLY if
+    numpy plane generation is prefix-stable — pin that contract."""
+    import numpy as np
+
+    from teleco_etl_pipeline_spark.operators.similarity import (
+        _SIZED_PMAX,
+        hyperplanes,
+    )
+
+    full = hyperplanes(64, _SIZED_PMAX, 42)
+    for p in (1, 4, 6, 8, 12):
+        assert np.array_equal(hyperplanes(64, p, 42), full[:p])
+    # floor-quantization (the kNN path) preserves the prefix
+    assert np.array_equal(
+        np.floor(hyperplanes(64, 4, 42) * 1e6), np.floor(full[:4] * 1e6)
+    )
