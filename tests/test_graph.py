@@ -135,12 +135,48 @@ def test_lpa_query_shape(spark, sf_dir):
     assert all(r.n_members >= 1 for r in out)
 
 
-def test_link_prediction_path_graph(spark, sf_dir):
-    # Path 1-2-3-4: non-adjacent (1,3) and (2,4) share exactly one
-    # neighbor; adjacent pairs never appear. Exercised through the
-    # registered query on a temp parquet dir via the raw operator
-    # pieces (the query fixes its own table), so test the machinery
-    # directly against the registry result shape.
+def test_link_prediction_path_graph(spark):
+    # Exact fixture through the wedge/anti-join core: path 1-2-3-4.
+    # Non-adjacent (1,3) and (2,4) each share exactly one neighbor;
+    # adjacent pairs and the 2-hop-distant (1,4) (no common
+    # neighbor) never appear.
+    from teleco_etl_pipeline_spark.operators.graph import (
+        common_neighbor_scores,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "u int, v int")
+    out = common_neighbor_scores(edges, topk=15).collect()
+    got = {(r.part_a, r.part_b): r.common_neighbors for r in out}
+    assert got == {(1, 3): 1, (2, 4): 1}
+
+
+def test_link_prediction_star_plus_triangle(spark):
+    # Star center 0 with leaves 1..4 plus edge (1,2): every leaf
+    # pair shares exactly the hub, so all C(4,2) leaf pairs score 1
+    # EXCEPT the adjacent (1,2), which the anti-join must remove
+    # despite its hub wedge; the hub pairs (0,i) are all adjacent
+    # and must never appear.
+    from teleco_etl_pipeline_spark.operators.graph import (
+        common_neighbor_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)], "u int, v int"
+    )
+    out = common_neighbor_scores(edges, topk=15).collect()
+    got = {(r.part_a, r.part_b): r.common_neighbors for r in out}
+    assert got == {
+        (1, 3): 1,
+        (1, 4): 1,
+        (2, 3): 1,
+        (2, 4): 1,
+        (3, 4): 1,
+    }
+
+
+def test_link_prediction_query_shape(spark, sf_dir):
+    # The registered query (volume-scaled edge cut) on real testdata:
+    # ordering, bounds, and key invariants.
     from teleco_etl_pipeline_spark.plans.registry import all_queries
 
     out = all_queries()["part_link_prediction"].build(spark, sf_dir).collect()
