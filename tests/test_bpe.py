@@ -154,7 +154,17 @@ def test_bpe_artifact_roundtrip_and_stored_encode(spark, sf_dir, tmp_path):
     save_merge_table(spark, docs, art, version="20240101")
     save_merge_table(spark, docs, art, version="20240202")
     path = latest_merge_table(art)
-    assert path.endswith("bpe_merges_20240202")  # lexicographic latest wins
+    assert path.endswith("bpe_merges_20240202")  # dated latest wins
+    # Natural-numeric resolution: v10 must beat v9 (plain
+    # lexicographic sort got this wrong — r9 ADVICE), and a later
+    # dated version still beats both.
+    import os as _os
+
+    for v in ("v9", "v10"):
+        _os.makedirs(_os.path.join(art, f"bpe_merges_{v}"), exist_ok=True)
+    assert latest_merge_table(art).endswith("bpe_merges_v10")
+    for v in ("v9", "v10"):
+        _os.rmdir(_os.path.join(art, f"bpe_merges_{v}"))
     loaded = load_merge_table(spark, path)
     _enc, trained = _train(spark, docs, _N_MERGES)
     assert loaded == [(i, pair, merged) for i, merged, pair, _c in trained]
@@ -165,3 +175,27 @@ def test_bpe_artifact_roundtrip_and_stored_encode(spark, sf_dir, tmp_path):
         tuple(r) for r in q_bpe_encode_docs(spark, sf_dir).collect()
     )
     assert stored == inplan
+
+
+def test_session_artifact_store_fits_once():
+    # fit_once must run the trainer exactly once per (kind, sf_dir)
+    # per process, return a stable directory under the session root,
+    # and record the fit wall-clock for bench.py's separate report.
+    from teleco_etl_pipeline_spark.operators import artifacts
+
+    artifacts.reset_for_tests()
+    calls = []
+
+    def fake_fit(adir):
+        calls.append(adir)
+
+    d1 = artifacts.fit_once("unit_kind", "/root/testdata/sf0.001", fake_fit)
+    d2 = artifacts.fit_once("unit_kind", "/root/testdata/sf0.001", fake_fit)
+    assert d1 == d2 and len(calls) == 1
+    assert d1.startswith(artifacts.session_artifacts_dir())
+    # a different sf_dir is a different artifact
+    d3 = artifacts.fit_once("unit_kind", "/root/testdata/sf0.01", fake_fit)
+    assert d3 != d1 and len(calls) == 2
+    fits = artifacts.fit_seconds()
+    assert "unit_kind@sf0.001" in fits and "unit_kind@sf0.01" in fits
+    artifacts.reset_for_tests()
