@@ -1132,7 +1132,25 @@ def q_orders_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__raw"),
         F.count(F.lit(1)).alias("n"),
     ).first()
-    edges_lit = F.lit([round(e + 1e-9, 2) for e in er["__raw"]])
+    # HALF_UP quantize, not Python round(): round() is half-to-even,
+    # while the DuckDB oracle's ROUND (and Spark's round expression)
+    # are half-up — an edge landing exactly on a representable
+    # 2-decimal midpoint after the +1e-9 nudge would round down one
+    # cent here and shift bucket membership (r9 ADVICE). Decimal
+    # quantize over str(e) reproduces decimal-literal half-up
+    # semantics exactly.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    edges_lit = F.lit(
+        [
+            float(
+                Decimal(str(e + 1e-9)).quantize(
+                    Decimal("0.01"), rounding=ROUND_HALF_UP
+                )
+            )
+            for e in er["__raw"]
+        ]
+    )
     feat = o.select(
         "o_orderkey",
         F.size(

@@ -367,8 +367,10 @@ def test_apply_in_pandas_with_state_accumulates_across_batches(spark, tmp_path):
 
 
 def test_resize_plan_and_payload_path_agree(spark):
-    """The metadata resize PLAN and the payload-path mapInPandas stub
-    apply the same fit-within integer math: feeding the plan the fake
+    """The metadata resize PLAN and the payload path (here in its
+    fake=True plumbing mode over non-PNG payloads; the real PNG mode
+    is covered by test_resize_image_batch_real_path) apply the same
+    fit-within integer math: feeding the plan the fake
     decoder's dims must reproduce the batch output exactly. Also
     covers the edge cases: upscale suppression (small image passes
     through) and extreme aspect ratio (dim clamps to >= 1)."""
@@ -579,3 +581,112 @@ def test_streaming_scd2_matches_batch_rebuild(spark, tmp_path):
 
     got = spark.read.parquet(dim_path).select(*expect.columns)
     assert canon(got) == canon(expect)
+
+
+def test_png_encoder_roundtrip_and_nn_resample():
+    """r10 resize-execute foundations, pure-function level: the
+    module's own encoder must round-trip bit-exact through the
+    decoder for every filter it writes (and agree with the
+    INDEPENDENT test-side writer), and the NN resampler must match a
+    brute-force index-formula reference, with identity at fitting
+    dims."""
+    from teleco_etl_pipeline_spark.operators.multimodal import (
+        encode_png,
+        nn_resample,
+        png_pixels,
+    )
+
+    for mid, w, h, nch in [(0, 8, 6, 1), (7, 23, 17, 1), (3, 5, 9, 3)]:
+        rows = [
+            bytes((mid * 31 + y * w * nch + i) % 256 for i in range(w * nch))
+            for y in range(h)
+        ]
+        blob = encode_png(w, h, rows, nch=nch, filt=lambda y: y % 3)
+        got = png_pixels(blob)
+        assert got is not None
+        gw, gh, gnch, grows = got
+        assert (gw, gh, gnch) == (w, h, nch)
+        assert [bytes(r) for r in grows] == rows
+        # independent writer (all five filter types) → same pixels
+        indep = _encode_png(rows, nch, filters=[(y % 5) for y in range(h)])
+        got2 = png_pixels(indep)
+        assert [bytes(r) for r in got2[3]] == rows
+        # NN resample vs the index formula, plus identity
+        for ow, oh in [(w, h), (3, 2), (1, 1), (w // 2 + 1, h // 2 + 1)]:
+            res = nn_resample(grows, w, h, nch, ow, oh)
+            for y in range(oh):
+                for x in range(ow):
+                    sy, sx = (y * h) // oh, (x * w) // ow
+                    assert (
+                        res[y][x * nch : (x + 1) * nch]
+                        == grows[sy][sx * nch : (sx + 1) * nch]
+                    )
+        assert [bytes(r) for r in nn_resample(grows, w, h, nch, w, h)] == rows
+
+
+def test_resize_exec_spark_path_matches_python(spark):
+    """The full Spark resize-execute path (genuine PNG payloads →
+    stdlib decode → NN resample → exact integer sums) must equal a
+    straight Python evaluation of the same closed forms."""
+    from teleco_etl_pipeline_spark.operators.multimodal import (
+        png_media_from_documents,
+        resize_png_exact,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    got = {
+        r["media_id"]: r
+        for r in resize_png_exact(
+            png_media_from_documents(docs), max_w=12, max_h=9
+        ).collect()
+    }
+    assert len(got) == 40
+    for mid in range(40):
+        w, h = 8 + mid % 16, 6 + mid % 12
+        if w <= 12 and h <= 9:
+            ow, oh = w, h
+        elif 12 * h <= 9 * w:
+            ow, oh = 12, max(1, (h * 12) // w)
+        else:
+            ow, oh = max(1, (w * 9) // h), 9
+        exp = sum(
+            (mid * 31 + ((y * h) // oh) * w + ((x * w) // ow)) % 256
+            for y in range(oh)
+            for x in range(ow)
+        )
+        r = got[mid]
+        assert (r["out_w"], r["out_h"]) == (ow, oh)
+        assert r["px_sum"] == exp and r["n_px"] == ow * oh
+
+
+def test_resize_image_batch_real_path(spark):
+    """resize_image_batch(fake=False) — previously the declared
+    NotImplementedError stub — now decodes and resamples real PNGs;
+    non-PNG payloads yield NULLs."""
+    from teleco_etl_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_image_batch,
+    )
+
+    grey = [bytes((x * 7 + y) & 0xFF for x in range(20)) for y in range(10)]
+    blob = _encode_png(grey, 1, filters=[(y % 5) for y in range(10)])
+    rows = [
+        (1, blob, "image/png", (20, 10, None)),
+        (2, b"\xff\xd8\xffnope", "image/jpeg", (None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r
+        for r in resize_image_batch(media, max_w=10, max_h=8).collect()
+    }
+    # 20x10 into (10, 8): width-bound (10*10 <= 8*20) → (10, 5)
+    assert (got[1]["out_w"], got[1]["out_h"]) == (10, 5)
+    exp = round(
+        sum(grey[(y * 10) // 5][(x * 20) // 10] for y in range(5) for x in range(10))
+        / 50.0,
+        4,
+    )
+    assert got[1]["pixels_mean"] == exp
+    assert got[2]["out_w"] is None and got[2]["pixels_mean"] is None
