@@ -44,7 +44,22 @@ from teleco_etl_pipeline_spark.sources.tables import load_table
 
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct normalized text,
-    keeper = min id, copies = group size."""
+    keeper = min id, copies = group size.
+
+    Small-file cliff guard (the r9 sf1 x5.9 root cause, r10-measured):
+    a compact document file splits into fewer input partitions than
+    cores (sf1's 5.9 MB single file -> 2 splits), confining the
+    CPU-bound regex-normalize + md5 to 2 of 32 threads. When the scan
+    under-splits, repartition on the id BEFORE fingerprinting (the
+    _doc_shingles precedent); when the source already has >= 1 split
+    per core — every realistic big-data layout — this is a no-op, so
+    no extra full-text shuffle is paid at scale (the hash projection
+    reduces each doc to 32 bytes before the groupBy shuffle, and
+    pre-shuffling raw text for an already-parallel scan would double
+    bytes moved)."""
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism, F.col(id_col))
     return (
         docs.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("fingerprint"))
         .groupBy("fingerprint")
