@@ -36,85 +36,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # evidence. _RECORD_ORDER is the explicit 50-slot recording window,
 # rotated every round toward the weakest current evidence.
 #
-# Round-9 rotation: with zero reds outstanding, the window's value is
-# (a) re-recording queries whose BEHAVIOR changed this round and
-# (b) refreshing the stalest driver evidence, oldest-first (the
-# round-8 verdict's #1 ask). Slots 1-4 are the four round-9-changed
-# queries (contamination_winnowing's stop-fingerprint guard now
-# counts split-assigned docs only; embedding_centroid_drift clears
-# denominators in int64 on both engines; trade_graph_pagerank
-# decodes labels with integer div; lineitem_spearman_matrix ranks
-# via a two-level bucketed cumsum), slots 5-6 the two round-9-new
-# artifact-lifecycle queries (bpe_encode_stored — tokenizer-artifact
-# encode; embedding_ivf_topk_stored — persisted-index ANN), and
-# slots 7-8 the round-9-new graph-analytics queries
-# (part_lpa_communities — label-propagation communities;
-# part_link_prediction — common-neighbor link prediction), and
-# slots 9-50 forty-two of the forty-seven queries whose newest
-# driver row is round-4 vintage. The five r4 queries deferred to
-# keep the changed/new queries in-window (embedding_neardup — the
-# guarded quadratic baseline — multimodal_frame_sample,
-# top_supplier_revenue, top_ngrams, and linestatus_priority_matrix)
-# lead _RECORD_LAST; all five hold r4 driver rows AND
-# current-vintage exact-bit matches in the committed dual-SF
-# LOCAL_PARITY sweeps, as does every other displaced query.
+# Round-10 rotation: slots 1-15 are the queries whose BEHAVIOR or
+# REGISTRATION changed this round — the three ANN queries re-based
+# on corpus-SIZED plane counts (bit_length(ceil(N/target)); masked-
+# bit oracles), the two part-graph queries re-based on the
+# VOLUME-SCALED co-occurrence cut, the new oracle-backed resize
+# EXECUTE path (multimodal_resize_exec — the last declared stub,
+# removed), the two stored-artifact queries moved to the fit-once
+# session store, orders_hbos_outliers (HALF_UP edge quantize),
+# exact_dedup / customer_linkage_blocked (small-file cliff guard),
+# and the four newly registered fixed-config scaling-curve twins.
+# Slots 16-20 are the five r4-vintage queries deferred last round;
+# slots 21-42 the remaining twenty-two r5-vintage queries; slots
+# 43-50 the eight stalest r6-vintage queries — after this round no
+# query's newest driver row is older than r6 (the r9 verdict's
+# rotation goal). Every displaced query holds BOTH an older green
+# driver row AND a current-vintage exact-bit match in the committed
+# dual-SF LOCAL_PARITY sweeps.
 _RECORD_ORDER = [
-    "contamination_winnowing",
-    "embedding_centroid_drift",
-    "trade_graph_pagerank",
-    "lineitem_spearman_matrix",
+    "embedding_lsh_pairs",
+    "embedding_lsh_multiprobe",
+    "embedding_knn_classify",
+    "part_link_prediction",
+    "part_lpa_communities",
+    "multimodal_resize_exec",
     "bpe_encode_stored",
     "embedding_ivf_topk_stored",
-    "part_lpa_communities",
-    "part_link_prediction",
-    "asof_last_purchase",
-    "balance_deciles",
-    "banded_price_join",
-    "bpe_pair_counts",
-    "corpus_curation",
-    "cumulative_spend",
-    "customer_distribution",
-    "disjunctive_revenue",
-    "doc_balanced_mix",
-    "doc_chunking",
-    "doc_length_band_filter",
-    "doc_pack_windows",
-    "doc_pii_redaction",
-    "doc_repetition_stats",
-    "doc_split_assign",
-    "doc_stratified_sample",
-    "doc_wordshape_filter",
-    "embedding_lsh_pairs",
-    "embedding_topk",
-    "expr_key_join",
-    "grouping_sets_summary",
-    "heavy_part_shippers",
-    "idle_rich_customers",
-    "large_volume_customers",
-    "market_share",
-    "nation_balance_share",
-    "nation_volume_shipping",
-    "neardup_clusters",
-    "ngram_jaccard_guarded",
-    "order_gap_stats",
-    "priority_exists_counts",
-    "priority_set_ops",
-    "promo_revenue_pct",
-    "quantile_profile",
-    "scrub_cast",
-    "small_quantity_revenue",
-    "sole_return_suppliers",
-    "star_join",
-    "supplier_class_counts",
-    "topk_orders",
-    "train_test_contamination",
-    "upsert_merge",
-]
-# Past-window ordering if the driver ever widens its window: stalest
-# driver evidence first (the two deferred r4 queries, then r5
-# through r8 vintages, freshest last). True sketches without oracles
-# sort last (tier 3 in queries()).
-_RECORD_LAST = [
+    "orders_hbos_outliers",
+    "exact_dedup",
+    "customer_linkage_blocked",
+    "embedding_lsh_pairs_fixed6",
+    "embedding_lsh_multiprobe_fixed6",
+    "embedding_knn_classify_fixed4",
+    "part_link_prediction_fixed2",
     "embedding_neardup",
     "multimodal_frame_sample",
     "top_supplier_revenue",
@@ -150,6 +104,12 @@ _RECORD_LAST = [
     "customer_spend_percentile",
     "doc_bigram_logprob",
     "doc_fingerprint",
+]
+# Past-window ordering if the driver ever widens its window: stalest
+# driver evidence first (the two deferred r4 queries, then r5
+# through r8 vintages, freshest last). True sketches without oracles
+# sort last (tier 3 in queries()).
+_RECORD_LAST = [
     "doc_lang_id",
     "doc_langid_confusion",
     "doc_oov_rate",
@@ -159,7 +119,6 @@ _RECORD_LAST = [
     "doc_token_stats",
     "doc_weighted_sample",
     "dup_finder",
-    "embedding_lsh_multiprobe",
     "embedding_recall_eval",
     "error_rate",
     "events_attribution_first_last",
@@ -170,7 +129,6 @@ _RECORD_LAST = [
     "events_ohlc_hourly",
     "events_rolling_7d",
     "events_seq_examples",
-    "exact_dedup",
     "initcap_norm",
     "local_supplier_volume",
     "md5_checksum",
@@ -196,7 +154,6 @@ _RECORD_LAST = [
     "corpus_semantic_prune",
     "count_distinct",
     "cube_summary",
-    "customer_linkage_blocked",
     "customer_pareto_abc",
     "distinct_values",
     "doc_frequent_ngram_scrub",
@@ -242,7 +199,6 @@ _RECORD_LAST = [
     "daily_revenue_acf",
     "doc_novelty_scores",
     "embedding_kcenter_coreset",
-    "embedding_knn_classify",
     "embedding_knn_classify_total",
     "event_sequence_patterns",
     "fk_integrity_report",
@@ -257,7 +213,6 @@ _RECORD_LAST = [
     "ml_inference_contract",
     "orders_column_profile",
     "orders_cusum_shift",
-    "orders_hbos_outliers",
     "orders_snapshot_diff",
     "part_price_skyline",
     "poisson_bootstrap_ci",
@@ -279,6 +234,51 @@ _RECORD_LAST = [
     "trade_graph_hits",
     "user_survival_curve",
     "winnowing_fingerprint_pairs",
+    "contamination_winnowing",
+    "embedding_centroid_drift",
+    "trade_graph_pagerank",
+    "lineitem_spearman_matrix",
+    "asof_last_purchase",
+    "balance_deciles",
+    "banded_price_join",
+    "bpe_pair_counts",
+    "corpus_curation",
+    "cumulative_spend",
+    "customer_distribution",
+    "disjunctive_revenue",
+    "doc_balanced_mix",
+    "doc_chunking",
+    "doc_length_band_filter",
+    "doc_pack_windows",
+    "doc_pii_redaction",
+    "doc_repetition_stats",
+    "doc_split_assign",
+    "doc_stratified_sample",
+    "doc_wordshape_filter",
+    "embedding_topk",
+    "expr_key_join",
+    "grouping_sets_summary",
+    "heavy_part_shippers",
+    "idle_rich_customers",
+    "large_volume_customers",
+    "market_share",
+    "nation_balance_share",
+    "nation_volume_shipping",
+    "neardup_clusters",
+    "ngram_jaccard_guarded",
+    "order_gap_stats",
+    "priority_exists_counts",
+    "priority_set_ops",
+    "promo_revenue_pct",
+    "quantile_profile",
+    "scrub_cast",
+    "small_quantity_revenue",
+    "sole_return_suppliers",
+    "star_join",
+    "supplier_class_counts",
+    "topk_orders",
+    "train_test_contamination",
+    "upsert_merge",
 ]
 
 
