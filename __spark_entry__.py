@@ -103,13 +103,14 @@ _RECORD_ORDER = [
     "customer_linkage_sorted_neighborhood",
     "customer_spend_percentile",
     "doc_bigram_logprob",
-    "doc_fingerprint",
+    "part_link_prediction_ra",
 ]
 # Past-window ordering if the driver ever widens its window: stalest
 # driver evidence first (the two deferred r4 queries, then r5
 # through r8 vintages, freshest last). True sketches without oracles
 # sort last (tier 3 in queries()).
 _RECORD_LAST = [
+    "doc_fingerprint",
     "doc_lang_id",
     "doc_langid_confusion",
     "doc_oov_rate",

@@ -865,6 +865,128 @@ def q_part_link_prediction_fixed2(
     return _link_prediction_df(spark, sf_dir, min_co=_LPA_MIN_CO_FLOOR)
 
 
+# --- resource-allocation link prediction -------------------------------------
+#
+# The degree-aware refinement of common neighbors (Zhou, Lü & Zhang,
+# Eur. Phys. J. B 2009): a shared HUB says little (everything passes
+# through it), a shared low-degree neighbor is strong evidence, so
+# each wedge center z contributes 1/deg(z) instead of 1. RA
+# consistently beats plain CN and Adamic-Adar's 1/log(deg) in their
+# benchmarks — and unlike 1/log it stays EXACT here: the score is
+# Σ floor(10⁶/deg(z)) in parts-per-million, pure integer division in
+# both engines (no libm ln whose last ulp could differ cross-engine
+# and flip the top-k boundary — the round-6 lesson). Same wedge
+# fan-out and anti-join as common_neighbor_scores; the only extra
+# state is one per-center weight column riding the explode.
+
+_RA_TOPK = 15
+
+_LINKPRED_RA_BODY_DUCK = (
+    """,
+    und AS (
+      SELECT u AS a, v AS b FROM edges
+      UNION ALL SELECT v AS a, u AS b FROM edges
+    ),
+    wedge AS (
+      SELECT e1.a AS x, e1.b AS z, e2.b AS y
+      FROM und e1 JOIN und e2 ON e1.b = e2.a AND e1.a < e2.b
+    ),
+    deg AS (SELECT a AS z, COUNT(*) AS d FROM und GROUP BY a),
+    cand AS (
+      SELECT x, y, COUNT(*) AS common_neighbors,
+             SUM(1000000 // dg.d) AS ra_score_ppm
+      FROM wedge JOIN deg dg ON dg.z = wedge.z
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.u = wedge.x AND e.v = wedge.y
+      )
+      GROUP BY x, y
+    )
+    SELECT CAST(x AS BIGINT) AS part_a, CAST(y AS BIGINT) AS part_b,
+           CAST(common_neighbors AS BIGINT) AS common_neighbors,
+           CAST(ra_score_ppm AS BIGINT) AS ra_score_ppm
+    FROM cand
+    ORDER BY ra_score_ppm DESC, part_a, part_b
+    LIMIT """
+    + str(_RA_TOPK)
+)
+
+
+@query(
+    "part_link_prediction_ra",
+    _PART_EDGES_DUCK + _LINKPRED_RA_BODY_DUCK,
+    doc="Resource-allocation link prediction (Zhou, Lü & Zhang EPJ B "
+    "2009) over the part co-purchase graph: non-adjacent pairs "
+    f"ranked top-{_RA_TOPK} by Σ 1/deg(z) over shared neighbors z — "
+    "the degree-aware CN refinement (a shared hub is weak evidence, "
+    "a shared specialist part is strong). Scored as EXACT integer "
+    "parts-per-million (floor(10⁶/deg), integer division in both "
+    "engines — no libm ln in the hash path), same volume-scaled "
+    "edge cut, wedge fan-out, and anti-join as "
+    "part_link_prediction.",
+)
+def q_part_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _part_edges_spark(spark, sf_dir, min_co=None).localCheckpoint(
+        eager=True
+    )
+    return resource_allocation_scores(edges, topk=_RA_TOPK)
+
+
+def resource_allocation_scores(edges: DataFrame, topk: int) -> DataFrame:
+    """RA-index wedge scoring over an undirected ``(u, v)`` edge list
+    with ``u < v``: identical enumeration shape to
+    :func:`common_neighbor_scores`, with the per-center weight
+    ``floor(10⁶ / deg(z))`` attached before the explode so the score
+    aggregate is one integer SUM alongside the CN COUNT."""
+    from pyspark.sql import functions as F
+
+    und = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    adj = (
+        und.groupBy(F.col("a").alias("z"))
+        .agg(F.sort_array(F.collect_set("b")).alias("nb"))
+        .filter(F.size("nb") >= 2)
+        # integer DIV, not floor(double /): a correctly-rounded double
+        # quotient landing within an ulp of an integer boundary could
+        # floor differently than the oracle's integer division.
+        .withColumn("wz", F.expr("1000000 div size(nb)").cast("long"))
+    )
+    wedges = adj.select(
+        F.col("wz"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("nb") - 2),
+                    lambda i: F.transform(
+                        F.slice(F.col("nb"), i + 2, F.size("nb") - i - 1),
+                        lambda y: F.struct(
+                            F.element_at(F.col("nb"), i + 1).alias("x"),
+                            y.alias("y"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select("p.x", "p.y", "wz")
+    cand = wedges.join(
+        edges,
+        (wedges["x"] == edges["u"]) & (wedges["y"] == edges["v"]),
+        "left_anti",
+    )
+    return (
+        cand.groupBy(
+            F.col("x").cast("long").alias("part_a"),
+            F.col("y").cast("long").alias("part_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum("wz").cast("long").alias("ra_score_ppm"),
+        )
+        .orderBy(F.desc("ra_score_ppm"), "part_a", "part_b")
+        .limit(topk)
+    )
+
+
 def _link_prediction_df(
     spark: SparkSession, sf_dir: str, min_co: int | None
 ) -> DataFrame:

@@ -2703,9 +2703,9 @@ def _knn_classify_sized_oracle_sql() -> str:
     """SIZED variant of :func:`_knn_classify_oracle_sql`: the same
     exact quantized-integer discipline, with all ``_SIZED_PMAX``
     floored plane literals baked and bits gated on the params-CTE
-    plane count (target occupancy {_KNN_TARGET} — a kNN bucket must
-    hold comfortably more than k candidates, unlike the tight
-    near-dup pairs buckets)."""
+    plane count (target occupancy ``_KNN_TARGET`` = 32 — a kNN
+    bucket must hold comfortably more than k candidates, unlike the
+    tight near-dup pairs buckets)."""
     planes = np.floor(hyperplanes(_LSH_DIM, _SIZED_PMAX, 42) * 1e6)
     bucket = _sql_bucket_masked(planes, "q", "params.p")
     return f"""

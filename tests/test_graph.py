@@ -185,3 +185,36 @@ def test_link_prediction_query_shape(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
     assert all(s >= 1 for s in scores)
     assert all(r.part_a < r.part_b for r in out)
+
+
+def test_link_prediction_ra_exact_fixtures(spark):
+    # Path 1-2-3-4: (1,3) shares center 2 (deg 2) and (2,4) center 3
+    # (deg 2) -> ra = 10^6 div 2 = 500000. Star 0-{1,2,3,4} + edge
+    # (1,2): every non-adjacent leaf pair shares only the deg-4 hub
+    # -> ra = 250000; wedges through deg-2 centers 1/2 land on the
+    # adjacent pair (0,2)/(0,1) and must be anti-joined away.
+    from teleco_etl_pipeline_spark.operators.graph import (
+        resource_allocation_scores,
+    )
+
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "u int, v int")
+    got = {
+        (r.part_a, r.part_b): (r.common_neighbors, r.ra_score_ppm)
+        for r in resource_allocation_scores(path, topk=15).collect()
+    }
+    assert got == {(1, 3): (1, 500000), (2, 4): (1, 500000)}
+
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)], "u int, v int"
+    )
+    got = {
+        (r.part_a, r.part_b): (r.common_neighbors, r.ra_score_ppm)
+        for r in resource_allocation_scores(star, topk=15).collect()
+    }
+    assert got == {
+        (1, 3): (1, 250000),
+        (1, 4): (1, 250000),
+        (2, 3): (1, 250000),
+        (2, 4): (1, 250000),
+        (3, 4): (1, 250000),
+    }
