@@ -100,9 +100,9 @@ _RECORD_ORDER = [
     "brand_size_rank_ties",
     "conditional_counts",
     "corpus_zipf_slope",
-    "customer_linkage_sorted_neighborhood",
     "customer_spend_percentile",
     "doc_bigram_logprob",
+    "embedding_knn_classify_total",
     "part_link_prediction_ra",
 ]
 # Past-window ordering if the driver ever widens its window: stalest
@@ -110,6 +110,7 @@ _RECORD_ORDER = [
 # through r8 vintages, freshest last). True sketches without oracles
 # sort last (tier 3 in queries()).
 _RECORD_LAST = [
+    "customer_linkage_sorted_neighborhood",
     "doc_fingerprint",
     "doc_lang_id",
     "doc_langid_confusion",

@@ -2786,21 +2786,44 @@ def q_embedding_knn_classify_fixed4(
     )
 
 
-# Total-coverage variant: 8 planes ⇒ 256 buckets, so at harness scale
-# many vectors are alone in their bucket and the brute-force leftovers
-# pass genuinely executes (n_predicted == n_total by construction).
+# Total-coverage variant: buckets are kept deliberately SPARSE
+# (target occupancy 2 — 500 vectors → 8 planes, the previously-fixed
+# config; 20k → 14) so many vectors are alone in their bucket and
+# the brute-force leftovers pass genuinely executes at EVERY scale
+# (n_predicted == n_total by construction). Sizing here protects the
+# design point itself: a fixed bit-width densifies buckets with
+# volume until the leftovers pass never fires and candidate work
+# grows quadratically (the same ×47-per-10× curve the plain kNN
+# query had; see _KNN_TARGET).
 _KNN_T_PLANES, _KNN_FB = 8, 64
+_KNN_T_TARGET = 2
 
 
-def _knn_classify_total_oracle_sql() -> str:
+def _knn_classify_total_oracle_sql(sized: bool = True) -> str:
     # Same exact quantized-integer discipline as
     # _knn_classify_oracle_sql (see its comment), plus the
-    # total-coverage brute-force leftovers pass.
-    bucket = _sql_bucket(
-        np.floor(hyperplanes(_LSH_DIM, _KNN_T_PLANES, 42) * 1e6), "q"
-    )
+    # total-coverage brute-force leftovers pass. sized=True gates
+    # the masked 16-plane literals on the target-2 params count
+    # (the registered default); sized=False is the fixed-8 curve.
+    if sized:
+        bucket = _sql_bucket_masked(
+            np.floor(hyperplanes(_LSH_DIM, _SIZED_PMAX, 42) * 1e6),
+            "q",
+            "params.p",
+        )
+        params = (
+            f"params AS (\n      SELECT {_sql_sized_p(_KNN_T_TARGET)} AS p"
+            " FROM embeddings\n    ), "
+        )
+        b_from = "FROM raw CROSS JOIN params"
+    else:
+        bucket = _sql_bucket(
+            np.floor(hyperplanes(_LSH_DIM, _KNN_T_PLANES, 42) * 1e6), "q"
+        )
+        params = ""
+        b_from = "FROM raw"
     return f"""
-    WITH raw AS (
+    WITH {params}raw AS (
       SELECT vec_id, label,
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> FLOOR(x * 1000000.0)) AS q
@@ -2808,7 +2831,7 @@ def _knn_classify_total_oracle_sql() -> str:
     ), b AS (
       SELECT vec_id, label, q, {bucket} AS bucket,
              list_dot_product(q, q) AS den
-      FROM raw
+      {b_from}
     ), knn AS (
       SELECT a.vec_id AS qid, c.vec_id AS nid,
              CASE WHEN a.den * c.den = 0 THEN -2.0
@@ -2856,15 +2879,43 @@ def _knn_classify_total_oracle_sql() -> str:
 
 @query(
     "embedding_knn_classify_total",
-    _knn_classify_total_oracle_sql(),
-    doc="Total-coverage kNN label propagation: sparse 8-plane buckets "
-    "leave many vectors neighborless, so the brute-force leftovers "
-    "pass (anti-join survivors scored exactly against a broadcast "
-    "md5-sampled candidate set) must fire for n_predicted to reach "
-    "n_total — the coverage contract the plain LSH variant cannot "
-    "make. Oracle-backed end-to-end.",
+    _knn_classify_total_oracle_sql(sized=True),
+    doc="Total-coverage kNN label propagation, SIZED: plane count = "
+    "bit_length(ceil(N/2)) keeps buckets deliberately SPARSE at "
+    "every scale (500 vectors → the previously-fixed 8 planes, "
+    "identical output; 20k → 14), so many vectors stay neighborless "
+    "and the brute-force leftovers pass (anti-join survivors scored "
+    "exactly against a broadcast md5-sampled candidate set) must "
+    "fire for n_predicted to reach n_total — the coverage contract "
+    "the plain LSH variant cannot make, preserved at any N instead "
+    "of silently densifying away. Oracle-backed end-to-end via the "
+    "masked hyperplane literals.",
 )
 def q_embedding_knn_classify_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = min(_SIZED_PMAX, sized_planes(emb.count(), _KNN_T_TARGET))
+    return knn_label_classify(
+        emb,
+        k=_KNN_K,
+        n_planes=p,
+        dim=_LSH_DIM,
+        total_coverage=True,
+        fallback_candidates=_KNN_FB,
+    )
+
+
+@query(
+    "embedding_knn_classify_total_fixed8",
+    _knn_classify_total_oracle_sql(sized=False),
+    doc="FIXED-configuration curve of embedding_knn_classify_total "
+    "(8 planes at every scale; densifying buckets eventually starve "
+    "the leftovers pass and grow candidate work quadratically) — "
+    "the honest fixed-config scaling reference, not the production "
+    "path.",
+)
+def q_embedding_knn_classify_total_fixed8(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_label_classify(
         emb,
