@@ -201,7 +201,6 @@ _RECORD_LAST = [
     "daily_revenue_acf",
     "doc_novelty_scores",
     "embedding_kcenter_coreset",
-    "embedding_knn_classify_total",
     "event_sequence_patterns",
     "fk_integrity_report",
     "funnel_latency_quantiles",

@@ -37,6 +37,8 @@ ALLPAIRS_BASELINES = {
     # scale path for dense coverage remains the bucketed equi-join
     # that produces the non-leftover edges.
     "embedding_knn_classify_total",
+    # identical leftovers-fallback shape, fixed-8-plane curve twin
+    "embedding_knn_classify_total_fixed8",
 }
 
 
