@@ -56,8 +56,14 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SRC = "/root/testdata/sf0.1"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# Source dir is overridable so the same machinery can stack decades:
+# sf0.1 -> sf1 (default), then sf1 -> sf10 (pass src=.scaledata/sf1,
+# n_docs=500000). Stacking is safe against manufactured-twin mass:
+# names are REBUILT from keys each time, prices keep growing their
+# value domain (+rep/100 per decade), documents are freshly sampled,
+# and embedding noise compounds (sibling cosine drops, never rises).
+SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
 REPS = 10
 SEED = 20260815
 
@@ -201,15 +207,16 @@ def main() -> None:
         if len(sys.argv) > 1
         else os.path.join(REPO, ".scaledata", "sf1")
     )
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     if os.path.isdir(out) and os.listdir(out):
         print(f"{out} already populated; delete it to regenerate")
         return
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     _replicated(con, out)
-    _documents(out)
+    _documents(out, n_docs=n_docs)
     _embeddings(out)
-    print(f"sf1 scale point ready at {out}")
+    print(f"scale point ready at {out} (src={SRC}, docs={n_docs})")
 
 
 if __name__ == "__main__":
