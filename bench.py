@@ -199,6 +199,9 @@ BENCH_QUERIES = [
     "embedding_ivf_topk_stored",  # persisted-index ANN (save/resolve/load)
     "part_lpa_communities",     # label-propagation communities, 2 supersteps
     "part_link_prediction",     # common-neighbor wedge join, anti existing
+    # -- round-10 additions -------------------------------------------
+    "multimodal_resize_exec",   # real PNG encode/decode/NN-resample, exact ints
+    "part_link_prediction_ra",  # resource-allocation (1/deg) link scoring
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):
@@ -207,6 +210,11 @@ BENCH_QUERIES = [
 #   past 4096 rows (loud ValueError in embedding_neardup_pairs);
 #   its benched scale paths are minhash_lsh_pairs /
 #   embedding_lsh_pairs / simhash_neardup.
+# - The *_fixed6/_fixed4/_fixed8/_fixed2 twins of the sized ANN and
+#   link-prediction defaults: identical cost to the sized queries at
+#   sf0.1 (sizing only diverges above the committed SFs); their whole
+#   purpose is the sized-vs-fixed growth contrast, which
+#   SCALING_r10.json measures at three scale points.
 # - The ~46 remaining registered-but-unbenched queries are single-
 #   scan relational/scalar shapes (CASE projections, FILTER counts,
 #   pivot/unpivot, dim lookups, sub-second at sf0.1) whose cost

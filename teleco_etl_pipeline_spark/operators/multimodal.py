@@ -581,7 +581,15 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
                 {"media_id": mids, "payload": [build(int(m)) for m in mids]}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=PNG_MEDIA_SCHEMA)
+    ids = docs.select("doc_id")
+    # Small-file cliff guard (the exact_dedup_groups precedent): the
+    # per-row Python encode work must not serialize onto the 1-2
+    # input splits a compact documents file yields; no-op whenever
+    # the scan already has >= 1 split per core.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < par:
+        ids = ids.repartition(par, F.col("doc_id"))
+    return ids.mapInPandas(batches, schema=PNG_MEDIA_SCHEMA)
 
 
 def resize_png_exact(
