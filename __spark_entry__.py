@@ -101,8 +101,8 @@ _RECORD_ORDER = [
     "conditional_counts",
     "corpus_zipf_slope",
     "customer_spend_percentile",
-    "doc_bigram_logprob",
     "embedding_knn_classify_total",
+    "incremental_index_dedup",
     "part_link_prediction_ra",
 ]
 # Past-window ordering if the driver ever widens its window: stalest
@@ -111,6 +111,7 @@ _RECORD_ORDER = [
 # sort last (tier 3 in queries()).
 _RECORD_LAST = [
     "customer_linkage_sorted_neighborhood",
+    "doc_bigram_logprob",
     "doc_fingerprint",
     "doc_lang_id",
     "doc_langid_confusion",

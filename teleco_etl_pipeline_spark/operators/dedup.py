@@ -595,14 +595,11 @@ def _sql_mh(seed: int, expr: str = "shingle") -> str:
     )
 
 
-def _minhash_oracle_sql(
-    n: int = 3, num_hashes: int = 32, bands: int = 8, threshold: float = 0.25
-) -> str:
-    """Full MinHash+LSH oracle for the md5 hash family: shingles →
-    32 MIN-hash aggregates → banded md5 band-hashes → bucket
-    self-join → signature-equality Jaccard estimate. Every stage is
-    the literal DuckDB twin of the Spark plan, so the sketch is
-    value-checked end-to-end (closes the r4 verdict's rows-only gap)."""
+def _minhash_sig_banded_cte(n: int, num_hashes: int, bands: int) -> str:
+    """Shared oracle prefix: documents → shingles → ``sig``
+    (num_hashes MIN-hash columns, md5 family) → ``banded``
+    (doc_id, band, band_hash) — the literal DuckDB twin of
+    :func:`minhash_signatures` + :func:`_banded`."""
     rows_per_band = num_hashes // bands
     sig_cols = ",\n             ".join(
         f"MIN({_sql_mh(i)}) AS mh_{i}" for i in range(num_hashes)
@@ -615,10 +612,6 @@ def _minhash_oracle_sql(
         bh = f"CAST(concat('0x', substr(md5(concat_ws('|', {cols})), 1, 15)) AS BIGINT)"
         band_selects.append(f"SELECT doc_id, {b} AS band, {bh} AS band_hash FROM sig")
     banded = "\n      UNION ALL\n      ".join(band_selects)
-    matches = " + ".join(
-        f"CAST(sa.mh_{i} = sb.mh_{i} AS INT)" for i in range(num_hashes)
-    )
-    est = f"ROUND(({matches}) / {float(num_hashes)} + 1e-9, 4)"
     return rf"""
     WITH tok AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -636,7 +629,28 @@ def _minhash_oracle_sql(
       FROM ex GROUP BY doc_id
     ), banded AS (
       {banded}
-    ), cand AS (
+    )"""
+
+
+def _sql_est(num_hashes: int) -> str:
+    matches = " + ".join(
+        f"CAST(sa.mh_{i} = sb.mh_{i} AS INT)" for i in range(num_hashes)
+    )
+    return f"ROUND(({matches}) / {float(num_hashes)} + 1e-9, 4)"
+
+
+def _minhash_oracle_sql(
+    n: int = 3, num_hashes: int = 32, bands: int = 8, threshold: float = 0.25
+) -> str:
+    """Full MinHash+LSH oracle for the md5 hash family: shingles →
+    32 MIN-hash aggregates → banded md5 band-hashes → bucket
+    self-join → signature-equality Jaccard estimate. Every stage is
+    the literal DuckDB twin of the Spark plan, so the sketch is
+    value-checked end-to-end (closes the r4 verdict's rows-only gap)."""
+    est = _sql_est(num_hashes)
+    return (
+        _minhash_sig_banded_cte(n, num_hashes, bands)
+        + f""", cand AS (
       SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
@@ -647,6 +661,7 @@ def _minhash_oracle_sql(
     JOIN sig sb ON sb.doc_id = doc_id_b
     WHERE {est} >= {threshold}
     """
+    )
 
 
 @query(
@@ -663,6 +678,96 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, n=3, num_hashes=32, bands=8, threshold=0.25, hash_family="md5"
+    )
+
+
+def _incremental_index_oracle_sql(
+    n: int = 3, num_hashes: int = 32, bands: int = 8, threshold: float = 0.25
+) -> str:
+    """Oracle for the stored-index incremental dedup: the SAME
+    signature/banding CTEs over the whole table (the artifact round
+    trip is lossless, which is exactly what the shared formulas
+    certify), candidates restricted to pairs touching the incoming
+    batch (doc_id % 10 = 7): batch×corpus in both id orders collapsed
+    to (new, other), plus batch×batch with the usual a < b."""
+    est = _sql_est(num_hashes)
+    return (
+        _minhash_sig_banded_cte(n, num_hashes, bands)
+        + f""", bb AS (
+      SELECT * FROM banded WHERE doc_id % 10 = 7
+    ), cb AS (
+      SELECT * FROM banded WHERE doc_id % 10 <> 7
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_new, b.doc_id AS doc_id_other,
+             'corpus' AS pair_kind
+      FROM bb a JOIN cb b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+      UNION
+      SELECT DISTINCT a.doc_id, b.doc_id, 'new'
+      FROM bb a JOIN bb b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_new, doc_id_other, pair_kind, {est} AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_id_new
+    JOIN sig sb ON sb.doc_id = doc_id_other
+    WHERE {est} >= {threshold}
+    """
+    )
+
+
+@query(
+    "incremental_index_dedup",
+    _incremental_index_oracle_sql(),
+    doc="Incremental corpus dedup from a PERSISTED signature index — "
+    "the daily-ingest lifecycle: the corpus's MinHash signatures "
+    "(k=32 longs/doc, ~256 B regardless of document size) are fit "
+    "ONCE per (process, sf_dir) and written as a versioned parquet "
+    "TABLE artifact (minhash_sigs_{version}, natural-numeric "
+    "latest-wins — distributed, never collected: unlike the k-row "
+    "BPE/IVF artifacts this index is corpus-sized); the incoming "
+    "batch (doc_id % 10 = 7, a deterministic stand-in for a new "
+    "crawl) pays the shingle explode ONLY for itself, probes the "
+    "stored band index by broadcast join (zero corpus shuffle), and "
+    "scores batch-vs-corpus and batch-vs-batch near-dups. Because "
+    "the md5 signatures are deterministic, incremental == full "
+    "recompute restricted to batch-touching pairs — which is "
+    "exactly what the oracle computes from scratch, certifying the "
+    "artifact round trip end-to-end.",
+)
+def q_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from teleco_etl_pipeline_spark.operators.artifacts import fit_once
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+
+    def _fit(adir: str) -> None:
+        minhash_signatures(
+            corpus, n=3, num_hashes=32, hash_family="md5"
+        ).write.mode("overwrite").parquet(
+            _os.path.join(adir, "minhash_sigs_v0001")
+        )
+
+    art_dir = fit_once("minhash_sigs", sf_dir, _fit)
+    from teleco_etl_pipeline_spark.operators.bpe import _natural_version_key
+
+    cands = sorted(
+        (d for d in _os.listdir(art_dir) if d.startswith("minhash_sigs_")),
+        key=_natural_version_key,
+    )
+    corpus_sigs = spark.read.parquet(_os.path.join(art_dir, cands[-1]))
+    return minhash_lsh_pairs_incremental(
+        batch,
+        corpus_sigs,
+        n=3,
+        num_hashes=32,
+        bands=8,
+        threshold=0.25,
+        hash_family="md5",
     )
 
 

@@ -199,3 +199,22 @@ def test_session_artifact_store_fits_once():
     fits = artifacts.fit_seconds()
     assert "unit_kind@sf0.001" in fits and "unit_kind@sf0.01" in fits
     artifacts.reset_for_tests()
+
+
+def test_incremental_index_dedup_fits_once(spark):
+    # The registered stored-index dedup must train the signature
+    # index exactly once per (process, sf_dir): the second build
+    # reuses the artifact directory (serve-only path).
+    from teleco_etl_pipeline_spark.operators import artifacts
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    artifacts.reset_for_tests()
+    q = all_queries()["incremental_index_dedup"]
+    sf = "/root/testdata/sf0.001"
+    r1 = sorted(tuple(r) for r in q.build(spark, sf).collect())
+    assert ("minhash_sigs@sf0.001" in artifacts.fit_seconds())
+    n_fits = len(artifacts.fit_seconds())
+    r2 = sorted(tuple(r) for r in q.build(spark, sf).collect())
+    assert len(artifacts.fit_seconds()) == n_fits  # no re-fit
+    assert r1 == r2
+    artifacts.reset_for_tests()
