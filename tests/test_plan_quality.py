@@ -517,3 +517,13 @@ def test_bpe_encode_vocab_join_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "bpe_encode_docs")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_index_dedup_broadcasts_batch_probe(spark, sf_dir):
+    """The stored-index dedup's contract is ZERO corpus shuffle: the
+    (small) batch band table broadcasts onto the stored index scan.
+    Pin the BroadcastHashJoin so a future rewrite can't silently
+    regress to shuffling the corpus-sized index."""
+    plan = _plan(spark, sf_dir, "incremental_index_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
