@@ -100,7 +100,7 @@ _RECORD_ORDER = [
     "brand_size_rank_ties",
     "conditional_counts",
     "corpus_zipf_slope",
-    "customer_spend_percentile",
+    "multimodal_audio_decimate",
     "embedding_knn_classify_total",
     "incremental_index_dedup",
     "part_link_prediction_ra",
@@ -110,6 +110,7 @@ _RECORD_ORDER = [
 # through r8 vintages, freshest last). True sketches without oracles
 # sort last (tier 3 in queries()).
 _RECORD_LAST = [
+    "customer_spend_percentile",
     "customer_linkage_sorted_neighborhood",
     "doc_bigram_logprob",
     "doc_fingerprint",

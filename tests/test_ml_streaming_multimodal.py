@@ -690,3 +690,42 @@ def test_resize_image_batch_real_path(spark):
     )
     assert got[1]["pixels_mean"] == exp
     assert got[2]["out_w"] is None and got[2]["pixels_mean"] is None
+
+
+def test_wav_encoder_roundtrip_and_decimate(spark):
+    """Audio twin of the PNG round-trip pins: the module's WAV
+    encoder must round-trip bit-exact through the chunk-walking
+    decoder (mono and stereo), the decimator must match the NN index
+    formula, and non-WAV payloads must yield NULLs through the
+    Spark path."""
+    from teleco_etl_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decimate_wav_exact,
+        encode_wav,
+        wav_pcm,
+    )
+
+    mono = [((i * 31) % 2048) - 1024 for i in range(100)]
+    blob = encode_wav(8000, mono)
+    got = wav_pcm(blob)
+    assert got == (8000, 1, mono)
+    stereo = [((i * 7) % 512) - 256 for i in range(80)]  # 40 frames
+    got2 = wav_pcm(encode_wav(16000, stereo, nch=2))
+    assert got2 == (16000, 2, stereo)
+    assert wav_pcm(b"RIFFxxxxWAVEjunk") is None
+    assert wav_pcm(b"\x89PNG\r\n\x1a\n") is None
+
+    rows = [
+        (1, blob, "audio/wav", (None, None, None)),
+        (2, b"RIFFnope", "audio/wav", (None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r
+        for r in decimate_wav_exact(media, out_n=32).collect()
+    }
+    exp = sum(abs(mono[(i * 100) // 32]) for i in range(32))
+    r1 = out[1]
+    assert (r1["sample_rate"], r1["n_samples"], r1["decim_n"]) == (8000, 100, 32)
+    assert r1["abs_sum"] == exp
+    assert out[2]["abs_sum"] is None
