@@ -99,7 +99,7 @@ _RECORD_ORDER = [
     "anti_join",
     "brand_size_rank_ties",
     "conditional_counts",
-    "corpus_zipf_slope",
+    "multimodal_video_probe",
     "multimodal_audio_decimate",
     "embedding_knn_classify_total",
     "incremental_index_dedup",
@@ -110,6 +110,7 @@ _RECORD_ORDER = [
 # through r8 vintages, freshest last). True sketches without oracles
 # sort last (tier 3 in queries()).
 _RECORD_LAST = [
+    "corpus_zipf_slope",
     "customer_spend_percentile",
     "customer_linkage_sorted_neighborhood",
     "doc_bigram_logprob",

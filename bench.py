@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "part_link_prediction_ra",  # resource-allocation (1/deg) link scoring
     "incremental_index_dedup",  # batch-vs-stored-signature-index near-dup probe
     "multimodal_audio_decimate",  # real WAV decode + NN decimation, exact ints
+    "multimodal_video_probe",   # EBML container walk (ffprobe step), exact ints
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

@@ -334,6 +334,102 @@ def _wav_encode_fn():
     return encode
 
 
+def _ebml_probe_fn():
+    """REAL video-CONTAINER metadata parse: a pure-stdlib EBML/WebM
+    walker (RFC 8794 varints — leading-zero-count length marker on
+    both element IDs and sizes), descending the
+    Segment → Info / Tracks masters to extract TimecodeScale,
+    Duration, and the TrackEntry count. This is the ffprobe-style
+    STRUCTURE parse (what a pipeline needs to route/filter/sample
+    video at scale: duration, track layout) — codec frame decode
+    stays out of pure-Python scope by nature. Returns
+    ``(timecode_scale, duration_float, n_tracks)`` or None."""
+
+    def probe(p: bytes | None):
+        import struct
+
+        if not p or len(p) < 4 or p[:4] != b"\x1aE\xdf\xa3":
+            return None
+
+        def read_vint(buf, pos, strip_marker):
+            first = buf[pos]
+            if first == 0:
+                raise ValueError("invalid vint")
+            n = 9 - first.bit_length()  # leading zeros + 1
+            raw = int.from_bytes(buf[pos : pos + n], "big")
+            if strip_marker:
+                raw &= (1 << (7 * n)) - 1
+            return raw, pos + n
+
+        MASTERS = {0x18538067, 0x1549A966, 0x1654AE6B}  # Segment/Info/Tracks
+        scale, dur, tracks = 1000000, None, 0
+
+        def walk(buf, pos, end):
+            nonlocal scale, dur, tracks
+            while pos < end:
+                eid, pos = read_vint(buf, pos, strip_marker=False)
+                size, pos = read_vint(buf, pos, strip_marker=True)
+                body_end = pos + size
+                if eid in MASTERS:
+                    walk(buf, pos, body_end)
+                elif eid == 0x2AD7B1:  # TimecodeScale, uint
+                    scale = int.from_bytes(buf[pos:body_end], "big")
+                elif eid == 0x4489:  # Duration, float32/64
+                    dur = struct.unpack(
+                        ">d" if size == 8 else ">f", buf[pos:body_end]
+                    )[0]
+                elif eid == 0xAE:  # TrackEntry
+                    tracks += 1
+                pos = body_end
+
+        try:
+            walk(p, 0, len(p))
+        except Exception:
+            return None
+        if dur is None:
+            return None
+        return (int(scale), float(dur), int(tracks))
+
+    return probe
+
+
+def _ebml_encode_fn():
+    """Minimal REAL EBML/WebM writer — the inverse of
+    :func:`_ebml_probe_fn`, manufacturing genuine container bytes
+    (EBML header + Segment(Info(TimecodeScale, Duration),
+    Tracks(TrackEntry…))) for the oracle-backed probe query and
+    round-trip tests."""
+
+    def encode(duration: float, n_tracks: int, scale: int = 1000000) -> bytes:
+        import struct
+
+        def vint(value: int) -> bytes:
+            n = 1
+            while value >= (1 << (7 * n)) - 1:
+                n += 1
+            return (value | (1 << (7 * n))).to_bytes(n, "big")
+
+        def elem(eid: int, body: bytes) -> bytes:
+            nid = (eid.bit_length() + 7) // 8
+            return eid.to_bytes(nid, "big") + vint(len(body)) + body
+
+        def uint_body(v: int) -> bytes:
+            return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+        info = elem(0x2AD7B1, uint_body(scale)) + elem(
+            0x4489, struct.pack(">d", duration)
+        )
+        track_entries = b"".join(
+            elem(0xAE, elem(0xD7, uint_body(i + 1))) for i in range(n_tracks)
+        )
+        segment_body = elem(0x1549A966, info) + elem(
+            0x1654AE6B, track_entries
+        )
+        return elem(0x1A45DFA3, b"") + elem(0x18538067, segment_body)
+
+    return encode
+
+
 sniff_mime = _sniff_fn()
 _rolling_checksum = _checksum_fn()
 png_pixels = _png_pixels_fn()
@@ -341,6 +437,8 @@ decode_png = _png_decode_fn()
 encode_png = _png_encode_fn()
 wav_pcm = _wav_pcm_fn()
 encode_wav = _wav_encode_fn()
+ebml_probe = _ebml_probe_fn()
+encode_ebml = _ebml_encode_fn()
 
 
 def extract_binary_features(media: DataFrame) -> DataFrame:
@@ -786,6 +884,72 @@ def decimate_wav_exact(media: DataFrame, out_n: int = 32) -> DataFrame:
     return media.mapInPandas(batches, schema=AUDIO_DECIM_SCHEMA)
 
 
+VIDEO_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("timecode_scale", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+    ]
+)
+
+
+def webm_media_from_documents(docs: DataFrame) -> DataFrame:
+    """(media_id, payload) with GENUINE minimal EBML/WebM containers
+    from closed-form integers: duration = 500 + (id%5)·1000 ms at
+    the default 1 ms timecode scale, 1 + id%3 tracks — the video
+    twin of the PNG/WAV generators (structure real, codec payload
+    absent by design)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def build(mid: int) -> bytes:
+            return encode_ebml(
+                float(500 + (mid % 5) * 1000), 1 + mid % 3
+            )
+
+        for pdf in it:
+            mids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {"media_id": mids, "payload": [build(int(m)) for m in mids]}
+            )
+
+    ids = docs.select("doc_id")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < par:
+        ids = ids.repartition(par, F.col("doc_id"))
+    return ids.mapInPandas(batches, schema=PNG_MEDIA_SCHEMA)
+
+
+def probe_video_batch(media: DataFrame) -> DataFrame:
+    """Container-metadata probe over binary video payloads (the
+    ffprobe step of a video pipeline): EBML walk → (timecode_scale,
+    duration_ms, n_tracks), NULLs for unparseable payloads.
+    duration_ms is exact by construction: the Duration float carries
+    an integer-valued float64 (< 2^53), so the int cast is lossless
+    in every engine."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def feat(p):
+            d = ebml_probe(p)
+            if d is None:
+                return None
+            scale, dur, tracks = d
+            return (scale, int(dur * (scale / 1_000_000.0)), tracks)
+
+        for pdf in it:
+            out = pdf["payload"].map(feat)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "timecode_scale": out.map(lambda d: d[0] if d else None),
+                    "duration_ms": out.map(lambda d: d[1] if d else None),
+                    "n_tracks": out.map(lambda d: d[2] if d else None),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=VIDEO_PROBE_SCHEMA)
+
+
 def _register_queries() -> None:
     # Local import: registry.all_queries() imports this module, so the
     # decorator import stays function-scoped to avoid a cycle.
@@ -956,6 +1120,34 @@ def _register_queries() -> None:
     def q_multimodal_audio_decimate(spark, sf_dir):
         media = wav_media_from_documents(load_table(spark, sf_dir, "documents"))
         return decimate_wav_exact(media, out_n=32)
+
+    @query(
+        "multimodal_video_probe",
+        """
+        SELECT doc_id AS media_id,
+               CAST(1000000 AS BIGINT) AS timecode_scale,
+               CAST(500 + (doc_id % 5) * 1000 AS BIGINT) AS duration_ms,
+               CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks
+        FROM documents
+        """,
+        doc="Video CONTAINER metadata probe, end-to-end and "
+        "oracle-backed (the ffprobe step — what routes/filters/"
+        "samples video at scale): genuine minimal EBML/WebM "
+        "containers are manufactured from closed-form integers "
+        "(webm_media_from_documents), parsed by the pure-stdlib "
+        "RFC 8794 varint walker descending Segment→Info/Tracks "
+        "(ebml_probe), and reported as exact integers the oracle "
+        "recomputes from the same closed forms without touching "
+        "EBML — value-checking the varint writer, the "
+        "leading-zero-length reader, master descent, and the "
+        "uint/float leaf decodes in one query. Codec FRAME decode "
+        "stays declared out of pure-Python scope; with image decode "
+        "+ resize, audio decode + decimation, and this container "
+        "probe, every modality's Spark-side surface is real.",
+    )
+    def q_multimodal_video_probe(spark, sf_dir):
+        media = webm_media_from_documents(load_table(spark, sf_dir, "documents"))
+        return probe_video_batch(media)
 
 
 _register_queries()

@@ -729,3 +729,40 @@ def test_wav_encoder_roundtrip_and_decimate(spark):
     assert (r1["sample_rate"], r1["n_samples"], r1["decim_n"]) == (8000, 100, 32)
     assert r1["abs_sum"] == exp
     assert out[2]["abs_sum"] is None
+
+
+def test_ebml_roundtrip_and_probe(spark):
+    """Video-container twin of the PNG/WAV round-trip pins: the EBML
+    writer must round-trip through the varint walker (including a
+    multi-byte-size body and a non-default timecode scale), and
+    garbage / sniff-only payloads must yield NULLs via Spark."""
+    from teleco_etl_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        ebml_probe,
+        encode_ebml,
+        probe_video_batch,
+    )
+
+    assert ebml_probe(encode_ebml(3500.0, 2)) == (1000000, 3500.0, 2)
+    # non-default scale + enough tracks to push the Segment size
+    # into a 2-byte varint
+    blob = encode_ebml(12345.0, 40, scale=500000)
+    # Segment body exceeds 126 bytes, so its size is a 2-byte vint
+    # (visible as the 0x40xx marker) — the multi-byte reader path.
+    assert len(blob) > 200 and b"\x18S\x80g\x40" in blob
+    assert ebml_probe(blob) == (500000, 12345.0, 40)
+    assert ebml_probe(b"\x1aE\xdf\xa3" + b"not ebml at all") is None
+    assert ebml_probe(b"RIFF....WAVE") is None
+
+    rows = [
+        (1, encode_ebml(1500.0, 3), "video/webm", (None, None, 1500)),
+        (2, b"\x1aE\xdf\xa3junk", "video/webm", (None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in probe_video_batch(media).collect()}
+    assert (
+        got[1]["timecode_scale"],
+        got[1]["duration_ms"],
+        got[1]["n_tracks"],
+    ) == (1000000, 1500, 3)
+    assert got[2]["duration_ms"] is None
