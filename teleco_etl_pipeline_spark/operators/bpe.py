@@ -286,29 +286,15 @@ def save_merge_table(
     return path
 
 
-def _natural_version_key(name: str) -> list:
-    """Sort key treating digit runs as integers, so numeric versions
-    resolve correctly (plain lexicographic sort put bpe_merges_v10
-    before bpe_merges_v9 — r9 ADVICE). Dated versions
-    (YYYY-MM-DD) and zero-padded versions sort identically under
-    both orders; this key only changes the broken unpadded case."""
-    import re
-
-    return [
-        int(s) if s.isdigit() else s for s in re.split(r"(\d+)", name)
-    ]
-
-
 def latest_merge_table(artifacts_dir: str) -> str:
     """Latest-wins artifact resolution (natural-numeric max of
-    versioned names — the plans/ml.py:127 precedent, digit-aware)."""
-    cands = sorted(
-        (d for d in os.listdir(artifacts_dir) if d.startswith("bpe_merges_")),
-        key=_natural_version_key,
+    versioned names — the plans/ml.py:127 precedent, digit-aware;
+    shared helper in operators/artifacts.py)."""
+    from teleco_etl_pipeline_spark.operators.artifacts import (
+        latest_artifact,
     )
-    if not cands:
-        raise FileNotFoundError(f"no BPE artifacts under {artifacts_dir}")
-    return os.path.join(artifacts_dir, cands[-1])
+
+    return latest_artifact(artifacts_dir, "bpe_merges_")
 
 
 def load_merge_table(spark: SparkSession, path: str) -> list[tuple]:

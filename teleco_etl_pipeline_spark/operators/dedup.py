@@ -49,17 +49,15 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     Small-file cliff guard (the r9 sf1 x5.9 root cause, r10-measured):
     a compact document file splits into fewer input partitions than
     cores (sf1's 5.9 MB single file -> 2 splits), confining the
-    CPU-bound regex-normalize + md5 to 2 of 32 threads. When the scan
-    under-splits, repartition on the id BEFORE fingerprinting (the
-    _doc_shingles precedent); when the source already has >= 1 split
-    per core — every realistic big-data layout — this is a no-op, so
-    no extra full-text shuffle is paid at scale (the hash projection
-    reduces each doc to 32 bytes before the groupBy shuffle, and
+    CPU-bound regex-normalize + md5 to 2 of 32 threads — see
+    :func:`~teleco_etl_pipeline_spark.sources.tables.ensure_min_splits`
+    (no-op at >= 1 split/core layouts: the hash projection reduces
+    each doc to 32 bytes before the groupBy shuffle, and
     pre-shuffling raw text for an already-parallel scan would double
     bytes moved)."""
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
-        docs = docs.repartition(parallelism, F.col(id_col))
+    from teleco_etl_pipeline_spark.sources.tables import ensure_min_splits
+
+    docs = ensure_min_splits(docs, id_col)
     return (
         docs.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -739,7 +737,10 @@ def _incremental_index_oracle_sql(
 def q_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
-    from teleco_etl_pipeline_spark.operators.artifacts import fit_once
+    from teleco_etl_pipeline_spark.operators.artifacts import (
+        fit_once,
+        latest_artifact,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 7)
@@ -753,13 +754,9 @@ def q_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     art_dir = fit_once("minhash_sigs", sf_dir, _fit)
-    from teleco_etl_pipeline_spark.operators.bpe import _natural_version_key
-
-    cands = sorted(
-        (d for d in _os.listdir(art_dir) if d.startswith("minhash_sigs_")),
-        key=_natural_version_key,
+    corpus_sigs = spark.read.parquet(
+        latest_artifact(art_dir, "minhash_sigs_")
     )
-    corpus_sigs = spark.read.parquet(_os.path.join(art_dir, cands[-1]))
     return minhash_lsh_pairs_incremental(
         batch,
         corpus_sigs,

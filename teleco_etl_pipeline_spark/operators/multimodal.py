@@ -125,11 +125,14 @@ def _png_pixels_fn():
 
     Returns the full unfiltered pixel grid ``(width, height,
     n_channels, rows: list[bytearray])`` or None for anything that is
-    not a decodable PNG — the raster both the feature decode (mean)
-    and the resize resampler consume.
+    not a decodable PNG — the raster the resize resampler consumes.
+    ``want_rows=False`` keeps only a running pixel total (two
+    scanlines of memory instead of the whole raster — the feature
+    decode's mean needs nothing more) and returns ``(width, height,
+    n_channels, total)``.
     """
 
-    def pixels(p: bytes | None):
+    def pixels(p: bytes | None, want_rows: bool = True):
         import struct
         import zlib
 
@@ -159,7 +162,7 @@ def _png_pixels_fn():
             stride = w * nch
             if len(raw) < h * (stride + 1):
                 return None
-            rows, prev, pos2 = [], bytearray(stride), 0
+            rows, total, prev, pos2 = [], 0, bytearray(stride), 0
             for _y in range(h):
                 f = raw[pos2]
                 line = bytearray(raw[pos2 + 1 : pos2 + 1 + stride])
@@ -189,9 +192,12 @@ def _png_pixels_fn():
                         line[i] = (line[i] + pred) & 0xFF
                 elif f != 0:
                     return None
-                rows.append(line)
+                if want_rows:
+                    rows.append(line)
+                else:
+                    total += sum(line)
                 prev = line
-            return (int(w), int(h), int(nch), rows)
+            return (int(w), int(h), int(nch), rows if want_rows else total)
         except Exception:
             return None
 
@@ -200,16 +206,16 @@ def _png_pixels_fn():
 
 def _png_decode_fn():
     """(width, height, mean_pixel) features from the real PNG decode
-    — a thin fold over :func:`_png_pixels_fn`'s raster (same
-    output contract as the pre-r10 decoder)."""
+    — the streaming fold of :func:`_png_pixels_fn` (want_rows=False:
+    two scanlines of memory, never the full raster; same output
+    contract as the pre-r10 decoder)."""
     _pixels = _png_pixels_fn()
 
     def decode(p: bytes | None):
-        d = _pixels(p)
+        d = _pixels(p, want_rows=False)
         if d is None:
             return None
-        w, h, nch, rows = d
-        total = sum(sum(r) for r in rows)
+        w, h, nch, total = d
         return (w, h, round(total / (h * w * nch), 4))
 
     return decode
@@ -289,6 +295,11 @@ def _wav_pcm_fn():
                 cid = p[pos : pos + 4]
                 (ln,) = struct.unpack("<I", p[pos + 4 : pos + 8])
                 body = p[pos + 8 : pos + 8 + ln]
+                if len(body) < ln:
+                    # a truncated chunk is CORRUPT media, not shorter
+                    # media — decoding the fragment would score wrong
+                    # n_samples/amplitudes as if they were real data
+                    return None
                 pos += 8 + ln + (ln & 1)  # chunks are word-aligned
                 if cid == b"fmt ":
                     fmt, nch, rate, _br, _ba, bits = struct.unpack(
@@ -300,8 +311,10 @@ def _wav_pcm_fn():
                     data = body
             if rate is None or data is None or bits != 16 or not nch:
                 return None
+            if len(data) % 2:  # PCM-16 data must be sample-aligned
+                return None
             n = len(data) // 2
-            samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
+            samples = list(struct.unpack(f"<{n}h", data))
             return (int(rate), int(nch), samples)
         except Exception:
             return None
@@ -603,15 +616,54 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def _fit_within(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
+def _fit_within_fn():
     """Fit-within output dims — the SAME exact integer-rational math
-    as :func:`resize_plan` (upscales suppressed, floor-div, min 1),
-    shared by the metadata plan, the payload resize, and tests."""
-    if w <= max_w and h <= max_h:
-        return w, h
-    if max_w * h <= max_h * w:
-        return max_w, max(1, (h * max_w) // w)
-    return max(1, (w * max_h) // h), max_h
+    as :func:`resize_plan` (upscales suppressed, floor-div, min 1).
+    Factory-closure (the module-top pickling contract) so the ONE
+    definition serves both payload resize paths and the fake
+    plumbing mode — the pre-cleanup code carried three inline
+    copies of this math that could silently drift."""
+
+    def fit_within(w: int, h: int, max_w: int, max_h: int):
+        if w <= max_w and h <= max_h:
+            return w, h
+        if max_w * h <= max_h * w:
+            return max_w, max(1, (h * max_w) // w)
+        return max(1, (w * max_h) // h), max_h
+
+    return fit_within
+
+
+fit_within = _fit_within_fn()
+
+
+def _resized_png_sum_fn():
+    """decode → fit-within → NN-resample → exact integer fold, the
+    shared payload-resize kernel: returns ``(out_w, out_h, px_sum,
+    n_values)`` of the RESIZED raster or None for undecodable
+    payloads. The float-mean path divides the two integers; the
+    exact path emits them as-is."""
+    _pixels = _png_pixels_fn()
+    _fit = _fit_within_fn()
+
+    def resized_sum(p: bytes | None, max_w: int, max_h: int):
+        d = _pixels(p)
+        if d is None:
+            return None
+        w, h, nch, rows = d
+        ow, oh = _fit(w, h, max_w, max_h)
+        xmap = [((x * w) // ow) * nch for x in range(ow)]
+        total = 0
+        for y in range(oh):
+            src = rows[(y * h) // oh]
+            for base in xmap:
+                total += sum(src[base : base + nch])
+        return (ow, oh, total, ow * oh * nch)
+
+    return resized_sum
+
+
+resized_png_sum = _resized_png_sum_fn()
 
 
 def nn_resample(rows, w: int, h: int, nch: int, ow: int, oh: int):
@@ -648,34 +700,22 @@ def resize_image_batch(
     non-PNG payloads."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def fit(w, h):
-            if w <= max_w and h <= max_h:
-                return w, h
-            if max_w * h <= max_h * w:
-                return max_w, max(1, (h * max_w) // w)
-            return max(1, (w * max_h) // h), max_h
-
         def real(p):
-            d = png_pixels(p)
-            if d is None:
+            r = resized_png_sum(p, max_w, max_h)
+            if r is None:
                 return None
-            w, h, nch, rows = d
-            ow, oh = fit(w, h)
-            xmap = [((x * w) // ow) * nch for x in range(ow)]
-            total = 0
-            for y in range(oh):
-                src = rows[(y * h) // oh]
-                for base in xmap:
-                    total += sum(src[base : base + nch])
-            return (ow, oh, round(total / (ow * oh * nch), 4))
+            ow, oh, total, n = r
+            return (ow, oh, round(total / n, 4))
 
         for pdf in it:
             payloads = pdf["payload"]
             if fake:
                 dims = [
-                    fit(
+                    fit_within(
                         16 + (_rolling_checksum(p) % 64),
                         16 + ((_rolling_checksum(p) >> 8) % 64),
+                        max_w,
+                        max_h,
                     )
                     for p in payloads
                 ]
@@ -707,12 +747,36 @@ def resize_image_batch(
     return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
-PNG_MEDIA_SCHEMA = T.StructType(
+BINARY_MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("payload", T.BinaryType(), True),
     ]
 )
+
+
+def _media_from_documents(docs: DataFrame, build_payload) -> DataFrame:
+    """Shared scaffold for the closed-form media generators
+    (PNG/WAV/EBML): map doc_id → payload bytes through Arrow batches,
+    after the small-file cliff guard (the per-row Python encode work
+    must not serialize onto a compact file's 1-2 input splits).
+    ``build_payload`` must be a SELF-CONTAINED closure (the
+    cloudpickle-by-value contract at the module top)."""
+    from teleco_etl_pipeline_spark.sources.tables import ensure_min_splits
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "payload": [build_payload(int(m)) for m in mids],
+                }
+            )
+
+    ids = ensure_min_splits(docs.select("doc_id"), "doc_id")
+    return ids.mapInPandas(batches, schema=BINARY_MEDIA_SCHEMA)
+
 
 RESIZED_EXACT_SCHEMA = T.StructType(
     [
@@ -735,30 +799,15 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
     or resampled raster WITHOUT parsing PNG — that is what makes the
     decode→resize execute path oracle-checkable end-to-end."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def build(mid: int) -> bytes:
-            w, h = 8 + mid % 16, 6 + mid % 12
-            rows = [
-                bytes((mid * 31 + y * w + x) % 256 for x in range(w))
-                for y in range(h)
-            ]
-            return encode_png(w, h, rows, nch=1, filt=lambda y: y % 3)
+    def build(mid: int) -> bytes:
+        w, h = 8 + mid % 16, 6 + mid % 12
+        rows = [
+            bytes((mid * 31 + y * w + x) % 256 for x in range(w))
+            for y in range(h)
+        ]
+        return encode_png(w, h, rows, nch=1, filt=lambda y: y % 3)
 
-        for pdf in it:
-            mids = pdf["doc_id"].astype("int64")
-            yield pd.DataFrame(
-                {"media_id": mids, "payload": [build(int(m)) for m in mids]}
-            )
-
-    ids = docs.select("doc_id")
-    # Small-file cliff guard (the exact_dedup_groups precedent): the
-    # per-row Python encode work must not serialize onto the 1-2
-    # input splits a compact documents file yields; no-op whenever
-    # the scan already has >= 1 split per core.
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if ids.rdd.getNumPartitions() < par:
-        ids = ids.repartition(par, F.col("doc_id"))
-    return ids.mapInPandas(batches, schema=PNG_MEDIA_SCHEMA)
+    return _media_from_documents(docs, build)
 
 
 def resize_png_exact(
@@ -772,23 +821,7 @@ def resize_png_exact(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def feat(p):
-            d = png_pixels(p)
-            if d is None:
-                return None
-            w, h, nch, rows = d
-            if w <= max_w and h <= max_h:
-                ow, oh = w, h
-            elif max_w * h <= max_h * w:
-                ow, oh = max_w, max(1, (h * max_w) // w)
-            else:
-                ow, oh = max(1, (w * max_h) // h), max_h
-            xmap = [((x * w) // ow) * nch for x in range(ow)]
-            total = 0
-            for y in range(oh):
-                src = rows[(y * h) // oh]
-                for base in xmap:
-                    total += sum(src[base : base + nch])
-            return (ow, oh, total, ow * oh * nch)
+            return resized_png_sum(p, max_w, max_h)
 
         for pdf in it:
             out = pdf["payload"].map(feat)
@@ -824,25 +857,14 @@ def wav_media_from_documents(docs: DataFrame) -> DataFrame:
     WITHOUT parsing RIFF (the audio twin of
     :func:`png_media_from_documents`)."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def build(mid: int) -> bytes:
-            n = 64 + mid % 128
-            return encode_wav(
-                8000,
-                [((mid * 37 + i * 11) % 2048) - 1024 for i in range(n)],
-            )
+    def build(mid: int) -> bytes:
+        n = 64 + mid % 128
+        return encode_wav(
+            8000,
+            [((mid * 37 + i * 11) % 2048) - 1024 for i in range(n)],
+        )
 
-        for pdf in it:
-            mids = pdf["doc_id"].astype("int64")
-            yield pd.DataFrame(
-                {"media_id": mids, "payload": [build(int(m)) for m in mids]}
-            )
-
-    ids = docs.select("doc_id")
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if ids.rdd.getNumPartitions() < par:
-        ids = ids.repartition(par, F.col("doc_id"))
-    return ids.mapInPandas(batches, schema=PNG_MEDIA_SCHEMA)
+    return _media_from_documents(docs, build)
 
 
 def decimate_wav_exact(media: DataFrame, out_n: int = 32) -> DataFrame:
@@ -901,23 +923,10 @@ def webm_media_from_documents(docs: DataFrame) -> DataFrame:
     twin of the PNG/WAV generators (structure real, codec payload
     absent by design)."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def build(mid: int) -> bytes:
-            return encode_ebml(
-                float(500 + (mid % 5) * 1000), 1 + mid % 3
-            )
+    def build(mid: int) -> bytes:
+        return encode_ebml(float(500 + (mid % 5) * 1000), 1 + mid % 3)
 
-        for pdf in it:
-            mids = pdf["doc_id"].astype("int64")
-            yield pd.DataFrame(
-                {"media_id": mids, "payload": [build(int(m)) for m in mids]}
-            )
-
-    ids = docs.select("doc_id")
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if ids.rdd.getNumPartitions() < par:
-        ids = ids.repartition(par, F.col("doc_id"))
-    return ids.mapInPandas(batches, schema=PNG_MEDIA_SCHEMA)
+    return _media_from_documents(docs, build)
 
 
 def probe_video_batch(media: DataFrame) -> DataFrame:

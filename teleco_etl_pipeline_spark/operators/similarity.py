@@ -1244,22 +1244,13 @@ def save_ivf_index(
 def latest_ivf_index(artifacts_dir: str) -> str:
     """Latest-wins index resolution (natural-numeric max of versioned
     names — digit runs compare as integers so unpadded numeric
-    versions resolve correctly; the plans/ml.py:127 precedent)."""
-    from teleco_etl_pipeline_spark.operators.bpe import (
-        _natural_version_key,
+    versions resolve correctly; shared helper in
+    operators/artifacts.py)."""
+    from teleco_etl_pipeline_spark.operators.artifacts import (
+        latest_artifact,
     )
 
-    cands = sorted(
-        (
-            d
-            for d in os.listdir(artifacts_dir)
-            if d.startswith("ivf_centroids_")
-        ),
-        key=_natural_version_key,
-    )
-    if not cands:
-        raise FileNotFoundError(f"no IVF artifacts under {artifacts_dir}")
-    return os.path.join(artifacts_dir, cands[-1])
+    return latest_artifact(artifacts_dir, "ivf_centroids_")
 
 
 def load_ivf_index(spark: SparkSession, path: str) -> np.ndarray:

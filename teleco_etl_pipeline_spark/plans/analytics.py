@@ -1360,13 +1360,11 @@ def q_customer_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
-    # Small-file cliff guard (same as exact_dedup_groups): a compact
-    # customer file yields 1 input split at sf1, serializing the
-    # ×(len+1) variant explode; no-op whenever the scan already has
-    # >= 1 split per core.
-    par = spark.sparkContext.defaultParallelism
-    if cust.rdd.getNumPartitions() < par:
-        cust = cust.repartition(par, F.col("c_custkey"))
+    # Small-file cliff guard: a compact customer file yields 1 input
+    # split at sf1, serializing the ×(len+1) variant explode.
+    from teleco_etl_pipeline_spark.sources.tables import ensure_min_splits
+
+    cust = ensure_min_splits(cust, "c_custkey")
     variant = F.when(F.col("i") == 0, F.col("c_name")).otherwise(
         F.concat(
             F.expr("substr(c_name, 1, i - 1)"), F.expr("substr(c_name, i + 1)")

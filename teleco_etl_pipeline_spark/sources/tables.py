@@ -114,3 +114,21 @@ def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def ensure_min_splits(df: DataFrame, key_col: str) -> DataFrame:
+    """Small-file cliff guard (r10): a compact parquet file splits
+    into fewer input partitions than cores (byte-based split sizing),
+    confining any CPU-bound downstream projection/explode to 1-2 of
+    32 threads — measured as the exact_dedup x5.9 sf1 grower. When
+    the scan under-splits, repartition on the key BEFORE the hot
+    work; when the source already has >= 1 split per core (every
+    realistic big-data layout) this is a NO-OP, so no extra raw-data
+    shuffle is ever paid at scale. One shared definition so the five
+    former copies of this invariant cannot drift."""
+    from pyspark.sql import functions as F
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, F.col(key_col))
+    return df

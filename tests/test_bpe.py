@@ -218,3 +218,28 @@ def test_incremental_index_dedup_fits_once(spark):
     assert len(artifacts.fit_seconds()) == n_fits  # no re-fit
     assert r1 == r2
     artifacts.reset_for_tests()
+
+
+def test_latest_artifact_resolution_edge_cases(tmp_path):
+    # Natural-numeric: v10 > v9; padded-vs-unpadded digit-key
+    # collisions (v1 vs v0001) resolve deterministically by the raw
+    # name tiebreak, never by os.listdir order; empty dir raises the
+    # diagnostic error, not IndexError.
+    import os
+
+    import pytest as _pytest
+
+    from teleco_etl_pipeline_spark.operators.artifacts import (
+        latest_artifact,
+    )
+
+    d = str(tmp_path)
+    with _pytest.raises(FileNotFoundError):
+        latest_artifact(d, "x_")
+    for v in ("v9", "v10", "v1", "v0001"):
+        os.makedirs(os.path.join(d, f"x_{v}"))
+    assert latest_artifact(d, "x_").endswith("x_v10")
+    os.rmdir(os.path.join(d, "x_v10"))
+    os.rmdir(os.path.join(d, "x_v9"))
+    # v1 vs v0001: identical digit keys -> raw-name tiebreak (v1)
+    assert latest_artifact(d, "x_").endswith("x_v1")

@@ -766,3 +766,18 @@ def test_ebml_roundtrip_and_probe(spark):
         got[1]["n_tracks"],
     ) == (1000000, 1500, 3)
     assert got[2]["duration_ms"] is None
+
+
+def test_wav_truncated_chunk_is_undecodable():
+    # A data chunk whose declared length exceeds the payload is
+    # corrupt media, not shorter media — must yield None rather than
+    # a plausible partial decode (review finding, r10).
+    from teleco_etl_pipeline_spark.operators.multimodal import (
+        encode_wav,
+        wav_pcm,
+    )
+
+    blob = encode_wav(8000, [1, -2, 3, -4, 5])
+    assert wav_pcm(blob) == (8000, 1, [1, -2, 3, -4, 5])
+    assert wav_pcm(blob[:-4]) is None  # truncated data chunk
+    assert wav_pcm(blob[:-1]) is None
