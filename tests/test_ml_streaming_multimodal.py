@@ -781,3 +781,66 @@ def test_wav_truncated_chunk_is_undecodable():
     assert wav_pcm(blob) == (8000, 1, [1, -2, 3, -4, 5])
     assert wav_pcm(blob[:-4]) is None  # truncated data chunk
     assert wav_pcm(blob[:-1]) is None
+
+
+def test_media_codec_roundtrips_property():
+    """Hypothesis property pins for the three pure-stdlib codecs:
+    arbitrary pixel grids / sample vectors / duration-track combos
+    must round-trip bit-exact through encode -> decode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from teleco_etl_pipeline_spark.operators.multimodal import (
+        ebml_probe,
+        encode_ebml,
+        encode_png,
+        encode_wav,
+        png_pixels,
+        wav_pcm,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 10),
+        nch=st.sampled_from([1, 3]),
+        seed=st.integers(0, 2**31),
+    )
+    def png_rt(w, h, nch, seed):
+        rows = [
+            bytes((seed + y * w * nch + i) % 256 for i in range(w * nch))
+            for y in range(h)
+        ]
+        got = png_pixels(encode_png(w, h, rows, nch=nch, filt=lambda y: y % 3))
+        assert got is not None
+        assert (got[0], got[1], got[2]) == (w, h, nch)
+        assert [bytes(r) for r in got[3]] == rows
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        nch=st.sampled_from([1, 2]),
+    )
+    def wav_rt(samples, rate, nch):
+        if nch == 2 and len(samples) % 2:
+            samples = samples + [0]
+        assert wav_pcm(encode_wav(rate, samples, nch=nch)) == (
+            rate,
+            nch,
+            samples,
+        )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        dur=st.integers(0, 10**9),
+        tracks=st.integers(0, 200),
+        scale=st.integers(1, 2**40),
+    )
+    def ebml_rt(dur, tracks, scale):
+        got = ebml_probe(encode_ebml(float(dur), tracks, scale=scale))
+        assert got == (scale, float(dur), tracks)
+
+    png_rt()
+    wav_rt()
+    ebml_rt()
