@@ -218,6 +218,11 @@ BENCH_QUERIES = [
 #   sf0.1 (sizing only diverges above the committed SFs); their whole
 #   purpose is the sized-vs-fixed growth contrast, which
 #   SCALING_r10.json measures at three scale points.
+# - token_jaccard_prefix_pairs_uncapped (r11): the lossless PPJoin
+#   scaling twin of the now-hub-guarded default — same
+#   sized-vs-fixed contrast pattern, measured in SCALING_r11.json
+#   (the unguarded candidate join is the ×23.9-per-10× curve the
+#   r10 verdict flagged; the guarded default replaces it here).
 # - The ~46 remaining registered-but-unbenched queries are single-
 #   scan relational/scalar shapes (CASE projections, FILTER counts,
 #   pivot/unpivot, dim lookups, sub-second at sf0.1) whose cost

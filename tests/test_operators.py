@@ -1690,6 +1690,80 @@ def test_prefix_band_histogram_equals_expanded_pairs(spark, sf_dir):
     assert got == expect and sum(got.values()) > 0
 
 
+def test_df_cap_ladder_matches_sql():
+    """The volume-scaled PPJoin hub cap must be the IDENTICAL exact
+    integer on the Spark (Python) and oracle (DuckDB CASE) sides at
+    every rung boundary — any divergence silently changes which
+    tokens are hubs on exactly one engine."""
+    import duckdb
+
+    from teleco_etl_pipeline_spark.operators.dedup import (
+        _DF_CAP_RUNGS,
+        _df_cap,
+        _sql_df_cap,
+    )
+
+    probes = {1, 2, 100}
+    for bound, _cap in _DF_CAP_RUNGS:
+        probes.update({bound - 1, bound, bound + 1})
+    con = duckdb.connect()
+    for n in sorted(probes):
+        got_sql = con.execute(
+            f"SELECT {_sql_df_cap(str(n))} AS c"
+        ).fetchone()[0]
+        assert got_sql == _df_cap(n), f"ladder diverges at n={n}"
+    assert _df_cap(1) == 64
+    assert _df_cap(16384) == 64 and _df_cap(16385) == 128
+    assert _df_cap(10**15) == _DF_CAP_RUNGS[-1][1]
+
+
+def test_prefix_hub_guard_drops_hub_only_pairs(spark):
+    """df_cap semantics: a qualifying pair whose every shared PREFIX
+    token is a hub (df > cap) is out of contract; a pair holding one
+    rare prefix token still surfaces; capped output ⊆ uncapped."""
+    from teleco_etl_pipeline_spark.operators.dedup import (
+        _prefix_jaccard_pairs_from_sets,
+    )
+
+    rows = []
+    # A=1, B=2: identical 10-token sets whose RAREST token h still
+    # occurs in 4 sets (hub at cap 3).
+    hub_set = ["h"] + [f"t{i}" for i in range(9)]
+    rows.append((1, sorted(hub_set)))
+    rows.append((2, sorted(hub_set)))
+    # C=3, D=4: identical sets whose rarest token q occurs ONLY here
+    # (df=2 <= cap) — the guarded join must keep this pair.
+    rare_set = ["q"] + [f"u{i}" for i in range(9)]
+    rows.append((3, sorted(rare_set)))
+    rows.append((4, sorted(rare_set)))
+    # Fillers push every t/u/h token's df above the cap; singleton
+    # sets, ids >= 100.
+    fid = 100
+    for tok in [f"t{i}" for i in range(9)] + [f"u{i}" for i in range(9)]:
+        for _ in range(4):
+            rows.append((fid, [tok]))
+            fid += 1
+    for _ in range(2):
+        rows.append((fid, ["h"]))
+        fid += 1
+    sets = spark.createDataFrame(rows, "doc_id int, toks array<string>")
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in _prefix_jaccard_pairs_from_sets(sets, 9, 10).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in _prefix_jaccard_pairs_from_sets(
+            sets, 9, 10, df_cap=3
+        ).collect()
+    }
+    assert (1, 2) in uncapped and (3, 4) in uncapped
+    assert (1, 2) not in capped, "hub-only pair must be guarded out"
+    assert (3, 4) in capped, "rare-prefix pair must survive the guard"
+    assert capped <= uncapped
+
+
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     """The 100 TB star-join contract: when the fact table is
     partition-laid-out on the join key and the dim filter is NOT
