@@ -158,9 +158,25 @@ def _png_pixels_fn():
             if not w or not h or not idat:
                 return None
             nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
-            raw = zlib.decompress(b"".join(idat))
             stride = w * nch
-            if len(raw) < h * (stride + 1):
+            # Bounded inflate (r10 ADVICE): cap decompression at the
+            # IHDR-implied raster size instead of inflating whatever
+            # the stream claims — a small corrupt/adversarial IDAT
+            # can otherwise expand to a multi-GB buffer before the
+            # length check ever runs. decompressobj stops at
+            # max_length; any unconsumed tail means the payload
+            # exceeds its own header's bound -> reject.
+            bound = h * (stride + 1)
+            dec = zlib.decompressobj()
+            raw = dec.decompress(b"".join(idat), bound)
+            if len(raw) < bound:
+                return None
+            # One more probe byte: if the tail still yields output,
+            # the stream inflates past its own header's bound ->
+            # reject (a trailing stream-end + adler32 yields none).
+            if dec.unconsumed_tail and dec.decompress(
+                dec.unconsumed_tail, 1
+            ):
                 return None
             rows, total, prev, pos2 = [], 0, bytearray(stride), 0
             for _y in range(h):
@@ -760,8 +776,20 @@ def _media_from_documents(docs: DataFrame, build_payload) -> DataFrame:
     (PNG/WAV/EBML): map doc_id → payload bytes through Arrow batches,
     after the small-file cliff guard (the per-row Python encode work
     must not serialize onto a compact file's 1-2 input splits).
-    ``build_payload`` must be a SELF-CONTAINED closure (the
-    cloudpickle-by-value contract at the module top)."""
+
+    ``build_payload`` must pickle BY VALUE with no repo import on the
+    executor. Referencing the module-level encoder globals
+    (``encode_png``/``encode_wav``/``encode_ebml``) satisfies this:
+    each is a FACTORY CLOSURE whose ``__qualname__``
+    (``_png_encode_fn.<locals>.encode``) is not importable as a
+    module attribute, so cloudpickle's importability check fails and
+    it falls back to by-value serialization — measured, and pinned by
+    ``tests/test_ml_streaming_multimodal.py::
+    test_media_builders_pickle_by_value``
+    (r10 ADVICE: the earlier docstring claimed the closures must not
+    touch module globals at all, which these builders do; the actual
+    contract is qualname-non-importability, which the factory pattern
+    guarantees)."""
     from teleco_etl_pipeline_spark.sources.tables import ensure_min_splits
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -297,13 +297,17 @@ def recommended_planes(n_vectors: int, target_bucket_rows: int = 256) -> int:
     return max(1, math.ceil(math.log2(n_vectors / target_bucket_rows)))
 
 
-# Hard cap on the SIZED plane count (below): 16 bits = 65,536 buckets
-# covers ~0.5M vectors at the tightest (8-row) occupancy target; the
-# oracle SQL bakes exactly this many plane literals per table, so the
-# Spark side caps at the same value. Production corpora beyond the
-# cap call :func:`recommended_planes` / :func:`sized_planes` directly
-# with no cap (plane literals live in the plan, not in SQL).
-_SIZED_PMAX = 16
+# Hard cap on the SIZED plane count (below): 20 bits = 1,048,576
+# buckets covers ~8M vectors at the tightest (8-row) occupancy
+# target — lifted from 16 in r11 (verdict item: sf10's 200k vectors
+# wanted 17 planes under the kNN-total rule and engaged the cap
+# INSIDE the measured range; 20 gives 1M-vector headroom past every
+# committed SF). The oracle SQL bakes exactly this many plane
+# literals per table, so the Spark side caps at the same value.
+# Production corpora beyond the cap call :func:`recommended_planes` /
+# :func:`sized_planes` directly with no cap (plane literals live in
+# the plan, not in SQL).
+_SIZED_PMAX = 20
 
 
 def sized_planes(n_vectors: int, target_bucket_rows: int) -> int:
@@ -534,10 +538,14 @@ def _sql_sized_p(target: int) -> str:
     ``LENGTH(BIN(m-1))`` IS ``(m-1).bit_length()`` with ``bin(0) =
     '0'`` covering the n <= target guard). Evaluated once from
     ``COUNT(*)`` in a 1-row params CTE, so ONE static oracle string
-    is correct at every SF."""
+    is correct at every SF. The ``GREATEST(0, …)`` guards the
+    empty-table edge (r10 ADVICE): ``COUNT(*)=0`` would give
+    ``BIN(-1)`` = 64 one-bits → LEAST caps at ``_SIZED_PMAX`` while
+    the Python guard returns 1; clamping the bit-length argument at 0
+    makes both sides return 1 on empty input."""
     return (
-        f"LEAST({_SIZED_PMAX}, "
-        f"LENGTH(BIN((COUNT(*) + {target - 1}) // {target} - 1)))"
+        f"LEAST({_SIZED_PMAX}, LENGTH(BIN(GREATEST(0, "
+        f"(COUNT(*) + {target - 1}) // {target} - 1))))"
     )
 
 

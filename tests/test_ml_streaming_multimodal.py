@@ -583,6 +583,105 @@ def test_streaming_scd2_matches_batch_rebuild(spark, tmp_path):
     assert canon(got) == canon(expect)
 
 
+def test_media_builders_pickle_by_value(tmp_path):
+    """The _media_from_documents contract (r10 ADVICE): every
+    generator's build closure — including its references to the
+    module-level encoder globals — must unpickle and RUN in a Python
+    process where this repo is NOT importable. The encoder globals
+    are factory closures (qualname `_png_encode_fn.<locals>.encode`),
+    so cloudpickle's importability check fails and serializes them by
+    value; this test pins that property against a refactor that
+    hoists an encoder to a plain module-level def (which WOULD pickle
+    by reference and break the harness's executors)."""
+    import subprocess
+    import sys as _sys
+
+    from pyspark import cloudpickle
+
+    from teleco_etl_pipeline_spark.operators.multimodal import (
+        encode_ebml,
+        encode_png,
+        encode_wav,
+    )
+
+    def build_png(mid: int) -> bytes:
+        w, h = 8 + mid % 16, 6 + mid % 12
+        rows = [
+            bytes((mid * 31 + y * w + x) % 256 for x in range(w))
+            for y in range(h)
+        ]
+        return encode_png(w, h, rows, nch=1, filt=lambda y: y % 3)
+
+    def build_wav(mid: int) -> bytes:
+        n = 64 + mid % 128
+        return encode_wav(
+            8000, [((mid * 37 + i * 11) % 2048) - 1024 for i in range(n)]
+        )
+
+    def build_ebml(mid: int) -> bytes:
+        return encode_ebml(float(500 + (mid % 5) * 1000), 1 + mid % 3)
+
+    blob_path = tmp_path / "builders.pkl"
+    blob_path.write_bytes(
+        cloudpickle.dumps([build_png, build_wav, build_ebml])
+    )
+    probe = (
+        "import sys\n"
+        "sys.path = [p for p in sys.path if 'repo' not in p]\n"
+        "from pyspark import cloudpickle\n"
+        f"fns = cloudpickle.loads(open({str(blob_path)!r},'rb').read())\n"
+        "lens = [len(f(5)) for f in fns]\n"
+        "assert all(n > 0 for n in lens), lens\n"
+        "print('OK', lens)\n"
+    )
+    r = subprocess.run(
+        [_sys.executable, "-c", probe],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        timeout=120,
+    )
+    assert r.returncode == 0 and "OK" in r.stdout, r.stderr[-2000:]
+
+
+def test_png_bounded_inflate_rejects_oversize_idat():
+    """r10 ADVICE: a corrupt PNG whose tiny IDAT inflates far past
+    the IHDR-implied raster must be REJECTED without materializing
+    the inflated buffer (decompressobj max_length cap). Valid
+    payloads — including one whose stream ends exactly at the bound —
+    still decode."""
+    import struct
+    import zlib
+
+    from teleco_etl_pipeline_spark.operators.multimodal import (
+        encode_png,
+        png_pixels,
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    # 4x3 greyscale header, but IDAT inflates to 64 MiB of zeros
+    # (compressed to ~64 KiB) — far past the 3*(4+1)=15-byte bound.
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(64 * 1024 * 1024)))
+        + chunk(b"IEND", b"")
+    )
+    assert png_pixels(bomb) is None
+    # control: a genuine 4x3 payload still decodes
+    rows = [bytes((y * 4 + x) % 256 for x in range(4)) for y in range(3)]
+    ok = png_pixels(encode_png(4, 3, rows, nch=1))
+    assert ok is not None and [bytes(r) for r in ok[3]] == rows
+
+
 def test_png_encoder_roundtrip_and_nn_resample():
     """r10 resize-execute foundations, pure-function level: the
     module's own encoder must round-trip bit-exact through the

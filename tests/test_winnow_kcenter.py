@@ -316,6 +316,32 @@ def test_sized_planes_exact_integer_rule():
                 f"SELECT LENGTH(BIN(({n} + {target - 1}) // {target} - 1))"
             ).fetchone()[0]
             assert sql == py, (n, target, sql, py)
+    # The REAL oracle aggregate (_sql_sized_p) over n-row relations,
+    # including the n=0 empty-table edge (r10 ADVICE: BIN(-1) is 64
+    # one-bits; the GREATEST(0, ...) clamp must make SQL return the
+    # Python guard's 1) and the cap region.
+    from teleco_etl_pipeline_spark.operators.similarity import (
+        _SIZED_PMAX,
+        _sql_sized_p,
+    )
+
+    for target in (_LSH_TARGET, _KNN_TARGET):
+        for n in (0, 1, 8, 500, 20_000):
+            sql = con.execute(
+                f"SELECT {_sql_sized_p(target)} FROM range({n})"
+            ).fetchone()[0]
+            assert sql == min(_SIZED_PMAX, sized_planes(n, target)), (
+                n,
+                target,
+                sql,
+            )
+    # cap engages identically both sides at 20M rows (rule wants >20)
+    sql = con.execute(
+        f"SELECT {_sql_sized_p(8)} FROM range(20_000_000)"
+    ).fetchone()[0]
+    assert sql == _SIZED_PMAX == min(
+        _SIZED_PMAX, sized_planes(20_000_000, 8)
+    )
 
 
 def test_hyperplanes_prefix_stable():
@@ -331,7 +357,7 @@ def test_hyperplanes_prefix_stable():
     )
 
     full = hyperplanes(64, _SIZED_PMAX, 42)
-    for p in (1, 4, 6, 8, 12):
+    for p in (1, 4, 6, 8, 12, 16, 17, _SIZED_PMAX):
         assert np.array_equal(hyperplanes(64, p, 42), full[:p])
     # floor-quantization (the kNN path) preserves the prefix
     assert np.array_equal(
