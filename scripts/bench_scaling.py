@@ -33,14 +33,16 @@ updated; every other non-refused query grows <= ~8x per 10x, median
   count). Runtime per output row is flat. Its scale paths:
   ngram_jaccard_guarded (x7.7 — sublinear vs its own x19 output) and
   minhash_lsh_pairs (x1.03, flat).
-- token_jaccard_prefix_pairs (~x31): CANDIDATE-bound — final output
-  is 5 rows at BOTH SFs, but PPJoin's prefix filter degenerates on a
-  31-token universe (every prefix token has huge document frequency,
-  so candidates ~ sum(df^2)). This is PPJoin's known dense-universe
-  limit, not a plan bug; on such corpora the sketch path
-  (minhash_lsh_pairs, flat) is the production route and PPJoin's
-  threshold knob (higher t -> shorter prefixes) trades exactness
-  boundary for candidate volume.
+- token_jaccard_prefix_pairs_uncapped (~x24-31): CANDIDATE-bound —
+  final output is 5 rows at BOTH SFs, but PPJoin's prefix filter
+  degenerates on a dense token universe (every prefix token has huge
+  document frequency, so candidates ~ sum(df^2)). r11 promoted the
+  volume-scaled df-cap hub guard to the REGISTERED default
+  (token_jaccard_prefix_pairs: prefix postings of tokens in more
+  than ~sqrt(n_reps)/2 representatives generate no candidates —
+  exact-integer ladder mirrored in the oracle); this entry is the
+  renamed lossless curve kept to measure what not capping costs,
+  the same pattern as the *_fixed ANN twins.
 - customer_linkage_blocked (x8.3 r9, root-caused r10): OUTPUT-bound
   — the replication-based sf1 generator manufactures ~10-member
   identity twin groups (names perturbed within edit distance 1), so
@@ -59,6 +61,38 @@ updated; every other non-refused query grows <= ~8x per 10x, median
   now repartitions to core count when (and only when) the scan
   under-splits; at >= 1 split/core layouts the guard is a no-op and
   no raw-text shuffle is added.
+
+r11 root-causes of the remaining above-median sf1 growers (the r10
+verdict's watch #6), isolated best-of-3 measurements:
+
+- split_token_jsd (was x4.68) and doc_sparse_tfidf_topk (was x3.48):
+  SMALL-FILE PARTITION CLIFF, the exact_dedup class — the 5.9 MB sf1
+  documents file byte-splits to 2 of 32 cores and the CPU-bound
+  tokenize+explode ran there. ensure_min_splits guard added before
+  both explodes: sf1 2.61 -> 1.19 s and 3.47 -> 1.89 s (growth now
+  ~x2.3 / ~x2.5 per 10x; no-op at >= 1 split/core layouts).
+- poisson_bootstrap_ci (x3.5, DECLARED work-linear): 16 md5 digests
+  per order row, already repartitioned to core count before the
+  fan-out (stages run 32-wide). Work grows exactly x10 per decade;
+  wall grows less (x3.5) only because fixed overhead still amortizes
+  at these SFs. At fixed cores a work-linear plan asymptotes to x10
+  per decade — that IS linear scaling; on a real cluster cores grow
+  with data.
+- totalprice_psi_drift (was x3.56, now measured 2.0 s at sf1 after
+  the r11 bounded-memory edge rewrite): SCAN-BOUND at small SF — the
+  24.7 MB sf1 orders file splits to ~6 of 32 cores and every pass is
+  a cheap scan+hash-agg (repartitioning would add a shuffle without
+  parallelizing the scan itself; the cliff guard only pays off when
+  heavy CPU work FOLLOWS the scan). Declared: file-layout artifact
+  of the compact test files, absent at real multi-file layouts.
+- orders_hbos_outliers: r10 recorded x7.62 against an in-code claim
+  of x3.9 — RECONCILED in r11: the gap was the ungrouped exact
+  percentile edge job (single final-agg buffer holding the whole
+  fact column; its sort cost grows super-linearly in one task while
+  every other stage amortizes). The r11 rewrite computes the edges
+  via the bounded-memory value-histogram machinery
+  (operators/quantiles.py) — re-measure lands in SCALING_r11.json
+  and the x3.9 claim is retired with the code that produced it.
 
 RESOLVED in r10 (previously the fixed-config killers; the sized
 paths are now the registered defaults, oracle-backed at every SF):
@@ -135,9 +169,11 @@ QUERIES = [
     # volume — the attribute-blocked form grew ~10x per 10x data)
     "customer_linkage_blocked",
     # -- round-7 additions --------------------------------------------
-    # exact PPJoin set-similarity (prefix-filtered + clique-collapsed;
-    # the EXACT third dedup path — growth tracks near-dup density)
+    # PPJoin set-similarity (prefix-filtered + clique-collapsed):
+    # the hub-guarded registered default AND its lossless uncapped
+    # twin — the sized-vs-fixed growth contrast (r11)
     "token_jaccard_prefix_pairs",
+    "token_jaccard_prefix_pairs_uncapped",
     # inverted-index lexical retrieval (query-token postings only)
     "doc_sparse_tfidf_topk",
     # total-coverage kNN (leftover fallback is a bounded broadcast)

@@ -552,6 +552,14 @@ def sparse_tfidf_topk(
     no ROUND boundary. tests/test_freq.py pins the per-doc Σw²
     margin against the 2⁶³ bound on real testdata.
     """
+    # Small-file cliff guard before the CPU-bound tokenize+explode
+    # (r11: root-caused as the doc_sparse_tfidf_topk ×3.5 sf1 grower
+    # — a 5.9 MB documents file byte-splits to 2 of 32 cores and the
+    # whole explode ran there; no-op whenever the scan already has
+    # >= 1 split per core).
+    from teleco_etl_pipeline_spark.sources.tables import ensure_min_splits
+
+    docs = ensure_min_splits(docs, id_col)
     tok = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
     )

@@ -740,13 +740,17 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interpolation ulp cannot flip membership at the boundary.",
 )
 def q_doc_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.quantiles import (
+        exact_percentiles,
+        half_up,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    lo = d.agg(
-        F.round(F.percentile(F.length("text"), F.lit(0.05)) + EPS, 6).alias("lo")
-    ).scalar()
-    hi = d.agg(
-        F.round(F.percentile(F.length("text"), F.lit(0.95)) + EPS, 6).alias("hi")
-    ).scalar()
+    # Bounded-memory exact percentiles as driver literals (the r11
+    # repo-wide sweep of the HBOS single-buffer pattern); half_up
+    # replicates the engines' ROUND(x + 1e-9, 6) on the driver.
+    lo_v, hi_v = exact_percentiles(d, F.length("text"), [0.05, 0.95])
+    lo, hi = F.lit(half_up(lo_v + EPS, 6)), F.lit(half_up(hi_v + EPS, 6))
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars_actual"),

@@ -1129,20 +1129,20 @@ def q_customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rounded then DECIMAL-summed so the mean is partitioning-exact.",
 )
 def q_price_winsorize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.quantiles import (
+        exact_percentiles,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    # Both bounds from ONE percentile sort-agg delivered as a scalar
-    # subquery. The plan prints one subquery instance per lo/hi
-    # reference, which LOOKS like repeated execution — measured, it is
-    # not: the runtime reuses the subquery result (scalar form 2.28 s
-    # vs an explicit broadcast-1-row-join rewrite 2.63 s at sf0.1;
-    # the exact percentile itself is ~1.8 s of either). The scalar
-    # form also keeps the plan free of BroadcastNestedLoopJoin nodes
-    # (the 1-row crossJoin form plans as NLJ and trips the catalog-
-    # wide no-NLJ sweep in test_plan_quality).
-    bounds = li.agg(
-        F.percentile("l_extendedprice", F.lit([0.01, 0.99])).alias("q")
-    ).scalar()
-    lo, hi = bounds.getItem(0), bounds.getItem(1)
+    # Both bounds via the bounded-memory exact-percentile machinery
+    # (operators.quantiles), folded in as driver literals. The
+    # previous scalar-subquery F.percentile was a single final-agg
+    # buffer over the whole fact column (the HBOS weak-#1 pattern,
+    # swept repo-wide in r11); the literal form also interpolates
+    # with DuckDB's own quantile_cont formula, so the boundary
+    # comparisons below use bit-identical bounds on both engines.
+    lo_v, hi_v = exact_percentiles(li, "l_extendedprice", [0.01, 0.99])
+    lo, hi = F.lit(lo_v), F.lit(hi_v)
     p = F.col("l_extendedprice")
     clamped = F.round(F.least(F.greatest(p, lo), hi) + F.lit(1e-9), 4).cast(
         "decimal(18,4)"

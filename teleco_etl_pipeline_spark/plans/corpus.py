@@ -162,12 +162,15 @@ def curation_flags(docs: DataFrame) -> DataFrame:
         + EPS,
         4,
     )
-    lo = docs.agg(
-        F.round(F.percentile(F.length("text"), F.lit(0.05)) + EPS, 6).alias("lo")
-    ).scalar()
-    hi = docs.agg(
-        F.round(F.percentile(F.length("text"), F.lit(0.95)) + EPS, 6).alias("hi")
-    ).scalar()
+    from teleco_etl_pipeline_spark.operators.quantiles import (
+        exact_percentiles,
+        half_up,
+    )
+
+    # Bounded-memory exact percentiles as driver literals (the r11
+    # repo-wide sweep of the single-buffer F.percentile pattern).
+    lo_v, hi_v = exact_percentiles(docs, F.length("text"), [0.05, 0.95])
+    lo, hi = F.lit(half_up(lo_v + EPS, 6)), F.lit(half_up(hi_v + EPS, 6))
     shape_keep = (
         n_words.between(50, 100000)
         & mean_word_len.between(3, 10)

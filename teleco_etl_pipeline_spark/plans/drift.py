@@ -101,24 +101,29 @@ _PSI_QS = [i / 10.0 for i in range(1, 10)]
     "'population shifted' alarm.",
 )
 def q_totalprice_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.quantiles import (
+        exact_percentiles,
+        half_up,
+    )
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_totalprice", "o_orderdate"
     )
     split = F.lit(_PSI_SPLIT).cast("date")
-    edges = (
-        o.filter(F.col("o_orderdate") < split)
-        .agg(F.percentile("o_totalprice", F.lit(_PSI_QS)).alias("__raw"))
-        .select(
-            F.expr("transform(__raw, e -> round(e + 1e-9, 2))").alias(
-                "edges"
-            )
-        )
+    # Baseline decile edges via the bounded-memory exact-percentile
+    # machinery (operators.quantiles) — the previous ungrouped
+    # F.percentile funneled every baseline price into ONE final-agg
+    # buffer (the HBOS weak-#1 pattern, swept repo-wide in r11).
+    # HALF_UP Decimal quantize replicates the engines' half-up
+    # ROUND(e + 1e-9, 2) on the driver (the HBOS precedent).
+    raw = exact_percentiles(
+        o.filter(F.col("o_orderdate") < split), "o_totalprice", _PSI_QS
     )
+    edges_lit = F.lit([half_up(e + _EPS, 2) for e in raw])
     cells = (
-        o.crossJoin(F.broadcast(edges))
-        .select(
-            F.expr(
-                "size(filter(edges, e -> e <= o_totalprice))"
+        o.select(
+            F.size(
+                F.filter(edges_lit, lambda e: e <= F.col("o_totalprice"))
             ).alias("bin"),
             (F.col("o_orderdate") < split).alias("is_base"),
         )
@@ -214,8 +219,15 @@ _JSD_GATE = 50  # heavy-token gate: count * 50 >= total tokens
 )
 def q_split_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
+    from teleco_etl_pipeline_spark.sources.tables import ensure_min_splits
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Small-file cliff guard before the md5-bucket + tokenize+explode
+    # pass (r11: root-caused as the split_token_jsd ×4.7 sf1 grower —
+    # the 5.9 MB documents file byte-splits to 2 of 32 cores and the
+    # whole CPU-bound explode ran there; no-op at >= 1 split/core).
+    docs = ensure_min_splits(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     b = hash_bucket("doc_id")
     tok = (
         docs.select(

@@ -1192,16 +1192,25 @@ def q_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("__us")
         ),
     ).select(F.expr("__us div 1000000").alias("lat_s"))
+    # Quantiles via the bounded-memory exact-percentile machinery
+    # (operators.quantiles, the r11 repo-wide sweep): the previous
+    # ungrouped F.percentile buffered every converted user's latency
+    # in ONE final-agg task — user-scale, so still unbounded at
+    # 100x. The percentiles come back as driver literals; count/max
+    # stay one ordinary parallel aggregate.
+    from teleco_etl_pipeline_spark.operators.quantiles import (
+        exact_percentiles,
+        half_up,
+    )
+
+    p50, p90, p99 = exact_percentiles(conv, "lat_s", [0.50, 0.90, 0.99])
     return conv.agg(
         F.count(F.lit(1)).cast("long").alias("n_converted"),
-        F.round(F.percentile("lat_s", F.lit(0.50)) + F.lit(1e-9), 1).alias(
-            "p50_s"
-        ),
-        F.round(F.percentile("lat_s", F.lit(0.90)) + F.lit(1e-9), 1).alias(
-            "p90_s"
-        ),
-        F.round(F.percentile("lat_s", F.lit(0.99)) + F.lit(1e-9), 1).alias(
-            "p99_s"
-        ),
         F.max("lat_s").cast("long").alias("max_s"),
+    ).select(
+        "n_converted",
+        F.lit(half_up(p50 + 1e-9, 1)).alias("p50_s"),
+        F.lit(half_up(p90 + 1e-9, 1)).alias("p90_s"),
+        F.lit(half_up(p99 + 1e-9, 1)).alias("p99_s"),
+        "max_s",
     )

@@ -57,52 +57,10 @@ def _cents(col: str):
     return F.round(F.col(col) * 100, 0).cast("long")
 
 
-def _value_cumsum(vc: DataFrame, col: str) -> DataFrame:
-    """Inclusive cumulative count ``__cum`` over a distinct-value
-    histogram ``vc(col, __c)`` via the TWO-LEVEL bucketed cumsum
-    (the lineitem_spearman_matrix strategy): a flat
-    ``Window.orderBy(col)`` puts every distinct value in ONE task — a
-    domain-sized ceiling — so level 1 range-buckets values (monotone
-    double bucketing: only ORDER matters, so numeric-type rounding is
-    harmless) and cumsums WITHIN buckets in parallel; level 2 cumsums
-    the ``_RANK_BUCKETS`` per-bucket totals in one task bounded by
-    that CONSTANT, never by the domain. ``__cum(v)`` = exclusive
-    bucket offset + inclusive within-bucket running count — the
-    identical integer the flat window produces. Row ``v`` covers
-    0-based sorted positions ``[__cum − __c, __cum)``."""
-    mm = vc.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
-    spread = F.col("__hi").cast("double") - F.col("__lo").cast("double")
-    bucket = F.when(spread <= 0, F.lit(0)).otherwise(
-        F.least(
-            F.lit(_RANK_BUCKETS - 1),
-            F.floor(
-                (F.col(col).cast("double") - F.col("__lo").cast("double"))
-                / spread
-                * _RANK_BUCKETS
-            ).cast("int"),
-        )
-    )
-    vcb = vc.crossJoin(F.broadcast(mm)).select(col, "__c", bucket.alias("__b"))
-    within = F.sum("__c").over(
-        Window.partitionBy("__b")
-        .orderBy(col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    boff = vcb.groupBy("__b").agg(F.sum("__c").alias("__bt"))
-    boff = boff.select(
-        "__b",
-        F.coalesce(
-            F.sum("__bt").over(
-                Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("__off"),
-    )
-    return (
-        vcb.select(col, "__c", "__b", within.alias("__w"))
-        .join(F.broadcast(boff), "__b")
-        .select(col, "__c", (F.col("__off") + F.col("__w")).alias("__cum"))
-    )
+# The two-level bucketed cumsum + bounded-memory exact percentiles
+# live in operators.quantiles (shared by HBOS, PSI drift, winsorize,
+# and the doc/event quantile sites — the r11 sweep that removed every
+# fact-scale single-buffer percentile).
 
 
 def skyline_2d(df: DataFrame, cost_col: str, gain_col: str) -> DataFrame:
@@ -1174,69 +1132,26 @@ def q_orders_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # buffer — bounded wall-clock but a single-executor MEMORY ceiling
     # at 100x (the r10 verdict's weak #1; its recorded sf1 growth was
     # x7.62, not the claimed x3.9 — the single-buffer edge job is the
-    # gap). The edges are now EXACT but bounded-memory: a
-    # groupBy(value) histogram (domain-sized, map-side combined), the
-    # same two-level bucketed cumsum the Spearman ranks use (level-2
-    # window is one task over a CONSTANT _RANK_BUCKETS rows), and a
-    # parallel filter that keeps ONLY the <=18 distinct values whose
-    # cumulative range brackets a decile index — collect is bounded by
-    # the number of percentiles, never by data or domain. The
-    # interpolation arithmetic on those 18 driver-side doubles is
-    # DuckDB's quantile_cont formula (x_lo + frac * (x_hi - x_lo)),
-    # identical values to the old single-buffer percentile.
-    n = o.count()
-    targets: set[int] = set()
-    for k in range(1, 10):
-        h = (n - 1) * (k / 10.0)
-        i0 = int(h)
-        targets.add(i0)
-        targets.add(min(i0 + 1, n - 1))
-    tlist = sorted(targets)
-    vc = o.groupBy("o_totalprice").agg(F.count(F.lit(1)).alias("__c"))
-    cum = _value_cumsum(vc, "o_totalprice")
-    tarr = F.lit(tlist)
-    brk = (
-        cum.filter(
-            F.exists(
-                tarr,
-                lambda t: (t >= F.col("__cum") - F.col("__c"))
-                & (t < F.col("__cum")),
-            )
-        )
-        .select("o_totalprice", "__c", "__cum")
-        .collect()
+    # gap). The edges are now EXACT but bounded-memory via the shared
+    # operators.quantiles.exact_percentiles machinery (groupBy(value)
+    # histogram -> two-level bucketed cumsum -> bracketing-value
+    # filter -> <=18-row collect -> quantile_cont interpolation on
+    # the driver) — identical values to the old single-buffer
+    # percentile.
+    from teleco_etl_pipeline_spark.operators.quantiles import (
+        exact_percentiles,
     )
-    pos2val: dict[int, float] = {}
-    for r in brk:
-        for t in tlist:
-            if r["__cum"] - r["__c"] <= t < r["__cum"]:
-                pos2val[t] = float(r["o_totalprice"])
-    raw_edges = []
-    for k in range(1, 10):
-        h = (n - 1) * (k / 10.0)
-        i0 = int(h)
-        lo = pos2val[i0]
-        hi = pos2val[min(i0 + 1, n - 1)]
-        raw_edges.append(lo + (h - i0) * (hi - lo))
-    # HALF_UP quantize, not Python round(): round() is half-to-even,
-    # while the DuckDB oracle's ROUND (and Spark's round expression)
-    # are half-up — an edge landing exactly on a representable
-    # 2-decimal midpoint after the +1e-9 nudge would round down one
-    # cent here and shift bucket membership (r9 ADVICE). Decimal
-    # quantize over str(e) reproduces decimal-literal half-up
-    # semantics exactly.
-    from decimal import ROUND_HALF_UP, Decimal
 
-    edges_lit = F.lit(
-        [
-            float(
-                Decimal(str(e + 1e-9)).quantize(
-                    Decimal("0.01"), rounding=ROUND_HALF_UP
-                )
-            )
-            for e in raw_edges
-        ]
+    n = o.count()
+    raw_edges = exact_percentiles(
+        o, "o_totalprice", [k / 10.0 for k in range(1, 10)]
     )
+    # HALF_UP quantize, not Python round() — see quantiles.half_up
+    # (r9 ADVICE: round() is half-to-even; the engines' ROUND is
+    # half-up, and a midpoint edge would shift bucket membership).
+    from teleco_etl_pipeline_spark.operators.quantiles import half_up
+
+    edges_lit = F.lit([half_up(e + 1e-9, 2) for e in raw_edges])
     feat = o.select(
         "o_orderkey",
         F.size(

@@ -460,17 +460,18 @@ def test_forecast_revenue_pushes_every_conjunct(spark, sf_dir):
     assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
 
 
-def test_winsorize_bounds_are_scalar_subqueries_not_nlj(spark, sf_dir):
-    """price_winsorize_report delivers its [p01,p99] bounds as scalar
-    subqueries: the plan prints one instance per reference but the
-    runtime reuses the result (measured equal to an explicit
-    broadcast-1-row-join rewrite, which would instead plan a
-    BroadcastNestedLoopJoin and trip the catalog-wide no-NLJ sweep)."""
+def test_winsorize_bounds_are_driver_literals_not_nlj(spark, sf_dir):
+    """price_winsorize_report's [p01,p99] bounds are driver LITERALS
+    from the bounded-memory exact-percentile machinery (r11: the
+    scalar-subquery F.percentile was a single final-agg buffer over
+    the whole fact column — the HBOS weak-#1 pattern). The final plan
+    must be ONE plain aggregate over the scan: no percentile
+    aggregate, no subquery re-execution surface, no NLJ."""
     from teleco_etl_pipeline_spark.plans.registry import all_queries
 
     df = all_queries()["price_winsorize_report"].build(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Subquery subquery" in plan
+    assert "percentile" not in plan.lower()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
