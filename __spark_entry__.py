@@ -290,6 +290,13 @@ _RECORD_LAST = [
     "watermark_window",
     "window_dup_flag",
     "embedding_knn_classify_total_fixed8",
+    # r11 new registrations (sweep-verified this round at
+    # sf0.001+sf0.01; the r11 window is fully committed to the two
+    # weak-fix re-records, the oracle-changed ANN rows, and all 41
+    # r6-vintage refreshes — these three take window slots in r12):
+    "events_cuped_readout",
+    "trade_graph_ppr",
+    "embedding_sq8_topk",
 ]
 
 

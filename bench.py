@@ -205,6 +205,10 @@ BENCH_QUERIES = [
     "incremental_index_dedup",  # batch-vs-stored-signature-index near-dup probe
     "multimodal_audio_decimate",  # real WAV decode + NN decimation, exact ints
     "multimodal_video_probe",   # EBML container walk (ffprobe step), exact ints
+    # -- round-11 additions -------------------------------------------
+    "events_cuped_readout",     # CUPED variance-reduced A/B readout
+    "trade_graph_ppr",          # personalized PageRank, sparse frontier
+    "embedding_sq8_topk",       # int8 scalar-quantized candidate scan + rerank
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

@@ -267,6 +267,201 @@ def q_trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- personalized PageRank (seeded random walk with restart) -----------------
+#
+# The recommendation/neighborhood twin of global PageRank (Page et
+# al. 1999 §6; Jeh & Widom WWW'03 "Scaling personalized web search"):
+# the teleport mass returns to ONE seed node instead of spreading
+# uniformly, so rank measures proximity to the seed — "which
+# suppliers/customers sit closest to this customer's trading
+# neighborhood". Same integer-unit discipline as trade_graph_pagerank
+# (scale 10^12, damping 85/100, truncating div both engines, no float
+# anywhere); the structural difference is SPARSITY: r0 is ONE row and
+# each superstep's rank frame covers only the reached frontier, so
+# per-iteration work is proportional to touched edges, not the graph
+# (the push-style property that makes PPR the scalable personalization
+# primitive at 100 TB — mass never materializes on unreached nodes).
+# The reset row is UNION ALL'ed into the damped-contribution stream
+# before a node-sum, the spelling both engines share exactly.
+
+_PPR_TOPK = 20
+
+
+def _ppr_sql(iters: int, scale: int, d_num: int, d_den: int, topk: int) -> str:
+    """Unrolled integer personalized PageRank over CTEs
+    ``edges(src, dst)`` + ``sd(seed)`` (1 row). ``IDIV`` is spliced to
+    the dialect's integer floor division."""
+    base = ((d_den - d_num) * scale) // d_den
+    its = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        its.append(
+            f"""
+    agg{i} AS (
+      SELECT e.dst AS node,
+             ({d_num} * SUM(s.contrib)) IDIV {d_den} AS ru
+      FROM edges e
+      JOIN (SELECT r.node, r.rank_units IDIV od.outdeg AS contrib
+            FROM {prev} r JOIN outdeg od ON r.node = od.src) s
+        ON e.src = s.node
+      GROUP BY e.dst
+    ),
+    it{i} AS (
+      SELECT node, SUM(ru) AS rank_units FROM (
+        SELECT node, ru FROM agg{i}
+        UNION ALL SELECT (SELECT seed FROM sd), {base}
+      ) u{i} GROUP BY node
+    )"""
+        )
+        prev = f"it{i}"
+    return f"""
+    outdeg AS (
+      SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ),
+    r0 AS (
+      SELECT (SELECT seed FROM sd) AS node,
+             CAST({scale} AS BIGINT) AS rank_units
+    ),{",".join(its)}
+    SELECT node, CAST(rank_units AS BIGINT) AS rank_units
+    FROM {prev}
+    ORDER BY rank_units DESC, node
+    LIMIT {topk}
+    """
+
+
+_PPR_EDGES_SQL_DUCK = """
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    sd AS (
+      SELECT concat('C', CAST(c AS VARCHAR)) AS seed
+      FROM pairs GROUP BY c
+      ORDER BY COUNT(*) DESC, c ASC LIMIT 1
+    ),
+    edges AS (
+      SELECT concat('C', CAST(c AS VARCHAR)) AS src,
+             concat('S', CAST(s AS VARCHAR)) AS dst
+      FROM pairs
+      UNION ALL
+      SELECT concat('S', CAST(s AS VARCHAR)), concat('C', CAST(c AS VARCHAR))
+      FROM pairs
+    ),{body}
+"""
+
+
+@query(
+    "trade_graph_ppr",
+    _PPR_EDGES_SQL_DUCK.format(
+        body=_ppr_sql(_ITERS, _SCALE, _D_NUM, _D_DEN, _PPR_TOPK)
+        .strip()
+        .replace("IDIV", "//")
+    ),
+    doc="Personalized PageRank (Jeh & Widom WWW'03), 3 unrolled "
+    "iterations at damping 85/100, seeded at the customer with the "
+    "most distinct supplier relationships (count DESC / key ASC — "
+    "deterministic): teleport mass returns to the SEED, so rank is "
+    "proximity to that customer's trading neighborhood — the "
+    "'suppliers and co-customers closest to this account' "
+    "recommendation primitive. All arithmetic is the exact integer "
+    "micro-unit sequence of trade_graph_pagerank (truncating div "
+    "both engines, no float in the hash path); unlike the global "
+    "walk, r0 is ONE row and each superstep's rank frame covers "
+    "only the reached frontier — push-style sparsity, work "
+    "proportional to touched edges rather than the whole graph.",
+)
+def q_trade_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    # Integer node encoding (customer k -> 2k, supplier k -> 2k+1),
+    # decoded to the oracle's C/S labels only in the final top-k —
+    # same trick as trade_graph_pagerank.
+    edges = pairs.selectExpr(
+        "2 * o_custkey AS src", "2 * l_suppkey + 1 AS dst"
+    ).unionAll(
+        pairs.selectExpr("2 * l_suppkey + 1 AS src", "2 * o_custkey AS dst")
+    )
+    edges = edges.localCheckpoint(eager=True)
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    wedges = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
+    )
+    # Seed = busiest customer: ONE bounded 1-row statistic (driver
+    # literal), exact integer count with an ASC key tie-break.
+    seed_row = (
+        pairs.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("o_custkey"))
+        .first()
+    )
+    seed = 2 * int(seed_row["o_custkey"])
+    rank = personalized_pagerank_units(spark, wedges, seed, _ITERS)
+    label = F.when(
+        F.col("inode") % 2 == 0,
+        F.concat(F.lit("C"), F.expr("inode div 2").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("S"), F.expr("(inode - 1) div 2").cast("string"))
+    )
+    return (
+        rank.select(F.col("node").alias("inode"), "rank_units")
+        .select(label.alias("node"), "rank_units")
+        .orderBy(F.col("rank_units").desc(), "node")
+        .limit(_PPR_TOPK)
+    )
+
+
+def personalized_pagerank_units(
+    spark: SparkSession,
+    wedges: DataFrame,
+    seed: int,
+    iters: int,
+    scale: int = _SCALE,
+    d_num: int = _D_NUM,
+    d_den: int = _D_DEN,
+) -> DataFrame:
+    """Superstep core of :func:`q_trade_graph_ppr` over a weighted
+    edge list ``wedges(src, dst, outdeg)`` — separated so unit tests
+    can drive it on exact fixtures against a pure-Python mirror of
+    the integer recurrence. Returns ``(node, rank_units)`` for the
+    reached frontier after ``iters`` rounds."""
+    from pyspark.sql import functions as F
+
+    base = ((d_den - d_num) * scale) // d_den
+    rank = spark.createDataFrame(
+        [(seed, scale)], "node long, rank_units long"
+    )
+    for _ in range(iters):
+        contrib = (
+            wedges.join(rank, wedges["src"] == rank["node"])
+            .select("dst", F.expr("rank_units div outdeg").alias("contrib"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.expr(f"({d_num} * sum(contrib)) div {d_den}")
+                .cast("long")
+                .alias("ru")
+            )
+        )
+        reset = spark.createDataFrame([(seed, base)], "node long, ru long")
+        rank = (
+            contrib.unionByName(reset)
+            .groupBy("node")
+            .agg(F.sum("ru").cast("long").alias("rank_units"))
+            .localCheckpoint(eager=True)
+        )
+    return rank
+
+
 # --- triangle counting + k-core over the co-fulfillment graph ---------------
 #
 # Graph: suppliers are connected when they co-fulfilled >= _MIN_CO

@@ -466,6 +466,145 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, qvec, k=10, exclude_ids=(0,))
 
 
+# --- SQ8: scalar-quantized (int8) candidate scan + exact rerank --------------
+#
+# The third vector-compression family beside IVF (partition pruning)
+# and PQ (subspace codebooks): SYMMETRIC int8 scalar quantization —
+# code_i = clamp(floor(x_i · 127/max|x|), ±127) against the
+# corpus-trained absolute range (the standard signed-int8 embedding
+# scheme; symmetric, so the code dot has NO offset term — an
+# asymmetric [min,max] byte mapping adds a b·Σx_i shift that swamps
+# the similarity signal on zero-mean embeddings, measured recall 0.0
+# before this was caught by the recall test). The 100 TB win is SCAN
+# BANDWIDTH, not op count: the candidate pass reads 1-byte codes —
+# 4× less I/O than float32 — and every code dot/den is EXACT integer
+# arithmetic (64 · 127² per term, sums ≪ 2⁵³), so the candidate key
+# (the same CR quantized-cosine as the rerank, just 8-bit-coarse) is
+# bit-identical cross-engine; only the top-C candidates pay the
+# full-precision quantized-cosine rerank.
+
+_SQ8_CAND = 50
+_SQ8_K = 10
+
+
+def _sq8_oracle_sql() -> str:
+    ckey = _sql_qkey(
+        "list_dot_product(code, (SELECT code FROM qc))",
+        "list_dot_product(code, code)",
+        "(SELECT cden FROM qc)",
+    )
+    key = _sql_qkey(
+        "list_dot_product(r.cq, (SELECT q FROM qq))",
+        "list_dot_product(r.cq, r.cq)",
+        "(SELECT den FROM qq)",
+    )
+    return f"""
+    WITH p AS (
+      SELECT MAX(GREATEST(list_max(CAST(embedding AS DOUBLE[])),
+                          -list_min(CAST(embedding AS DOUBLE[])))) AS mabs
+      FROM embeddings
+    ), enc AS (
+      SELECT vec_id, embedding,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> LEAST(127.0, GREATEST(-127.0,
+                    FLOOR(x * (127.0 / p.mabs))))) AS code
+      FROM embeddings, p
+    ), qc AS (
+      SELECT code, list_dot_product(code, code) AS cden
+      FROM enc WHERE vec_id = 0
+    ),
+    cand AS (
+      SELECT vec_id, embedding, {ckey} AS ckey
+      FROM enc WHERE vec_id <> 0
+      ORDER BY ckey DESC, vec_id ASC LIMIT {_SQ8_CAND}
+    ), qv AS (
+      SELECT {_sql_qvec("embedding")} AS q FROM embeddings WHERE vec_id = 0
+    ), qq AS (SELECT q, list_dot_product(q, q) AS den FROM qv),
+    r AS (
+      SELECT vec_id, {_sql_qvec("embedding")} AS cq FROM cand
+    )
+    SELECT r.vec_id AS vec_id, {key} AS cosine_sim
+    FROM r
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT {_SQ8_K}
+    """
+
+
+@query(
+    "embedding_sq8_topk",
+    _sq8_oracle_sql(),
+    doc="Scalar-quantized (SQ8) ANN: every component coded to a "
+    "signed byte against the corpus-trained absolute range "
+    "(symmetric int8 — LEAST(127, GREATEST(−127, FLOOR(x · "
+    "127/max|x|))), no offset term, so the code dot carries pure "
+    f"similarity signal), top-{_SQ8_CAND} candidates by the "
+    "8-bit-coarse quantized cosine (exact integer dot/den, one CR "
+    "divide — bit-identical cross-engine), then the full-precision "
+    f"quantized-cosine rerank to top-{_SQ8_K} — the third "
+    "vector-compression family beside IVF (partition pruning) and "
+    "PQ (subspace codebooks). At 100 TB the candidate scan reads "
+    "1-byte codes — 4× less bandwidth than float32 — and the "
+    "trained range is one bounded 1-value statistic folded in as a "
+    "driver literal.",
+)
+def q_embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Trained range: ONE bounded 1-value statistic (driver literal;
+    # exact double max|x|, identical to the oracle's params CTE).
+    de = F.col("embedding").cast("array<double>")
+    mabs = float(
+        emb.agg(
+            F.max(
+                F.greatest(F.array_max(de), -F.array_min(de))
+            ).alias("m")
+        ).first()["m"]
+    )
+    k = 127.0 / mabs
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    # Driver-side byte code of the query — the IDENTICAL correctly-
+    # rounded op sequence (x · (127/mabs), floor, clamp) as the
+    # in-plan column below and the oracle's lambda.
+    qcode = [
+        min(127.0, max(-127.0, float(math.floor(float(x) * k))))
+        for x in qvec
+    ]
+    qcden = float(sum(int(v) * int(v) for v in qcode))
+    code = F.transform(
+        de,
+        lambda x: F.least(
+            F.lit(127.0),
+            F.greatest(
+                F.lit(-127.0),
+                F.floor(x * F.lit(k)).cast("double"),
+            ),
+        ),
+    )
+    qcode_arr = F.array(*[F.lit(v) for v in qcode])
+    ckey = quantized_key(
+        _dot(code, qcode_arr), quantized_den_col(code) * F.lit(qcden)
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", ckey.alias("ckey"))
+        .orderBy(F.desc("ckey"), F.asc("vec_id"))
+        .limit(_SQ8_CAND)
+    )
+    qq, qden = _quantize_query(qvec)
+    qv = F.array(*[F.lit(v) for v in qq])
+    qe = quantized_vec_col(F.col("embedding"))
+    den_prod = quantized_den_col(qe) * F.lit(qden)
+    return (
+        cand.select(
+            "vec_id",
+            quantized_key(_dot(qe, qv), den_prod).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(_SQ8_K)
+    )
+
+
 def _neardup_oracle_sql(threshold: float = 0.35) -> str:
     key = _sql_qkey("list_dot_product(a.q, c.q)", "a.den", "c.den")
     return f"""

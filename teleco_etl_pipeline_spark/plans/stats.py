@@ -1381,3 +1381,160 @@ def q_priority_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(num * num / (den_x * den_y) + F.lit(1e-9), 4).alias("r2"),
     ).orderBy("pri")
+
+
+# --- CUPED: variance-reduced experiment readout -------------------------------
+
+_CUPED_SPLIT = "2024-01-16 00:00:00"
+
+
+@query(
+    "events_cuped_readout",
+    f"""
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN CAST(concat('0x',
+                    substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 1000000 < 500000
+                  THEN 'A' ELSE 'B' END AS variant,
+             SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                      THEN CAST(ROUND(value * 100) AS BIGINT)
+                      ELSE 0 END) AS x,
+             SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                      THEN CAST(ROUND(value * 100) AS BIGINT)
+                      ELSE 0 END) AS y
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM users
+    ),
+    v AS (
+      SELECT variant, COUNT(*) AS nv, SUM(x) AS sxv, SUM(y) AS syv
+      FROM users GROUP BY variant
+    )
+    SELECT variant,
+           CAST(nv AS BIGINT) AS n_users,
+           ROUND(CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE) / 100.0
+                 + 1e-9, 4) AS mean_y,
+           ROUND((CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(sxv AS DOUBLE) / CAST(nv AS DOUBLE)
+                       - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / 100.0 + 1e-9, 4) AS mean_y_adj,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 + 1e-9, 4) AS var_reduction
+    FROM v, pooled
+    ORDER BY variant
+    """,
+    doc="CUPED variance-reduced experiment readout (Deng, Xu, Kohavi "
+    "& Walker WSDM'13 — the industry-standard A/B variance cut): "
+    "users split into deterministic md5 variants, per-user purchase "
+    "value split at 2024-01-16 into a PRE-period covariate x and the "
+    "POST-period metric y; theta = cov(x,y)/var(x) fitted POOLED, "
+    "and each variant's adjusted mean is mean_y − theta·(mean_x_v − "
+    "mean_x). var_reduction = rho² is the variance fraction CUPED "
+    "removes. Every moment is an exact integer-cents sum (Spark "
+    "int64 / DuckDB HUGEINT — order-independent), and theta/means "
+    "are the identical correctly-rounded double expression tree on "
+    "both engines; the whole readout is two shuffles (user reduce + "
+    "2-row variant agg) with the pooled moments folded in as one "
+    "bounded 1-row statistic.",
+)
+def q_events_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.functions import ntz_lit
+    from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    split = ntz_lit(_CUPED_SPLIT)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    users = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < split, cents).otherwise(0)).alias(
+                "x"
+            ),
+            F.sum(F.when(F.col("ts") >= split, cents).otherwise(0)).alias(
+                "y"
+            ),
+        )
+        .select(
+            F.when(hash_bucket("user_id") < 500000, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("variant"),
+            "x",
+            "y",
+        )
+        # Two consumers (pooled moments + per-variant agg): checkpoint
+        # so the event reduce runs once (materialized-superstep rule).
+        .localCheckpoint(eager=True)
+    )
+    # Pooled moments: ONE bounded 1-row statistic, folded in as
+    # driver literals (the bounded-stats pattern). Sums are exact
+    # int64 (per-user cents ~1e5-1e6, squares ~1e12, corpus sums
+    # << 2^63 at every committed SF — same envelope as the Spearman
+    # DECIMAL audit).
+    p = users.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).first()
+    nd, sxd, syd = float(p["n"]), float(p["sx"]), float(p["sy"])
+    sxxd, sxyd, syyd = float(p["sxx"]), float(p["sxy"]), float(p["syy"])
+    # The identical double expression tree as the oracle, evaluated
+    # on the driver (every op correctly rounded, so bit-identical).
+    theta = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    mean_x = sxd / nd
+    rho2 = (
+        (nd * sxyd - sxd * syd)
+        * (nd * sxyd - sxd * syd)
+        / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+    )
+    nv = F.col("nv").cast("double")
+    return (
+        users.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("nv"),
+            F.sum("x").alias("sxv"),
+            F.sum("y").alias("syv"),
+        )
+        .select(
+            "variant",
+            F.col("nv").cast("long").alias("n_users"),
+            F.round(
+                F.col("syv").cast("double") / nv / 100.0 + F.lit(1e-9), 4
+            ).alias("mean_y"),
+            F.round(
+                (
+                    F.col("syv").cast("double") / nv
+                    - F.lit(theta)
+                    * (F.col("sxv").cast("double") / nv - F.lit(mean_x))
+                )
+                / 100.0
+                + F.lit(1e-9),
+                4,
+            ).alias("mean_y_adj"),
+            F.round(F.lit(rho2) + F.lit(1e-9), 4).alias("var_reduction"),
+        )
+        .orderBy("variant")
+    )

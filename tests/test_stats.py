@@ -253,3 +253,27 @@ def test_funnel_latency_quantiles(spark, sf_dir):
     )
     assert row.n_converted > 0
     assert 0 <= row.p50_s <= row.p90_s <= row.p99_s <= row.max_s
+
+
+def test_cuped_preserves_pooled_mean_and_bounds(spark, sf_dir):
+    """CUPED invariants: the user-weighted mean of the ADJUSTED
+    metric equals the user-weighted raw mean (the adjustment is a
+    zero-sum recentring: Σ nv·theta·(mean_x_v − mean_x) = 0 by
+    construction of the pooled mean), var_reduction = rho² ∈ [0, 1],
+    and the two deterministic md5 variants are both populated."""
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["events_cuped_readout"].build(spark, sf_dir).collect()
+    )
+    assert sorted(r.variant for r in rows) == ["A", "B"]
+    n = sum(r.n_users for r in rows)
+    assert all(r.n_users > 0 for r in rows)
+    raw = sum(r.n_users * r.mean_y for r in rows) / n
+    adj = sum(r.n_users * r.mean_y_adj for r in rows) / n
+    # per-variant means are rounded to 4 decimals, so the weighted
+    # sums agree to rounding tolerance, not exactly
+    assert abs(raw - adj) < 1e-3
+    vr = {r.var_reduction for r in rows}
+    assert len(vr) == 1
+    assert 0.0 <= vr.pop() <= 1.0

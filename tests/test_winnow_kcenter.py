@@ -363,3 +363,51 @@ def test_hyperplanes_prefix_stable():
     assert np.array_equal(
         np.floor(hyperplanes(64, 4, 42) * 1e6), np.floor(full[:4] * 1e6)
     )
+
+
+def test_sq8_codes_bounded_and_recall_vs_exact(spark, sf_dir):
+    """SQ8 contract: signed byte codes land in [-127, 127]; codes are
+    integer-valued doubles (exact dot/den arithmetic); and the
+    8-bit-coarse candidate scan + exact rerank recovers most of the
+    true exact top-10 (recall >= 0.7 on the 64-dim synthetic
+    corpus — the asymmetric [min,max] byte mapping this replaced
+    measured recall 0.0 here: its b·Σx offset term swamps the
+    similarity signal on zero-mean embeddings)."""
+    from pyspark.sql import functions as F
+
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    de = F.col("embedding").cast("array<double>")
+    mabs = float(
+        emb.agg(
+            F.max(F.greatest(F.array_max(de), -F.array_min(de))).alias("m")
+        ).first()["m"]
+    )
+    code = F.transform(
+        de,
+        lambda x: F.least(
+            F.lit(127.0),
+            F.greatest(
+                F.lit(-127.0),
+                F.floor(x * F.lit(127.0 / mabs)).cast("double"),
+            ),
+        ),
+    )
+    bounds = emb.select(
+        F.array_min(code).alias("lo"), F.array_max(code).alias("hi")
+    ).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).first()
+    assert -127.0 <= bounds["lo"] and bounds["hi"] <= 127.0
+    # integer-valued: floor(code) == code everywhere
+    frac = emb.select(
+        F.exists(code, lambda c: c != F.floor(c).cast("double")).alias("f")
+    ).filter(F.col("f")).count()
+    assert frac == 0
+
+    qs = all_queries()
+    sq8 = [r.vec_id for r in qs["embedding_sq8_topk"].build(spark, sf_dir).collect()]
+    exact = [r.vec_id for r in qs["embedding_topk"].build(spark, sf_dir).collect()]
+    assert len(sq8) == len(exact) == 10
+    recall = len(set(sq8) & set(exact)) / 10
+    assert recall >= 0.7, (recall, sq8, exact)
