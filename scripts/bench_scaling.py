@@ -254,6 +254,13 @@ QUERIES = [
     # operators/artifacts.py; these rows time resolve+load+serve)
     "bpe_encode_stored",
     "embedding_ivf_topk_stored",
+    # -- round-11 additions -------------------------------------------
+    # CUPED readout (two shuffles: user reduce + 2-row variant agg)
+    "events_cuped_readout",
+    # personalized PageRank (push-style sparse frontier supersteps)
+    "trade_graph_ppr",
+    # symmetric-int8 quantized candidate scan + exact rerank
+    "embedding_sq8_topk",
 ]
 
 
