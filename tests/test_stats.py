@@ -277,3 +277,40 @@ def test_cuped_preserves_pooled_mean_and_bounds(spark, sf_dir):
     vr = {r.var_reduction for r in rows}
     assert len(vr) == 1
     assert 0.0 <= vr.pop() <= 1.0
+
+
+def test_exact_percentiles_matches_numpy_reference(spark):
+    """operators/quantiles.exact_percentiles must reproduce the
+    linear-interpolation percentile (numpy 'linear' == DuckDB
+    quantile_cont == Spark percentile) on adversarial small inputs:
+    heavy ties, single row, all-equal, negatives, and NULLs
+    (excluded on both sides)."""
+    import numpy as np
+
+    from teleco_etl_pipeline_spark.operators.quantiles import (
+        exact_percentiles,
+    )
+
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    cases = [
+        [1.0],
+        [5.0, 5.0, 5.0, 5.0],
+        [3.0, 1.0, 2.0],
+        [-2.5, 0.0, 0.0, 0.0, 7.25, 7.25, 100.0],
+        [float(v) for v in range(100)],
+        [0.01 * ((v * 7919) % 1000) for v in range(500)],
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = exact_percentiles(df, "x", qs)
+        want = [float(np.percentile(np.array(vals), q * 100)) for q in qs]
+        for g, w in zip(got, want):
+            assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (vals[:5], g, w)
+    # NULLs excluded, empty -> None per percentile
+    df = spark.createDataFrame(
+        [(None,), (4.0,), (None,), (8.0,)], "x double"
+    )
+    got = exact_percentiles(df, "x", [0.5])
+    assert abs(got[0] - 6.0) < 1e-12
+    empty = spark.createDataFrame([(None,)], "x double")
+    assert exact_percentiles(empty, "x", [0.5]) == [None]
