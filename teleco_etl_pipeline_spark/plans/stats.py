@@ -1388,6 +1388,38 @@ def q_priority_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUPED_SPLIT = "2024-01-16 00:00:00"
 
 
+def cuped_user_frame(ev: DataFrame) -> DataFrame:
+    """(variant, x, y) per purchasing user — the pre-checkpoint CUPED
+    reduce, separated so plan tests can assert the event-scan pruning
+    and pushdown that the checkpoint otherwise hides."""
+    from teleco_etl_pipeline_spark.functions import ntz_lit
+    from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
+
+    split = ntz_lit(_CUPED_SPLIT)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < split, cents).otherwise(0)).alias(
+                "x"
+            ),
+            F.sum(F.when(F.col("ts") >= split, cents).otherwise(0)).alias(
+                "y"
+            ),
+        )
+        .select(
+            F.when(hash_bucket("user_id") < 500000, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("variant"),
+            "x",
+            "y",
+        )
+    )
+
+
+
+
 @query(
     "events_cuped_readout",
     f"""
@@ -1458,34 +1490,10 @@ _CUPED_SPLIT = "2024-01-16 00:00:00"
     "bounded 1-row statistic.",
 )
 def q_events_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from teleco_etl_pipeline_spark.functions import ntz_lit
-    from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
-
     ev = load_table(spark, sf_dir, "events")
-    split = ntz_lit(_CUPED_SPLIT)
-    cents = F.round(F.col("value") * 100, 0).cast("long")
-    users = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(
-            F.sum(F.when(F.col("ts") < split, cents).otherwise(0)).alias(
-                "x"
-            ),
-            F.sum(F.when(F.col("ts") >= split, cents).otherwise(0)).alias(
-                "y"
-            ),
-        )
-        .select(
-            F.when(hash_bucket("user_id") < 500000, F.lit("A"))
-            .otherwise(F.lit("B"))
-            .alias("variant"),
-            "x",
-            "y",
-        )
-        # Two consumers (pooled moments + per-variant agg): checkpoint
-        # so the event reduce runs once (materialized-superstep rule).
-        .localCheckpoint(eager=True)
-    )
+    # Two consumers (pooled moments + per-variant agg): checkpoint
+    # so the event reduce runs once (materialized-superstep rule).
+    users = cuped_user_frame(ev).localCheckpoint(eager=True)
     # Pooled moments: ONE bounded 1-row statistic, folded in as
     # driver literals (the bounded-stats pattern). Sums are exact
     # int64 (per-user cents ~1e5-1e6, squares ~1e12, corpus sums

@@ -528,3 +528,86 @@ def test_incremental_index_dedup_broadcasts_batch_probe(spark, sf_dir):
     plan = _plan(spark, sf_dir, "incremental_index_dedup")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cuped_prunes_and_pushes_event_scan(spark, sf_dir):
+    """CUPED's user reduce (the pre-checkpoint frame — the final
+    readout plan only shows the checkpointed RDD scan) reads exactly
+    the four event columns its math touches (ts/user_id/event_type/
+    value — never props or event_id), the purchase filter reaches the
+    parquet reader as a PushedFilter, and the reduce is joins-free."""
+    from teleco_etl_pipeline_spark.plans.stats import cuped_user_frame
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    df = cuped_user_frame(load_table(spark, sf_dir, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    for col in ("ts", "user_id", "event_type", "value"):
+        assert col in read_schema
+    assert "props" not in read_schema and "event_id" not in read_schema
+    assert "PushedFilters: [" in plan
+    assert "event_type" in plan.split("PushedFilters: ")[1].splitlines()[0]
+    for marker in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert marker not in plan
+
+
+def test_ppr_superstep_broadcasts_frontier(spark, sf_dir):
+    """PPR's sparse-frontier contract: the rank frame (one row at r0,
+    frontier-sized after) must be the BROADCAST side of the superstep
+    join against the corpus-sized weighted edge list — never a
+    shuffle of the edges, never a nested loop. Asserted on one lazily
+    built superstep (the registered query's executed plan only shows
+    the final checkpointed scan + TakeOrdered)."""
+    from pyspark.sql import functions as F
+
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    edges = pairs.selectExpr(
+        "2 * o_custkey AS src", "2 * l_suppkey + 1 AS dst"
+    ).unionAll(
+        pairs.selectExpr("2 * l_suppkey + 1 AS src", "2 * o_custkey AS dst")
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    wedges = edges.join(outdeg, "src").select("src", "dst", "outdeg")
+    rank = spark.createDataFrame([(2, 10**12)], "node long, rank_units long")
+    step = (
+        wedges.join(rank, wedges["src"] == rank["node"])
+        .select("dst", F.expr("rank_units div outdeg").alias("contrib"))
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("contrib").alias("s"))
+    )
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    # The frontier join itself must broadcast the rank side.
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sq8_is_scan_plus_takeordered(spark, sf_dir):
+    """SQ8's candidate stage is ONE projection scan over the
+    embeddings table feeding a TakeOrdered top-C (the trained range
+    and query code are literals) — no join anywhere; the rerank runs
+    on the 50-row candidate frame."""
+    plan = _plan(spark, sf_dir, "embedding_sq8_topk")
+    assert "TakeOrderedAndProject" in plan
+    for marker in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert marker not in plan
