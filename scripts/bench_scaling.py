@@ -69,8 +69,9 @@ verdict's watch #6), isolated best-of-3 measurements:
   SMALL-FILE PARTITION CLIFF, the exact_dedup class — the 5.9 MB sf1
   documents file byte-splits to 2 of 32 cores and the CPU-bound
   tokenize+explode ran there. ensure_min_splits guard added before
-  both explodes: sf1 2.61 -> 1.19 s and 3.47 -> 1.89 s (growth now
-  ~x2.3 / ~x2.5 per 10x; no-op at >= 1 split/core layouts).
+  both explodes: sf1 2.61 -> 1.19 s and 3.47 -> 1.89 s isolated;
+  SCALING_r11 records x1.17 and x0.51 per 10x (no-op at >= 1
+  split/core layouts).
 - poisson_bootstrap_ci (x3.5, DECLARED work-linear): 16 md5 digests
   per order row, already repartitioned to core count before the
   fan-out (stages run 32-wide). Work grows exactly x10 per decade;
@@ -91,8 +92,12 @@ verdict's watch #6), isolated best-of-3 measurements:
   fact column; its sort cost grows super-linearly in one task while
   every other stage amortizes). The r11 rewrite computes the edges
   via the bounded-memory value-histogram machinery
-  (operators/quantiles.py) — re-measure lands in SCALING_r11.json
-  and the x3.9 claim is retired with the code that produced it.
+  (operators/quantiles.py) — SCALING_r11 measures the new plan at
+  x1.49 per 10x at sf1 (2.57 s), and the x3.9 claim is retired with
+  the code that produced it. The hub-guarded
+  token_jaccard_prefix_pairs default lands at x1.11 (0.80 s at sf1)
+  vs its lossless _uncapped twin's x58.7 (110 s) — the sized-vs-
+  fixed contrast this harness exists to measure.
 
 RESOLVED in r10 (previously the fixed-config killers; the sized
 paths are now the registered defaults, oracle-backed at every SF):
