@@ -60,6 +60,18 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         # Quiet timezone semantics: store/compare in UTC everywhere.
         .config("spark.sql.session.timeZone", "UTC")
+        # --- Driver heap: in local mode the driver JVM IS every
+        #     executor; Spark's 1g default is laptop-sized and a
+        #     long bench/parity session (hundreds of queries of
+        #     accumulated broadcasts + block-manager state on 32
+        #     threads) eventually fails a broadcast build against it
+        #     (r11: trade_graph_ppr at bench query ~170). 16g on the
+        #     128 GiB box; only effective at session creation, and
+        #     extra_conf (scaling harnesses pass 32-48g) overrides. ---
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
