@@ -297,6 +297,12 @@ _RECORD_LAST = [
     "events_cuped_readout",
     "trade_graph_ppr",
     "embedding_sq8_topk",
+    "events_key_skew_report",
+    "model_lift_gains",
+    "embedding_hard_negatives",
+    "doc_char_entropy",
+    "events_markov_stationary",
+    "doc_textrank_keywords",
 ]
 
 

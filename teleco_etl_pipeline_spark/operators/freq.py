@@ -840,3 +840,128 @@ def token_skipgram_counts(
         .orderBy(F.desc("cnt"), "w1", "w2")
         .limit(top_n)
     )
+
+
+# --- TextRank keyword extraction ---------------------------------------------
+
+_TR_ITERS, _TR_SCALE = 3, 10**12
+_TR_D_NUM, _TR_D_DEN = 85, 100
+_TR_TOPK = 20
+
+
+def _textrank_oracle_sql() -> str:
+    from teleco_etl_pipeline_spark.operators.graph import _pagerank_sql
+
+    body = _pagerank_sql(
+        _TR_ITERS, _TR_SCALE, _TR_D_NUM, _TR_D_DEN, _TR_TOPK
+    ).replace("IDIV", "//")
+    # splice: the builder opens its own WITH; merge into ours.
+    pr = body.strip().removeprefix("WITH")
+    return f"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), adj AS (
+      SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT) + 1] AS b
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ), pairs AS (
+      SELECT DISTINCT a, b FROM adj WHERE a <> b
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b, a FROM pairs
+    ), {pr.replace(
+        "SELECT node, CAST(rank_units AS BIGINT) AS rank_units",
+        "SELECT node AS token, CAST(rank_units AS BIGINT) AS rank_units",
+        1,
+    ).replace("ORDER BY rank_units DESC, node", "ORDER BY rank_units DESC, token")}
+    """
+
+
+@query(
+    "doc_textrank_keywords",
+    _textrank_oracle_sql(),
+    doc="TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): "
+    "integer PageRank (3 unrolled iterations, damping 85/100, the "
+    "trade-graph micro-units discipline) over the UNDIRECTED global "
+    "token co-occurrence graph — adjacent-token edges, deduped, both "
+    "directions — ranking the corpus's structurally central "
+    "vocabulary for tagging/indexing. Graph build is one explode + "
+    "distinct (vocabulary-sized, NOT corpus-sized after the dedup); "
+    "each superstep is one equi-join + partial-agg reduce over the "
+    "materialized edge list with out-degree folded in (contrib = "
+    "rank div outdeg distributes over the join — the pagerank "
+    "single-join superstep). All arithmetic integer div — "
+    "engine-identical by construction.",
+)
+def q_doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textrank_keywords(
+        load_table(spark, sf_dir, "documents"), topk=_TR_TOPK
+    )
+
+
+def textrank_keywords(
+    docs: DataFrame, topk: int = _TR_TOPK, text_col: str = "text"
+) -> DataFrame:
+    """See ``doc_textrank_keywords``: integer-PageRank token ranking
+    over the undirected adjacent-token co-occurrence graph."""
+    t = tokens(text_col)
+    adj = (
+        docs.select(t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS a, t[i] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    edges = (
+        adj.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(adj.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ).localCheckpoint(eager=True)
+    n = outdeg.count()
+    base = ((_TR_D_DEN - _TR_D_NUM) * _TR_SCALE) // (_TR_D_DEN * n)
+    r0_units = _TR_SCALE // n
+    # out-degree folded into the edge list once (the single-join
+    # superstep: contrib = rank div outdeg distributes over the join)
+    wedges = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
+    )
+    rank = outdeg.select(
+        F.col("src").alias("node"),
+        F.lit(r0_units).cast("long").alias("rank_units"),
+    ).localCheckpoint(eager=True)
+    for _ in range(_TR_ITERS):
+        rank = (
+            wedges.join(rank, wedges["src"] == rank["node"])
+            .select("dst", F.expr("rank_units div outdeg").alias("contrib"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({_TR_D_NUM} * sum(contrib)) div {_TR_D_DEN}"
+                    )
+                ).alias("rank_units")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        rank.select(F.col("node").alias("token"), "rank_units")
+        .orderBy(F.desc("rank_units"), F.asc("token"))
+        .limit(topk)
+    )

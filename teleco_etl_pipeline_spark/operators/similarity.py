@@ -2483,6 +2483,110 @@ def q_embedding_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_topk(emb, qs, k=5)
 
 
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every
+    anchor query, the top-k most-similar corpus vectors whose label
+    DIFFERS from the anchor's — the highest-loss negatives a
+    triplet/InfoNCE objective can be fed (Xiong et al., ANCE,
+    ICLR'21: negatives drawn near the decision boundary dominate
+    random in-batch negatives).
+
+    Same scale shape as :func:`batch_topk` (one corpus scan,
+    broadcast anchor set, per-anchor ranking window), plus the label
+    inequality applied AT THE JOIN, so disallowed (same-class) pairs
+    never enter the score/shuffle path at all. For anchor sets too
+    large to broadcast, swap the join for the bucketed LSH candidate
+    pairs and keep the same label filter + window.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(query_label_col).alias("_qlabel"),
+        quantized_vec_col(F.col(query_vec_col)).alias("_qv"),
+    ).select(
+        "_qid",
+        "_qlabel",
+        "_qv",
+        quantized_den_col(F.col("_qv")).alias("_qden"),
+    )
+    corpus = emb.select(
+        F.col(id_col),
+        F.col(label_col),
+        quantized_vec_col(F.col(vec_col)).alias("_cv"),
+    ).select(
+        id_col, label_col, "_cv", quantized_den_col(F.col("_cv")).alias("_cden")
+    )
+    scored = corpus.join(
+        F.broadcast(q),
+        (F.col(id_col) != F.col("_qid"))
+        & (F.col(label_col) != F.col("_qlabel")),
+    ).select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        F.col(label_col).alias("neg_label"),
+        quantized_key(
+            _dot(F.col("_cv"), F.col("_qv")),
+            F.col("_cden") * F.col("_qden"),
+        ).alias("cosine_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "neg_label", "cosine_sim")
+    )
+
+
+@query(
+    "embedding_hard_negatives",
+    f"""
+    WITH base AS (
+      SELECT vec_id, label, {_sql_qvec("embedding")} AS q FROM embeddings
+    ), bb AS (
+      SELECT vec_id, label, q, list_dot_product(q, q) AS den FROM base
+    ), qq AS (
+      SELECT vec_id AS query_id, label AS qlabel, q AS qv, den AS qden
+      FROM bb WHERE vec_id < 5
+    )
+    SELECT query_id, vec_id, label AS neg_label,
+           {_sql_qkey("list_dot_product(e.q, qq.qv)", "e.den", "qq.qden")}
+             AS cosine_sim
+    FROM bb e JOIN qq
+      ON e.vec_id <> qq.query_id AND e.label <> qq.qlabel
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id ASC) <= 5
+    """,
+    doc="Hard-negative mining (ANCE-style) for contrastive "
+    "training: per anchor (vec_id < 5), the top-5 most-similar "
+    "corpus vectors with a DIFFERENT label — boundary-hugging "
+    "negatives for triplet/InfoNCE batches. One corpus scan against "
+    "the broadcast anchor set with the label inequality applied at "
+    "the join (same-class pairs never scored), quantized-exact "
+    "cosine ranking key, per-anchor window top-k.",
+)
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return hard_negatives(emb, qs, k=5)
+
+
 def _semantic_prune_oracle_sql() -> str | None:
     sd = _semdedup_oracle_sql()
     if sd is None:

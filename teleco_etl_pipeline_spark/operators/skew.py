@@ -21,8 +21,11 @@ retry, breaking exactly-once sinks).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from teleco_etl_pipeline_spark.plans.registry import query
+from teleco_etl_pipeline_spark.sources.tables import load_table
 
 SALT_COL = "__salt"
 
@@ -72,3 +75,85 @@ def salted_join(
     )
     out = left.join(right, on + [SALT_COL], how)
     return out.drop(SALT_COL)
+
+
+def key_skew_report(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Shuffle-skew diagnostic: per ``group_col``, how concentrated
+    is the ``key_col`` distribution that a join/groupBy on that key
+    would shuffle? Reports the exact-integer concentration moments a
+    planner needs to pick broadcast / salt / AQE:
+
+    - ``n_rows`` / ``n_keys`` — fact rows vs distinct reducer keys;
+    - ``max_key_rows`` and ``top1_share`` — the single hottest
+      reducer's row count and its share of the group (the "one task
+      runs forever" number);
+    - ``hhi`` — the Herfindahl–Hirschman index Σ(cᵢ/N)² = Σcᵢ²/N²,
+      the standard concentration index: 1/n_keys when uniform, →1
+      when one key owns the group. ``hhi · n_keys`` > ~4 is the
+      practical "salt this join" trigger.
+
+    Scale shape: ONE partial-aggregated (group, key) count shuffle
+    (the same reduce the diagnosed join would pay, so if THIS runs,
+    the diagnosis is affordable) followed by a group-level fold —
+    every moment (Σc, Σc², max c, count) is an exact int64 sum with
+    map-side combine, so the report itself never skews: the hot key
+    collapses to one row before the second shuffle. Shares are one
+    correctly-rounded division per group at the end.
+    """
+    per_key = df.groupBy(group_col, key_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.sum("c")
+    return (
+        per_key.groupBy(group_col)
+        .agg(
+            n.cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_key_rows"),
+            F.round(
+                F.max("c").cast("double") / n.cast("double") + F.lit(1e-9),
+                6,
+            ).alias("top1_share"),
+            F.round(
+                F.sum(F.col("c") * F.col("c")).cast("double")
+                / (n * n).cast("double")
+                + F.lit(1e-9),
+                6,
+            ).alias("hhi"),
+        )
+        .orderBy(group_col)
+    )
+
+
+@query(
+    "events_key_skew_report",
+    """
+    WITH per_key AS (
+      SELECT event_type, user_id, COUNT(*) AS c
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(SUM(c) AS BIGINT)   AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT)   AS max_key_rows,
+           ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                 + 1e-9, 6) AS top1_share,
+           ROUND(CAST(SUM(c * c) AS DOUBLE)
+                 / CAST(SUM(c) * SUM(c) AS DOUBLE) + 1e-9, 6) AS hhi
+    FROM per_key GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Hot-key shuffle-skew diagnostic over the events stream: per "
+    "event_type, the user_id reducer-key concentration a join or "
+    "sessionize on user_id would shuffle — n_rows/n_keys, the "
+    "hottest key's row count and share, and the exact Herfindahl "
+    "index Σcᵢ²/N² (1/n_keys uniform → 1 monopolized). This is the "
+    "measurement half of the salting family (`with_salt`/"
+    "`salted_join` act on what it finds); all moments are exact "
+    "int64 sums with map-side combine, so the diagnostic itself "
+    "cannot skew — the hot key is one row after the first reduce.",
+)
+def q_events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return key_skew_report(ev, "event_type", "user_id")

@@ -885,3 +885,78 @@ def q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("precision_share"),
     ).orderBy("lang_declared", "lang_guess")
+
+
+def char_entropy(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document Shannon character entropy in exact integer
+    micro-bits — the classic low-information filter (binary blobs,
+    key-mash spam, and boilerplate repeats sit far from natural
+    text's ~4 bits/char; cf. Gopher's quality heuristics,
+    Rae et al. 2021 §A1.1).
+
+    H = log2(n) − (Σ_c cnt·log2(cnt))/n is computed with every
+    surprisal FLOOR-quantized to integer micro-bits ONCE per distinct
+    count (the freq.py bigram-logprob pattern), so all sums are
+    order-independent int64 and the result is engine-identical by
+    construction. Scale shape: one explode + (doc, char) partial-agg
+    reduce, then a doc-level fold — alphabet-bounded (≤ a few hundred
+    rows per doc after the first combine), zero Python in the path.
+    """
+    chars = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    cc = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    n = F.sum("cnt").cast("long")
+    # floor(log2(cnt)·1e6) — quantized once per (doc, char) row; the
+    # doc-level log2(n) term quantizes identically on both engines.
+    s = F.sum(
+        F.col("cnt")
+        * F.floor(F.log2(F.col("cnt").cast("double")) * 1e6).cast("long")
+    ).cast("long")
+    return (
+        cc.groupBy(id_col)
+        .agg(
+            n.alias("n_chars_seen"),
+            F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+            F.expr(
+                "CAST((CAST(FLOOR(log2(CAST(sum(cnt) AS DOUBLE)) * 1000000.0)"
+                " AS BIGINT) * CAST(sum(cnt) AS BIGINT)"
+                " - CAST(sum(cnt * CAST(FLOOR(log2(CAST(cnt AS DOUBLE))"
+                " * 1000000.0) AS BIGINT)) AS BIGINT))"
+                " div CAST(sum(cnt) AS BIGINT) AS BIGINT)"
+            ).alias("entropy_ubits"),
+        )
+        .orderBy(id_col)
+    )
+
+
+@query(
+    "doc_char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ), cc AS (
+      SELECT doc_id, ch, COUNT(*) AS cnt FROM chars
+      WHERE ch <> '' GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_chars_seen,
+           CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+           CAST((CAST(FLOOR(log2(CAST(SUM(cnt) AS DOUBLE)) * 1000000.0)
+                   AS BIGINT) * CAST(SUM(cnt) AS BIGINT)
+                 - CAST(SUM(cnt * CAST(FLOOR(log2(CAST(cnt AS DOUBLE))
+                     * 1000000.0) AS BIGINT)) AS BIGINT))
+                // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS entropy_ubits
+    FROM cc GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Per-document Shannon character entropy (integer micro-bits, "
+    "H = log2 n − Σ cnt·log2 cnt / n with floor-quantized "
+    "surprisals — the freq.py exact-integer log pattern): the "
+    "low-information corpus filter that catches binary junk, "
+    "key-mash, and repeated boilerplate, which length/stopword "
+    "heuristics miss. One explode + alphabet-bounded (doc,char) "
+    "reduce; every sum int64, engine-identical by construction.",
+)
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return char_entropy(load_table(spark, sf_dir, "documents"))

@@ -1640,6 +1640,114 @@ def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "model_lift_gains",
+    """
+    WITH scored AS (
+      SELECT c.c_custkey, c.c_acctbal,
+             CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+      FROM customer c
+      LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        ON o.o_custkey = c.c_custkey
+    ),
+    d AS (
+      SELECT NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey DESC)
+               AS decile, y
+      FROM scored
+    ),
+    g AS (
+      SELECT decile, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM d GROUP BY decile
+    ),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+             CAST(SUM(n_pos) AS BIGINT) AS tot_pos
+      FROM g
+    )
+    SELECT decile,
+           n,
+           n_pos,
+           ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) + 1e-9, 6)
+             AS pos_rate,
+           ROUND(CAST(n_pos * tot_n AS DOUBLE)
+                 / CAST(n * tot_pos AS DOUBLE) + 1e-9, 6) AS lift,
+           ROUND(CAST(CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT)
+                      AS DOUBLE)
+                 / CAST(tot_pos AS DOUBLE) + 1e-9, 6) AS cum_capture
+    FROM g, t ORDER BY decile
+    """,
+    doc="Decile lift/gains table — the campaign-targeting companion "
+    "to `score_calibration_bins`: rank customers by the score "
+    "(account balance, the same proxy the calibration query bins), "
+    "cut into NTILE(10) deciles best-first, and report per-decile "
+    "positive rate, lift over the base rate (exact rational "
+    "n_pos·totN / n·totPos through one CR division), and cumulative "
+    "capture (the gains curve: what share of all positives the top-k "
+    "deciles reach). The global NTILE is the one total-order sort — "
+    "range-partitioned at scale, the same shape every gains table "
+    "pays — and everything after runs on 10 rows; all moments are "
+    "exact int64 counts, so cross-engine hashes agree by "
+    "construction.",
+)
+def q_model_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    buyers = orders.select("o_custkey").distinct()
+    scored = cust.join(
+        buyers, cust["c_custkey"] == buyers["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("y"),
+    )
+    w = Window.orderBy(F.desc("c_acctbal"), F.desc("c_custkey"))
+    g = (
+        scored.select(F.ntile(10).over(w).alias("decile"), "y")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+    )
+    # Totals: one bounded 1-row statistic folded in as driver
+    # literals (the bounded-stats pattern — g is exactly 10 rows,
+    # but the literal fold keeps the final projection windowless
+    # joins-free and matches the oracle's t CTE bit-for-bit).
+    tot = g.agg(
+        F.sum("n").cast("long").alias("tot_n"),
+        F.sum("n_pos").cast("long").alias("tot_pos"),
+    ).first()
+    tot_n, tot_pos = int(tot["tot_n"]), int(tot["tot_pos"])
+    cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n").cast("double")
+                + F.lit(1e-9),
+                6,
+            ).alias("pos_rate"),
+            F.round(
+                (F.col("n_pos") * F.lit(tot_n)).cast("double")
+                / (F.col("n") * F.lit(tot_pos)).cast("double")
+                + F.lit(1e-9),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.sum("n_pos").over(cum).cast("double")
+                / F.lit(tot_pos).cast("double")
+                + F.lit(1e-9),
+                6,
+            ).alias("cum_capture"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
     "priority_target_encoding",
     """
     WITH c AS (

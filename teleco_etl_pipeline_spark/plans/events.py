@@ -1214,3 +1214,104 @@ def q_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(half_up(p99 + 1e-9, 1)).alias("p99_s"),
         "max_s",
     )
+
+
+@query(
+    "events_markov_stationary",
+    """
+    WITH seq AS (
+      SELECT event_type AS cur_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT cur_type, next_type, COUNT(*) AS cnt
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY cur_type, next_type
+    ), outs AS (
+      SELECT cur_type, CAST(SUM(cnt) AS BIGINT) AS n_a FROM pairs GROUP BY 1
+    ), w AS (
+      SELECT p.cur_type, p.next_type,
+             CAST(p.cnt * 1000000 AS BIGINT) // o.n_a AS w
+      FROM pairs p JOIN outs o USING (cur_type)
+    ), x0 AS (
+      SELECT cur_type AS state,
+             CAST(1000000000000 // (SELECT COUNT(*) FROM outs) AS BIGINT)
+               AS units
+      FROM outs
+    ), it1 AS (
+      SELECT w.next_type AS state,
+             CAST(SUM((x.units * w.w) // 1000000) AS BIGINT) AS units
+      FROM w JOIN x0 x ON x.state = w.cur_type GROUP BY 1
+    ), it2 AS (
+      SELECT w.next_type AS state,
+             CAST(SUM((x.units * w.w) // 1000000) AS BIGINT) AS units
+      FROM w JOIN it1 x ON x.state = w.cur_type GROUP BY 1
+    ), it3 AS (
+      SELECT w.next_type AS state,
+             CAST(SUM((x.units * w.w) // 1000000) AS BIGINT) AS units
+      FROM w JOIN it2 x ON x.state = w.cur_type GROUP BY 1
+    )
+    SELECT state AS event_type, units AS stationary_units
+    FROM it3 ORDER BY event_type
+    """,
+    doc="Stationary distribution of the user-behavior Markov chain "
+    "(3 unrolled power-iteration steps from uniform, the PageRank "
+    "integer-units discipline): transition weights are row-"
+    "stochastic micro-units w_ab = cnt·1e6 div out_a, state mass "
+    "x'_b = Σ_a (x_a·w_ab) div 1e6 with per-edge floor — every "
+    "intermediate is int64, engine-identical by construction "
+    "(envelope: x ≤ 1e12, w ≤ 1e6 → products ≤ 1e18 < 2^63). The "
+    "event stream is touched ONCE (the LEAD window + pair reduce); "
+    "all iterations run on the |types|² weight matrix, checkpointed "
+    "so supersteps never re-scan the stream — the long-run visit "
+    "profile that calibrates session-mix forecasts.",
+)
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy(
+        epoch_us("ts"), F.col("event_id")
+    )
+    seq = ev.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(win).alias("next_type"),
+    )
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    outs = pairs.groupBy("cur_type").agg(
+        F.sum("cnt").cast("long").alias("n_a")
+    )
+    # |types|²-row weight matrix, materialized once: iterations scan
+    # these rows, never the events lineage (materialized-superstep
+    # rule). outs is |types| rows → broadcast by AQE on its own.
+    w = (
+        pairs.join(outs, "cur_type")
+        .select(
+            "cur_type",
+            "next_type",
+            F.expr("CAST(cnt * 1000000 AS BIGINT) div n_a").alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    k = outs.count()
+    x = outs.select(
+        F.col("cur_type").alias("state"),
+        F.lit(1000000000000 // k).cast("long").alias("units"),
+    )
+    for _ in range(3):
+        x = (
+            w.join(x, w["cur_type"] == x["state"])
+            .select(
+                F.col("next_type"),
+                F.expr("(units * w) div 1000000").alias("m"),
+            )
+            .groupBy(F.col("next_type").alias("state"))
+            .agg(F.sum("m").cast("long").alias("units"))
+        )
+    return x.select(
+        F.col("state").alias("event_type"),
+        F.col("units").alias("stationary_units"),
+    ).orderBy("event_type")

@@ -65,6 +65,7 @@ def all_queries() -> dict[str, Query]:
     from teleco_etl_pipeline_spark.operators import sampling  # noqa: F401
     from teleco_etl_pipeline_spark.operators import scd  # noqa: F401
     from teleco_etl_pipeline_spark.operators import similarity  # noqa: F401
+    from teleco_etl_pipeline_spark.operators import skew  # noqa: F401
     from teleco_etl_pipeline_spark.operators import sketch  # noqa: F401
     from teleco_etl_pipeline_spark.operators import text  # noqa: F401
 

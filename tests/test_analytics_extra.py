@@ -317,3 +317,88 @@ def test_bloom_prune_plans_broadcast_not_shuffle(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan  # dim FP-accounting join
     assert "SortMergeJoin" not in plan
+
+
+def test_char_entropy_exact_on_hand_docs(spark):
+    """Entropy micro-bit arithmetic pinned on closed-form docs:
+    'aaaa' → 0 bits, 'abab' → 1 bit exactly (powers of two make the
+    floor quantization lossless), 'abcd' → 2 bits; uniform bound
+    H ≤ log2(distinct_chars)."""
+    from teleco_etl_pipeline_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert out[1].entropy_ubits == 0
+    assert out[1].distinct_chars == 1 and out[1].n_chars_seen == 4
+    assert out[2].entropy_ubits == 1_000_000
+    assert out[3].entropy_ubits == 2_000_000
+
+
+def test_char_entropy_bounds_on_corpus(spark, sf_dir):
+    import math
+
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    rows = all_queries()["doc_char_entropy"].build(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.entropy_ubits
+        # floor quantization only ever rounds DOWN, so the uniform
+        # bound holds with no tolerance
+        assert r.entropy_ubits <= math.log2(r.distinct_chars) * 1e6 + 1
+        assert r.distinct_chars <= r.n_chars_seen
+
+
+def test_markov_stationary_two_state_alternator(spark):
+    """A deterministic a↔b alternator has stationary (1/2, 1/2): the
+    integer power iteration must preserve the exact split (weights
+    are exactly 1e6, so no floor loss)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from teleco_etl_pipeline_spark.plans import events as events_plan  # noqa: F401
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            event_id=i,
+            ts=base + dt.timedelta(minutes=i),
+            user_id=1,
+            event_type="a" if i % 2 == 0 else "b",
+            value=1.0,
+            props="{}",
+        )
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = (
+            all_queries()["events_markov_stationary"]
+            .build(spark, d)
+            .collect()
+        )
+    units = {r.event_type: r.stationary_units for r in out}
+    assert units == {"a": 500_000_000_000, "b": 500_000_000_000}
+
+
+def test_markov_stationary_mass_nearly_conserved(spark, sf_dir):
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["events_markov_stationary"].build(spark, sf_dir).collect()
+    )
+    total = sum(r.stationary_units for r in rows)
+    # Floor losses only, dominated by the row-stochastic weight
+    # quantization: each out-row's Σ_b w_ab falls short of 1e6 by at
+    # most #states floors → relative mass loss ≤ states/1e6 per
+    # iteration (plus ≤1 unit per edge-division). 3 iterations over
+    # a ≤25-state graph: ≥ (1 − 25e-6)³ of the initial 1e12.
+    assert 10**12 * (1 - 25e-6) ** 3 - 200 <= total <= 10**12
+    assert all(r.stationary_units > 0 for r in rows)

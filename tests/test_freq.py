@@ -349,3 +349,34 @@ def test_collocation_pmi_matches_pure_python(spark, sf_dir):
     assert got == want
     # lift of a true collocation beats independence (lift > 1)
     assert all(t[3] > 1.0 for t in got)
+
+
+def test_textrank_path_graph_center_wins(spark):
+    """On a pure path corpus 'x y z', the center token y has degree 2
+    vs 1 — TextRank must rank it first; symmetric ends tie and break
+    alphabetically."""
+    from teleco_etl_pipeline_spark.operators.freq import textrank_keywords
+
+    docs = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
+    rows = textrank_keywords(docs, topk=3).collect()
+    assert [r.token for r in rows] == ["y", "x", "z"]
+    assert rows[0].rank_units > rows[1].rank_units
+    assert rows[1].rank_units == rows[2].rank_units
+
+
+def test_textrank_dedups_repeated_cooccurrence(spark):
+    """Edges are DISTINCT pairs: repeating the same bigram must not
+    change ranks (unweighted TextRank), while adding a NEW neighbor
+    must raise the hub's rank."""
+    from teleco_etl_pipeline_spark.operators.freq import textrank_keywords
+
+    once = textrank_keywords(
+        spark.createDataFrame([(1, "x y z")], ["doc_id", "text"]), topk=3
+    ).collect()
+    rep = textrank_keywords(
+        spark.createDataFrame([(1, "x y x y z")], ["doc_id", "text"]),
+        topk=3,
+    ).collect()
+    assert [(r.token, r.rank_units) for r in once] == [
+        (r.token, r.rank_units) for r in rep
+    ]

@@ -293,6 +293,93 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert len(top) == 3 and top[0]["n_rows"] >= top[-1]["n_rows"]
 
 
+def test_key_skew_report_exact_on_hand_frame(spark, sf_dir):
+    """HHI/top1 arithmetic pinned on a hand frame (group a: counts
+    3+1 → top1 3/4, hhi (9+1)/16; group b uniform → hhi = 1/n_keys),
+    then invariants on the real events table."""
+    from teleco_etl_pipeline_spark.operators.skew import key_skew_report
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    rows = spark.createDataFrame(
+        [("a", 1)] * 3 + [("a", 2)] + [("b", 1), ("b", 2)],
+        ["g", "k"],
+    )
+    out = {r["g"]: r for r in key_skew_report(rows, "g", "k").collect()}
+    a, b = out["a"], out["b"]
+    assert (a.n_rows, a.n_keys, a.max_key_rows) == (4, 2, 3)
+    assert abs(a.top1_share - 0.75) < 1e-6
+    assert abs(a.hhi - 0.625) < 1e-6
+    assert abs(b.hhi - 0.5) < 1e-6 and abs(b.top1_share - 0.5) < 1e-6
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    for r in key_skew_report(ev, "event_type", "user_id").collect():
+        assert r.n_keys <= r.n_rows
+        assert r.max_key_rows * r.n_keys >= r.n_rows  # max ≥ mean
+        assert 1.0 / r.n_keys - 1e-6 <= r.hhi <= 1.0
+        assert r.top1_share <= 1.0 and r.top1_share >= 1.0 / r.n_keys - 1e-6
+
+
+def test_model_lift_gains_invariants(spark, sf_dir):
+    """Gains-table invariants: 10 deciles, counts sum to the
+    customer count, cum_capture is nondecreasing and ends at 1.0,
+    and the n-weighted mean of lift is 1 (lift is pos_rate over the
+    base rate, so Σ n·lift = Σ n_pos · totN / totPos)."""
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    rows = all_queries()["model_lift_gains"].build(spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.n for r in rows) == n_cust
+    caps = [r.cum_capture for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(caps, caps[1:]))
+    assert abs(caps[-1] - 1.0) < 1e-6
+    tot = sum(r.n for r in rows)
+    wmean_lift = sum(r.n * r.lift for r in rows) / tot
+    assert abs(wmean_lift - 1.0) < 1e-3
+
+
+def test_hard_negatives_label_exclusion_and_rank(spark, sf_dir):
+    """Every mined negative has a label differing from its anchor's,
+    exactly k rows per anchor, and each anchor's best negative is no
+    more similar than its unconstrained batch_topk best."""
+    from pyspark.sql import functions as F
+
+    from teleco_etl_pipeline_spark.operators.similarity import (
+        batch_topk,
+        hard_negatives,
+    )
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    negs = hard_negatives(emb, qs, k=5).collect()
+    anchor_label = {
+        r["vec_id"]: r["label"]
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+    per_anchor: dict[int, int] = {}
+    for r in negs:
+        assert r.neg_label != anchor_label[r.query_id]
+        per_anchor[r.query_id] = per_anchor.get(r.query_id, 0) + 1
+    assert per_anchor == {i: 5 for i in range(5)}
+    best_any = {
+        r["query_id"]: r["cosine_sim"]
+        for r in batch_topk(emb, qs.drop("query_label"), k=1).collect()
+    }
+    best_neg: dict[int, float] = {}
+    for r in negs:
+        best_neg[r.query_id] = max(
+            best_neg.get(r.query_id, -2.0), r.cosine_sim
+        )
+    for qid, sim in best_neg.items():
+        assert sim <= best_any[qid] + 1e-12
+
+
 def test_salted_join_rejects_right_outer(spark):
     import pytest as _pytest
     from teleco_etl_pipeline_spark.operators.skew import salted_join
