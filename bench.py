@@ -209,6 +209,12 @@ BENCH_QUERIES = [
     "events_cuped_readout",     # CUPED variance-reduced A/B readout
     "trade_graph_ppr",          # personalized PageRank, sparse frontier
     "embedding_sq8_topk",       # int8 scalar-quantized candidate scan + rerank
+    "events_key_skew_report",   # hot-key concentration diagnostic (HHI)
+    "model_lift_gains",         # decile lift/gains table (global NTILE)
+    "embedding_hard_negatives", # label-constrained contrastive ANN mining
+    "doc_char_entropy",         # integer micro-bit char entropy filter
+    "events_markov_stationary", # integer power iteration on type matrix
+    "doc_textrank_keywords",    # integer PageRank over token co-occurrence
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

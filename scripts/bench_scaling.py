@@ -266,6 +266,19 @@ QUERIES = [
     "trade_graph_ppr",
     # symmetric-int8 quantized candidate scan + exact rerank
     "embedding_sq8_topk",
+    # -- round-11 second-session additions ------------------------------
+    # skew diagnostic: two partial-agg reduces, hot key folds after 1st
+    "events_key_skew_report",
+    # gains table: one global NTILE sort window + 10-row algebra
+    "model_lift_gains",
+    # label-constrained batch ANN (broadcast anchors, one corpus scan)
+    "embedding_hard_negatives",
+    # char explode + alphabet-bounded (doc,char) reduce
+    "doc_char_entropy",
+    # LEAD window + pair reduce once; iterations on |types|^2 matrix
+    "events_markov_stationary",
+    # vocabulary-sized co-occurrence graph + 3 integer PR supersteps
+    "doc_textrank_keywords",
 ]
 
 

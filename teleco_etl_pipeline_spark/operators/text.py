@@ -908,12 +908,6 @@ def char_entropy(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ).filter(F.col("ch") != "")
     cc = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("cnt"))
     n = F.sum("cnt").cast("long")
-    # floor(log2(cnt)·1e6) — quantized once per (doc, char) row; the
-    # doc-level log2(n) term quantizes identically on both engines.
-    s = F.sum(
-        F.col("cnt")
-        * F.floor(F.log2(F.col("cnt").cast("double")) * 1e6).cast("long")
-    ).cast("long")
     return (
         cc.groupBy(id_col)
         .agg(

@@ -1707,6 +1707,9 @@ def q_model_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("y").cast("long").alias("n_pos"),
         )
+        # two consumers (totals fold + final projection): checkpoint
+        # the 10-row frame so the global NTILE sort runs once
+        .localCheckpoint(eager=True)
     )
     # Totals: one bounded 1-row statistic folded in as driver
     # literals (the bounded-stats pattern — g is exactly 10 rows,

@@ -611,3 +611,50 @@ def test_sq8_is_scan_plus_takeordered(spark, sf_dir):
         "CartesianProduct",
     ):
         assert marker not in plan
+
+
+def test_key_skew_report_is_two_reduces_no_join(spark, sf_dir):
+    """The skew diagnostic must never itself skew: two hash
+    aggregations (map-side combined), zero joins, and the scan reads
+    only the two key columns."""
+    plan = _plan(spark, sf_dir, "events_key_skew_report")
+    for marker in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert marker not in plan
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "event_type" in read_schema and "user_id" in read_schema
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_hard_negatives_broadcasts_anchor_set(spark, sf_dir):
+    """Hard-negative mining is the batch_topk broadcast shape: the
+    anchor set broadcasts (BroadcastNestedLoopJoin on the inequality
+    pair — the sanctioned Q≪N scan), the corpus never shuffles."""
+    plan = _plan(spark, sf_dir, "embedding_hard_negatives")
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_textrank_graph_build_dedups_before_supersteps(spark, sf_dir):
+    """The co-occurrence graph is DISTINCT pairs (vocabulary-sized),
+    and the superstep plan (post-checkpoint) is the single-join
+    shape: exactly one join per iteration, no nested-loop."""
+    plan = _plan(spark, sf_dir, "doc_textrank_keywords")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_stationary_single_stream_pass(spark, sf_dir):
+    """The events stream pays one window + reduce; the final plan's
+    joins run on the checkpointed |types|^2 matrix (scanned as an
+    ExistingRDD, never re-deriving the events lineage)."""
+    plan = _plan(spark, sf_dir, "events_markov_stationary")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # post-checkpoint supersteps: the weight matrix is an RDD scan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
