@@ -72,6 +72,13 @@ verdict's watch #6), isolated best-of-3 measurements:
   both explodes: sf1 2.61 -> 1.19 s and 3.47 -> 1.89 s isolated;
   SCALING_r11 records x1.17 and x0.51 per 10x (no-op at >= 1
   split/core layouts).
+- doc_char_entropy (x4.8 sf1, DECLARED work-linear): one char
+  explode (~n_chars rows) + alphabet-bounded (doc,char) reduce —
+  work grows exactly with corpus characters; sf0.01->sf0.1 absorbs
+  into idle cores (x1.45), sf0.1->sf1 saturates them (x4.76 < the
+  x10 work growth). Same fixed-core asymptote argument as
+  poisson_bootstrap_ci below; the other five r11 second-session
+  queries are bounded-output near-flat (x1.0-2.0).
 - poisson_bootstrap_ci (x3.5, DECLARED work-linear): 16 md5 digests
   per order row, already repartitioned to core count before the
   fan-out (stages run 32-wide). Work grows exactly x10 per decade;
