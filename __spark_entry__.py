@@ -293,7 +293,8 @@ _RECORD_LAST = [
     # r11 new registrations (sweep-verified this round at
     # sf0.001+sf0.01; the r11 window is fully committed to the two
     # weak-fix re-records, the oracle-changed ANN rows, and all 41
-    # r6-vintage refreshes — these three take window slots in r12):
+    # r6-vintage refreshes — these twelve never-driver-recorded
+    # queries take window slots in r12, first-priority):
     "events_cuped_readout",
     "trade_graph_ppr",
     "embedding_sq8_topk",
@@ -303,6 +304,9 @@ _RECORD_LAST = [
     "doc_char_entropy",
     "events_markov_stationary",
     "doc_textrank_keywords",
+    "orders_calendar_gap_report",
+    "events_burst_report",
+    "events_arrival_dispersion",
 ]
 
 

@@ -215,6 +215,9 @@ BENCH_QUERIES = [
     "doc_char_entropy",         # integer micro-bit char entropy filter
     "events_markov_stationary", # integer power iteration on type matrix
     "doc_textrank_keywords",    # integer PageRank over token co-occurrence
+    "orders_calendar_gap_report",  # gaps-and-islands calendar completeness
+    "events_burst_report",      # same-key inter-arrival burst screen
+    "events_arrival_dispersion", # per-hour Poisson dispersion index
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

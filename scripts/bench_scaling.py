@@ -286,6 +286,12 @@ QUERIES = [
     "events_markov_stationary",
     # vocabulary-sized co-occurrence graph + 3 integer PR supersteps
     "doc_textrank_keywords",
+    # (key, day)-grid gaps-and-islands — dims × days sized after reduce
+    "orders_calendar_gap_report",
+    # one (user,type) LAG window (the sessionize shuffle)
+    "events_burst_report",
+    # one (type, hour) reduce + type-level fold
+    "events_arrival_dispersion",
 ]
 
 

@@ -560,3 +560,193 @@ def _register_nearest_query() -> None:
 
 
 _register_nearest_query()
+
+
+def _register_dq_temporal_queries() -> None:
+    """Operational-DQ temporal reports (round-11 second session):
+    calendar completeness, ingestion-burst detection, and arrival
+    overdispersion — the three time-axis health checks a 100 TB
+    event/fact pipeline runs before trusting downstream windows."""
+    from pyspark.sql import SparkSession
+
+    from teleco_etl_pipeline_spark.functions import epoch_us
+    from teleco_etl_pipeline_spark.plans.registry import query
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    @query(
+        "orders_calendar_gap_report",
+        """
+        WITH days AS (
+          SELECT DISTINCT o_orderpriority AS pr, o_orderdate AS d
+          FROM orders
+        ), gaps AS (
+          SELECT pr, d, LAG(d) OVER (PARTITION BY pr ORDER BY d) AS pd
+          FROM days
+        )
+        SELECT pr AS o_orderpriority,
+               strftime(MIN(d), '%Y-%m-%d') AS first_day,
+               strftime(MAX(d), '%Y-%m-%d') AS last_day,
+               CAST(date_diff('day', MIN(d), MAX(d)) + 1 AS BIGINT)
+                 AS span_days,
+               CAST(COUNT(*) AS BIGINT) AS active_days,
+               CAST(date_diff('day', MIN(d), MAX(d)) + 1 - COUNT(*)
+                    AS BIGINT) AS missing_days,
+               CAST(COALESCE(MAX(date_diff('day', pd, d) - 1), 0)
+                    AS BIGINT) AS longest_gap_days
+        FROM gaps GROUP BY pr ORDER BY pr
+        """,
+        doc="Calendar completeness report — the backfill-health check "
+        "every incremental pipeline needs: per order priority, the "
+        "active-vs-span day counts and the LONGEST run of missing "
+        "days (the classic gaps-and-islands LAG formulation on the "
+        "DISTINCT (key, day) grid, so everything after the first "
+        "reduce is key×days sized, never fact-sized). A non-zero "
+        "longest_gap over a supposedly-continuous feed is the "
+        "load-window-skipped signal that row counts alone miss. "
+        "All-integer output + ISO date strings.",
+    )
+    def q_orders_calendar_gap_report(spark: SparkSession, sf_dir: str):
+        o = load_table(spark, sf_dir, "orders")
+        days = o.select(
+            F.col("o_orderpriority").alias("pr"),
+            F.col("o_orderdate").alias("d"),
+        ).distinct()
+        w = Window.partitionBy("pr").orderBy("d")
+        gaps = days.select("pr", "d", F.lag("d").over(w).alias("pd"))
+        span = F.datediff(F.max("d"), F.min("d")) + 1
+        return (
+            gaps.groupBy(F.col("pr").alias("o_orderpriority"))
+            .agg(
+                F.date_format(F.min("d"), "yyyy-MM-dd").alias("first_day"),
+                F.date_format(F.max("d"), "yyyy-MM-dd").alias("last_day"),
+                span.cast("long").alias("span_days"),
+                F.count(F.lit(1)).cast("long").alias("active_days"),
+                (span - F.count(F.lit(1))).cast("long").alias("missing_days"),
+                F.coalesce(
+                    F.max(F.datediff(F.col("d"), F.col("pd")) - 1), F.lit(0)
+                )
+                .cast("long")
+                .alias("longest_gap_days"),
+            )
+            .orderBy("o_orderpriority")
+        )
+
+    @query(
+        "events_burst_report",
+        """
+        WITH seq AS (
+          SELECT event_type, user_id,
+                 epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id)) AS gap_us
+          FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+               CAST(COUNT(*) FILTER (WHERE gap_us <= 60000000)
+                    AS BIGINT) AS n_within_1m,
+               CAST(COUNT(*) FILTER (WHERE gap_us <= 3600000000)
+                    AS BIGINT) AS n_within_1h,
+               CAST(MIN(gap_us) // 1000000 AS BIGINT) AS min_gap_s
+        FROM seq GROUP BY event_type ORDER BY event_type
+        """,
+        doc="Ingestion-burst / rapid-fire detector: per event type, "
+        "how many same-user same-type events arrive within 1 minute "
+        "and 1 hour of the previous one, plus the minimum observed "
+        "inter-arrival gap — the duplicate-delivery and bot-burst "
+        "screen run before trusting at-least-once event feeds. One "
+        "(user,type) LAG window (a single shuffle that any "
+        "sessionization already pays); gaps are exact epoch-micro "
+        "integers, timezone-independent.",
+    )
+    def q_events_burst_report(spark: SparkSession, sf_dir: str):
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            epoch_us("ts"), F.col("event_id")
+        )
+        seq = ev.select(
+            "event_type",
+            (epoch_us("ts") - F.lag(epoch_us("ts")).over(w)).alias("gap_us"),
+        )
+        cnt_if = lambda c: F.count(F.when(c, F.lit(1)))  # noqa: E731
+        return (
+            seq.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.count("gap_us").cast("long").alias("n_gaps"),
+                cnt_if(F.col("gap_us") <= 60_000_000)
+                .cast("long")
+                .alias("n_within_1m"),
+                cnt_if(F.col("gap_us") <= 3_600_000_000)
+                .cast("long")
+                .alias("n_within_1h"),
+                F.expr("CAST(min(gap_us) div 1000000 AS BIGINT)").alias(
+                    "min_gap_s"
+                ),
+            )
+            .orderBy("event_type")
+        )
+
+    @query(
+        "events_arrival_dispersion",
+        """
+        WITH hc AS (
+          SELECT event_type,
+                 epoch_us(ts) // 3600000000 AS hr,
+                 COUNT(*) AS c
+          FROM events GROUP BY event_type, hr
+        )
+        SELECT event_type,
+               CAST(MAX(hr) - MIN(hr) + 1 AS BIGINT) AS span_hours,
+               CAST(COUNT(*) AS BIGINT) AS observed_hours,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               ROUND(CAST((MAX(hr) - MIN(hr) + 1) * SUM(c * c)
+                          - SUM(c) * SUM(c) AS DOUBLE)
+                     / CAST(SUM(c) * (MAX(hr) - MIN(hr)) AS DOUBLE)
+                     + 1e-9, 6) AS dispersion
+        FROM hc GROUP BY event_type ORDER BY event_type
+        """,
+        doc="Arrival overdispersion (index of dispersion, variance/"
+        "mean of per-hour counts over the FULL observed hour span — "
+        "empty hours count as zeros via the span algebra, no grid "
+        "materialized): ~1 for Poisson arrivals, >>1 for bursty/"
+        "campaign traffic, <1 for rate-limited feeds — the "
+        "traffic-shape screen behind anomaly thresholds. D = "
+        "(n·Σc² − T²)/(T·(n−1)) with n = span hours, all moments "
+        "exact int64 from one (type, hour) reduce; one CR division "
+        "at the end. Hour buckets are epoch-micro integer division — "
+        "timezone-independent.",
+    )
+    def q_events_arrival_dispersion(spark: SparkSession, sf_dir: str):
+        ev = load_table(spark, sf_dir, "events")
+        hc = (
+            ev.select("event_type", epoch_us("ts").alias("us"))
+            .groupBy(
+                "event_type",
+                F.expr("CAST(us div 3600000000 AS BIGINT)").alias("hr"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        n = F.max("hr") - F.min("hr") + 1
+        t = F.sum("c")
+        return (
+            hc.groupBy("event_type")
+            .agg(
+                n.cast("long").alias("span_hours"),
+                F.count(F.lit(1)).cast("long").alias("observed_hours"),
+                t.cast("long").alias("n_events"),
+                F.round(
+                    (n * F.sum(F.col("c") * F.col("c")) - t * t).cast(
+                        "double"
+                    )
+                    / (t * (F.max("hr") - F.min("hr"))).cast("double")
+                    + F.lit(1e-9),
+                    6,
+                ).alias("dispersion"),
+            )
+            .orderBy("event_type")
+        )
+
+
+_register_dq_temporal_queries()

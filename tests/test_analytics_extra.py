@@ -402,3 +402,111 @@ def test_markov_stationary_mass_nearly_conserved(spark, sf_dir):
     # a ≤25-state graph: ≥ (1 − 25e-6)³ of the initial 1e12.
     assert 10**12 * (1 - 25e-6) ** 3 - 200 <= total <= 10**12
     assert all(r.stationary_units > 0 for r in rows)
+
+
+def _write_events(spark, tmpdir, rows):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=base + dt.timedelta(seconds=s),
+                user_id=u,
+                event_type=t,
+                value=1.0,
+                props="{}",
+            )
+            for i, (s, u, t) in enumerate(rows)
+        ]
+    )
+    df.write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+
+
+def test_burst_report_hand_fixture(spark, tmp_path):
+    """One user, type 'a' at t, t+30s, t+2h: 2 gaps, one within both
+    thresholds, min gap 30 s. Thresholds are cumulative
+    (within_1m ⊆ within_1h)."""
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    _write_events(
+        spark, tmp_path, [(0, 1, "a"), (30, 1, "a"), (7230, 1, "a")]
+    )
+    rows = (
+        all_queries()["events_burst_report"]
+        .build(spark, str(tmp_path))
+        .collect()
+    )
+    r = rows[0]
+    assert (r.n_events, r.n_gaps) == (3, 2)
+    assert (r.n_within_1m, r.n_within_1h) == (1, 1)
+    assert r.min_gap_s == 30
+
+
+def test_arrival_dispersion_closed_forms(spark, tmp_path):
+    """Uniform 1/hour → variance 0 → D = 0; two 5-event bursts with
+    an empty hour between → D = (3·50 − 100)/(10·2) = 2.5 exactly
+    (the span algebra counts the empty hour as a zero)."""
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    uniform = [(h * 3600, 1, "u") for h in range(5)]
+    bursts = [(0, 2, "b")] * 5 + [(2 * 3600, 2, "b")] * 5
+    _write_events(spark, tmp_path, uniform + bursts)
+    out = {
+        r.event_type: r
+        for r in all_queries()["events_arrival_dispersion"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["u"].span_hours == 5 and abs(out["u"].dispersion) < 1e-6
+    b = out["b"]
+    assert (b.span_hours, b.observed_hours, b.n_events) == (3, 2, 10)
+    assert abs(b.dispersion - 2.5) < 1e-6
+
+
+def test_calendar_gap_hand_fixture_and_invariants(spark, tmp_path, sf_dir):
+    """Days {1,2,5} → span 5, active 3, missing 2, longest gap 2;
+    then invariants on the real orders table."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    rows = [
+        Row(
+            o_orderkey=i,
+            o_custkey=1,
+            o_orderstatus="O",
+            o_totalprice=1.0,
+            o_orderdate=dt.date(2024, 1, d),
+            o_orderpriority="1-URGENT",
+            o_clerk="c",
+            o_shippriority=0,
+            o_comment="",
+        )
+        for i, d in enumerate([1, 2, 5])
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/orders.parquet"
+    )
+    r = (
+        all_queries()["orders_calendar_gap_report"]
+        .build(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert (r.span_days, r.active_days, r.missing_days) == (5, 3, 2)
+    assert r.longest_gap_days == 2
+    assert (r.first_day, r.last_day) == ("2024-01-01", "2024-01-05")
+
+    for row in (
+        all_queries()["orders_calendar_gap_report"]
+        .build(spark, sf_dir)
+        .collect()
+    ):
+        assert row.active_days + row.missing_days == row.span_days
+        assert 0 <= row.longest_gap_days <= row.missing_days
+        assert row.first_day <= row.last_day

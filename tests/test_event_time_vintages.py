@@ -112,3 +112,26 @@ def test_event_sequence_patterns_matches_pure_python(spark, sf_dir):
         got["clean_conversion"]["n_users_matching"]
         <= got["signup_then_purchase"]["n_users_matching"]
     )
+
+
+def test_r11_temporal_reports_timezone_independent(spark, sf_dir):
+    """The burst / dispersion / Markov reports project event time
+    exclusively through epoch_us (NTZ interval arithmetic), so their
+    values must be BIT-identical under any session timezone — the
+    driver harness never sets one."""
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    names = [
+        "events_burst_report",
+        "events_arrival_dispersion",
+        "events_markov_stationary",
+    ]
+    qs = all_queries()
+    baseline = {n: qs[n].build(spark, sf_dir).collect() for n in names}
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+    try:
+        for n in names:
+            assert qs[n].build(spark, sf_dir).collect() == baseline[n], n
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

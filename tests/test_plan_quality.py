@@ -24,6 +24,10 @@ def _plan(spark, sf_dir, name: str) -> str:
 ALLPAIRS_BASELINES = {
     "embedding_neardup",
     "embedding_batch_topk",
+    # hard-negative mining is batch_topk's broadcast Q×N shape with a
+    # label-inequality join predicate — same Q≪N regime, same
+    # bucketed-candidate-join scale path for large anchor sets
+    "embedding_hard_negatives",
     # the EXACT side of the recall evaluation is definitionally the
     # batch_topk broadcast scan — the approx side it grades is the
     # bucketed candidate join
