@@ -307,6 +307,7 @@ _RECORD_LAST = [
     "orders_calendar_gap_report",
     "events_burst_report",
     "events_arrival_dispersion",
+    "embedding_matryoshka_recall",
 ]
 
 

@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "orders_calendar_gap_report",  # gaps-and-islands calendar completeness
     "events_burst_report",      # same-key inter-arrival burst screen
     "events_arrival_dispersion", # per-hour Poisson dispersion index
+    "embedding_matryoshka_recall",  # truncated-dim recall curve (MRL)
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

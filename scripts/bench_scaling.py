@@ -292,6 +292,8 @@ QUERIES = [
     "events_burst_report",
     # one (type, hour) reduce + type-level fold
     "events_arrival_dispersion",
+    # 3 sliced corpus scans + bounded top-k windows (Q=5 anchors)
+    "embedding_matryoshka_recall",
 ]
 
 

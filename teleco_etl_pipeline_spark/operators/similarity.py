@@ -3796,3 +3796,112 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- Matryoshka truncation-recall evaluation ---------------------------------
+
+_MRL_DIMS = (8, 16, 32)
+_MRL_K = 10
+_MRL_NQ = 5
+
+
+def _mrl_topk_sql(d: int | None, label: str) -> str:
+    """One batch-top-k CTE pair at truncation ``d`` (None = full
+    dim), mirroring the embedding_batch_topk oracle on sliced
+    vectors."""
+    sliced = "embedding" if d is None else f"embedding[1:{d}]"
+    return f"""
+    base_{label} AS (
+      SELECT vec_id, {_sql_qvec(sliced)} AS q FROM embeddings
+    ), bb_{label} AS (
+      SELECT vec_id, q, list_dot_product(q, q) AS den FROM base_{label}
+    ), top_{label} AS (
+      SELECT qq.vec_id AS query_id, e.vec_id
+      FROM bb_{label} e JOIN bb_{label} qq
+        ON qq.vec_id < {_MRL_NQ} AND e.vec_id <> qq.vec_id
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY qq.vec_id
+        ORDER BY {_sql_qkey("list_dot_product(e.q, qq.q)", "e.den", "qq.den")}
+                   DESC, e.vec_id ASC) <= {_MRL_K}
+    )"""
+
+
+def _mrl_oracle_sql() -> str:
+    ctes = [_mrl_topk_sql(None, "full")]
+    unions = []
+    for d in _MRL_DIMS:
+        ctes.append(_mrl_topk_sql(d, f"d{d}"))
+        unions.append(f"""
+    SELECT {d} AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(f.vec_id) AS BIGINT) AS n_overlap,
+           ROUND(CAST(COUNT(f.vec_id) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) + 1e-9, 6) AS recall_at_k
+    FROM top_d{d} t LEFT JOIN top_full f
+      ON t.query_id = f.query_id AND t.vec_id = f.vec_id""")
+    u = "\n    UNION ALL\n".join(unions)
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT * FROM ({u}) ORDER BY dim
+    """
+
+
+@query(
+    "embedding_matryoshka_recall",
+    _mrl_oracle_sql(),
+    doc="Matryoshka truncation-recall evaluation (Kusupati et al., "
+    "NeurIPS'22): rank the exact cosine top-10 using only the FIRST "
+    "8/16/32 of 64 embedding dimensions and measure per-truncation "
+    "recall against the full-dimension ranking — the dimension-vs-"
+    "quality curve that decides how many dims the 100 TB index "
+    "actually stores (MRL serving truncates the stored vectors; "
+    "recall@k at the truncation IS the product metric). One corpus "
+    "scan per truncation over sliced vectors (scan bandwidth shrinks "
+    "proportionally — the same I/O argument as SQ8), quantized-exact "
+    "ranking keys, id tiebreaks, exact-integer overlap counts; the "
+    "only float is the final CR recall division.",
+)
+def q_embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def topk_at(d: int | None) -> DataFrame:
+        vec = (
+            F.col("embedding")
+            if d is None
+            else F.slice("embedding", 1, d)
+        )
+        sl = emb.select("vec_id", vec.alias("embedding"))
+        qs = sl.filter(F.col("vec_id") < _MRL_NQ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        return batch_topk(sl, qs, k=_MRL_K).select("query_id", "vec_id")
+
+    full = topk_at(None).localCheckpoint(eager=True)
+    outs = []
+    for d in _MRL_DIMS:
+        t = topk_at(d)
+        f2 = full.select(
+            F.col("query_id").alias("fq"), F.col("vec_id").alias("fv")
+        )
+        outs.append(
+            t.join(
+                f2,
+                (t["query_id"] == f2["fq"]) & (t["vec_id"] == f2["fv"]),
+                "left",
+            ).agg(
+                F.lit(d).cast("int").alias("dim"),
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.count("fv").cast("long").alias("n_overlap"),
+                F.round(
+                    F.count("fv").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    + F.lit(1e-9),
+                    6,
+                ).alias("recall_at_k"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("dim")

@@ -411,3 +411,58 @@ def test_sq8_codes_bounded_and_recall_vs_exact(spark, sf_dir):
     assert len(sq8) == len(exact) == 10
     recall = len(set(sq8) & set(exact)) / 10
     assert recall >= 0.7, (recall, sq8, exact)
+
+
+def test_matryoshka_recall_monotone_and_bounded(spark, sf_dir):
+    """Per-truncation recall vs the full-dim ranking: 50 ranked pairs
+    per truncation (10 per anchor), recall in [0,1] and nondecreasing
+    in dimension on the committed testdata."""
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["embedding_matryoshka_recall"]
+        .build(spark, sf_dir)
+        .collect()
+    )
+    assert [r.dim for r in rows] == [8, 16, 32]
+    assert all(r.n_pairs == 50 for r in rows)
+    recalls = [r.recall_at_k for r in rows]
+    assert all(0.0 <= r <= 1.0 for r in recalls)
+    assert recalls == sorted(recalls)
+
+
+def test_matryoshka_perfect_recall_when_tail_dims_are_zero(spark):
+    """Vectors whose information lives entirely in the first 8 dims
+    (zero tail) must give recall 1.0 at EVERY truncation — pins the
+    slice arithmetic (a 1-based off-by-one would break this)."""
+    import numpy as np
+
+    from teleco_etl_pipeline_spark.operators.similarity import batch_topk
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    vecs = []
+    for i in range(30):
+        v = np.zeros(64, dtype=np.float64)
+        v[:8] = rng.normal(size=8)
+        v /= np.linalg.norm(v)
+        vecs.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    full = {
+        (r.query_id, r.vec_id)
+        for r in batch_topk(emb, qs, k=5).collect()
+    }
+    sl = emb.select("vec_id", F.slice("embedding", 1, 8).alias("embedding"))
+    qs8 = sl.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    trunc = {
+        (r.query_id, r.vec_id)
+        for r in batch_topk(sl, qs8, k=5).collect()
+    }
+    assert trunc == full
