@@ -293,8 +293,8 @@ _RECORD_LAST = [
     # r11 new registrations (sweep-verified this round at
     # sf0.001+sf0.01; the r11 window is fully committed to the two
     # weak-fix re-records, the oracle-changed ANN rows, and all 41
-    # r6-vintage refreshes — these twelve never-driver-recorded
-    # queries take window slots in r12, first-priority):
+    # r6-vintage refreshes — the never-driver-recorded queries from
+    # here to the end of this list take r12 window slots first):
     "events_cuped_readout",
     "trade_graph_ppr",
     "embedding_sq8_topk",

@@ -77,8 +77,12 @@ verdict's watch #6), isolated best-of-3 measurements:
   work grows exactly with corpus characters; sf0.01->sf0.1 absorbs
   into idle cores (x1.45), sf0.1->sf1 saturates them (x4.76 < the
   x10 work growth). Same fixed-core asymptote argument as
-  poisson_bootstrap_ci below; the other five r11 second-session
-  queries are bounded-output near-flat (x1.0-2.0).
+  poisson_bootstrap_ci below. Of the other nine r11 second-session
+  queries, the bounded-output reports are near-flat (x1.0-2.0 sf1);
+  the stream/corpus-pass plans (events_burst_report x2.65 sf1,
+  embedding_matryoshka_recall x1.63 sf1) are work-linear like this
+  one — all sf10 rows ≤ x10 per 10x at fixed cores, no quadratic
+  signature (SCALING_r11_sf10.json).
 - poisson_bootstrap_ci (x3.5, DECLARED work-linear): 16 md5 digests
   per order row, already repartitioned to core count before the
   fan-out (stages run 32-wide). Work grows exactly x10 per decade;

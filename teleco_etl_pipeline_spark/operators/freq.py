@@ -932,6 +932,14 @@ def textrank_keywords(
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ).localCheckpoint(eager=True)
     n = outdeg.count()
+    if n == 0:
+        # no co-occurrence edges (empty corpus / single-token docs):
+        # the oracle degrades to an empty result — match it instead
+        # of a zero-division on the base-rank constant.
+        return outdeg.select(
+            F.col("src").alias("token"),
+            F.col("outdeg").cast("long").alias("rank_units"),
+        ).limit(0)
     base = ((_TR_D_DEN - _TR_D_NUM) * _TR_SCALE) // (_TR_D_DEN * n)
     r0_units = _TR_SCALE // n
     # out-degree folded into the edge list once (the single-join

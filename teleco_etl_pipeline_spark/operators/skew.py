@@ -106,6 +106,13 @@ def key_skew_report(
         F.count(F.lit(1)).alias("c")
     )
     n = F.sum("c")
+    # hhi moments in DECIMAL(38): the oracle's SUM is HUGEINT-exact,
+    # and int64 Σc² / n² silently wrap past ~3e9 rows per group —
+    # exactly the 100 TB regime this diagnostic targets (the
+    # segment_gini_spend DECIMAL precedent). One CR cast of each
+    # exact side, then the single CR division, as before.
+    cd = F.col("c").cast("decimal(19,0)")
+    nd = F.sum(cd)
     return (
         per_key.groupBy(group_col)
         .agg(
@@ -117,8 +124,8 @@ def key_skew_report(
                 6,
             ).alias("top1_share"),
             F.round(
-                F.sum(F.col("c") * F.col("c")).cast("double")
-                / (n * n).cast("double")
+                F.sum(cd * cd).cast("double")
+                / (nd * nd).cast("double")
                 + F.lit(1e-9),
                 6,
             ).alias("hhi"),

@@ -701,10 +701,12 @@ def _register_dq_temporal_queries() -> None:
                CAST(MAX(hr) - MIN(hr) + 1 AS BIGINT) AS span_hours,
                CAST(COUNT(*) AS BIGINT) AS observed_hours,
                CAST(SUM(c) AS BIGINT) AS n_events,
-               ROUND(CAST((MAX(hr) - MIN(hr) + 1) * SUM(c * c)
-                          - SUM(c) * SUM(c) AS DOUBLE)
-                     / CAST(SUM(c) * (MAX(hr) - MIN(hr)) AS DOUBLE)
-                     + 1e-9, 6) AS dispersion
+               CASE WHEN MAX(hr) > MIN(hr) THEN
+                 ROUND(CAST((MAX(hr) - MIN(hr) + 1) * SUM(c * c)
+                            - SUM(c) * SUM(c) AS DOUBLE)
+                       / CAST(SUM(c) * (MAX(hr) - MIN(hr)) AS DOUBLE)
+                       + 1e-9, 6)
+               ELSE 0.0 END AS dispersion
         FROM hc GROUP BY event_type ORDER BY event_type
         """,
         doc="Arrival overdispersion (index of dispersion, variance/"
@@ -730,20 +732,33 @@ def _register_dq_temporal_queries() -> None:
         )
         n = F.max("hr") - F.min("hr") + 1
         t = F.sum("c")
+        # Moments in DECIMAL(38) mirroring the oracle's HUGEINT-exact
+        # arithmetic (int64 n·Σc² wraps for bursty multi-1e9-row
+        # groups); whole numerator/denominator each take ONE CR cast
+        # to double, then the single CR division — same op sequence
+        # as the SQL. A single-bucket history (span == 1) has an
+        # undefined variance: 0.0 on both engines, never 0/0.
+        cd = F.col("c").cast("decimal(19,0)")
+        nd = (F.max("hr") - F.min("hr") + 1).cast("decimal(19,0)")
+        td = F.sum(cd)
+        num = nd * F.sum(cd * cd) - td * td
+        den = td * (F.max("hr") - F.min("hr")).cast("decimal(19,0)")
         return (
             hc.groupBy("event_type")
             .agg(
                 n.cast("long").alias("span_hours"),
                 F.count(F.lit(1)).cast("long").alias("observed_hours"),
                 t.cast("long").alias("n_events"),
-                F.round(
-                    (n * F.sum(F.col("c") * F.col("c")) - t * t).cast(
-                        "double"
-                    )
-                    / (t * (F.max("hr") - F.min("hr"))).cast("double")
-                    + F.lit(1e-9),
-                    6,
-                ).alias("dispersion"),
+                F.when(
+                    F.max("hr") > F.min("hr"),
+                    F.round(
+                        num.cast("double") / den.cast("double")
+                        + F.lit(1e-9),
+                        6,
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("dispersion"),
             )
             .orderBy("event_type")
         )

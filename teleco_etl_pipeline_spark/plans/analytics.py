@@ -1682,11 +1682,13 @@ def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "positive rate, lift over the base rate (exact rational "
     "n_pos·totN / n·totPos through one CR division), and cumulative "
     "capture (the gains curve: what share of all positives the top-k "
-    "deciles reach). The global NTILE is the one total-order sort — "
-    "range-partitioned at scale, the same shape every gains table "
-    "pays — and everything after runs on 10 rows; all moments are "
-    "exact int64 counts, so cross-engine hashes agree by "
-    "construction.",
+    "deciles reach). The global NTILE is the one total ordering — "
+    "Spark executes an unpartitioned window in a single-partition "
+    "sort, so at 100 TB swap it for a two-pass range-partitioned "
+    "rank (sample quantile cut points, then per-range offsets — the "
+    "customer_pareto_abc prescription); everything after runs on 10 "
+    "rows and all moments are exact int64 counts, so cross-engine "
+    "hashes agree by construction.",
 )
 def q_model_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")

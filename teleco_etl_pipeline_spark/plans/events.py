@@ -1276,10 +1276,15 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("cur_type"),
         F.lead("event_type").over(win).alias("next_type"),
     )
+    # The ONE stream pass: pair counts are checkpointed, so outs / w /
+    # x0 / k all derive from the materialized |types|²-row frame and
+    # the LEAD window never re-executes (outs.count() and the final
+    # action both scan this RDD, not the events lineage).
     pairs = (
         seq.filter(F.col("next_type").isNotNull())
         .groupBy("cur_type", "next_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     outs = pairs.groupBy("cur_type").agg(
         F.sum("cnt").cast("long").alias("n_a")
@@ -1297,6 +1302,14 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     k = outs.count()
+    if k == 0:
+        # no transitions (fewer than 2 events for every user): the
+        # oracle's CTE chain degrades to an empty result — match it
+        # instead of dividing by zero.
+        return pairs.select(
+            F.col("cur_type").alias("event_type"),
+            F.col("cnt").alias("stationary_units"),
+        ).limit(0)
     x = outs.select(
         F.col("cur_type").alias("state"),
         F.lit(1000000000000 // k).cast("long").alias("units"),

@@ -510,3 +510,34 @@ def test_calendar_gap_hand_fixture_and_invariants(spark, tmp_path, sf_dir):
         assert row.active_days + row.missing_days == row.span_days
         assert 0 <= row.longest_gap_days <= row.missing_days
         assert row.first_day <= row.last_day
+
+
+def test_dispersion_single_hour_span_is_zero_not_nan(spark, tmp_path):
+    """All events in ONE epoch-hour bucket: variance is undefined
+    (span 1) — both engines must emit the 0.0 sentinel, never 0/0
+    (Spark NULL vs DuckDB NaN was the unguarded divergence)."""
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    _write_events(spark, tmp_path, [(i, 1, "x") for i in range(5)])
+    (r,) = (
+        all_queries()["events_arrival_dispersion"]
+        .build(spark, str(tmp_path))
+        .collect()
+    )
+    assert r.span_hours == 1
+    assert r.dispersion == 0.0
+
+
+def test_markov_stationary_empty_when_no_transitions(spark, tmp_path):
+    """Every user has a single event → zero transition pairs: the
+    result is EMPTY (matching the oracle's CTE chain), not a
+    ZeroDivisionError on the uniform-split constant."""
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    _write_events(spark, tmp_path, [(0, u, "a") for u in range(4)])
+    out = (
+        all_queries()["events_markov_stationary"]
+        .build(spark, str(tmp_path))
+        .collect()
+    )
+    assert out == []

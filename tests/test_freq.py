@@ -380,3 +380,12 @@ def test_textrank_dedups_repeated_cooccurrence(spark):
     assert [(r.token, r.rank_units) for r in once] == [
         (r.token, r.rank_units) for r in rep
     ]
+
+
+def test_textrank_empty_graph_returns_empty(spark):
+    """Single-token docs build zero co-occurrence edges: empty result
+    (matching the oracle), not ZeroDivisionError."""
+    from teleco_etl_pipeline_spark.operators.freq import textrank_keywords
+
+    docs = spark.createDataFrame([(1, "solo"), (2, "")], ["doc_id", "text"])
+    assert textrank_keywords(docs, topk=5).collect() == []
