@@ -28,6 +28,9 @@ ALLPAIRS_BASELINES = {
     # label-inequality join predicate — same Q≪N regime, same
     # bucketed-candidate-join scale path for large anchor sets
     "embedding_hard_negatives",
+    # the truncation-recall eval runs batch_topk per truncated slice
+    # (3 sliced corpus scans, Q=5 anchors) — same sanctioned shape
+    "embedding_matryoshka_recall",
     # the EXACT side of the recall evaluation is definitionally the
     # batch_topk broadcast scan — the approx side it grades is the
     # bucketed candidate join
