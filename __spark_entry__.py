@@ -308,6 +308,8 @@ _RECORD_LAST = [
     "events_burst_report",
     "events_arrival_dispersion",
     "embedding_matryoshka_recall",
+    "events_powerlaw_tail_fit",
+    "trade_graph_assortativity",
 ]
 
 

@@ -219,6 +219,8 @@ BENCH_QUERIES = [
     "events_burst_report",      # same-key inter-arrival burst screen
     "events_arrival_dispersion", # per-hour Poisson dispersion index
     "embedding_matryoshka_recall",  # truncated-dim recall curve (MRL)
+    "events_powerlaw_tail_fit",  # Hill tail-index (distributed top-k)
+    "trade_graph_assortativity", # edge-wise degree Pearson (no iteration)
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

@@ -298,6 +298,10 @@ QUERIES = [
     "events_arrival_dispersion",
     # 3 sliced corpus scans + bounded top-k windows (Q=5 anchors)
     "embedding_matryoshka_recall",
+    # user reduce + TakeOrdered top-(k+1) heap + 101-row fold
+    "events_powerlaw_tail_fit",
+    # degree reduce + two node-keyed joins + 1-row moment fold
+    "trade_graph_assortativity",
 ]
 
 

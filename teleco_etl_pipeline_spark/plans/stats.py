@@ -1546,3 +1546,86 @@ def q_events_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@query(
+    "events_powerlaw_tail_fit",
+    """
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ), n AS (SELECT COUNT(*) AS n FROM c),
+    kk AS (SELECT GREATEST(5, LEAST(100, n // 3)) AS k FROM n),
+    top AS (
+      SELECT c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rn,
+             CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS lnq
+      FROM c
+      QUALIFY rn <= (SELECT k FROM kk) + 1
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n_users,
+           (SELECT CAST(k AS BIGINT) FROM kk) AS k_tail,
+           CAST(MAX(CASE WHEN rn = (SELECT k FROM kk) + 1 THEN c END)
+                AS BIGINT) AS x_tail_min,
+           CASE WHEN SUM(CASE WHEN rn <= (SELECT k FROM kk)
+                              THEN lnq ELSE 0 END)
+                     - (SELECT k FROM kk)
+                       * MAX(CASE WHEN rn = (SELECT k FROM kk) + 1
+                                  THEN lnq END) > 0
+                THEN ROUND((SELECT k FROM kk) * 1000000.0
+                           / CAST(SUM(CASE WHEN rn <= (SELECT k FROM kk)
+                                           THEN lnq ELSE 0 END)
+                                  - (SELECT k FROM kk)
+                                    * MAX(CASE WHEN rn = (SELECT k FROM kk)
+                                               + 1 THEN lnq END)
+                                  AS DOUBLE) + 1e-9, 6)
+                ELSE 0.0 END AS hill_alpha
+    FROM top
+    """,
+    doc="Hill tail-index estimator (Hill 1975) over the per-user "
+    "activity distribution: α̂ = k / Σ_{i≤k}(ln x_(i) − ln x_(k+1)) "
+    "on the k largest user event-counts, k = clamp(n/3, 5, 100) "
+    "computed identically on both engines — the heavy-tail exponent "
+    "behind capacity planning and hot-user admission control (α ≤ 2 "
+    "means unbounded variance: one user CAN dominate a shuffle). "
+    "Surprisals are floor-quantized micro-nats (the freq.py log "
+    "discipline) so the sum is exact int64; k+1 order statistics "
+    "arrive via TakeOrderedAndProject (distributed top-k heap — no "
+    "global sort, no single-partition window on the user frame); "
+    "all-ties degenerate tails emit the 0.0 sentinel, never 0/0.",
+)
+def q_events_powerlaw_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    n = cnts.count()
+    k = max(5, min(100, n // 3))
+    # distributed top-(k+1): orderBy().limit() plans a TakeOrdered
+    # heap per partition + driver merge — never a global sort
+    top = cnts.orderBy(F.desc("c"), F.asc("user_id")).limit(k + 1)
+    w = Window.orderBy(F.desc("c"), F.asc("user_id"))
+    t = top.select(
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.floor(F.log(F.col("c").cast("double")) * 1e6)
+        .cast("long")
+        .alias("lnq"),
+    )
+    s_tail = F.sum(F.when(F.col("rn") <= k, F.col("lnq")).otherwise(0))
+    ln_k1 = F.max(F.when(F.col("rn") == k + 1, F.col("lnq")))
+    denom = s_tail - F.lit(k) * ln_k1
+    return t.agg(
+        F.lit(n).cast("long").alias("n_users"),
+        F.lit(k).cast("long").alias("k_tail"),
+        F.max(F.when(F.col("rn") == k + 1, F.col("c")))
+        .cast("long")
+        .alias("x_tail_min"),
+        F.when(
+            denom > 0,
+            F.round(
+                F.lit(k * 1000000.0) / denom.cast("double") + F.lit(1e-9),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("hill_alpha"),
+    )

@@ -267,3 +267,68 @@ def test_personalized_pagerank_matches_python_mirror(spark):
     # at iters=3), and the seed holds at least the reset mass.
     assert got[2] > got[3] and got[2] > got[4]
     assert got[1] >= base
+
+
+def test_assortativity_star_graph_is_minus_one(spark, tmp_path):
+    """A pure hub-and-spoke bipartite graph (one customer, five
+    suppliers) has edge-wise degree correlation exactly −1 — the
+    closed form pins the whole moment algebra."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    orders = [
+        Row(
+            o_orderkey=i,
+            o_custkey=1,
+            o_orderstatus="O",
+            o_totalprice=1.0,
+            o_orderdate=dt.date(2024, 1, 1),
+            o_orderpriority="1-URGENT",
+            o_clerk="c",
+            o_shippriority=0,
+            o_comment="",
+        )
+        for i in range(5)
+    ]
+    lines = [
+        Row(
+            l_orderkey=i,
+            l_partkey=1,
+            l_suppkey=i + 1,
+            l_linenumber=1,
+            l_quantity=1.0,
+            l_extendedprice=1.0,
+            l_discount=0.0,
+            l_tax=0.0,
+            l_returnflag="N",
+            l_linestatus="O",
+            l_shipdate=dt.datetime(2024, 1, 2),
+        )
+        for i in range(5)
+    ]
+    spark.createDataFrame(orders).write.mode("overwrite").parquet(
+        f"{tmp_path}/orders.parquet"
+    )
+    spark.createDataFrame(lines).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    (r,) = (
+        all_queries()["trade_graph_assortativity"]
+        .build(spark, str(tmp_path))
+        .collect()
+    )
+    assert (r.n_nodes, r.n_directed_edges) == (6, 10)
+    assert abs(r.assortativity - (-1.0)) < 1e-6
+
+
+def test_assortativity_bounded_on_testdata(spark, sf_dir):
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    (r,) = (
+        all_queries()["trade_graph_assortativity"].build(spark, sf_dir).collect()
+    )
+    assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
+    assert r.n_directed_edges % 2 == 0  # both orientations present

@@ -314,3 +314,45 @@ def test_exact_percentiles_matches_numpy_reference(spark):
     assert abs(got[0] - 6.0) < 1e-12
     empty = spark.createDataFrame([(None,)], "x double")
     assert exact_percentiles(empty, "x", [0.5]) == [None]
+
+
+def test_hill_alpha_positive_and_degenerate_sentinel(spark, sf_dir, tmp_path):
+    """On the real events table the estimator returns a positive
+    finite alpha with k = clamp(n/3, 5, 100); a corpus where every
+    user has the SAME count has a zero tail-sum and must emit the
+    0.0 sentinel, never divide by zero."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    (r,) = (
+        all_queries()["events_powerlaw_tail_fit"].build(spark, sf_dir).collect()
+    )
+    assert r.k_tail == max(5, min(100, r.n_users // 3))
+    assert r.hill_alpha > 0
+    assert r.x_tail_min >= 1
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            event_id=u * 10 + i,
+            ts=base + dt.timedelta(minutes=u * 10 + i),
+            user_id=u,
+            event_type="a",
+            value=1.0,
+            props="{}",
+        )
+        for u in range(20)
+        for i in range(3)  # every user: exactly 3 events
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    (d,) = (
+        all_queries()["events_powerlaw_tail_fit"]
+        .build(spark, str(tmp_path))
+        .collect()
+    )
+    assert d.hill_alpha == 0.0 and d.x_tail_min == 3
