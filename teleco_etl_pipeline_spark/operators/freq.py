@@ -855,7 +855,19 @@ def _textrank_oracle_sql() -> str:
     body = _pagerank_sql(
         _TR_ITERS, _TR_SCALE, _TR_D_NUM, _TR_D_DEN, _TR_TOPK
     ).replace("IDIV", "//")
-    # splice: the builder opens its own WITH; merge into ours.
+    # splice: the builder opens its own WITH; merge into ours. The
+    # two .replace anchors below must actually FIRE — if the pagerank
+    # builder's text drifts they would silently no-op and the oracle
+    # would emit the wrong column name/ordering (r11 ADVICE), so
+    # assert both anchors exist before splicing.
+    for anchor in (
+        "SELECT node, CAST(rank_units AS BIGINT) AS rank_units",
+        "ORDER BY rank_units DESC, node",
+    ):
+        if anchor not in body:
+            raise AssertionError(
+                f"_pagerank_sql drifted: splice anchor {anchor!r} missing"
+            )
     pr = body.strip().removeprefix("WITH")
     return f"""
     WITH toks AS (

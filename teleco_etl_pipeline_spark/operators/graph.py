@@ -1611,7 +1611,14 @@ def q_trade_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     "moment fold; every moment is an exact integer sum (DECIMAL(38) "
     "carriers mirroring DuckDB's HUGEINT — the hhi lesson); a "
     "degree-regular graph's zero variance emits the 0.0 sentinel, "
-    "never 0/0. The bipartite encoding means r reflects "
+    "never 0/0. ENVELOPE: the cross products m*sjk and m*sj2 stay "
+    "inside DECIMAL(38) while Σcd·sd < ~10^19/m — with max degree D "
+    "and P undirected pairs that is P·D² ≲ 10^38, e.g. 10^12 pairs "
+    "at D ≤ 10^13 — far beyond any real trade graph (sf1000 TPC-H "
+    "is ~10^9 pairs, D ~10^6 → ~10^21). Past it Spark's non-ANSI "
+    "decimal overflows to NULL and the CASE would emit the 0.0 "
+    "sentinel where DuckDB's HUGEINT stays exact (r11 ADVICE) — at "
+    "that extreme, fold num/den from pre-divided doubles instead. The bipartite encoding means r reflects "
     "customer-degree vs supplier-degree mixing — the concentration "
     "diagnostic that complements PageRank's importance ranking.",
 )

@@ -725,18 +725,30 @@ def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="NTILE decile profile of customer balances with a unique "
     "(value, key) tiebreak so bucket membership is deterministic "
-    "across engines. NOTE the global ORDER BY window is a "
-    "single-partition sort — fine for dims, wrong for a 100 TB "
-    "fact; the scale path for quantile bucketing is "
-    "approx_percentile edges + a map-side bucket join "
-    "(see approx_quantile_profile).",
+    "across engines. The global NTILE is computed as a TWO-PHASE "
+    "rank (operators/rank.two_phase_window: sampled range buckets, "
+    "per-bucket local row_number, constant-bounded offsets) plus the "
+    "exact integer NTILE distribution formula from (row_number, n) — "
+    "bit-identical to the unpartitioned window form, with no task "
+    "ever holding the frame (the r12 sweep retiring the declared "
+    "single-partition windows).",
 )
 def q_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from teleco_etl_pipeline_spark.operators.rank import (
+        ntile_from_row_number,
+        two_phase_window,
+    )
 
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    d = load_table(spark, sf_dir, "customer").select(
-        "c_acctbal", F.ntile(10).over(w).alias("decile")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_acctbal", "c_custkey"
+    )
+    # frame count: one bounded 1-row statistic, folded as a literal
+    n = int(cust.count())
+    ranked = two_phase_window(
+        cust, [F.col("c_acctbal").asc(), F.col("c_custkey").asc()], row_col="rn"
+    )
+    d = ranked.select(
+        "c_acctbal", ntile_from_row_number(F.col("rn"), n, 10).alias("decile")
     )
     return d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1080,20 +1092,44 @@ def q_part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(rank-1)/(n-1) and CUME_DIST — rank features for the churn "
     "model that are scale-free across retrains. Spend is "
     "DECIMAL-accumulated pre-ranking so ties (and therefore ranks) "
-    "are exact cross-engine; the global sort runs over the "
-    "customer-level aggregate, never raw orders.",
+    "are exact cross-engine. PERCENT_RANK needs min-rank and "
+    "CUME_DIST the inclusive cumulative count — both are integer "
+    "functions of the VALUE-HISTOGRAM cumsum (min_rank = cum - c + "
+    "1), so no window ever sees the customer frame: one groupBy("
+    "value) histogram, the two-level bucketed cumsum "
+    "(operators/quantiles.value_cumsum), and a value-grain join "
+    "back (the r12 sweep retiring declared single-partition "
+    "windows). The (rank-1)/(n-1) and cum/n divisions are "
+    "exact-integer-to-double — the identical IEEE ops DuckDB's "
+    "window functions perform.",
 )
 def q_customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.quantiles import value_cumsum
+
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_spend")
+    ).localCheckpoint(eager=True)  # feeds the histogram AND the join back
+    hist = spend.groupBy("total_spend").agg(F.count(F.lit(1)).alias("__c"))
+    cum = value_cumsum(hist, "total_spend")
+    n_row = cum.agg(F.sum("__c").alias("__n"))
+    ranks = cum.crossJoin(F.broadcast(n_row)).select(
+        "total_spend",
+        F.when(F.col("__n") <= 1, F.lit(0.0))
+        .otherwise(
+            (F.col("__cum") - F.col("__c")).cast("double")
+            / (F.col("__n") - 1).cast("double")
+        )
+        .alias("__pr"),
+        (F.col("__cum").cast("double") / F.col("__n").cast("double")).alias(
+            "__cd"
+        ),
     )
-    w = Window.orderBy("total_spend")
-    return spend.select(
+    return spend.join(ranks, "total_spend").select(
         "o_custkey",
         F.round(F.col("total_spend").cast("double"), 2).alias("total_spend"),
-        F.round(F.percent_rank().over(w) + F.lit(1e-9), 6).alias("spend_pct_rank"),
-        F.round(F.cume_dist().over(w) + F.lit(1e-9), 6).alias("spend_cume_dist"),
+        F.round(F.col("__pr") + F.lit(1e-9), 6).alias("spend_pct_rank"),
+        F.round(F.col("__cd") + F.lit(1e-9), 6).alias("spend_cume_dist"),
     )
 
 
@@ -1192,22 +1228,27 @@ def q_price_winsorize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Class boundaries compare 2·cum ≤ total and 5·cum ≤ 4·total in "
     "exact DECIMAL arithmetic — a floating cum/total ratio at a "
     "boundary customer could classify differently per engine. The "
-    "global cumulative window runs over the customer-level "
-    "AGGREGATE (dim-scale, not fact-scale); at extreme cardinality "
-    "swap in a two-pass range-partitioned prefix sum — the "
-    "classification logic is unchanged.",
+    "global prefix sum is the TWO-PHASE form "
+    "(operators/rank.two_phase_window: sampled range buckets, "
+    "per-bucket local running sums, constant-bounded bucket "
+    "offsets) — exact DECIMAL addition is associative, so "
+    "offset + local equals the single-window cumsum bit-for-bit and "
+    "no task holds the customer aggregate.",
 )
 def q_customer_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.rank import two_phase_window
+
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
     )
     total = spend.agg(F.sum("spend").alias("t")).scalar()
-    w = (
-        Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = two_phase_window(
+        spend,
+        [F.col("spend").desc(), F.col("o_custkey").asc()],
+        row_col=None,
+        sum_cols={"spend": "cum"},
     )
-    cum = spend.withColumn("cum", F.sum("spend").over(w))
     cls = F.when(F.lit(2) * F.col("cum") <= total, "A").when(
         F.lit(5) * F.col("cum") <= F.lit(4) * total, "B"
     ).otherwise("C")
@@ -1682,15 +1723,20 @@ def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "positive rate, lift over the base rate (exact rational "
     "n_pos·totN / n·totPos through one CR division), and cumulative "
     "capture (the gains curve: what share of all positives the top-k "
-    "deciles reach). The global NTILE is the one total ordering — "
-    "Spark executes an unpartitioned window in a single-partition "
-    "sort, so at 100 TB swap it for a two-pass range-partitioned "
-    "rank (sample quantile cut points, then per-range offsets — the "
-    "customer_pareto_abc prescription); everything after runs on 10 "
-    "rows and all moments are exact int64 counts, so cross-engine "
-    "hashes agree by construction.",
+    "deciles reach). The global NTILE is a TWO-PHASE rank "
+    "(operators/rank.two_phase_window) plus the exact integer NTILE "
+    "distribution from (row_number, n) — bit-identical to the "
+    "unpartitioned window with no single-partition stage (the r12 "
+    "sweep retiring the declared entity-frame windows); everything "
+    "after runs on 10 rows and all moments are exact int64 counts, "
+    "so cross-engine hashes agree by construction.",
 )
 def q_model_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.rank import (
+        ntile_from_row_number,
+        two_phase_window,
+    )
+
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     buyers = orders.select("o_custkey").distinct()
@@ -1701,16 +1747,25 @@ def q_model_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("y"),
     )
-    w = Window.orderBy(F.desc("c_acctbal"), F.desc("c_custkey"))
+    # frame count for the NTILE formula: one bounded 1-row statistic
+    n_frame = int(cust.count())
+    ranked = two_phase_window(
+        scored,
+        [F.col("c_acctbal").desc(), F.col("c_custkey").desc()],
+        row_col="rn",
+    )
     g = (
-        scored.select(F.ntile(10).over(w).alias("decile"), "y")
+        ranked.select(
+            ntile_from_row_number(F.col("rn"), n_frame, 10).alias("decile"),
+            "y",
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("y").cast("long").alias("n_pos"),
         )
         # two consumers (totals fold + final projection): checkpoint
-        # the 10-row frame so the global NTILE sort runs once
+        # the 10-row frame so the rank pipeline runs once
         .localCheckpoint(eager=True)
     )
     # Totals: one bounded 1-row statistic folded in as driver
@@ -1721,6 +1776,19 @@ def q_model_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("tot_n"),
         F.sum("n_pos").cast("long").alias("tot_pos"),
     ).first()
+    # Empty customer table (tot_n NULL) or zero positives: lift and
+    # cum_capture divide by tot_pos — mirror the oracle, whose cross
+    # join to the t CTE degrades to an empty result (the
+    # events_markov_stationary k==0 guard pattern; r11 ADVICE).
+    if tot["tot_n"] is None or int(tot["tot_pos"] or 0) == 0:
+        return g.select(
+            "decile",
+            "n",
+            "n_pos",
+            F.lit(None).cast("double").alias("pos_rate"),
+            F.lit(None).cast("double").alias("lift"),
+            F.lit(None).cast("double").alias("cum_capture"),
+        ).limit(0)
     tot_n, tot_pos = int(tot["tot_n"]), int(tot["tot_pos"])
     cum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

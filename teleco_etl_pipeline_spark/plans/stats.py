@@ -26,13 +26,20 @@ here, by value-domain size:
   equi-join back — min/avg/double ranks are exact integer functions
   of (cumulative, count). Right whenever the domain is bounded
   (prices in cents, quantities, discrete codes).
-- The remaining single-key windows (Mann-Whitney/KS/Gini percentile
-  machinery, per-GROUP where possible) are row-windows over the
-  MEASURE-level frame; at the 100 TB tier convert them to the
-  histogram form above or a sampled range-partitioner + per-partition
-  offset two-phase rank. The time-series screens aggregate to
-  day/month grain FIRST (thousands of rows however big the fact
-  table), so their windows are post-shuffle trivia.
+- TWO-PHASE ranks (`operators/rank.two_phase_window`): range-bucket
+  shuffle via Spark's sampled RangePartitioner, per-bucket local
+  row_number/prefix-sum, constant-bounded bucket-offset cumsum.
+  Right when the rank needs a unique tiebreak (row_number semantics)
+  that the value histogram can't carry — the entity-frame rank maps
+  here (quantile normalization) use it.
+Every fact-scale rank statistic here uses one of the two (the
+Mann-Whitney rank-sum folds from the value histogram exactly like
+KS); the time-series screens aggregate to day/month grain FIRST
+(thousands of rows however big the fact table), so their windows are
+post-shuffle trivia. The per-SEGMENT Gini row_numbers are windows
+partitioned by a low-cardinality key over the customer aggregate —
+at extreme entity cardinality they take the same two-phase swap,
+applied per segment.
 """
 
 from __future__ import annotations
@@ -184,11 +191,18 @@ def q_part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(2*avg-rank = 2*min_rank + ties - 1 avoids the .5 fraction), "
     "summed in DECIMAL(38,0) so the statistic survives 1.5e10-row "
     "groups; only the final U/z display casts to double, in an "
-    "identical IEEE op sequence on both engines. The global rank is "
-    "a range-partitioned sort+window — the same cost class as any "
-    "ORDER BY at 100 TB.",
+    "identical IEEE op sequence on both engines. Ranks are NEVER "
+    "assigned per row: the per-cents histogram's two-level bucketed "
+    "cumsum (operators/quantiles.value_cumsum — no task holds more "
+    "than a domain partition) gives min_rank = cum - t + 1, and the "
+    "group-1 rank-sum folds as SUM(d1 * (2*cum - t + 1)) over the "
+    "VALUE frame, so the fact rows are touched by exactly one "
+    "map-side-combined groupBy (the r11 HBOS fix, applied to the "
+    "rank site the r11 sweep missed).",
 )
 def q_mannwhitney_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.quantiles import value_cumsum
+
     orders = load_table(spark, sf_dir, "orders")
     v = orders.filter(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
@@ -198,32 +212,37 @@ def q_mannwhitney_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("grp"),
         _cents("o_totalprice").alias("cents"),
     )
-    r2 = (
-        2 * F.rank().over(Window.orderBy("cents"))
-        + F.count(F.lit(1)).over(Window.partitionBy("cents"))
-        - 1
-    )
-    ranked = v.withColumn("r2", r2)
-    g = ranked.agg(
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("n2"),
-        F.sum(
-            F.when(F.col("grp") == 1, F.col("r2").cast(_DEC)).otherwise(
-                F.lit(0).cast(_DEC)
-            )
-        ).alias("r2_1"),
-    )
-    ties = (
+    # Value-grain histogram with per-group counts; eager checkpoint —
+    # it feeds both the cumsum path and the final fold (materialized-
+    # superstep rule: one fact scan, domain-sized blocks after).
+    per_val = (
         v.groupBy("cents")
-        .agg(F.count(F.lit(1)).alias("t"))
         .agg(
-            F.sum(
-                F.col("t").cast(_DEC) * F.col("t") * F.col("t")
-                - F.col("t").cast(_DEC)
-            ).alias("tie_sum")
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("d1"),
+            F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("d2"),
         )
+        .localCheckpoint(eager=True)
     )
-    j = g.crossJoin(ties)  # two 1-row scalars
+    cum = value_cumsum(
+        per_val.select("cents", (F.col("d1") + F.col("d2")).alias("__c")),
+        "cents",
+    )
+    # Row-level r2 = 2*min_rank + t - 1 = 2*cum - t + 1 (t = d1+d2 =
+    # __c), identical for every row of a tie group — so the group-1
+    # rank-sum is d1 * (2*cum - t + 1), summed at value grain.
+    per_val = per_val.join(cum.select("cents", "__c", "__cum"), "cents")
+    r2_val = (
+        F.lit(2).cast(_DEC) * F.col("__cum") - F.col("__c") + 1
+    )
+    j = per_val.agg(
+        F.sum("d1").alias("n1"),
+        F.sum("d2").alias("n2"),
+        F.sum(F.col("d1").cast(_DEC) * r2_val).alias("r2_1"),
+        F.sum(
+            F.col("__c").cast(_DEC) * F.col("__c") * F.col("__c")
+            - F.col("__c").cast(_DEC)
+        ).alias("tie_sum"),
+    )
     n1d = F.col("n1").cast("double")
     n2d = F.col("n2").cast("double")
     nd = n1d + n2d
@@ -788,26 +807,31 @@ def q_revenue_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "normalization every segment's values are drawn from the "
     "identical reference distribution, so remaining per-segment "
     "mean differences are COMPOSITION effects, not scale effects. "
-    "Both rank sorts are range-partitioned ORDER BYs (the "
-    "Mann-Whitney/KS machinery); the rank map is pure integer "
-    "codegen.",
+    "Both rank sorts are TWO-PHASE global row_numbers "
+    "(operators/rank.two_phase_window: range-bucket shuffle, "
+    "per-bucket local window, constant-bounded offset cumsum) — no "
+    "single-partition window holds either entity frame; the rank "
+    "map is pure integer codegen.",
 )
 def q_acctbal_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.rank import two_phase_window
+
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
-    c = cust.select(
-        "c_mktsegment",
-        F.row_number()
-        .over(Window.orderBy("c_acctbal", "c_custkey"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
-    s = supp.select(
-        _cents("s_acctbal").alias("cents"),
-        F.row_number()
-        .over(Window.orderBy("s_acctbal", "s_suppkey"))
-        .alias("rm"),
-    )
+    # n arrives as a 1-row scalar broadcast (the bounded-stats
+    # pattern), NOT count().over(partitionBy()) — that form is itself
+    # a single-partition window over the frame.
+    n_row = cust.agg(F.count(F.lit(1)).alias("n"))
+    c = two_phase_window(
+        cust.select("c_mktsegment", "c_acctbal", "c_custkey"),
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+        row_col="rn",
+    ).crossJoin(F.broadcast(n_row)).select("c_mktsegment", "rn", "n")
+    s = two_phase_window(
+        supp.select(_cents("s_acctbal").alias("cents"), "s_acctbal", "s_suppkey"),
+        [F.col("s_acctbal").asc(), F.col("s_suppkey").asc()],
+        row_col="rm",
+    ).select("cents", "rm")
     # The rank-map position is computed ON THE LEFT (m arrives as a
     # 1-row scalar broadcast) BEFORE the join: a condition mixing
     # columns from both sides (… * (m-1) … = rm) is a non-equi
@@ -960,8 +984,9 @@ def q_priority_status_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame
     "exact INTEGER double-ranks (2·rank + tiecount − 1, the "
     "Mann-Whitney idiom), so the moments are DECIMAL(38,0)-exact and "
     "only the final display expression is floating point. Three "
-    "global rank sorts (range-partitioned, the rank-test machinery) "
-    "feed one moment aggregate.",
+    "value-histogram rank maps (two-level bucketed cumsum — no "
+    "single-partition window, no per-row rank assignment) feed one "
+    "moment aggregate.",
 )
 def q_lineitem_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

@@ -74,9 +74,12 @@ SCALAR_BROADCASTS = {
     # the 1-row total-token and total-bigram counts broadcast onto
     # the (supported-pair)-sized lift projection — |pairs| × 1
     "collocation_pmi_topk",
-    # two 1-row scalars (group sizes, tie correction) joined onto
-    # the 1-row U-statistic aggregate — 1×1 products
+    # the 1-row (min, max) bucket-range scalar onto the per-cents
+    # histogram for the value_cumsum rank fold — |values| × 1
     "mannwhitney_priority",
+    # the 1-row frame count onto the |values|-sized rank frame for
+    # the PERCENT_RANK/CUME_DIST divisions — |values| × 1
+    "customer_spend_percentile",
     # the 1-row group-total pair broadcast onto the cumulative-rank
     # frame for the D-statistic scan — |values| × 1
     "ks_priority_totalprice",
@@ -665,3 +668,64 @@ def test_markov_stationary_single_stream_pass(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # post-checkpoint supersteps: the weight matrix is an RDD scan
     assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+# --- r12: no frame-sized unpartitioned rank windows -------------------------
+# The r11 verdict's weak class: `Window.orderBy(x)` with no partition
+# key puts EVERY row in one WindowExec task. These pins lock the
+# converted plans — ranks come from the value-histogram cumsum or the
+# two-phase range-bucket rank, never a window ordered directly on the
+# frame's data column without a partition key.
+import re  # noqa: E402
+
+
+def _no_unpartitioned_window_on(plan: str, *cols: str) -> list[str]:
+    return [
+        c
+        for c in cols
+        if re.search(rf"windowspecdefinition\({c}#\d+", plan)
+    ]
+
+
+def test_mannwhitney_rank_comes_from_value_histogram(spark, sf_dir):
+    """No per-row rank window over the filtered orders frame: the
+    rank-sum folds from the per-cents histogram cumsum (weak #1,
+    r11 verdict). The only unpartitioned window left is the
+    value_cumsum level-2 offset cumsum over ≤ _RANK_BUCKETS rows."""
+    plan = _plan(spark, sf_dir, "mannwhitney_priority")
+    assert not _no_unpartitioned_window_on(plan, "cents")
+
+
+def test_acctbal_quantile_normalize_ranks_are_two_phase(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "acctbal_quantile_normalize")
+    assert "hashpartitioning(__pid" in plan  # per-bucket local windows
+    assert not _no_unpartitioned_window_on(plan, "c_acctbal", "s_acctbal")
+
+
+def test_balance_deciles_ntile_is_two_phase(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "balance_deciles")
+    assert "hashpartitioning(__pid" in plan
+    assert not _no_unpartitioned_window_on(plan, "c_acctbal")
+
+
+def test_model_lift_gains_ntile_is_two_phase(spark, sf_dir):
+    """The 10-row decile frame is localCheckpointed (its lineage —
+    including the two-phase rank — runs at build time and the final
+    plan scans an ExistingRDD), so assert the checkpoint boundary and
+    the absence of any unpartitioned acctbal window; the rank
+    machinery itself is pinned via balance_deciles, which shares it
+    un-checkpointed."""
+    plan = _plan(spark, sf_dir, "model_lift_gains")
+    assert "ExistingRDD" in plan or "Scan[obj" in plan
+    assert not _no_unpartitioned_window_on(plan, "c_acctbal")
+
+
+def test_customer_pareto_cumsum_is_two_phase(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "customer_pareto_abc")
+    assert "hashpartitioning(__pid" in plan
+    assert not _no_unpartitioned_window_on(plan, "spend")
+
+
+def test_customer_spend_percentile_uses_value_histogram(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "customer_spend_percentile")
+    assert not _no_unpartitioned_window_on(plan, "total_spend")
