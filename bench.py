@@ -252,8 +252,9 @@ BENCH_QUERIES = [
 #   round 9 (the r8 verdict's five named gaps all gained rows).
 
 # Cross-round watch-list: the queries whose round-over-round deltas
-# the judge compares like-for-like. Benched best-of-3 (the rest are
-# best-of-2) and always included in the compact tail line.
+# the judge compares like-for-like. Since r12 EVERY query is
+# median-of-3 (min recorded alongside); the watch-list now only
+# selects what the compact tail line always includes.
 WATCH = [
     "pricing_summary",
     "events_tumbling_hourly",
@@ -277,14 +278,14 @@ def main() -> None:
     # timings measure execution, not first-touch setup.
     registry["distinct_values"].build(spark, sf_dir).count()
 
-    # Two iterations per query, report the best: the first run pays
-    # one-time whole-stage-codegen compilation + JIT warm-up, which is
-    # noise at any realistic scale (compile cost is constant; scan
-    # cost grows with data). The cross-round WATCH queries get a
-    # third iteration — their round-over-round deltas are the
-    # judge's like-for-like signal, so they deserve the extra
-    # variance reduction (the r8 verdict measured ~50% suite noise
-    # on single-shot comparisons).
+    # THREE iterations per query; report the MEDIAN and record the
+    # MIN alongside (r11 verdict ask #5 — the bench now carries the
+    # same protocol as the scaling harness, so "is it the plan or the
+    # box?" is answerable from BENCH JSON alone: a median ≫ min row
+    # is box contention, a median ≈ min shift is a plan change). The
+    # first run pays one-time whole-stage-codegen compilation + JIT
+    # warm-up — constant cost, which is why the median of three (not
+    # the mean) is the headline statistic.
     #
     # TIMING-METHOD BRIDGE: since round 8 each timing covers
     # build() + action together (pre-r8 timed the action only).
@@ -295,9 +296,10 @@ def main() -> None:
     # values are NOT comparable to BENCH_r0{1..7} for queries with
     # build-time work; r8↔r9 and later are like-for-like.
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(3 if name in WATCH else 2):
+        runs = []
+        for _ in range(3):
             # Time build() + action together: iterative operators
             # (pagerank's edge-cache fill, k-core's per-round
             # localCheckpoint supersteps) legitimately materialize
@@ -308,8 +310,10 @@ def main() -> None:
             t0 = time.perf_counter()
             df = registry[name].build(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[1], 3)  # median of 3
+        timings_min[name] = round(runs[0], 3)
         # A few operators cache() shared lineage (the PPJoin caches
         # its set/prefix/clique tables); without a release point the
         # blocks accumulate across the whole suite and pressure later
@@ -333,7 +337,9 @@ def main() -> None:
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
+                "protocol": "median_of_3",
                 "queries": timings,
+                "queries_min": timings_min,
                 "artifact_fit_sec": fit_seconds(),
                 "sf": sf_val,
             }
@@ -353,8 +359,10 @@ def main() -> None:
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
+                "protocol": "median_of_3",
                 "n_queries": len(timings),
                 "queries": compact,
+                "queries_min": {q: timings_min[q] for q in compact},
                 "artifact_fit_sec": fit_seconds(),
                 "sf": sf_val,
             }

@@ -302,6 +302,25 @@ QUERIES = [
     "events_powerlaw_tail_fit",
     # degree reduce + two node-keyed joins + 1-row moment fold
     "trade_graph_assortativity",
+    # -- round-12 additions (r11 verdict ask #5: the hot bench rows
+    #    that lacked an isolated scaling row, so suite-vs-plan
+    #    questions are answerable from JSON alone) --------------------
+    # Arrow mapInPandas PNG decode+resample (CPU-bound Python kernel)
+    "multimodal_resize_exec",
+    # bounded-memory percentile clamp (2 bounded passes + 1 scan)
+    "price_winsorize_report",
+    # banded MinHash + CC + survivor pick (plan-build supersteps)
+    "neardup_keep_best",
+    # composed quality->dedup->near-dup->split pipeline
+    "corpus_curation",
+    # within-order pair self-join + lift (basket-bounded fan-out)
+    "part_basket_lift",
+    # r12 rank-window conversions: the two-phase rank replacing the
+    # single-partition NTILE/cumsum windows (balance_deciles shares
+    # machinery with model_lift_gains above)
+    "balance_deciles",
+    "customer_pareto_abc",
+    "customer_spend_percentile",
 ]
 
 
