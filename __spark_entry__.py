@@ -313,6 +313,19 @@ _RECORD_LAST = [
     "token_jaccard_prefix_pairs",
     "token_jaccard_prefix_pairs_uncapped",
     "totalprice_psi_drift",
+    # r12 new registrations (sweep-verified this round at
+    # sf0.001+sf0.01; the r12 window was committed to the 16
+    # previously-never-recorded registrations, the 5 rank-window
+    # conversions and 29 r7-vintage refreshes before these were
+    # authored — with _R7_LEFT_FOR_R13 they take r13 slots first):
+    "lineitem_kendall_tau",
+    "orders_mood_median",
+    "priority_brownforsythe",
+    "daily_revenue_runs_test",
+    "events_variant_ztest",
+    "doc_gopher_rules",
+    "doc_dsir_importance",
+    "embedding_query_range_search",
 ]
 
 

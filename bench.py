@@ -221,6 +221,15 @@ BENCH_QUERIES = [
     "embedding_matryoshka_recall",  # truncated-dim recall curve (MRL)
     "events_powerlaw_tail_fit",  # Hill tail-index (distributed top-k)
     "trade_graph_assortativity", # edge-wise degree Pearson (no iteration)
+    # -- round-12 additions -------------------------------------------
+    "lineitem_kendall_tau",     # tau-b from the 550-cell contingency (O(cells^2))
+    "orders_mood_median",       # k x 2 median-dichotomy chi2 (bounded-memory median)
+    "priority_brownforsythe",   # robust variance-equality F (grouped exact medians)
+    "daily_revenue_runs_test",  # Wald-Wolfowitz runs on day-grain revenue
+    "events_variant_ztest",     # two-proportion conversion z (md5 variants)
+    "doc_gopher_rules",         # integer-exact Gopher quality-rule report
+    "doc_dsir_importance",      # DSIR hashed-bucket importance weights
+    "embedding_query_range_search",  # quantized-exact cosine radius query
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

@@ -321,6 +321,15 @@ QUERIES = [
     "balance_deciles",
     "customer_pareto_abc",
     "customer_spend_percentile",
+    # r12 new operators
+    "lineitem_kendall_tau",
+    "orders_mood_median",
+    "priority_brownforsythe",
+    "daily_revenue_runs_test",
+    "events_variant_ztest",
+    "doc_gopher_rules",
+    "doc_dsir_importance",
+    "embedding_query_range_search",
 ]
 
 

@@ -3905,3 +3905,72 @@ def q_embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("dim")
+
+
+# --- round-12: cosine RANGE search (threshold neighbors, Q ≪ N) --------------
+
+_RANGE_ANCHOR_MOD = 97
+_RANGE_TAU = 0.40
+
+
+def _range_search_oracle_sql() -> str:
+    key = _sql_qkey(
+        "list_dot_product(a.qa, bb.q)", "a.da", "bb.den"
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, {_sql_qvec("embedding")} AS q FROM embeddings
+    ), bb AS (
+      SELECT vec_id, q, list_dot_product(q, q) AS den FROM b
+    ), a AS (
+      SELECT vec_id AS anchor_id, q AS qa, den AS da
+      FROM bb WHERE vec_id % {_RANGE_ANCHOR_MOD} = 0
+    )
+    SELECT a.anchor_id, bb.vec_id AS vec_id,
+           {key} AS cosine_sim
+    FROM a, bb
+    WHERE bb.vec_id <> a.anchor_id
+      AND {key} >= {_RANGE_TAU}
+    ORDER BY anchor_id, vec_id
+    """
+
+
+@query(
+    "embedding_query_range_search",
+    _range_search_oracle_sql(),
+    doc="Cosine RANGE search: ALL corpus neighbors within a "
+    "similarity threshold of each anchor (the radius-query "
+    "complement of top-k retrieval — dedup candidate generation, "
+    "recall-oriented RAG, near-duplicate audit all want 'everything "
+    "above tau', not a fixed k). Anchors are the deterministic "
+    "vec_id %% 97 slice (Q ~ N/97 ≪ N): the anchor set broadcasts "
+    "and the corpus is scanned ONCE, the embedding_batch_topk Q≪N "
+    "regime — no corpus self-join; for anchor sets too large to "
+    "broadcast, the scale swap is the sign-LSH bucketed candidate "
+    "equi-join (lsh_bucketed_pairs) with this exact filter as the "
+    "verify stage. The emitted/thresholded cosine is the "
+    "quantized-exact key (floor(x*1e6) integer dots) — "
+    "bit-identical cross-engine, so the tau comparison can never "
+    "split between engines.",
+)
+def q_embedding_query_range_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = emb.select(
+        "vec_id", quantized_vec_col(F.col("embedding")).alias("q")
+    ).select("vec_id", "q", quantized_den_col(F.col("q")).alias("den"))
+    a = qe.filter(F.col("vec_id") % _RANGE_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("q").alias("qa"),
+        F.col("den").alias("da"),
+    )
+    sim = quantized_key(
+        _dot(F.col("qa"), F.col("q")), F.col("da") * F.col("den")
+    )
+    return (
+        qe.join(F.broadcast(a), F.col("vec_id") != F.col("anchor_id"))
+        .select("anchor_id", "vec_id", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= F.lit(float(_RANGE_TAU)))
+        .orderBy("anchor_id", "vec_id")
+    )

@@ -954,3 +954,272 @@ def char_entropy(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 )
 def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+# --- round-12 additions: Gopher rule filter + DSIR importance weights --------
+
+# Gopher quality-rule constants (Rae et al. 2021 §A1.1, public):
+# word-count band, mean-word-length band, symbol-to-word cap,
+# bullet/ellipsis line caps, alphabetic-word floor, stop-word floor.
+_GOPHER_WC_LO, _GOPHER_WC_HI = 50, 100_000
+_GOPHER_MWL_LO, _GOPHER_MWL_HI = 3, 10
+# Gopher's canonical stop list is ("the","be","to","of","and",
+# "that","have","with"); the synthetic corpus vocabulary only
+# contains a subset of English function words, so the rule is
+# parameterized with the corpus-visible set (same >= 2 floor) —
+# on real English text swap the canonical list back in.
+_GOPHER_STOPS = ("the", "a", "and", "of", "to", "in", "is", "that")
+
+
+@query(
+    "doc_gopher_rules",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             string_split(text, chr(10)) AS lines,
+             length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3
+               AS n_ellipsis
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             len(toks) AS wc,
+             CASE WHEN len(toks) BETWEEN 50 AND 100000
+                  THEN 0 ELSE 1 END AS f_wc,
+             CASE WHEN 3 * len(toks) <= nonspace
+                       AND nonspace <= 10 * len(toks)
+                  THEN 0 ELSE 1 END AS f_mwl,
+             CASE WHEN 10 * (n_hash + n_ellipsis) <= len(toks)
+                  THEN 0 ELSE 1 END AS f_sym,
+             CASE WHEN 10 * len(list_filter(lines,
+                         x -> regexp_matches(x, '^[-*•]')))
+                       <= len(lines)
+                  THEN 0 ELSE 1 END AS f_bullet,
+             CASE WHEN 10 * len(list_filter(lines,
+                         x -> regexp_matches(x, '\.\.\.$')))
+                       <= 3 * len(lines)
+                  THEN 0 ELSE 1 END AS f_ell,
+             CASE WHEN 5 * len(list_filter(toks,
+                         x -> regexp_matches(x, '[a-zA-Z]')))
+                       >= 4 * len(toks)
+                  THEN 0 ELSE 1 END AS f_alpha,
+             CASE WHEN (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(toks, 'in') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(toks, 'is') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+                        ) >= 2
+                  THEN 0 ELSE 1 END AS f_stop
+      FROM t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f_wc) AS BIGINT) AS fail_word_count,
+           CAST(SUM(f_mwl) AS BIGINT) AS fail_mean_word_len,
+           CAST(SUM(f_sym) AS BIGINT) AS fail_symbol_ratio,
+           CAST(SUM(f_bullet) AS BIGINT) AS fail_bullet_lines,
+           CAST(SUM(f_ell) AS BIGINT) AS fail_ellipsis_lines,
+           CAST(SUM(f_alpha) AS BIGINT) AS fail_alpha_words,
+           CAST(SUM(f_stop) AS BIGINT) AS fail_stopwords,
+           CAST(SUM(CASE WHEN f_wc + f_mwl + f_sym + f_bullet + f_ell
+                              + f_alpha + f_stop = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM f
+    """,
+    doc="Gopher quality-rule report (Rae et al. 2021 Appendix A — "
+    "the public rule set behind MassiveText): word-count band "
+    "[50, 100k], mean word length [3, 10], symbol-to-word ratio "
+    "(#/ellipsis) <= 0.1, bullet-start lines <= 10%, "
+    "ellipsis-ending lines <= 30%, >= 80% words alphabetic, >= 2 "
+    "distinct stop words. Every ratio test is cleared to EXACT "
+    "INTEGER cross-multiplication (3*wc <= nonspace, 10*sym <= wc, "
+    "5*alpha >= 4*wc ...) so no float threshold can split "
+    "cross-engine; one scan, zero shuffles before the 1-row count "
+    "fold — the whole filter is map-side codegen over split/"
+    "regexp/length builtins, the C4/Gopher curation stage at any "
+    "corpus size.",
+)
+def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    lines = F.split(F.col("text"), "\n")
+    wc = F.size(toks)
+    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    n_hash = F.length("text") - F.length(F.regexp_replace(F.col("text"), "#", ""))
+    n_ell = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), r"\.\.\.", ""))
+    ) / 3
+    f_wc = F.when(
+        wc.between(_GOPHER_WC_LO, _GOPHER_WC_HI), 0
+    ).otherwise(1)
+    f_mwl = F.when(
+        (F.lit(_GOPHER_MWL_LO) * wc <= nonspace)
+        & (nonspace <= F.lit(_GOPHER_MWL_HI) * wc),
+        0,
+    ).otherwise(1)
+    f_sym = F.when(10 * (n_hash + n_ell) <= wc, 0).otherwise(1)
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike("^[-*•]")))
+    f_bullet = F.when(10 * n_bullet <= F.size(lines), 0).otherwise(1)
+    n_ell_lines = F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.$")))
+    f_ell = F.when(10 * n_ell_lines <= 3 * F.size(lines), 0).otherwise(1)
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]")))
+    f_alpha = F.when(5 * n_alpha >= 4 * wc, 0).otherwise(1)
+    n_stop = sum(
+        F.when(F.array_contains(toks, s), 1).otherwise(0)
+        for s in _GOPHER_STOPS
+    )
+    f_stop = F.when(n_stop >= 2, 0).otherwise(1)
+    f = d.select(
+        f_wc.alias("f_wc"),
+        f_mwl.alias("f_mwl"),
+        f_sym.alias("f_sym"),
+        f_bullet.alias("f_bullet"),
+        f_ell.alias("f_ell"),
+        f_alpha.alias("f_alpha"),
+        f_stop.alias("f_stop"),
+    )
+    allf = (
+        F.col("f_wc")
+        + F.col("f_mwl")
+        + F.col("f_sym")
+        + F.col("f_bullet")
+        + F.col("f_ell")
+        + F.col("f_alpha")
+        + F.col("f_stop")
+    )
+    return f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("f_wc").cast("long").alias("fail_word_count"),
+        F.sum("f_mwl").cast("long").alias("fail_mean_word_len"),
+        F.sum("f_sym").cast("long").alias("fail_symbol_ratio"),
+        F.sum("f_bullet").cast("long").alias("fail_bullet_lines"),
+        F.sum("f_ell").cast("long").alias("fail_ellipsis_lines"),
+        F.sum("f_alpha").cast("long").alias("fail_alpha_words"),
+        F.sum("f_stop").cast("long").alias("fail_stopwords"),
+        F.sum(F.when(allf == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+    )
+
+
+# DSIR hash-bucket count and smoothing (Xie et al. 2023, public):
+# n-gram features hashed to a fixed bucket table; add-1 smoothing.
+_DSIR_BUCKETS = 256
+_DSIR_TOPK = 20
+
+
+@query(
+    "doc_dsir_importance",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT)
+               % {_DSIR_BUCKETS} AS bucket
+      FROM tok
+    ),
+    bt AS (
+      SELECT bucket,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+             COUNT(*) AS nc
+      FROM b GROUP BY bucket
+    ),
+    tot AS (
+      SELECT SUM(nt) AS tt, SUM(nc) AS tc FROM bt
+    ),
+    w AS (
+      SELECT bucket,
+             CAST(FLOOR(LN((nt + 1.0) / ((SELECT tt FROM tot)
+                                         + {_DSIR_BUCKETS}))
+                        * 1000000.0) AS BIGINT)
+             - CAST(FLOOR(LN((nc + 1.0) / ((SELECT tc FROM tot)
+                                           + {_DSIR_BUCKETS}))
+                          * 1000000.0) AS BIGINT) AS micro
+      FROM bt
+    ),
+    docw AS (
+      SELECT b.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(w.micro) AS weight_microbits
+      FROM b JOIN w USING (bucket)
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(weight_microbits AS BIGINT) AS weight_microbits
+    FROM docw
+    ORDER BY weight_microbits DESC, doc_id
+    LIMIT {_DSIR_TOPK}
+    """,
+    doc="DSIR importance weights (Xie et al. 2023, Data Selection "
+    "via Importance Resampling — public): rank raw documents by "
+    "log p_target/p_raw under hashed unigram bucket models, target "
+    "= the English slice. One token explode, one {B}-bucket reduce "
+    "(B=256 — the model is CONSTANT-sized however large the "
+    "corpus), per-bucket log-ratios floor-quantized to integer "
+    "MICRO-units (the freq.py libm idiom: every downstream sum is "
+    "exact integer, engine order can't perturb it), then a "
+    "broadcast bucket-table join back onto the token stream and a "
+    "per-doc integer fold; TakeOrdered top-k, never a global sort. "
+    "The bucket hash is the shared md5 idiom "
+    "(operators/sampling.hash_bucket), so splits/dedup/DSIR agree "
+    "on hashing.",
+)
+def q_doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens("text")).alias("token"),
+    )
+    b = tok.select(
+        "doc_id",
+        "lang",
+        hash_bucket("token", buckets=_DSIR_BUCKETS).alias("bucket"),
+    ).localCheckpoint(eager=True)  # feeds the bucket model AND the scoring join
+    bt = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+        F.count(F.lit(1)).alias("nc"),
+    )
+    tot = bt.agg(F.sum("nt").alias("tt"), F.sum("nc").alias("tc"))
+    w = bt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.floor(
+                F.log(
+                    (F.col("nt") + 1.0)
+                    / (F.col("tt") + F.lit(float(_DSIR_BUCKETS)))
+                )
+                * 1e6
+            ).cast("long")
+            - F.floor(
+                F.log(
+                    (F.col("nc") + 1.0)
+                    / (F.col("tc") + F.lit(float(_DSIR_BUCKETS)))
+                )
+                * 1e6
+            ).cast("long")
+        ).alias("micro"),
+    )
+    docw = (
+        b.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("micro").cast("long").alias("weight_microbits"),
+        )
+    )
+    return docw.orderBy(
+        F.desc("weight_microbits"), F.asc("doc_id")
+    ).limit(_DSIR_TOPK)

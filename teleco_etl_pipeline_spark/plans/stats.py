@@ -1654,3 +1654,520 @@ def q_events_powerlaw_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("hill_alpha"),
     )
+
+
+# --- round-12 additions: the remaining classical nonparametric screens ------
+
+
+@query(
+    "lineitem_kendall_tau",
+    """
+    WITH cells AS (
+      SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS n_cells FROM cells),
+    cd AS (
+      SELECT
+        SUM(CASE WHEN (b.q - a.q) * (b.d - a.d) > 0
+                 THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS conc,
+        SUM(CASE WHEN (b.q - a.q) * (b.d - a.d) < 0
+                 THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS disc
+      FROM cells a JOIN cells b
+        ON (a.q < b.q) OR (a.q = b.q AND a.d < b.d)
+    ),
+    tq AS (SELECT SUM(CAST(tc AS HUGEINT) * (tc - 1)) AS t1
+           FROM (SELECT SUM(c) AS tc FROM cells GROUP BY q)),
+    td AS (SELECT SUM(CAST(tc AS HUGEINT) * (tc - 1)) AS t2
+           FROM (SELECT SUM(c) AS tc FROM cells GROUP BY d))
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(n_cells AS BIGINT) AS n_cells,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           ROUND((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2
+                         - CAST(t1 AS DOUBLE) / 2)
+                        * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2
+                           - CAST(t2 AS DOUBLE) / 2))
+                 + 1e-9, 6) AS tau_b
+    FROM tot, cd, tq, td
+    """,
+    doc="Kendall tau-b rank correlation of quantity vs discount — "
+    "the third member of the correlation family (Pearson = "
+    "lineitem_corr_matrix, Spearman = lineitem_spearman_matrix): "
+    "concordant/discordant PAIR counting, tie-corrected. The naive "
+    "all-pairs is O(n²) in ROWS; here every count folds over the "
+    "CONTINGENCY CELLS — one map-side-combined groupBy(q,d) reduce, "
+    "then a cell-pair half-join bounded by the 50×11 VALUE DOMAIN "
+    "squared (~150k pairs at ANY data volume, broadcast + codegen) "
+    "and two marginal reduces for the tie terms. All counts are "
+    "exact integers in DECIMAL(38) carriers (C and D reach ~n²/4: "
+    "int64-safe through ~6e9 rows, the BIGINT display bound; the "
+    "internal sums stay exact past that); tau_b's divisions are the "
+    "identical IEEE sequence on both engines.",
+)
+def q_lineitem_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.round("l_quantity", 0).cast("long").alias("q"),
+            F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+        )
+        .groupBy("q", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # domain-sized (≤550 cells); feeds the pair join twice plus
+        # the totals/marginal reduces — checkpoint so the fact scan
+        # runs once (materialized-superstep rule)
+        .localCheckpoint(eager=True)
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    half = (F.col("a.q") < F.col("b.q")) | (
+        (F.col("a.q") == F.col("b.q")) & (F.col("a.d") < F.col("b.d"))
+    )
+    prod = (F.col("b.q") - F.col("a.q")) * (F.col("b.d") - F.col("a.d"))
+    nn = F.col("a.c").cast(_DEC) * F.col("b.c")
+    cd = a.join(F.broadcast(b), half).agg(
+        F.sum(F.when(prod > 0, nn).otherwise(F.lit(0).cast(_DEC))).alias(
+            "conc"
+        ),
+        F.sum(F.when(prod < 0, nn).otherwise(F.lit(0).cast(_DEC))).alias(
+            "disc"
+        ),
+    )
+    tot = cells.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_cells")
+    )
+    tq = (
+        cells.groupBy("q")
+        .agg(F.sum("c").alias("tc"))
+        .agg(F.sum(F.col("tc").cast(_DEC) * (F.col("tc") - 1)).alias("t1"))
+    )
+    td = (
+        cells.groupBy("d")
+        .agg(F.sum("c").alias("tc"))
+        .agg(F.sum(F.col("tc").cast(_DEC) * (F.col("tc") - 1)).alias("t2"))
+    )
+    j = tot.crossJoin(cd).crossJoin(tq).crossJoin(td)  # four 1-row scalars
+    nd = F.col("n").cast("double")
+    n0 = nd * (nd - 1) / 2
+    return j.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        F.round(
+            (F.col("conc").cast("double") - F.col("disc").cast("double"))
+            / F.sqrt(
+                (n0 - F.col("t1").cast("double") / 2)
+                * (n0 - F.col("t2").cast("double") / 2)
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@query(
+    "orders_mood_median",
+    """
+    WITH med AS (
+      SELECT quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5)
+               AS m
+      FROM orders
+    ),
+    g AS (
+      SELECT o_orderpriority AS pri,
+             SUM(CASE WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           > (SELECT m FROM med) THEN 1 ELSE 0 END) AS above,
+             SUM(CASE WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           <= (SELECT m FROM med) THEN 1 ELSE 0 END) AS below
+      FROM orders GROUP BY 1
+    ),
+    lcells AS (
+      SELECT pri, 'above' AS side, above AS o FROM g
+      UNION ALL
+      SELECT pri, 'below', below FROM g
+    ),
+    m2 AS (
+      SELECT l.pri, l.side, l.o,
+             SUM(l.o) OVER (PARTITION BY l.pri) AS r,
+             SUM(l.o) OVER (PARTITION BY l.side) AS c2,
+             SUM(l.o) OVER () AS tot
+      FROM lcells l
+    )
+    SELECT CAST(MAX(tot) AS BIGINT) AS n_orders,
+           ROUND((SELECT m FROM med) + 1e-9, 1) AS median_cents,
+           CAST(SUM(CAST(FLOOR(
+             (CAST(o * tot - r * c2 AS DOUBLE) * CAST(o * tot - r * c2 AS DOUBLE))
+             / (CAST(tot AS DOUBLE) * r * c2) * 1000000.0) AS BIGINT))
+             AS DOUBLE) / 1e6 AS chi2,
+           CAST(COUNT(DISTINCT pri) - 1 AS BIGINT) AS dof
+    FROM m2
+    """,
+    doc="Mood's median test: does any order priority's totalprice "
+    "distribution sit above/below the shared grand median? "
+    "Dichotomize at the EXACT median (bounded-memory "
+    "operators/quantiles machinery — the same quantile_cont value "
+    "DuckDB computes, folded as a driver literal), one fact "
+    "aggregate for the k×2 contingency, then the chi2 fold on the "
+    "2k-cell frame with the weekday-chi2 determinism idiom: each "
+    "cell's (o·tot − r·c)²/(tot·r·c) term is floor-quantized to "
+    "integer MICRO-units and summed as integers, so cross-engine "
+    "accumulation order cannot perturb the statistic. Margins are "
+    "window sums over the 2k CELL frame, never the data.",
+)
+def q_orders_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.quantiles import (
+        exact_percentiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    (m,) = exact_percentiles(orders, _cents("o_totalprice"), [0.5])
+    g = orders.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.sum(F.when(_cents("o_totalprice") > F.lit(m), 1).otherwise(0)).alias(
+            "above"
+        ),
+        F.sum(
+            F.when(_cents("o_totalprice") <= F.lit(m), 1).otherwise(0)
+        ).alias("below"),
+    )
+    long = g.selectExpr(
+        "pri", "stack(2, 'above', above, 'below', below) AS (side, o)"
+    )
+    m2 = long.select(
+        "pri",
+        "side",
+        "o",
+        F.sum("o").over(Window.partitionBy("pri")).alias("r"),
+        F.sum("o").over(Window.partitionBy("side")).alias("c2"),
+        F.sum("o").over(Window.partitionBy()).alias("tot"),
+    )
+    od = F.col("o").cast("double")
+    dev = od * F.col("tot") - F.col("r").cast("double") * F.col("c2")
+    term = dev * dev / (
+        F.col("tot").cast("double")
+        * F.col("r").cast("double")
+        * F.col("c2").cast("double")
+    )
+    return m2.agg(
+        F.max("tot").cast("long").alias("n_orders"),
+        F.round(F.lit(float(m)) + F.lit(1e-9), 1).alias("median_cents"),
+        (
+            F.sum(F.floor(term * 1e6).cast("long")).cast("double") / 1e6
+        ).alias("chi2"),
+        (F.count_distinct(F.col("pri")) - 1).cast("long").alias("dof"),
+    )
+
+
+@query(
+    "priority_brownforsythe",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS pri,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    med AS (
+      SELECT pri, quantile_cont(2 * cents, 0.5) AS m2
+      FROM v GROUP BY pri
+    ),
+    d AS (
+      SELECT v.pri,
+             CAST(ABS(2 * v.cents - CAST(med.m2 AS BIGINT)) AS BIGINT) AS dd
+      FROM v JOIN med ON v.pri = med.pri
+    ),
+    g AS (
+      SELECT pri, COUNT(*) AS ng,
+             SUM(CAST(dd AS HUGEINT)) AS s,
+             SUM(CAST(dd AS HUGEINT) * dd) AS q
+      FROM d GROUP BY pri
+    ),
+    t AS (
+      SELECT COUNT(*) AS k,
+             SUM(ng) AS n,
+             SUM(s) AS stot,
+             SUM(q) AS qtot,
+             SUM((s * s) // ng) AS tsum
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN qtot - tsum > 0 THEN
+             ROUND(CAST((n - k) * (tsum - (stot * stot) // n) AS DOUBLE)
+                   / CAST((k - 1) * (qtot - tsum) AS DOUBLE) + 1e-9, 4)
+           ELSE 0.0 END AS f_stat
+    FROM t
+    """,
+    doc="Brown-Forsythe robust variance-equality test across order "
+    "priorities: one-way ANOVA F on the absolute deviations from "
+    "each group's MEDIAN (Brown & Forsythe 1974 — the "
+    "heteroscedasticity screen that, unlike Levene's mean form, "
+    "keeps its size under heavy tails). Per-group medians come from "
+    "a (priority, cents) VALUE HISTOGRAM with the cumsum window "
+    "partitioned by group over the DISTINCT-VALUE frame (domain-"
+    "bounded per task, never data-bounded), extracted as the exact "
+    "integer m2 = v[(n-1) div 2] + v[n div 2] = 2·median — so the "
+    "deviations |2·cents − m2| are exact integers. The F statistic "
+    "folds from {n_g, Σd, Σd²} per group — FIVE bounded rows "
+    "collected to the driver and combined in arbitrary-precision "
+    "Python ints with floor division, mirroring DuckDB's HUGEINT // "
+    "exactly (both sides quantize the same way; one double division "
+    "at display). Two fact passes total (histogram + deviation "
+    "fold), both map-side-combined reduces.",
+)
+def q_priority_brownforsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    vc = (
+        v.groupBy("pri", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # feeds the per-group cumsum AND the group totals
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("pri")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vc.withColumn("cum", F.sum("c").over(w))
+    tot = vc.groupBy("pri").agg(F.sum("c").alias("ng"))
+    j = cum.join(F.broadcast(tot), "pri")
+    i0 = F.floor((F.col("ng") - 1) / 2)
+    i1 = F.floor(F.col("ng") / 2)
+    lo_pick = (i0 >= F.col("cum") - F.col("c")) & (i0 < F.col("cum"))
+    hi_pick = (i1 >= F.col("cum") - F.col("c")) & (i1 < F.col("cum"))
+    m2 = j.groupBy("pri").agg(
+        (
+            F.max(F.when(lo_pick, F.col("cents")))
+            + F.max(F.when(hi_pick, F.col("cents")))
+        ).alias("m2")
+    )
+    d = v.join(F.broadcast(m2), "pri").select(
+        "pri", F.abs(2 * F.col("cents") - F.col("m2")).alias("dd")
+    )
+    g = d.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(F.col("dd").cast(_DEC)).alias("s"),
+        F.sum(F.col("dd").cast(_DEC) * F.col("dd")).alias("q"),
+    )
+    # k is the priority cardinality (5): a bounded driver fold in
+    # exact Python ints — floor division matches HUGEINT // exactly.
+    rows = g.collect()
+    k = len(rows)
+    n = sum(int(r["ng"]) for r in rows)
+    stot = sum(int(r["s"]) for r in rows)
+    qtot = sum(int(r["q"]) for r in rows)
+    tsum = sum((int(r["s"]) ** 2) // int(r["ng"]) for r in rows)
+    ssw = qtot - tsum
+    if ssw > 0:
+        from teleco_etl_pipeline_spark.operators.quantiles import half_up
+
+        num = (n - k) * (tsum - (stot * stot) // n)
+        den = (k - 1) * ssw
+        f_stat = half_up(float(num) / float(den) + 1e-9, 4)
+    else:
+        f_stat = 0.0
+    return spark.range(1).select(
+        F.lit(k).cast("long").alias("k_groups"),
+        F.lit(n).cast("long").alias("n_rows"),
+        F.lit(f_stat).cast("double").alias("f_stat"),
+    )
+
+
+@query(
+    "daily_revenue_runs_test",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS dy,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(cents, 0.5) AS m FROM daily),
+    s AS (
+      SELECT dy, CASE WHEN cents > (SELECT m FROM med) THEN 1 ELSE 0 END
+               AS sgn
+      FROM daily WHERE CAST(cents AS DOUBLE) <> (SELECT m FROM med)
+    ),
+    r AS (
+      SELECT sgn,
+             CASE WHEN LAG(sgn) OVER (ORDER BY dy) IS NULL
+                    OR LAG(sgn) OVER (ORDER BY dy) <> sgn
+                  THEN 1 ELSE 0 END AS brk
+      FROM s
+    ),
+    agg AS (
+      SELECT SUM(sgn) AS n1,
+             SUM(1 - sgn) AS n2,
+             SUM(brk) AS runs
+      FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(runs AS BIGINT) AS n_runs,
+           CASE WHEN n1 > 0 AND n2 > 0
+                     AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) > 0 THEN
+             ROUND((CAST(runs AS DOUBLE)
+                    - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                   / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                          / (CAST(n1 + n2 AS DOUBLE)
+                             * (n1 + n2) * (n1 + n2 - 1)))
+                   + 1e-9, 4)
+           ELSE 0.0 END AS z_stat
+    FROM agg
+    """,
+    doc="Wald-Wolfowitz runs test on daily revenue: is the sequence "
+    "of above/below-median days random, or does revenue trend/"
+    "mean-revert (too few/too many runs)? The fact table reduces to "
+    "DAY grain first (calendar-bounded however large the data — the "
+    "module's time-series contract), the median of daily cents "
+    "folds from the bounded-memory percentile machinery as a driver "
+    "literal, and the run count is one LAG over the day frame. "
+    "Median-equal days are dropped (the standard dichotomization); "
+    "z uses the exact integer (n1, n2, R) in an identical IEEE "
+    "sequence on both engines, 0.0 sentinel when a side is empty.",
+)
+def q_daily_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.quantiles import (
+        exact_percentiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("dy")
+    ).agg(F.sum(_cents("o_totalprice")).alias("cents")).localCheckpoint(
+        eager=True
+    )  # feeds the median machinery and the sign sequence
+    (m,) = exact_percentiles(daily, "cents", [0.5])
+    s = daily.filter(F.col("cents").cast("double") != F.lit(m)).select(
+        "dy",
+        F.when(F.col("cents") > F.lit(m), 1).otherwise(0).alias("sgn"),
+    )
+    lag = F.lag("sgn").over(Window.orderBy("dy"))
+    r = s.select(
+        "sgn",
+        F.when(lag.isNull() | (lag != F.col("sgn")), 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    agg = r.agg(
+        F.sum("sgn").alias("n1"),
+        F.sum(1 - F.col("sgn")).alias("n2"),
+        F.sum("brk").alias("runs"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    nn = 2.0 * n1 * n2
+    var = nn * (nn - n1 - n2) / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    z = (F.col("runs").cast("double") - (nn / (n1 + n2) + 1)) / F.sqrt(var)
+    return agg.select(
+        F.col("n1").cast("long").alias("n_above"),
+        F.col("n2").cast("long").alias("n_below"),
+        F.col("runs").cast("long").alias("n_runs"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0) & (nn * (nn - n1 - n2) > 0),
+            F.round(z + F.lit(1e-9), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z_stat"),
+    )
+
+
+@query(
+    "events_variant_ztest",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN CAST(concat('0x',
+                    substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 1000000 < 500000
+                  THEN 'A' ELSE 'B' END AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS nb,
+             SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS ca,
+             SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS cb
+      FROM u
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(ca AS BIGINT) AS conv_a,
+           CAST(cb AS BIGINT) AS conv_b,
+           ROUND(CAST(ca AS DOUBLE) / na + 1e-9, 6) AS rate_a,
+           ROUND(CAST(cb AS DOUBLE) / nb + 1e-9, 6) AS rate_b,
+           CASE WHEN na > 0 AND nb > 0 AND ca + cb > 0
+                     AND ca + cb < na + nb THEN
+             ROUND((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                   / SQRT((CAST(ca + cb AS DOUBLE) / (na + nb))
+                          * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                          * (1.0 / na + 1.0 / nb))
+                   + 1e-9, 4)
+           ELSE 0.0 END AS z_stat
+    FROM v
+    """,
+    doc="Two-proportion z-test on per-user conversion between the "
+    "deterministic md5 variants (the CUPED experiment's unadjusted "
+    "binary-metric companion): pooled-variance z on P(any purchase "
+    "event). One user-grain reduce (map-side combined — conversion "
+    "is MAX of a flag), one 1-row fold; the variant hash is the "
+    "shared operators/sampling.hash_bucket idiom, so experiment "
+    "queries agree on assignment. All counts exact integers; the z "
+    "division sequence is IEEE-identical cross-engine with 0.0 "
+    "sentinels for degenerate splits (empty arm, all/none "
+    "converted).",
+)
+def q_events_variant_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(hash_bucket("user_id") < 500000, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+        "converted",
+    )
+    v = u.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("nb"),
+        F.sum(
+            F.when(F.col("variant") == "A", F.col("converted")).otherwise(0)
+        ).alias("ca"),
+        F.sum(
+            F.when(F.col("variant") == "B", F.col("converted")).otherwise(0)
+        ).alias("cb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ca, cb = F.col("ca").cast("double"), F.col("cb").cast("double")
+    p = (ca + cb) / (na + nb)
+    z = (ca / na - cb / nb) / F.sqrt(
+        p * (1 - p) * (1.0 / na + 1.0 / nb)
+    )
+    ok = (
+        (F.col("na") > 0)
+        & (F.col("nb") > 0)
+        & (F.col("ca") + F.col("cb") > 0)
+        & (F.col("ca") + F.col("cb") < F.col("na") + F.col("nb"))
+    )
+    return v.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("ca").cast("long").alias("conv_a"),
+        F.col("cb").cast("long").alias("conv_b"),
+        F.round(ca / na + F.lit(1e-9), 6).alias("rate_a"),
+        F.round(cb / nb + F.lit(1e-9), 6).alias("rate_b"),
+        F.when(ok, F.round(z + F.lit(1e-9), 4))
+        .otherwise(F.lit(0.0))
+        .alias("z_stat"),
+    )

@@ -46,6 +46,11 @@ ALLPAIRS_BASELINES = {
     "embedding_knn_classify_total",
     # identical leftovers-fallback shape, fixed-8-plane curve twin
     "embedding_knn_classify_total_fixed8",
+    # cosine RANGE search: a DELIBERATE broadcast Q×N anchor scan in
+    # its Q≪N regime (anchors = vec_id % 97); scale path for large
+    # anchor sets is the LSH-bucketed candidate equi-join with the
+    # same quantized-exact threshold as the verify stage (r12)
+    "embedding_query_range_search",
 }
 
 
@@ -77,6 +82,14 @@ SCALAR_BROADCASTS = {
     # the 1-row (min, max) bucket-range scalar onto the per-cents
     # histogram for the value_cumsum rank fold — |values| × 1
     "mannwhitney_priority",
+    # Kendall tau-b's concordance fold: a half self-join of the
+    # 550-cell (quantity, discount) CONTINGENCY frame — O(cells²)
+    # bounded by the value DOMAIN squared at any data volume, plus
+    # four 1-row moment scalars crossed into the 1-row report (r12)
+    "lineitem_kendall_tau",
+    # the 1-row (target-total, corpus-total) counts broadcast onto
+    # the 256-row DSIR bucket model — 256 × 1 (r12)
+    "doc_dsir_importance",
     # the 1-row frame count onto the |values|-sized rank frame for
     # the PERCENT_RANK/CUME_DIST divisions — |values| × 1
     "customer_spend_percentile",
