@@ -110,6 +110,47 @@ verdict's watch #6), isolated best-of-3 measurements:
   vs its lossless _uncapped twin's x58.7 (110 s) — the sized-vs-
   fixed contrast this harness exists to measure.
 
+r12 root-causes (isolated re-measures with a same-session
+trade_graph_pagerank control; the control ran ×2.4-2.6 SLOWER than
+its r11 row at EVERY SF this session — a uniform box-state
+multiplier, so within-run growth ratios are the comparable signal,
+not absolute seconds):
+
+- embedding_knn_classify (r11 recorded ×5.09 sf1, r10 ~×3.1 —
+  verdict ask #6): isolated re-measure ×3.74 with the inflated
+  control in band. The PMAX 16→20 lift did NOT change the sf1
+  configuration: sized_planes(20_000, 32) = bit_length(625-1) = 10
+  planes under BOTH caps (the cap only engages at ≥ 2^16·32 ≈ 2M
+  vectors for the kNN target). The r11 ×5.09 was box state, not a
+  plan change; the sized-family "near-flat per decade" claim stands
+  on the growth column (×3.74 at 10× data on fixed cores, sf10
+  median ≤ the fixed-core asymptote).
+- embedding_query_range_search (REAL BUG, caught r12 pre-commit by
+  this harness): the anchor slice was Q = N/97, making the
+  broadcast scan N²/97 — measured ×46.7 per 10× at sf1 (57.9 s).
+  Fixed the same session: anchors capped at the first 16 modulo
+  slots (constant Q, predicate pushed to the scan) → ×3.56 (4.7 s),
+  work-linear. The uncapped curve is NOT kept registered — unlike
+  the PPJoin/_fixed twins it had no recall/contract upside, only
+  the bug.
+- neardup_keep_best ×16.4 sf1 (83 s isolated; r11 verdict watch #5):
+  INHERITED + WORK-LINEAR, decomposed by direct measurement —
+  its pair stage is the UNGUARDED exact enumeration
+  (ngram_jaccard_pairs, threshold 0.12, the declared ×19
+  output-bound grower: 258 → 4,967 pairs sf0.1→sf1, 8.2 → 43.4 s)
+  and the CC + survivor stages grow ×12 on a graph with ×19 edges /
+  ×10 nodes (92.9 s; max cluster 8, clusters 4,754 → 45,842) —
+  linear vs their own grown input, no quadratic stage. The 100 TB
+  path swaps the pair stage for ngram_jaccard_guarded /
+  minhash_lsh_pairs feeding the SAME clusters+keep_best operators;
+  the registered query keeps the exact unguarded semantics because
+  its oracle computes the exact closure.
+- multimodal_resize_exec (r11 watch #5, previously no isolated row):
+  ×1.36 per 10× at sf1 (1.18 s isolated vs the 5.5 s in-suite bench
+  reading) — the r11 bench delta was suite/box context, confirmed.
+  price_winsorize_report ×1.97, corpus_curation ×2.84,
+  part_basket_lift ×1.23, all work-linear or better.
+
 RESOLVED in r10 (previously the fixed-config killers; the sized
 paths are now the registered defaults, oracle-backed at every SF):
 

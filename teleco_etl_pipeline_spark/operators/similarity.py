@@ -3910,6 +3910,13 @@ def q_embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame
 # --- round-12: cosine RANGE search (threshold neighbors, Q ≪ N) --------------
 
 _RANGE_ANCHOR_MOD = 97
+# Anchor set is CONSTANT-SIZED: the first _RANGE_MAX_Q anchor slots
+# (vec_id < MOD * MAX_Q). Without the cap Q = N/97 grows with the
+# corpus and the broadcast scan is N²/97 — measured x46.7 per 10x at
+# sf1 before the cap (the r12 scaling batch caught it); with it the
+# scan is MAX_Q * N, work-linear, and the cap predicate pushes to the
+# parquet reader.
+_RANGE_MAX_Q = 16
 _RANGE_TAU = 0.40
 
 
@@ -3925,6 +3932,7 @@ def _range_search_oracle_sql() -> str:
     ), a AS (
       SELECT vec_id AS anchor_id, q AS qa, den AS da
       FROM bb WHERE vec_id % {_RANGE_ANCHOR_MOD} = 0
+        AND vec_id < {_RANGE_ANCHOR_MOD * _RANGE_MAX_Q}
     )
     SELECT a.anchor_id, bb.vec_id AS vec_id,
            {key} AS cosine_sim
@@ -3943,12 +3951,15 @@ def _range_search_oracle_sql() -> str:
     "complement of top-k retrieval — dedup candidate generation, "
     "recall-oriented RAG, near-duplicate audit all want 'everything "
     "above tau', not a fixed k). Anchors are the deterministic "
-    "vec_id %% 97 slice (Q ~ N/97 ≪ N): the anchor set broadcasts "
-    "and the corpus is scanned ONCE, the embedding_batch_topk Q≪N "
-    "regime — no corpus self-join; for anchor sets too large to "
-    "broadcast, the scale swap is the sign-LSH bucketed candidate "
-    "equi-join (lsh_bucketed_pairs) with this exact filter as the "
-    "verify stage. The emitted/thresholded cosine is the "
+    "vec_id %% 97 slice CAPPED at the first 16 slots — a CONSTANT Q "
+    "however large the corpus (an uncapped modulo slice is Q = N/97 "
+    "and the broadcast scan degenerates to N²/97: measured x46.7 "
+    "per 10x at sf1, caught and fixed in the r12 scaling batch): "
+    "the anchor set broadcasts and the corpus is scanned ONCE, the "
+    "embedding_batch_topk Q≪N regime — no corpus self-join; for "
+    "anchor sets too large to broadcast, the scale swap is the "
+    "sign-LSH bucketed candidate equi-join (lsh_bucketed_pairs) "
+    "with this exact filter as the verify stage. The emitted/thresholded cosine is the "
     "quantized-exact key (floor(x*1e6) integer dots) — "
     "bit-identical cross-engine, so the tau comparison can never "
     "split between engines.",
@@ -3960,7 +3971,10 @@ def q_embedding_query_range_search(
     qe = emb.select(
         "vec_id", quantized_vec_col(F.col("embedding")).alias("q")
     ).select("vec_id", "q", quantized_den_col(F.col("q")).alias("den"))
-    a = qe.filter(F.col("vec_id") % _RANGE_ANCHOR_MOD == 0).select(
+    a = qe.filter(
+        (F.col("vec_id") % _RANGE_ANCHOR_MOD == 0)
+        & (F.col("vec_id") < _RANGE_ANCHOR_MOD * _RANGE_MAX_Q)
+    ).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("q").alias("qa"),
         F.col("den").alias("da"),
