@@ -937,16 +937,20 @@ def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="RFM customer segmentation: per-customer recency (last order "
     "epoch-day), frequency, and exact-decimal monetary reduce first, "
-    "then three NTILE(5) windows score the CUSTOMER aggregate (never "
-    "the order table — the sort is |customers|, and each window "
-    "totally orders on (metric, custkey) so quintile edges are "
-    "deterministic cross-engine), concatenated into the classic "
-    "3-digit segment.",
+    "then three TWO-PHASE ranks (operators/rank.two_phase_window + "
+    "the exact integer NTILE(5) distribution formula) score the "
+    "CUSTOMER aggregate — each totally ordered on (metric, custkey) "
+    "so quintile edges are deterministic cross-engine, with no "
+    "single-partition window holding the frame (the r12 sweep "
+    "retiring entity-frame global windows), concatenated into the "
+    "classic 3-digit segment.",
 )
 def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from teleco_etl_pipeline_spark.functions import epoch_us
+    from teleco_etl_pipeline_spark.operators.rank import (
+        ntile_from_row_number,
+        two_phase_window,
+    )
 
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
@@ -955,19 +959,23 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rec_day"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+    ).localCheckpoint(eager=True)  # four consumers: count + 3 rank passes
+    n = int(cust.count())
+    ranked = two_phase_window(
+        cust, [F.asc("rec_day"), F.asc("o_custkey")], row_col="__rn_r"
     )
-    scored = cust.select(
+    ranked = two_phase_window(
+        ranked, [F.asc("freq"), F.asc("o_custkey")], row_col="__rn_f"
+    )
+    ranked = two_phase_window(
+        ranked, [F.asc("mon"), F.asc("o_custkey")], row_col="__rn_m"
+    )
+    scored = ranked.select(
         "o_custkey",
         "mon",
-        F.ntile(5)
-        .over(Window.partitionBy().orderBy(F.asc("rec_day"), F.asc("o_custkey")))
-        .alias("r"),
-        F.ntile(5)
-        .over(Window.partitionBy().orderBy(F.asc("freq"), F.asc("o_custkey")))
-        .alias("f"),
-        F.ntile(5)
-        .over(Window.partitionBy().orderBy(F.asc("mon"), F.asc("o_custkey")))
-        .alias("m"),
+        ntile_from_row_number(F.col("__rn_r"), n, 5).alias("r"),
+        ntile_from_row_number(F.col("__rn_f"), n, 5).alias("f"),
+        ntile_from_row_number(F.col("__rn_m"), n, 5).alias("m"),
     )
     return scored.groupBy(
         F.concat(
@@ -1631,26 +1639,45 @@ def q_priority_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scoring pipeline needs: decile-bin a [0,1] score (here the "
     "account-balance percent_rank) against a binary outcome (customer "
     "has orders; semi-join shape) and report observed positive rate "
-    "vs mean score per bin. The rank window is the only global "
-    "ordering; everything after runs on 10 bins. For a true model "
-    "score swap the window for the ML pipeline's probability column "
-    "(plans/ml.py churn_probability) — the binning contract is "
-    "identical.",
+    "vs mean score per bin. The global rank is a TWO-PHASE "
+    "row_number (operators/rank.two_phase_window — no "
+    "single-partition window; PERCENT_RANK over this UNIQUE "
+    "ordering is exactly (rn-1)/(n-1), the identical IEEE division "
+    "DuckDB performs); everything after runs on 10 bins. For a true "
+    "model score swap the rank for the ML pipeline's probability "
+    "column (plans/ml.py churn_probability) — the binning contract "
+    "is identical.",
 )
 def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.rank import two_phase_window
+
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     buyers = orders.select(F.col("o_custkey")).distinct()
     n_tot = cust.agg(F.count(F.lit(1)).alias("n_tot")).scalar()
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    scored = (
-        cust.join(buyers, cust["c_custkey"] == buyers["o_custkey"], "left")
-        .select(
-            "c_custkey",
-            F.percent_rank().over(w).alias("score"),
-            F.row_number().over(w).alias("rn"),
-            F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("y"),
+    joined = cust.join(
+        buyers, cust["c_custkey"] == buyers["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("y"),
+    )
+    ranked = two_phase_window(
+        joined, [F.asc("c_acctbal"), F.asc("c_custkey")], row_col="rn"
+    )
+    scored = ranked.select(
+        "c_custkey",
+        # PERCENT_RANK is defined as 0 for a 1-row frame in both
+        # engines — guard the (rn-1)/(n-1) form the same way
+        F.when(
+            n_tot > F.lit(1),
+            (F.col("rn") - 1).cast("double")
+            / (n_tot - F.lit(1)).cast("double"),
         )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+        "rn",
+        "y",
     )
     # Fragile-float hardening (round-7 audit): AVG over the score
     # doubles accumulates in engine-dependent order. score is the

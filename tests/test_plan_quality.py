@@ -742,3 +742,65 @@ def test_customer_pareto_cumsum_is_two_phase(spark, sf_dir):
 def test_customer_spend_percentile_uses_value_histogram(spark, sf_dir):
     plan = _plan(spark, sf_dir, "customer_spend_percentile")
     assert not _no_unpartitioned_window_on(plan, "total_spend")
+
+
+def test_gopher_rules_is_one_scan_map_side(spark, sf_dir):
+    """The Gopher report is a single documents scan + one partial-agg
+    fold: no join, no window, exactly one exchange (the 1-row final
+    aggregation)."""
+    plan = _plan(spark, sf_dir, "doc_gopher_rules")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_dsir_scoring_join_broadcasts_bucket_model(spark, sf_dir):
+    """The 256-bucket DSIR model broadcasts onto the token stream
+    (BroadcastHashJoin on bucket); the corpus is never shuffled by
+    bucket, and the top-k is TakeOrdered, not a global sort."""
+    plan = _plan(spark, sf_dir, "doc_dsir_importance")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kendall_pair_join_runs_on_checkpointed_cells(spark, sf_dir):
+    """The O(cells²) concordance fold must read the materialized
+    550-cell frame (ExistingRDD), never re-deriving the fact-table
+    lineage per consumer — the final plan contains NO parquet scan
+    of lineitem at all (four consumers, one checkpointed source)."""
+    plan = _plan(spark, sf_dir, "lineitem_kendall_tau")
+    assert "ExistingRDD" in plan
+    assert "lineitem.parquet" not in plan
+
+
+def test_range_search_anchor_cap_pushes_to_scan(spark, sf_dir):
+    """The constant-Q anchor predicate (vec_id % 97 = 0 AND vec_id <
+    1552) must reach the parquet reader on the anchor side, and the
+    corpus side is scanned once with the anchor set broadcast."""
+    plan = _plan(spark, sf_dir, "embedding_query_range_search")
+    assert "PushedFilters" in plan and "LessThan(vec_id,1552)" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # sanctioned Q≪N product
+
+
+def test_brownforsythe_median_window_is_group_partitioned(spark, sf_dir):
+    """The per-group median machinery's cumsum windows run partitioned
+    by priority over the VALUE frame — no unpartitioned window
+    anywhere in the build (the final frame is literal-only)."""
+    import re as _re
+
+    plan = _plan(spark, sf_dir, "priority_brownforsythe")
+    # final plan is a 1-row literal projection (driver fold)
+    assert "Scan OneRowRelation" in plan or "Range (0, 1" in plan
+    assert not _re.search(r"windowspecdefinition\(cents#\d+", plan)
+
+
+def test_rfm_ntiles_are_two_phase(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "customer_rfm_segments")
+    assert "hashpartitioning(__pid" in plan
+    assert not _no_unpartitioned_window_on(plan, "rec_day", "freq", "mon")
+
+
+def test_calibration_rank_is_two_phase(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "score_calibration_bins")
+    assert "hashpartitioning(__pid" in plan
+    assert not _no_unpartitioned_window_on(plan, "c_acctbal")
