@@ -39,6 +39,7 @@ def two_phase_window(
     df: DataFrame,
     order_by: list[Column],
     *,
+    partition_by: list[str] | None = None,
     row_col: str | None = "__rn",
     sum_cols: dict[str, str] | None = None,
     buckets: int | None = None,
@@ -49,31 +50,52 @@ def two_phase_window(
     above (module docstring) — no single-partition window ever holds
     the frame.
 
-    ``order_by`` must be a TOTAL order (include a unique tiebreak);
-    with ties the bucket boundary could otherwise split a tie group
-    arbitrarily — exactly the contract the unpartitioned window form
-    already required for determinism.
+    ``partition_by`` (optional, column NAMES) generalizes to GROUPED
+    windows — ``row_number().over(Window.partitionBy(g).orderBy(...))``
+    where a low-cardinality ``g`` would otherwise put a whole group in
+    one task: the range key becomes (g, *order), so a group's buckets
+    are contiguous in partition-id order; the local window partitions
+    by (bucket, g); and the per-group bucket offsets cumsum over ≤ B
+    rows per group (window partitioned by g over the bucket-totals
+    frame — constant-bounded, the same level-2 shape).
+
+    ``order_by`` must be a TOTAL order within each group (include a
+    unique tiebreak); with ties the bucket boundary could otherwise
+    split a tie group arbitrarily — exactly the contract the
+    single-window form already required for determinism.
     """
     sum_cols = sum_cols or {}
+    part = list(partition_by or [])
     b = buckets or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(b, *order_by).withColumn(
+    range_key = [F.col(p).asc() for p in part] + list(order_by)
+    ranged = df.repartitionByRange(b, *range_key).withColumn(
         "__pid", F.spark_partition_id()
     )
-    w_row = Window.partitionBy("__pid").orderBy(*order_by)
+    w_row = Window.partitionBy("__pid", *part).orderBy(*order_by)
     w_sum = w_row.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = ranged
     if row_col is not None:
         local = local.withColumn("__lr", F.row_number().over(w_row))
     for src, out in sum_cols.items():
         local = local.withColumn(f"__ls_{out}", F.sum(src).over(w_sum))
-    # Bucket totals: ≤ B rows; the offset cumsum is ONE task bounded by
-    # the constant B, never by data (value_cumsum level-2 pattern).
+    # Bucket totals: ≤ B + |groups spanning a boundary| rows; each
+    # offset cumsum task holds ≤ B rows of ITS group — bounded by the
+    # constant B, never by data (value_cumsum level-2 pattern).
     aggs = [F.count(F.lit(1)).alias("__bn")] + [
         F.sum(src).alias(f"__bs_{out}") for src, out in sum_cols.items()
     ]
-    totals = ranged.groupBy("__pid").agg(*aggs)
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    off_cols = ["__pid"]
+    totals = ranged.groupBy("__pid", *part).agg(*aggs)
+    if part:
+        w_off = (
+            Window.partitionBy(*part)
+            .orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    else:
+        w_off = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    off_cols = ["__pid", *part]
     if row_col is not None:
         off_cols.append(
             F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off_n")
@@ -86,7 +108,7 @@ def two_phase_window(
             ).alias(f"__off_{out}")
         )
     offsets = totals.select(*off_cols)
-    joined = local.join(F.broadcast(offsets), "__pid")
+    joined = local.join(F.broadcast(offsets), ["__pid", *part])
     out_cols = [F.col(c) for c in df.columns]
     if row_col is not None:
         out_cols.append((F.col("__off_n") + F.col("__lr")).alias(row_col))

@@ -298,8 +298,11 @@ def q_mannwhitney_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sorted-rank identity (2*Sum(i*x) - (n+1)*Sum(x)) / (n*Sum(x)) — "
     "rank ties broken by custkey, which the identity is invariant "
     "to. Numerators are exact DECIMAL(38,0) (i*cents reaches ~1e28 "
-    "at sf1000 — int64 would wrap); one join shuffle + one per-"
-    "segment sort window.",
+    "at sf1000 — int64 would wrap); one join shuffle + a GROUPED "
+    "two-phase rank (operators/rank.two_phase_window partition_by="
+    "segment: 5 segments would otherwise each fill one window task "
+    "at extreme entity cardinality — the r12 sweep's grouped "
+    "variant), segment counts as a broadcast 5-row join.",
 )
 def q_segment_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -312,14 +315,23 @@ def q_segment_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(_cents("o_totalprice")).alias("cents"))
     )
-    w = Window.partitionBy("segment").orderBy("cents", "custkey")
-    wn = Window.partitionBy("segment")
-    ranked = spend.select(
-        "segment",
-        "cents",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
+    # Grouped two-phase rank (operators/rank): segment cardinality is
+    # 5, so a plain partitionBy(segment) window holds ~n/5 of the
+    # customer aggregate in ONE task at extreme entity cardinality;
+    # the grouped two-phase form range-buckets on (segment, cents,
+    # custkey) and offsets per segment — no task exceeds a bucket.
+    # Segment counts arrive as a broadcast 5-row join, not
+    # count().over(partitionBy(segment)).
+    from teleco_etl_pipeline_spark.operators.rank import two_phase_window
+
+    spend = spend.localCheckpoint(eager=True)  # rank pass + totals
+    seg_n = spend.groupBy("segment").agg(F.count(F.lit(1)).alias("n"))
+    ranked = two_phase_window(
+        spend,
+        [F.col("cents").asc(), F.col("custkey").asc()],
+        partition_by=["segment"],
+        row_col="i",
+    ).join(F.broadcast(seg_n), "segment").select("segment", "cents", "i", "n")
     cutoff = F.col("n") - F.floor(F.col("n").cast("double") / 10).cast("long")
     agg = ranked.groupBy("segment").agg(
         F.max("n").cast("long").alias("n_customers"),

@@ -804,3 +804,12 @@ def test_calibration_rank_is_two_phase(spark, sf_dir):
     plan = _plan(spark, sf_dir, "score_calibration_bins")
     assert "hashpartitioning(__pid" in plan
     assert not _no_unpartitioned_window_on(plan, "c_acctbal")
+
+
+def test_gini_rank_is_grouped_two_phase(spark, sf_dir):
+    """The per-segment rank runs as the GROUPED two-phase window —
+    partitioned by (__pid, segment), never by segment alone (which
+    puts a whole segment in one task at extreme cardinality)."""
+    plan = _plan(spark, sf_dir, "segment_gini_spend")
+    assert "hashpartitioning(__pid" in plan
+    assert not _no_unpartitioned_window_on(plan, "cents")

@@ -106,3 +106,28 @@ def test_two_phase_plan_has_no_frame_sized_single_partition_window(spark):
     # no window spec ordered directly on the data columns without the
     # __pid partition key (an unpartitioned frame-sized window)
     assert not re.search(r"windowspecdefinition\(v#\d+ ASC", plan)
+
+
+@pytest.mark.parametrize("buckets", [1, 4, 7])
+def test_grouped_row_number_and_sums_match_partitioned_window(spark, buckets):
+    df = _frame(spark, 400, seed=19).withColumn(
+        "g", (F.col("id") % 3).cast("int")
+    )
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = two_phase_window(
+        df,
+        order,
+        partition_by=["g"],
+        row_col="rn",
+        sum_cols={"amt": "cum"},
+        buckets=buckets,
+    )
+    w = Window.partitionBy("g").orderBy(*order)
+    ref = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cum",
+        F.sum("amt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
