@@ -145,6 +145,12 @@ not absolute seconds):
   minhash_lsh_pairs feeding the SAME clusters+keep_best operators;
   the registered query keeps the exact unguarded semantics because
   its oracle computes the exact closure.
+- doc_gopher_rules / doc_dsir_importance (r12, fixed same session):
+  first measurements showed sf1 x3.4 — the split_token_jsd SMALL-FILE
+  PARTITION CLIFF class (regex/tokenize CPU work confined to the
+  5.9 MB sf1 file's 2 byte-splits). ensure_min_splits applied before
+  both hot projections: sf1 growth x1.63 / x1.44 after (no-op at
+  >= 1 split/core layouts).
 - multimodal_resize_exec (r11 watch #5, previously no isolated row):
   ×1.36 per 10× at sf1 (1.18 s isolated vs the 5.5 s in-suite bench
   reading) — the r11 bench delta was suite/box context, confirmed.

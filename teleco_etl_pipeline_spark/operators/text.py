@@ -1045,7 +1045,12 @@ _GOPHER_STOPS = ("the", "a", "and", "of", "to", "in", "is", "that")
     "corpus size.",
 )
 def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from teleco_etl_pipeline_spark.sources.tables import ensure_min_splits
+
+    # regex/split-heavy per-row work: apply the small-file cliff
+    # guard (no-op at >= 1 split/core layouts) so the CPU-bound rule
+    # projection runs core-wide, the split_token_jsd r11 fix class
+    d = ensure_min_splits(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens("text")
     lines = F.split(F.col("text"), "\n")
     wc = F.size(toks)
@@ -1176,8 +1181,11 @@ _DSIR_TOPK = 20
 )
 def q_doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
+    from teleco_etl_pipeline_spark.sources.tables import ensure_min_splits
 
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_splits(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )  # tokenize+explode+md5 is CPU-bound — cliff guard, no-op at scale
     tok = d.select(
         "doc_id",
         "lang",

@@ -746,12 +746,14 @@ def test_customer_spend_percentile_uses_value_histogram(spark, sf_dir):
 
 def test_gopher_rules_is_one_scan_map_side(spark, sf_dir):
     """The Gopher report is a single documents scan + one partial-agg
-    fold: no join, no window, exactly one exchange (the 1-row final
-    aggregation)."""
+    fold: no join, no window; at most two exchanges — the 1-row final
+    aggregation plus (at compact test layouts only) the
+    ensure_min_splits cliff-guard repartition, which is a no-op at
+    >= 1 split/core layouts."""
     plan = _plan(spark, sf_dir, "doc_gopher_rules")
     assert "Join" not in plan
     assert "Window" not in plan
-    assert plan.count("Exchange") <= 1
+    assert plan.count("Exchange") <= 2
 
 
 def test_dsir_scoring_join_broadcasts_bucket_model(spark, sf_dir):
