@@ -326,6 +326,7 @@ _RECORD_LAST = [
     "doc_gopher_rules",
     "doc_dsir_importance",
     "embedding_query_range_search",
+    "segment_theil_spend",
 ]
 
 

@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "doc_gopher_rules",         # integer-exact Gopher quality-rule report
     "doc_dsir_importance",      # DSIR hashed-bucket importance weights
     "embedding_query_range_search",  # quantized-exact cosine radius query
+    "segment_theil_spend",       # entropy inequality, value-grain micro-unit logs
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

@@ -377,6 +377,7 @@ QUERIES = [
     "doc_gopher_rules",
     "doc_dsir_importance",
     "embedding_query_range_search",
+    "segment_theil_spend",
 ]
 
 

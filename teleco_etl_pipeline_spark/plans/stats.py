@@ -2183,3 +2183,108 @@ def q_events_variant_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("z_stat"),
     )
+
+
+@query(
+    "segment_theil_spend",
+    """
+    WITH spend AS (
+      SELECT c_mktsegment AS segment,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c_mktsegment, c.c_custkey
+    ),
+    vc AS (
+      SELECT segment, cents, COUNT(*) AS c
+      FROM spend GROUP BY segment, cents
+    ),
+    g AS (
+      SELECT segment,
+             SUM(c) AS n,
+             SUM(CAST(cents AS HUGEINT) * c) AS s
+      FROM vc GROUP BY segment
+    ),
+    terms AS (
+      SELECT vc.segment, vc.c, vc.cents,
+             CAST(FLOOR(LN(CAST(vc.cents AS DOUBLE) * CAST(g.n AS DOUBLE)
+                           / CAST(g.s AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS micro
+      FROM vc JOIN g ON vc.segment = g.segment
+    )
+    SELECT t.segment,
+           CAST(MAX(g.n) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(t.cents AS HUGEINT) * t.c * t.micro)
+                      AS DOUBLE)
+                 / CAST(MAX(g.s) AS DOUBLE) / 1e6 + 1e-9, 4) AS theil_t
+    FROM terms t JOIN g ON t.segment = g.segment
+    GROUP BY t.segment
+    ORDER BY t.segment
+    """,
+    doc="Theil T inequality index of customer lifetime spend per "
+    "market segment — the entropy-based member of the inequality "
+    "trio (Gini = segment_gini_spend's rank identity, top-decile "
+    "share = its order statistic; Theil T = (1/S)*Sum(x*ln(x*n/S)) "
+    "is the one that DECOMPOSES additively across subgroups, the "
+    "standard concentration audit). Computed at VALUE GRAIN: one "
+    "customer reduce, one (segment, cents) histogram, per-value "
+    "log-ratio terms floor-quantized to integer MICRO-units (the "
+    "freq.py libm idiom — every cross-row sum is an exact "
+    "DECIMAL/HUGEINT integer, engine accumulation order can never "
+    "perturb the statistic), and a 5-row display fold. Zero "
+    "windows, zero per-row rank machinery — the log argument "
+    "x*n/S uses the per-segment scalars via a segment-keyed join "
+    "of the 5-row totals.",
+)
+def q_segment_theil_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_custkey").alias("custkey"),
+        )
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"))
+    )
+    vc = (
+        spend.groupBy("segment", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # feeds the totals reduce AND the term projection
+        .localCheckpoint(eager=True)
+    )
+    g = vc.groupBy("segment").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("cents").cast(_DEC) * F.col("c")).alias("s"),
+    )
+    terms = vc.join(F.broadcast(g), "segment").select(
+        "segment",
+        "c",
+        "cents",
+        F.floor(
+            F.log(
+                F.col("cents").cast("double")
+                * F.col("n").cast("double")
+                / F.col("s").cast("double")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("micro"),
+    )
+    j = terms.join(F.broadcast(g), "segment")
+    return (
+        j.groupBy("segment")
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.round(
+                F.sum(
+                    F.col("cents").cast(_DEC) * F.col("c") * F.col("micro")
+                ).cast("double")
+                / F.max(F.col("s")).cast("double")
+                / 1e6
+                + F.lit(1e-9),
+                4,
+            ).alias("theil_t"),
+        )
+        .orderBy("segment")
+    )

@@ -22,7 +22,7 @@ def _run(spark, sf_dir, name):
 
 def _con(sf_dir):
     con = duckdb.connect()
-    for t in ("orders", "lineitem", "events", "documents"):
+    for t in ("orders", "lineitem", "events", "documents", "customer"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
@@ -226,3 +226,31 @@ def test_range_search_pairs_verify_above_tau(spark, sf_dir):
         assert r["anchor_id"] % 97 == 0
         assert r["anchor_id"] != r["vec_id"]
         assert r["cosine_sim"] >= 0.40
+
+
+def test_theil_index_matches_bruteforce(spark, sf_dir):
+    import math as _math
+
+    rows = _con(sf_dir).execute(
+        """
+        SELECT c_mktsegment,
+               SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment, c.c_custkey
+        """
+    ).fetchall()
+    groups: dict[str, list[int]] = {}
+    for seg, cents in rows:
+        groups.setdefault(seg, []).append(cents)
+    got = {
+        r["segment"]: r
+        for r in _run(spark, sf_dir, "segment_theil_spend")
+    }
+    assert set(got) == set(groups)
+    for seg, xs in groups.items():
+        n, s = len(xs), sum(xs)
+        theil = sum(x * _math.log(x * n / s) for x in xs) / s
+        assert got[seg]["n_customers"] == n
+        # engine value is micro-unit floor-quantized per distinct
+        # value: within 1e-6 + rounding of the float reference
+        assert got[seg]["theil_t"] == pytest.approx(theil, abs=2e-4)
