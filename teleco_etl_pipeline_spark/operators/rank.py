@@ -27,6 +27,20 @@ cut points only move WORK between buckets, never values.  Results are
 bit-identical to the unpartitioned window for any total ordering
 (callers supply a unique tiebreak column, same as they had to for the
 single-partition form).
+
+One subtlety the bit-identity claim rests on: the ``ranged`` frame
+feeds TWO plan branches (the local window and the bucket totals), and
+RangePartitioner's sampled cut points are NOT deterministic across
+separate executions (the reservoir seed depends on the RDD id).  The
+two branches therefore must observe the SAME physical bucketing.
+When ``spark.sql.exchange.reuse`` is enabled (Spark's default) the two
+canonically-identical exchange subtrees deduplicate into one shuffle —
+both branches read the same shuffle files, at zero extra cost.  When a
+runtime disables exchange reuse, that guarantee is gone (each branch
+would re-sample its own cut points, silently corrupting offsets), so
+the helper detects the conf and pins the bucketing with an eager
+``localCheckpoint`` — the repo's materialized-superstep rule for
+multi-consumer nondeterministic lineage.
 """
 
 from __future__ import annotations
@@ -66,11 +80,28 @@ def two_phase_window(
     """
     sum_cols = sum_cols or {}
     part = list(partition_by or [])
-    b = buckets or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    spark = df.sparkSession
+    if buckets:
+        b = buckets
+    else:
+        # "spark.sql.shuffle.partitions" may be non-numeric on managed
+        # runtimes (e.g. "auto"); fall back to the cluster's default
+        # parallelism rather than erroring every caller.
+        try:
+            b = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (ValueError, TypeError):
+            b = spark.sparkContext.defaultParallelism
     range_key = [F.col(p).asc() for p in part] + list(order_by)
     ranged = df.repartitionByRange(b, *range_key).withColumn(
         "__pid", F.spark_partition_id()
     )
+    # The two consumers below (local window + bucket totals) MUST see
+    # one physical bucketing — RangePartitioner samples fresh cut
+    # points per execution.  Exchange reuse (Spark default) dedups the
+    # two identical exchange subtrees into one shuffle; if a runtime
+    # turned it off, materialize the bucketing once instead.
+    if spark.conf.get("spark.sql.exchange.reuse", "true").lower() != "true":
+        ranged = ranged.localCheckpoint(eager=True)
     w_row = Window.partitionBy("__pid", *part).orderBy(*order_by)
     w_sum = w_row.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = ranged

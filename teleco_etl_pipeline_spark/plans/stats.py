@@ -1837,6 +1837,16 @@ def q_orders_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     (m,) = exact_percentiles(orders, _cents("o_totalprice"), [0.5])
+    if m is None:
+        # Empty fact: the oracle's outer no-GROUP-BY aggregate still
+        # emits one row — MAX/SUM/quantile all NULL, COUNT(DISTINCT)
+        # gives 0 so dof = -1.  Mirror that sentinel exactly.
+        return spark.range(1).select(
+            F.lit(None).cast("long").alias("n_orders"),
+            F.lit(None).cast("double").alias("median_cents"),
+            F.lit(None).cast("double").alias("chi2"),
+            F.lit(-1).cast("long").alias("dof"),
+        )
     g = orders.groupBy(F.col("o_orderpriority").alias("pri")).agg(
         F.sum(F.when(_cents("o_totalprice") > F.lit(m), 1).otherwise(0)).alias(
             "above"
@@ -1971,6 +1981,15 @@ def q_priority_brownforsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact Python ints — floor division matches HUGEINT // exactly.
     rows = g.collect()
     k = len(rows)
+    if k == 0:
+        # Oracle's 1-row aggregate over an empty group frame: COUNT=0
+        # but SUM(ng) is NULL, and the CASE's NULL comparison falls to
+        # the ELSE 0.0 branch.
+        return spark.range(1).select(
+            F.lit(0).cast("long").alias("k_groups"),
+            F.lit(None).cast("long").alias("n_rows"),
+            F.lit(0.0).cast("double").alias("f_stat"),
+        )
     n = sum(int(r["ng"]) for r in rows)
     stot = sum(int(r["s"]) for r in rows)
     qtot = sum(int(r["q"]) for r in rows)

@@ -692,11 +692,24 @@ def test_markov_stationary_single_stream_pass(spark, sf_dir):
 import re  # noqa: E402
 
 
+# An order-spec entry in explain output carries ASC/DESC (partition
+# keys don't), so "unpartitioned window ordered on c" = the args
+# before c are ALL order entries: anchor the match to the order spec
+# rather than the first argument slot. This both catches c in a
+# non-leading order position and stops false-failing on a window
+# legitimately PARTITIONED BY c (r12 ADVICE).
+_ORDER_ENTRY = r"[\w#.]+\s+(?:ASC|DESC)(?:\s+NULLS\s+(?:FIRST|LAST))?"
+
+
 def _no_unpartitioned_window_on(plan: str, *cols: str) -> list[str]:
     return [
         c
         for c in cols
-        if re.search(rf"windowspecdefinition\({c}#\d+", plan)
+        if re.search(
+            rf"windowspecdefinition\((?:{_ORDER_ENTRY},\s*)*"
+            rf"{c}#\d+L?\s+(?:ASC|DESC)",
+            plan,
+        )
     ]
 
 
@@ -788,12 +801,10 @@ def test_brownforsythe_median_window_is_group_partitioned(spark, sf_dir):
     """The per-group median machinery's cumsum windows run partitioned
     by priority over the VALUE frame — no unpartitioned window
     anywhere in the build (the final frame is literal-only)."""
-    import re as _re
-
     plan = _plan(spark, sf_dir, "priority_brownforsythe")
     # final plan is a 1-row literal projection (driver fold)
     assert "Scan OneRowRelation" in plan or "Range (0, 1" in plan
-    assert not _re.search(r"windowspecdefinition\(cents#\d+", plan)
+    assert not _no_unpartitioned_window_on(plan, "cents")
 
 
 def test_rfm_ntiles_are_two_phase(spark, sf_dir):

@@ -108,6 +108,31 @@ def test_two_phase_plan_has_no_frame_sized_single_partition_window(spark):
     assert not re.search(r"windowspecdefinition\(v#\d+ ASC", plan)
 
 
+def test_ranks_survive_exchange_reuse_disabled(spark):
+    """The two `ranged` consumers (local window + bucket totals)
+    normally share one shuffle via exchange reuse; RangePartitioner's
+    cut points are NOT stable across separate executions, so with
+    `spark.sql.exchange.reuse=false` the helper must pin the bucketing
+    (eager localCheckpoint) or offsets silently corrupt — reproduced
+    at 400k rows pre-fix (r12 ADVICE). Large-ish frame + many buckets
+    so divergent reservoir samples would actually move rows."""
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        df = spark.range(200_000).select(
+            F.col("id").cast("int").alias("id"),
+            (F.hash("id") % 1000).alias("v"),
+        )
+        order = [F.col("v").asc(), F.col("id").asc()]
+        got = two_phase_window(df, order, buckets=32)
+        ref = df.withColumn(
+            "__rn", F.row_number().over(Window.orderBy(*order))
+        )
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+
+
 @pytest.mark.parametrize("buckets", [1, 4, 7])
 def test_grouped_row_number_and_sums_match_partitioned_window(spark, buckets):
     df = _frame(spark, 400, seed=19).withColumn(

@@ -254,3 +254,26 @@ def test_theil_index_matches_bruteforce(spark, sf_dir):
         # engine value is micro-unit floor-quantized per distinct
         # value: within 1e-6 + rounding of the float reference
         assert got[seg]["theil_t"] == pytest.approx(theil, abs=2e-4)
+
+
+def test_mood_median_and_brownforsythe_empty_orders(spark, sf_dir, tmp_path):
+    """Empty-fact degradation must mirror the oracles' 1-row
+    aggregate-over-empty semantics (r12 ADVICE): mood emits
+    (NULL, NULL, NULL, -1) — COUNT(DISTINCT) of nothing is 0 so
+    dof = -1 — and brown-forsythe (0, NULL, 0.0); neither may raise
+    on the driver-folded literals."""
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .limit(0)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "orders.parquet"))
+    )
+    (m,) = _run(spark, str(tmp_path), "orders_mood_median")
+    assert m["n_orders"] is None
+    assert m["median_cents"] is None
+    assert m["chi2"] is None
+    assert m["dof"] == -1
+    (b,) = _run(spark, str(tmp_path), "priority_brownforsythe")
+    assert b["k_groups"] == 0
+    assert b["n_rows"] is None
+    assert b["f_stat"] == 0.0
