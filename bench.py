@@ -231,6 +231,12 @@ BENCH_QUERIES = [
     "doc_dsir_importance",      # DSIR hashed-bucket importance weights
     "embedding_query_range_search",  # quantized-exact cosine radius query
     "segment_theil_spend",       # entropy inequality, value-grain micro-unit logs
+    # -- round-13 additions -------------------------------------------
+    "embedding_query_range_search_bucketed",  # sized-LSH large-Q range-search swap
+    "orders_kruskal_wallis",    # k-group rank test via the value-histogram machinery
+    "daily_revenue_mann_kendall",  # day-grain monotonic-trend S/z (theilsen pair shape)
+    "cvm_priority_totalprice",  # integrated-square ECDF distance (KS frame)
+    "supplier_clustering_coefficient",  # per-node Watts-Strogatz C_v (oriented wedges)
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):
@@ -335,6 +341,38 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     sf_val = float(sf) if sf else sf_dir
+
+    # BOX-STATE CONTROL (r12 verdict ask #6): one isolated, fixed
+    # query at a FIXED sf dir with the same best-of-N protocol the
+    # scaling harness uses for its control, folded INTO the bench
+    # artifact so cross-round absolute comparisons can be normalized
+    # from JSON alone. Reference value: trade_graph_pagerank measured
+    # 1.15 s at sf0.01 on the r11 session's idle host (load < 1,
+    # SCALING_r11.json provenance) — host_factor ≈ 1.0 on a clean
+    # box, ×2.4-2.6 on the r12 session's degraded one. The control
+    # runs LAST so suite contention (caches, JIT) has settled.
+    control: dict | None = None
+    control_dir = os.environ.get(
+        "SPARK_GRAFT_CONTROL_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if os.path.isdir(control_dir):
+        spark.catalog.clearCache()
+        ctl_runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = registry["trade_graph_pagerank"].build(spark, control_dir)
+            df.write.format("noop").mode("overwrite").save()
+            ctl_runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        ctl_best = round(min(ctl_runs), 3)
+        control = {
+            "query": "trade_graph_pagerank",
+            "sf_dir": control_dir,
+            "sec_best_of_3": ctl_best,
+            "reference_sec": 1.15,
+            "reference_provenance": "r11 idle-host isolated measure",
+            "host_factor": round(ctl_best / 1.15, 2),
+        }
     # Stored-artifact queries fit once per process (operators/
     # artifacts.py), so their best-of-N rows above time the
     # production resolve+load+serve path; the one-time fit cost is
@@ -351,6 +389,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_min": timings_min,
                 "artifact_fit_sec": fit_seconds(),
+                "box_control": control,
                 "sf": sf_val,
             }
         )
@@ -374,6 +413,7 @@ def main() -> None:
                 "queries": compact,
                 "queries_min": {q: timings_min[q] for q in compact},
                 "artifact_fit_sec": fit_seconds(),
+                "box_control": control,
                 "sf": sf_val,
             }
         )

@@ -133,18 +133,19 @@ not absolute seconds):
   work-linear. The uncapped curve is NOT kept registered — unlike
   the PPJoin/_fixed twins it had no recall/contract upside, only
   the bug.
-- neardup_keep_best ×16.4 sf1 (83 s isolated; r11 verdict watch #5):
-  INHERITED + WORK-LINEAR, decomposed by direct measurement —
-  its pair stage is the UNGUARDED exact enumeration
-  (ngram_jaccard_pairs, threshold 0.12, the declared ×19
-  output-bound grower: 258 → 4,967 pairs sf0.1→sf1, 8.2 → 43.4 s)
-  and the CC + survivor stages grow ×12 on a graph with ×19 edges /
-  ×10 nodes (92.9 s; max cluster 8, clusters 4,754 → 45,842) —
-  linear vs their own grown input, no quadratic stage. The 100 TB
-  path swaps the pair stage for ngram_jaccard_guarded /
-  minhash_lsh_pairs feeding the SAME clusters+keep_best operators;
-  the registered query keeps the exact unguarded semantics because
-  its oracle computes the exact closure.
+- neardup_keep_best ×16.4 sf1 (83 s isolated; r11 verdict watch #5,
+  r12 verdict weak #1 — RESOLVED r13): the ×16.4 decomposed to the
+  UNGUARDED pair stage (ngram_jaccard_pairs, max_shingle_freq=None:
+  the shingle self-join's intermediate is Σ_shingle C(df,2) —
+  quadratic in corpus size at any stop-shingle) plus CC + survivor
+  stages growing ×12 on a graph with ×19 edges. r13 made the
+  FREQUENCY-GUARDED generator the registered default for BOTH
+  neardup_clusters and neardup_keep_best (max_shingle_freq=0.01,
+  the ngram_jaccard_guarded contract, guard mirrored in both
+  recursive-CTE oracles) — the r10/r11 PPJoin precedent: the
+  guarded plan is the default, the lossless pair curve stays priced
+  separately as ngram_jaccard_pairs. SCALING_r13 carries the
+  post-guard rows.
 - doc_gopher_rules / doc_dsir_importance (r12, fixed same session):
   first measurements showed sf1 x3.4 — the split_token_jsd SMALL-FILE
   PARTITION CLIFF class (regex/tokenize CPU work confined to the
@@ -378,6 +379,17 @@ QUERIES = [
     "doc_dsir_importance",
     "embedding_query_range_search",
     "segment_theil_spend",
+    # -- round-13 additions -------------------------------------------
+    # sized-LSH bucketed large-Q range-search swap (vs the broadcast
+    # constant-Q default above — the registered scale-path contrast)
+    "embedding_query_range_search_bucketed",
+    # value-histogram k-group ranks / day-grain pair fold / KS-frame
+    # integrated-square — all bounded-machinery stats
+    "orders_kruskal_wallis",
+    "daily_revenue_mann_kendall",
+    "cvm_priority_totalprice",
+    # oriented-wedge triangle family (degree-bounded fan-out)
+    "supplier_clustering_coefficient",
 ]
 
 

@@ -985,13 +985,24 @@ def neardup_clusters(
     ever decrease, so a round with zero changes is the fixpoint);
     exhausting ``max_iter`` before the fixpoint raises rather than
     returning silently split components.
+
+    The label loop iterates ONLY over the edge-induced subgraph: a
+    document with no near-dup edge can never change label (its
+    component is itself), so it re-joins after convergence as a
+    singleton. This bounds every superstep by the near-dup GRAPH
+    size (≤ 2·|pairs| nodes) instead of the corpus size — at real
+    dedup rates the graph is a few percent of the corpus, and
+    iterating 500k corpus rows per round to move a few thousand
+    labels was the measured sf1 bottleneck (r13: the loop was ~80 of
+    neardup_clusters' 84 s with a guarded pair stage).
     """
     sym = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
     # Symmetrize: min-labels must flow both directions of each edge.
     edges = sym.union(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
-    labels = docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    touched = edges.select(F.col("src").alias("node")).distinct()
+    labels = touched.select("node", F.col("node").alias("label"))
     changed = -1
     for _ in range(max_iter):
         nbr_min = (
@@ -1050,6 +1061,16 @@ def neardup_clusters(
     edges.unpersist()
     from pyspark.sql import Window
 
+    # Singletons re-join: every document outside the edge-induced
+    # subgraph is its own component (left-anti on the converged
+    # label frame — broadcastable only when the graph is small, so
+    # let the planner choose; the join key is the doc id).
+    isolated = (
+        docs.select(F.col(id_col).alias("node"))
+        .join(labels.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("label"))
+    )
+    labels = labels.unionAll(isolated)
     w = Window.partitionBy("cluster_id")
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
@@ -1072,8 +1093,15 @@ def neardup_clusters(
              list_distinct([array_to_string(toks[i:i+2], ' ')
                             for i in generate_series(1, len(toks) - 2)]) AS shingles
       FROM tok WHERE len(toks) >= 3
+    ), ex0 AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), keep AS (
+      SELECT shingle FROM ex0 GROUP BY 1
+      HAVING COUNT(*) <= (SELECT COUNT(*) * 0.01 FROM documents)
     ), ex AS (
-      SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS set_size FROM sh
+      SELECT e.doc_id, e.shingle,
+             COUNT(*) OVER (PARTITION BY e.doc_id) AS set_size
+      FROM ex0 e JOIN keep k USING (shingle)
     ), inter AS (
       SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
              COUNT(*) AS shared, ANY_VALUE(a.set_size) AS size_a, ANY_VALUE(b.set_size) AS size_b
@@ -1098,14 +1126,27 @@ def neardup_clusters(
            CAST(doc_id = cluster_id AS INT) AS is_keeper
     FROM comp
     """,
-    doc="Connected components over the exact-Jaccard near-dup graph: "
-    "cluster id = component min, with size and keeper flag. The "
-    "transitive-closure step a pair list alone cannot express; "
-    "oracle computes the same closure via a recursive CTE.",
+    doc="Connected components over the near-dup graph: cluster id = "
+    "component min, with size and keeper flag — the transitive-"
+    "closure step a pair list alone cannot express; oracle computes "
+    "the same closure via a recursive CTE. Candidate pairs come from "
+    "the FREQUENCY-GUARDED exact-Jaccard generator (the 100 TB "
+    "default): the shingle self-join's intermediate is "
+    "Σ_shingle C(df,2), so one stop-shingle shared by 1M documents "
+    "would alone create ~10^12 candidate rows regardless of how few "
+    "pairs clear the threshold — the relative >1%-of-corpus guard "
+    "bounds exactly that, mirrored in the oracle's keep CTE. The "
+    "lossless pair curve stays priced separately as "
+    "ngram_jaccard_pairs.",
 )
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.12, max_shingle_freq=None)
+    # min_guard_floor=1 (not the production default 100) so the guard
+    # provably fires on the small synthetic corpus — same contract as
+    # ngram_jaccard_guarded above.
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.12, max_shingle_freq=0.01, min_guard_floor=1
+    )
     return neardup_clusters(pairs, docs)
 
 
@@ -1157,8 +1198,15 @@ def neardup_keep_best(
              list_distinct([array_to_string(toks[i:i+2], ' ')
                             for i in generate_series(1, len(toks) - 2)]) AS shingles
       FROM tok WHERE len(toks) >= 3
+    ), ex0 AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), keep AS (
+      SELECT shingle FROM ex0 GROUP BY 1
+      HAVING COUNT(*) <= (SELECT COUNT(*) * 0.01 FROM documents)
     ), ex AS (
-      SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS set_size FROM sh
+      SELECT e.doc_id, e.shingle,
+             COUNT(*) OVER (PARTITION BY e.doc_id) AS set_size
+      FROM ex0 e JOIN keep k USING (shingle)
     ), inter AS (
       SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
              COUNT(*) AS shared, ANY_VALUE(a.set_size) AS size_a, ANY_VALUE(b.set_size) AS size_b
@@ -1190,11 +1238,17 @@ def neardup_keep_best(
     doc="Canonical selection: the deduplicated corpus itself — one "
     "best (max n_chars, tie min id) survivor per near-dup cluster. "
     "Oracle recomputes the transitive closure via recursive CTE and "
-    "picks the identical survivor with QUALIFY.",
+    "picks the identical survivor with QUALIFY. Like "
+    "neardup_clusters, the candidate pairs come from the FREQUENCY-"
+    "GUARDED generator — the production default; an unguarded "
+    "shingle self-join is quadratic in corpus size at any stop-"
+    "shingle, however selective the final threshold.",
 )
 def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.12, max_shingle_freq=None)
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.12, max_shingle_freq=0.01, min_guard_floor=1
+    )
     return neardup_keep_best(neardup_clusters(pairs, docs), docs)
 
 

@@ -618,29 +618,20 @@ def _cofulfill_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "supplier_triangle_count",
-    _COFULFILL_EDGES_DUCK.format(min_co=_MIN_CO)
-    + ","
-    + _triangle_body(_TRI_TOPK).strip(),
-    doc="Top-20 suppliers by triangle membership in the >= "
-    f"{_MIN_CO}-co-orders co-fulfillment graph. Degree-ordered "
-    "orientation (Suri-Vassilvitskii) bounds wedge fan-out by the "
-    "LOW-degree endpoint, so hub nodes cannot trigger the quadratic "
-    "last-reducer blowup; two equi-joins + one aggregate, all "
-    "integer. Local triangle support is the classic cohesion / "
-    "link-spam signal over co-occurrence graphs.",
-)
-def q_supplier_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _degree_and_corners(edges):
+    """Shared Suri-Vassilvitskii triangle machinery over cached
+    ``edges(u, v)`` (u < v): returns (deg(node, deg), corners(node))
+    — one row per (triangle, member). Degree-ordered orientation
+    bounds wedge fan-out by the LOW-degree endpoint, so hub nodes
+    cannot trigger the quadratic last-reducer blowup. The
+    multiply-referenced frames are CACHED: the SQL spelling (kept
+    verbatim as the oracles) inlines the `o` CTE 3x and `tri` 3x,
+    and Spark's CTE inlining turns that into 9 recomputations of the
+    orientation join — measured 3.5 s at sf0.1 against ~1 s with
+    materialized reuse. Caches are edge-list-sized and released by
+    the suite's clearCache()."""
     from pyspark.sql import functions as F
 
-    edges = _cofulfill_edges_spark(spark, sf_dir).cache()
-    # DataFrame formulation with the multiply-referenced frames
-    # CACHED: the SQL spelling (kept verbatim as the oracle) inlines
-    # the `o` CTE 3x and `tri` 3x, and Spark's CTE inlining turns
-    # that into 9 recomputations of the orientation join — measured
-    # 3.5 s at sf0.1 against ~1 s with materialized reuse. Caches
-    # are edge-list-sized and released by the suite's clearCache().
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -680,6 +671,27 @@ def q_supplier_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("y").alias("node")))
         .unionAll(tri.select(F.col("z").alias("node")))
     )
+    return deg, corners
+
+
+@query(
+    "supplier_triangle_count",
+    _COFULFILL_EDGES_DUCK.format(min_co=_MIN_CO)
+    + ","
+    + _triangle_body(_TRI_TOPK).strip(),
+    doc="Top-20 suppliers by triangle membership in the >= "
+    f"{_MIN_CO}-co-orders co-fulfillment graph. Degree-ordered "
+    "orientation (Suri-Vassilvitskii) bounds wedge fan-out by the "
+    "LOW-degree endpoint, so hub nodes cannot trigger the quadratic "
+    "last-reducer blowup; two equi-joins + one aggregate, all "
+    "integer. Local triangle support is the classic cohesion / "
+    "link-spam signal over co-occurrence graphs.",
+)
+def q_supplier_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    edges = _cofulfill_edges_spark(spark, sf_dir).cache()
+    _, corners = _degree_and_corners(edges)
     return (
         corners.groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
@@ -688,6 +700,96 @@ def q_supplier_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_triangles").cast("long").alias("n_triangles"),
         )
         .orderBy(F.col("n_triangles").desc(), "s_suppkey")
+        .limit(_TRI_TOPK)
+    )
+
+
+def _clustering_body(topk: int) -> str:
+    """Dialect-shared SQL over ``edges(u, v)``: per-node local
+    clustering coefficient 2T/(d(d-1)) for nodes with degree >= 2."""
+    return f"""
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) both_ends GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS a,
+             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS b
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS (
+      SELECT o1.a AS x, o1.b AS y, o2.b AS z
+      FROM o o1
+      JOIN o o2 ON o2.a = o1.b
+      JOIN o o3 ON o3.a = o1.a AND o3.b = o2.b
+    ),
+    per_node AS (
+      SELECT node, COUNT(*) AS t FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y AS node FROM tri
+        UNION ALL SELECT z AS node FROM tri
+      ) corners GROUP BY node
+    )
+    SELECT CAST(d.node AS BIGINT) AS s_suppkey,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(COALESCE(p.t, 0) AS BIGINT) AS n_triangles,
+           ROUND(2.0 * COALESCE(p.t, 0)
+                 / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1))
+                 + 1e-9, 6) AS clustering
+    FROM deg d LEFT JOIN per_node p ON p.node = d.node
+    WHERE d.deg >= 2
+    ORDER BY clustering DESC, s_suppkey
+    LIMIT {topk}
+    """
+
+
+@query(
+    "supplier_clustering_coefficient",
+    _COFULFILL_EDGES_DUCK.format(min_co=_MIN_CO)
+    + ","
+    + _clustering_body(_TRI_TOPK).strip(),
+    doc="Per-node LOCAL clustering coefficient over the co-"
+    "fulfillment graph: C_v = 2*T_v / (deg_v*(deg_v-1)) (Watts & "
+    "Strogatz 1998) — how close each supplier's neighborhood is to "
+    "a clique, the community-tightness / link-farm signal that raw "
+    "triangle COUNTS (supplier_triangle_count) miss because hubs "
+    "accumulate triangles by degree alone. Shares the degree-"
+    "ordered Suri-Vassilvitskii triangle machinery (one oriented "
+    "wedge join, fan-out bounded by the LOW-degree endpoint); the "
+    "coefficient is an exact rational of two integer aggregates, "
+    "one double division at display with the shared ROUND guard. "
+    "Top-20 by coefficient with id tiebreak; degree-1 nodes "
+    "excluded (the coefficient is undefined).",
+)
+def q_supplier_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    edges = _cofulfill_edges_spark(spark, sf_dir).cache()
+    deg, corners = _degree_and_corners(edges)
+    per_node = corners.groupBy("node").agg(F.count(F.lit(1)).alias("t"))
+    degd = F.col("deg").cast("double")
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(per_node, "node", "left")
+        .select(
+            F.col("node").cast("long").alias("s_suppkey"),
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                2.0 * F.coalesce(F.col("t"), F.lit(0))
+                / (degd * (degd - 1))
+                + F.lit(1e-9),
+                6,
+            ).alias("clustering"),
+        )
+        .orderBy(F.col("clustering").desc(), "s_suppkey")
         .limit(_TRI_TOPK)
     )
 

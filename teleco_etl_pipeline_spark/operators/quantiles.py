@@ -44,16 +44,12 @@ from pyspark.sql import functions as F
 _RANK_BUCKETS = 1024
 
 
-def value_cumsum(vc: DataFrame, col: str) -> DataFrame:
-    """Inclusive cumulative count ``__cum`` over a distinct-value
-    histogram ``vc(col, __c)`` via the two-level bucketed cumsum (see
-    module docstring). Row ``v`` covers 0-based sorted positions
-    ``[__cum − __c, __cum)``. Level-1 bucketing casts to double for
-    RANGE placement only — monotone, so numeric-type rounding cannot
-    reorder values."""
-    mm = vc.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
+def _range_bucket(col: str) -> "F.Column":
+    """Level-1 range-bucket id for a distinct-value frame joined with
+    its 1-row (__lo, __hi) bounds. Casts to double for RANGE placement
+    only — monotone, so numeric-type rounding cannot reorder values."""
     spread = F.col("__hi").cast("double") - F.col("__lo").cast("double")
-    bucket = F.when(spread <= 0, F.lit(0)).otherwise(
+    return F.when(spread <= 0, F.lit(0)).otherwise(
         F.least(
             F.lit(_RANK_BUCKETS - 1),
             F.floor(
@@ -63,26 +59,94 @@ def value_cumsum(vc: DataFrame, col: str) -> DataFrame:
             ).cast("int"),
         )
     )
-    vcb = vc.crossJoin(F.broadcast(mm)).select(col, "__c", bucket.alias("__b"))
-    within = F.sum("__c").over(
+
+
+def value_cumsum(
+    vc: DataFrame, col: str, sum_cols: dict[str, str] | None = None
+) -> DataFrame:
+    """Inclusive cumulative count ``__cum`` over a distinct-value
+    histogram ``vc(col, __c)`` via the two-level bucketed cumsum (see
+    module docstring). Row ``v`` covers 0-based sorted positions
+    ``[__cum − __c, __cum)``.
+
+    ``sum_cols`` (source → output, default ``{"__c": "__cum"}``)
+    cumsums SEVERAL histogram measure columns in the one two-level
+    pass — the KS statistic's per-group (d1, d2) pair rides the same
+    bucketing instead of paying it twice."""
+    sum_cols = sum_cols or {"__c": "__cum"}
+    srcs = list(sum_cols)
+    mm = vc.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
+    vcb = vc.crossJoin(F.broadcast(mm)).select(
+        col, *srcs, _range_bucket(col).alias("__b")
+    )
+    w_in = (
         Window.partitionBy("__b")
         .orderBy(col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    boff = vcb.groupBy("__b").agg(F.sum("__c").alias("__bt"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = vcb.groupBy("__b").agg(
+        *[F.sum(s).alias(f"__bt_{o}") for s, o in sum_cols.items()]
+    )
     boff = boff.select(
         "__b",
-        F.coalesce(
-            F.sum("__bt").over(
-                Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("__off"),
+        *[
+            F.coalesce(
+                F.sum(f"__bt_{o}").over(w_off),
+                F.lit(0).cast(boff.schema[f"__bt_{o}"].dataType),
+            ).alias(f"__off_{o}")
+            for o in sum_cols.values()
+        ],
+    )
+    within = [F.sum(s).over(w_in).alias(f"__w_{o}") for s, o in sum_cols.items()]
+    return (
+        vcb.select(col, *srcs, "__b", *within)
+        .join(F.broadcast(boff), "__b")
+        .select(
+            col,
+            *srcs,
+            *[
+                (F.col(f"__off_{o}") + F.col(f"__w_{o}")).alias(o)
+                for o in sum_cols.values()
+            ],
+        )
+    )
+
+
+def value_prefix_max(
+    vc: DataFrame, col: str, val_col: str, out_col: str = "__pmax"
+) -> DataFrame:
+    """EXCLUSIVE running max of ``val_col`` over a distinct-value
+    frame ordered by ``col`` — the skyline sweep's ``prev_best`` —
+    with the same two-level bucketed shape as :func:`value_cumsum`:
+    per-bucket local prefix max in parallel, one constant-bounded
+    pass over the ≤ ``_RANK_BUCKETS`` bucket maxima, then
+    ``greatest(local, bucket-offset)`` (greatest skips NULLs; the
+    global first row gets NULL, matching the window semantics).
+    No task ever holds more than a domain partition."""
+    mm = vc.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
+    vcb = vc.crossJoin(F.broadcast(mm)).select(
+        col, val_col, _range_bucket(col).alias("__b")
+    )
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = (
+        vcb.groupBy("__b")
+        .agg(F.max(val_col).alias("__bm"))
+        .select("__b", F.max("__bm").over(w_off).alias("__boff"))
     )
     return (
-        vcb.select(col, "__c", "__b", within.alias("__w"))
+        vcb.withColumn("__wmax", F.max(val_col).over(w_in))
         .join(F.broadcast(boff), "__b")
-        .select(col, "__c", (F.col("__off") + F.col("__w")).alias("__cum"))
+        .select(
+            col,
+            val_col,
+            F.greatest(F.col("__wmax"), F.col("__boff")).alias(out_col),
+        )
     )
 
 

@@ -80,20 +80,25 @@ def skyline_2d(df: DataFrame, cost_col: str, gain_col: str) -> DataFrame:
     O(n log n) sweep: collapse to the best-gain row per distinct
     cost, sort by cost, keep a row iff its gain strictly exceeds the
     running max gain over all cheaper costs — one groupBy shuffle
-    plus one window over the collapsed (distinct-cost-sized) set.
-    At 100 TB the window runs over |distinct costs| rows — the
-    measure's value grid, not the table's row count.
+    plus the TWO-LEVEL bucketed prefix max over the collapsed
+    (distinct-cost-sized) set (operators/quantiles.value_prefix_max —
+    per-bucket local maxima in parallel, one constant-bounded pass
+    over the bucket maxima; no task holds the value frame even when
+    the cost grid itself is large, e.g. a cents domain).
 
     Returns (cost, gain, n_rows): frontier points and how many
     source rows sit exactly on each.
     """
+    from teleco_etl_pipeline_spark.operators.quantiles import (
+        value_prefix_max,
+    )
+
     per_cost = df.groupBy(F.col(cost_col).alias("cost")).agg(
         F.max(gain_col).alias("gain")
     )
-    w_prev = Window.orderBy("cost").rowsBetween(Window.unboundedPreceding, -1)
-    sky = per_cost.withColumn(
-        "prev_best", F.max("gain").over(w_prev)
-    ).filter(F.col("prev_best").isNull() | (F.col("gain") > F.col("prev_best")))
+    sky = value_prefix_max(per_cost, "cost", "gain", out_col="prev_best").filter(
+        F.col("prev_best").isNull() | (F.col("gain") > F.col("prev_best"))
+    )
     on_point = df.groupBy(
         F.col(cost_col).alias("cost"), F.col(gain_col).alias("gain")
     ).agg(F.count(F.lit(1)).alias("n_rows"))
@@ -403,8 +408,10 @@ def q_segment_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merged support, plus the value where the gap peaks. The ECDF "
     "gap is kept as the exact integer |n2*c1 - n1*c2| (DECIMAL(38) — "
     "n*cum reaches ~2e20 at sf1000) and only the final D display "
-    "divides in double. One value-grain aggregate, one ordered "
-    "cumulative window over |distinct values| rows.",
+    "divides in double. One value-grain aggregate; both ECDF "
+    "counters cumsum via the TWO-LEVEL bucketed value_cumsum (the "
+    "cents grid reaches ~5e7 distinct values — never one task), and "
+    "the peak locates via a struct-max aggregate, not a window.",
 )
 def q_ks_priority_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -423,14 +430,14 @@ def q_ks_priority_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per_val.agg(
         F.sum("d1").alias("n1"), F.sum("d2").alias("n2")
     )
-    w = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per_val.select(
-        "cents",
-        F.sum("d1").over(w).alias("c1"),
-        F.sum("d2").over(w).alias("c2"),
-    )
+    # Both running ECDF counters ride ONE two-level bucketed cumsum
+    # over the distinct-cents frame (value_cumsum multi-measure form)
+    # — o_totalprice's cents grid reaches ~5e7 distinct values, the
+    # exact frame size that moved spearman/mannwhitney off the
+    # single-task window (r12 verdict watch #2).
+    from teleco_etl_pipeline_spark.operators.quantiles import value_cumsum
+
+    cum = value_cumsum(per_val, "cents", sum_cols={"d1": "c1", "d2": "c2"})
     # broadcast 1-row totals (single structural execution — see the
     # verify-skill note on multi-referenced .scalar() subqueries)
     dev = cum.crossJoin(F.broadcast(tot)).select(
@@ -442,7 +449,10 @@ def q_ks_priority_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("n1").cast(_DEC) * F.col("c2")
         ).alias("d_num"),
     )
-    dev = dev.withColumn("d_max", F.max("d_num").over(Window.partitionBy()))
+    # argmax with min-cents tiebreak as ONE struct-max aggregate
+    # (lexicographic: max d_num, then max -cents = min cents) — no
+    # whole-frame window needed just to locate the peak.
+    peak = F.max(F.struct(F.col("d_num"), (-F.col("cents")).alias("negc")))
     return dev.agg(
         F.min("n1").cast("long").alias("n_urgent"),
         F.min("n2").cast("long").alias("n_low"),
@@ -452,9 +462,7 @@ def q_ks_priority_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1e-9),
             4,
         ).alias("d_stat"),
-        F.min(F.when(F.col("d_num") == F.col("d_max"), F.col("cents")))
-        .cast("long")
-        .alias("d_at_cents"),
+        (-peak.getField("negc")).cast("long").alias("d_at_cents"),
     )
 
 
@@ -2306,4 +2314,354 @@ def q_segment_theil_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("theil_t"),
         )
         .orderBy("segment")
+    )
+
+
+@query(
+    "orders_kruskal_wallis",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    ranked AS (
+      SELECT grp,
+             cents,
+             2 * RANK() OVER (ORDER BY cents)
+               + COUNT(*) OVER (PARTITION BY cents) - 1 AS r2
+      FROM v
+    ),
+    g AS (
+      SELECT grp, COUNT(*) AS ng,
+             SUM(CAST(r2 AS HUGEINT)) AS r2g
+      FROM ranked GROUP BY grp
+    ),
+    ties AS (
+      SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_sum
+      FROM (SELECT COUNT(*) AS t FROM v GROUP BY cents) tc
+    ),
+    t AS (
+      SELECT COUNT(*) AS k, SUM(ng) AS n,
+             SUM((3 * r2g * r2g) // ng) AS s
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN n > 0 AND (SELECT tie_sum FROM ties)
+                     < CAST(n AS HUGEINT) * n * n - n THEN
+             ROUND((CAST(s AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+                    - 3.0 * (CAST(n AS DOUBLE) + 1))
+                   / (1.0 - CAST((SELECT tie_sum FROM ties) AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+                   + 1e-9, 4)
+           ELSE 0.0 END AS h_stat
+    FROM t
+    """,
+    doc="Kruskal-Wallis H test across ALL five order priorities: the "
+    "k-group generalization of the Mann-Whitney screen (Kruskal & "
+    "Wallis 1952) — does ANY priority's totalprice distribution "
+    "differ, without assuming normality. Ranks are NEVER assigned "
+    "per row: the same value-histogram machinery as "
+    "mannwhitney_priority (2·avg-rank = 2·cum − t + 1 is an exact "
+    "integer per distinct value, cumsum via the two-level bucketed "
+    "value_cumsum), with per-(group, value) counts folding each "
+    "group's doubled rank-sum R2_g as one DECIMAL(38) aggregate — "
+    "one map-side-combined fact pass total. The H fold runs on the "
+    "k=5 bounded group rows collected to the driver in "
+    "arbitrary-precision Python ints with the statistic's only "
+    "quantization a per-group floor of 3·R2_g²/n_g — mirrored by "
+    "DuckDB's HUGEINT // exactly (the priority_brownforsythe "
+    "pattern); tie correction 1 − Σ(t³−t)/(n³−n) folds from the "
+    "value frame.",
+)
+def q_orders_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.quantiles import (
+        half_up,
+        value_cumsum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    # One fact pass: (group, value) counts; checkpointed — feeds the
+    # per-value totals (cumsum path), the tie fold, and the rank-sum
+    # join (materialized-superstep rule).
+    gv = (
+        v.groupBy("grp", "cents")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    per_val = gv.groupBy("cents").agg(F.sum("d").alias("__c"))
+    cum = value_cumsum(per_val, "cents")
+    # r2 = 2*avg_rank, identical for every member of a tie group.
+    r2_val = F.lit(2).cast(_DEC) * F.col("__cum") - F.col("__c") + 1
+    ranked_vals = cum.select("cents", r2_val.alias("r2"))
+    g = (
+        gv.join(ranked_vals, "cents")
+        .groupBy("grp")
+        .agg(
+            F.sum("d").alias("ng"),
+            F.sum(F.col("d").cast(_DEC) * F.col("r2")).alias("r2g"),
+        )
+    )
+    tie_row = cum.agg(
+        F.sum(
+            F.col("__c").cast(_DEC) * F.col("__c") * F.col("__c")
+            - F.col("__c").cast(_DEC)
+        ).alias("tie_sum")
+    ).first()
+    # k = priority cardinality (5): bounded driver fold in exact
+    # Python ints; per-group floor division mirrors HUGEINT //.
+    rows = g.collect()
+    k = len(rows)
+    if k == 0:
+        # Oracle's 1-row aggregate over an empty group frame: COUNT=0,
+        # SUM → NULL, and the NULL CASE condition falls to ELSE 0.0.
+        return spark.range(1).select(
+            F.lit(0).cast("long").alias("k_groups"),
+            F.lit(None).cast("long").alias("n_rows"),
+            F.lit(0.0).cast("double").alias("h_stat"),
+        )
+    n = sum(int(r["ng"]) for r in rows)
+    s = sum((3 * int(r["r2g"]) ** 2) // int(r["ng"]) for r in rows)
+    tie_sum = int(tie_row["tie_sum"])
+    if n > 0 and tie_sum < n**3 - n:
+        h = (float(s) / (float(n) * (float(n) + 1)) - 3.0 * (float(n) + 1)) / (
+            1.0
+            - float(tie_sum)
+            / (float(n) * float(n) * float(n) - float(n))
+        )
+        h_stat = half_up(h + 1e-9, 4)
+    else:
+        h_stat = 0.0
+    return spark.range(1).select(
+        F.lit(k).cast("long").alias("k_groups"),
+        F.lit(n).cast("long").alias("n_rows"),
+        F.lit(h_stat).cast("double").alias("h_stat"),
+    )
+
+
+@query(
+    "daily_revenue_mann_kendall",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS dy,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_orderdate
+    ),
+    s AS (
+      SELECT SUM(CASE WHEN b.cents > a.cents THEN 1
+                      WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS s_stat
+      FROM daily a JOIN daily b ON a.dy < b.dy
+    ),
+    ties AS (
+      SELECT COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)), 0)
+               AS tie_var
+      FROM (SELECT COUNT(*) AS t FROM daily GROUP BY cents) tc
+    ),
+    n AS (SELECT COUNT(*) AS nd FROM daily)
+    SELECT CAST(nd AS BIGINT) AS n_days,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           CASE WHEN nd >= 3 AND
+                     CAST(nd AS HUGEINT) * (nd - 1) * (2 * nd + 5)
+                       > (SELECT tie_var FROM ties) THEN
+             ROUND(
+               (CAST(s_stat AS DOUBLE)
+                - CASE WHEN s_stat > 0 THEN 1
+                       WHEN s_stat < 0 THEN -1 ELSE 0 END)
+               / SQRT((CAST(nd AS DOUBLE) * (nd - 1) * (2 * nd + 5)
+                       - CAST((SELECT tie_var FROM ties) AS DOUBLE)) / 18.0)
+               + 1e-9, 4)
+           ELSE 0.0 END AS z_stat
+    FROM s, n
+    """,
+    doc="Mann-Kendall monotonic-trend test on daily revenue (Mann "
+    "1945, Kendall 1975 — the nonparametric is-it-drifting screen "
+    "hydrology and ops monitoring standardized on): S = Σ_{i<j} "
+    "sign(x_j − x_i) over the DAY-grain series with the "
+    "tie-corrected normal approximation and the ±1 continuity "
+    "correction. The fact table reduces to day grain first "
+    "(calendar-bounded however large the data — the module's "
+    "time-series contract), then the pairwise i<j fold is the "
+    "sanctioned revenue_theilsen_trend shape: O(days²) pairs by "
+    "definition, bounded by the time span, never by fact rows. S "
+    "and the tie term Σ t(t−1)(2t+5) are exact integers; one double "
+    "sqrt at display with the shared ROUND guard.",
+)
+def q_daily_revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").alias("dy"))
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"))
+        # feeds the pair join (twice), the tie fold and the count
+        .localCheckpoint(eager=True)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = a.join(b, F.col("a.dy") < F.col("b.dy")).agg(
+        F.sum(
+            F.when(F.col("b.cents") > F.col("a.cents"), 1)
+            .when(F.col("b.cents") < F.col("a.cents"), -1)
+            .otherwise(0)
+        ).alias("s_stat")
+    )
+    ties = daily.groupBy("cents").agg(F.count(F.lit(1)).alias("t")).agg(
+        F.coalesce(
+            F.sum(
+                F.col("t").cast(_DEC) * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ),
+            F.lit(0).cast(_DEC),
+        ).alias("tie_var")
+    )
+    n = daily.agg(F.count(F.lit(1)).alias("nd"))
+    j = s.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(n))
+    nd = F.col("nd").cast("double")
+    var18 = (nd * (F.col("nd") - 1) * (2 * F.col("nd") + 5)
+             - F.col("tie_var").cast("double")) / 18.0
+    cc = (
+        F.when(F.col("s_stat") > 0, 1)
+        .when(F.col("s_stat") < 0, -1)
+        .otherwise(0)
+    )
+    z = (F.col("s_stat").cast("double") - cc) / F.sqrt(var18)
+    return j.select(
+        F.col("nd").cast("long").alias("n_days"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.when(
+            (F.col("nd") >= 3)
+            & (
+                F.col("nd").cast(_DEC) * (F.col("nd") - 1)
+                * (2 * F.col("nd") + 5)
+                > F.col("tie_var")
+            ),
+            F.round(z + F.lit(1e-9), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z_stat"),
+    )
+
+
+@query(
+    "cvm_priority_totalprice",
+    """
+    WITH v AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    per_val AS (
+      SELECT cents,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS d1,
+             SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS d2
+      FROM v GROUP BY cents
+    ),
+    tot AS (SELECT SUM(d1) AS n1, SUM(d2) AS n2 FROM per_val),
+    cum AS (
+      SELECT cents, d1 + d2 AS t,
+             SUM(d1) OVER (ORDER BY cents) AS c1,
+             SUM(d2) OVER (ORDER BY cents) AS c2
+      FROM per_val
+    ),
+    terms AS (
+      SELECT SUM(
+        CAST(FLOOR(
+          (CAST((SELECT n2 FROM tot) * c1
+                - (SELECT n1 FROM tot) * c2 AS DOUBLE)
+           / (CAST((SELECT n1 FROM tot) AS DOUBLE)
+              * CAST((SELECT n2 FROM tot) AS DOUBLE)))
+          * (CAST((SELECT n2 FROM tot) * c1
+                  - (SELECT n1 FROM tot) * c2 AS DOUBLE)
+             / (CAST((SELECT n1 FROM tot) AS DOUBLE)
+                * CAST((SELECT n2 FROM tot) AS DOUBLE)))
+          * 1e12) AS HUGEINT) * t) AS q
+      FROM cum
+    )
+    SELECT CAST((SELECT n1 FROM tot) AS BIGINT) AS n_urgent,
+           CAST((SELECT n2 FROM tot) AS BIGINT) AS n_low,
+           CASE WHEN (SELECT n1 FROM tot) > 0
+                 AND (SELECT n2 FROM tot) > 0 THEN
+             ROUND(
+               CAST((SELECT q FROM terms) AS DOUBLE) / 1e12
+               * CAST((SELECT n1 FROM tot) AS DOUBLE)
+               * CAST((SELECT n2 FROM tot) AS DOUBLE)
+               / ((CAST((SELECT n1 FROM tot) AS DOUBLE)
+                   + CAST((SELECT n2 FROM tot) AS DOUBLE))
+                  * (CAST((SELECT n1 FROM tot) AS DOUBLE)
+                     + CAST((SELECT n2 FROM tot) AS DOUBLE)))
+               + 1e-9, 6)
+           ELSE 0.0 END AS t_stat
+    """,
+    doc="Two-sample Cramér-von Mises criterion between URGENT and "
+    "LOW order values: T = nm/N² · Σ_pooled [F1(x) − F2(x)]² — the "
+    "INTEGRATED-square complement of the KS sup-distance (CvM "
+    "catches distributed small shifts a single-point D misses; same "
+    "screening pair every stats package ships). Rides the exact KS "
+    "frame: per-cents (d1, d2) histogram, both ECDF counters from "
+    "ONE two-level bucketed value_cumsum pass, the per-value ECDF "
+    "gap kept as the exact integer n2·c1 − n1·c2. Each value's "
+    "squared-gap term is floor-quantized to 1e-12 units BEFORE the "
+    "tie-count multiply (identical IEEE op sequence both engines, "
+    "so accumulation order cannot perturb the statistic; bias "
+    "< |distinct values|·1e-12, far under the 6-decimal display); "
+    "per-value products sum in DECIMAL(38)/HUGEINT.",
+)
+def q_cvm_priority_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.quantiles import value_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(2)
+        .alias("grp"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    per_val = (
+        v.groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("d1"),
+            F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("d2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per_val.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"))
+    cum = value_cumsum(per_val, "cents", sum_cols={"d1": "c1", "d2": "c2"})
+    j = cum.crossJoin(F.broadcast(tot))
+    # Identical IEEE op sequence as the oracle: one double division of
+    # the exact integer gap, squared, quantized, THEN the tie multiply
+    # in exact decimal.
+    gap = (
+        (F.col("n2").cast(_DEC) * F.col("c1")
+         - F.col("n1").cast(_DEC) * F.col("c2")).cast("double")
+        / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+    )
+    term = F.floor(gap * gap * F.lit(1e12)).cast(_DEC) * (
+        F.col("d1") + F.col("d2")
+    )
+    agg = j.agg(
+        F.min("n1").alias("n1"),
+        F.min("n2").alias("n2"),
+        F.sum(term).alias("q"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    t_stat = (
+        F.col("q").cast("double") / F.lit(1e12) * n1d * n2d / (nd * nd)
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_urgent"),
+        F.col("n2").cast("long").alias("n_low"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            F.round(t_stat + F.lit(1e-9), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("t_stat"),
     )

@@ -121,6 +121,9 @@ SCALAR_BROADCASTS = {
     # frame — O(months²) pairs by definition, bounded by the time
     # span (~80 rows here), never by fact-table size
     "revenue_theilsen_trend",
+    # Mann-Kendall's pairwise-sign i<j self-join over the DAY-grain
+    # frame — O(days²) pairs by definition, calendar-bounded (r13)
+    "daily_revenue_mann_kendall",
     # per-round 1-row node/edge trajectory counts cross-joined into
     # the convergence report — 1×1 products
     "supplier_kcore_peel",
@@ -826,3 +829,92 @@ def test_gini_rank_is_grouped_two_phase(spark, sf_dir):
     plan = _plan(spark, sf_dir, "segment_gini_spend")
     assert "hashpartitioning(__pid" in plan
     assert not _no_unpartitioned_window_on(plan, "cents")
+
+
+# --- r13: the production dedup pipeline runs GUARDED --------------------------
+
+
+def test_neardup_pipeline_pair_stage_is_frequency_guarded(spark, sf_dir):
+    """The registered neardup_clusters/keep_best defaults must build
+    candidate pairs with the frequent-shingle guard ON (r12 verdict
+    weak #1): the unguarded shingle self-join's intermediate is
+    Σ_shingle C(df,2) — quadratic in corpus size at any stop-shingle.
+    Pin the guard's plan signature: a broadcast LEFT ANTI join of the
+    shingle stream against the frequent set, present in the pair
+    stage that feeds the label-propagation loop. (The loop itself is
+    checkpoint-truncated, so pin the PAIR plan via the generator with
+    the registered parameters.)"""
+    from teleco_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from teleco_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.12, max_shingle_freq=0.01, min_guard_floor=1
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Broadcast" in plan
+    # and the registered queries actually USE the guarded generator:
+    # their oracles contain the keep CTE (source-of-truth check, no
+    # plan build needed for the full recursive pipeline)
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    for name in ("neardup_clusters", "neardup_keep_best"):
+        assert "HAVING COUNT(*) <=" in all_queries()[name].oracle
+
+
+def test_ks_cumsum_is_two_level_bucketed(spark, sf_dir):
+    """Both ECDF counters (c1, c2) ride the multi-measure
+    value_cumsum: the cents-frame window is partitioned by the range
+    bucket __b, and no unpartitioned window orders on cents (the
+    cents grid reaches ~5e7 distinct values at scale — r12 watch #2).
+    The peak argmax is a struct-max aggregate, so no whole-frame
+    window survives anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "ks_priority_totalprice")
+    assert "hashpartitioning(__b" in plan
+    assert not _no_unpartitioned_window_on(plan, "cents", "d_num")
+
+
+def test_skyline_prefix_max_is_two_level_bucketed(spark, sf_dir):
+    """The skyline sweep's prev_best comes from value_prefix_max —
+    per-bucket local prefix maxima under hashpartitioning(__b), never
+    an unpartitioned window ordered on the cost grid."""
+    plan = _plan(spark, sf_dir, "part_price_skyline")
+    assert "hashpartitioning(__b" in plan
+    assert not _no_unpartitioned_window_on(plan, "cost", "price_cents")
+
+
+def test_kruskal_wallis_ranks_come_from_value_histogram(spark, sf_dir):
+    """No per-row rank window over the orders frame: the k rank-sums
+    fold from the (group, value) histogram joined to the two-level
+    bucketed cumsum — the mannwhitney shape generalized to k groups.
+    Final frame is a 1-row driver-fold literal."""
+    plan = _plan(spark, sf_dir, "orders_kruskal_wallis")
+    assert "Scan OneRowRelation" in plan or "Range (0, 1" in plan
+    assert not _no_unpartitioned_window_on(plan, "cents")
+
+
+def test_mann_kendall_runs_at_day_grain(spark, sf_dir):
+    """The pairwise i<j fold joins the CHECKPOINTED day frame to
+    itself (ExistingRDD — one fact scan total, the theilsen shape);
+    the fact table never self-joins."""
+    plan = _plan(spark, sf_dir, "daily_revenue_mann_kendall")
+    assert "ExistingRDD" in plan
+    assert "orders.parquet" not in plan
+
+
+def test_cvm_cumsum_is_two_level_bucketed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cvm_priority_totalprice")
+    assert "hashpartitioning(__b" in plan
+    assert not _no_unpartitioned_window_on(plan, "cents")
+
+
+def test_bucketed_range_search_is_equijoin(spark, sf_dir):
+    """The large-Q swap must be the bucket equi-join shape: a
+    BroadcastHashJoin on (tbl, bucket) — NOT the broadcast
+    nested-loop Q×N product of the constant-Q default."""
+    plan = _plan(spark, sf_dir, "embedding_query_range_search_bucketed")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -356,3 +356,53 @@ def test_hill_alpha_positive_and_degenerate_sentinel(spark, sf_dir, tmp_path):
         .collect()
     )
     assert d.hill_alpha == 0.0 and d.x_tail_min == 3
+
+
+def test_value_cumsum_multi_measure_matches_window(spark):
+    """The multi-measure form (KS's d1/d2 pair) must equal the plain
+    inclusive window cumsum per measure, on a duplicate-free value
+    frame with gaps and a skewed distribution."""
+    import random
+
+    from pyspark.sql import Window
+
+    from teleco_etl_pipeline_spark.operators.quantiles import value_cumsum
+
+    rng = random.Random(23)
+    vals = sorted(rng.sample(range(-5000, 5000), 700))
+    rows = [(v, rng.randint(0, 9), rng.randint(0, 9)) for v in vals]
+    vc = spark.createDataFrame(rows, "cents long, d1 long, d2 long")
+    got = value_cumsum(vc, "cents", sum_cols={"d1": "c1", "d2": "c2"})
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ref = vc.select(
+        "cents",
+        "d1",
+        "d2",
+        F.sum("d1").over(w).alias("c1"),
+        F.sum("d2").over(w).alias("c2"),
+    )
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
+def test_value_prefix_max_matches_window(spark):
+    """Exclusive two-level prefix max == the unpartitioned exclusive
+    window max, including the NULL on the global first row and ties
+    across bucket boundaries."""
+    import random
+
+    from pyspark.sql import Window
+
+    from teleco_etl_pipeline_spark.operators.quantiles import (
+        value_prefix_max,
+    )
+
+    rng = random.Random(41)
+    vals = sorted(rng.sample(range(0, 100000), 900))
+    rows = [(v, rng.randint(-50, 50)) for v in vals]
+    vc = spark.createDataFrame(rows, "cost long, gain long")
+    got = value_prefix_max(vc, "cost", "gain", out_col="pm")
+    w = Window.orderBy("cost").rowsBetween(Window.unboundedPreceding, -1)
+    ref = vc.select("cost", "gain", F.max("gain").over(w).alias("pm"))
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0

@@ -1,0 +1,131 @@
+"""Round-13 operators vs independent pure-Python references.
+
+Same contract as test_stats_r12.py: recompute each statistic a THIRD
+way (brute-force Python over the sf parquet, textbook formulas — no
+shared SQL, no shared Spark plan) so a mirrored mistake in both the
+plan and its oracle cannot hide."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import duckdb
+import pytest
+
+from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+
+def _run(spark, sf_dir, name):
+    return all_queries()[name].build(spark, sf_dir).collect()
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _avg_ranks(values):
+    """value -> average rank (1-based) over the pooled sorted list."""
+    counts = Counter(values)
+    ranks = {}
+    cum = 0
+    for v in sorted(counts):
+        t = counts[v]
+        ranks[v] = cum + (t + 1) / 2
+        cum += t
+    return ranks, counts
+
+
+def test_kruskal_wallis_matches_textbook(spark, sf_dir):
+    rows = _con(sf_dir).execute(
+        "SELECT o_orderpriority,"
+        " CAST(ROUND(o_totalprice*100) AS BIGINT) FROM orders"
+    ).fetchall()
+    pooled = [c for _, c in rows]
+    ranks, counts = _avg_ranks(pooled)
+    n = len(pooled)
+    groups: dict[str, list[int]] = {}
+    for p, c in rows:
+        groups.setdefault(p, []).append(c)
+    h = (12.0 / (n * (n + 1))) * sum(
+        (sum(ranks[c] for c in xs)) ** 2 / len(xs) for xs in groups.values()
+    ) - 3 * (n + 1)
+    corr = 1.0 - sum(t**3 - t for t in counts.values()) / (n**3 - n)
+    h_corr = h / corr
+    (r,) = _run(spark, sf_dir, "orders_kruskal_wallis")
+    assert r["k_groups"] == len(groups)
+    assert r["n_rows"] == n
+    # engine value floor-quantizes 3*R2g^2/ng per group (5 groups):
+    # statistic may sit up to ~5/(n(n+1)) below the float value
+    assert r["h_stat"] == pytest.approx(h_corr, abs=2e-4)
+
+
+def test_mann_kendall_matches_bruteforce(spark, sf_dir):
+    rows = _con(sf_dir).execute(
+        "SELECT o_orderdate,"
+        " SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))"
+        " FROM orders GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    xs = [c for _, c in rows]
+    n = len(xs)
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s += (xs[j] > xs[i]) - (xs[j] < xs[i])
+    ties = Counter(xs)
+    var = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    ) / 18.0
+    cc = 1 if s > 0 else (-1 if s < 0 else 0)
+    z = (s - cc) / math.sqrt(var) if var > 0 else 0.0
+    (r,) = _run(spark, sf_dir, "daily_revenue_mann_kendall")
+    assert r["n_days"] == n
+    assert r["s_stat"] == s
+    assert r["z_stat"] == pytest.approx(z, abs=2e-4)
+
+
+def test_cvm_matches_bruteforce_ecdf(spark, sf_dir):
+    rows = _con(sf_dir).execute(
+        "SELECT o_orderpriority,"
+        " CAST(ROUND(o_totalprice*100) AS BIGINT) FROM orders"
+        " WHERE o_orderpriority IN ('1-URGENT', '5-LOW')"
+    ).fetchall()
+    g1 = sorted(c for p, c in rows if p == "1-URGENT")
+    g2 = sorted(c for p, c in rows if p == "5-LOW")
+    n1, n2 = len(g1), len(g2)
+    pooled = sorted(g1 + g2)
+    import bisect
+
+    t = 0.0
+    for x in pooled:
+        f1 = bisect.bisect_right(g1, x) / n1
+        f2 = bisect.bisect_right(g2, x) / n2
+        t += (f1 - f2) ** 2
+    t *= n1 * n2 / (n1 + n2) ** 2
+    (r,) = _run(spark, sf_dir, "cvm_priority_totalprice")
+    assert r["n_urgent"] == n1 and r["n_low"] == n2
+    # per-distinct-value 1e-12 floor quantization: bias under
+    # |values|*1e-12, far inside the tolerance
+    assert r["t_stat"] == pytest.approx(t, abs=2e-5)
+
+
+def test_bucketed_range_search_is_verified_subset(spark, sf_dir):
+    """Every bucketed hit must clear tau AND appear in the exact
+    twin's result (the LSH stage only prunes candidates — the verify
+    filter is identical, so no false positives are possible)."""
+    exact = {
+        (r["anchor_id"], r["vec_id"]): r["cosine_sim"]
+        for r in _run(spark, sf_dir, "embedding_query_range_search")
+    }
+    got = _run(spark, sf_dir, "embedding_query_range_search_bucketed")
+    for r in got:
+        key = (r["anchor_id"], r["vec_id"])
+        assert key in exact
+        assert r["cosine_sim"] == exact[key]
+        assert r["cosine_sim"] >= 0.40
