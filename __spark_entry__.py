@@ -338,6 +338,7 @@ _RECORD_LAST = [
     "daily_revenue_mann_kendall",
     "cvm_priority_totalprice",
     "supplier_clustering_coefficient",
+    "orders_jonckheere_terpstra",
 ]
 
 

@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "daily_revenue_mann_kendall",  # day-grain monotonic-trend S/z (theilsen pair shape)
     "cvm_priority_totalprice",  # integrated-square ECDF distance (KS frame)
     "supplier_clustering_coefficient",  # per-node Watts-Strogatz C_v (oriented wedges)
+    "orders_jonckheere_terpstra",   # ordered-trend J/z, 10 pairwise U folds at value grain
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

@@ -390,6 +390,7 @@ QUERIES = [
     "cvm_priority_totalprice",
     # oriented-wedge triangle family (degree-bounded fan-out)
     "supplier_clustering_coefficient",
+    "orders_jonckheere_terpstra",
 ]
 
 

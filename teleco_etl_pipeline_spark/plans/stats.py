@@ -2665,3 +2665,177 @@ def q_cvm_priority_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("t_stat"),
     )
+
+
+@query(
+    "orders_jonckheere_terpstra",
+    """
+    WITH v AS (
+      SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    pv AS (
+      SELECT cents,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS d1,
+             SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS d2,
+             SUM(CASE WHEN grp = 3 THEN 1 ELSE 0 END) AS d3,
+             SUM(CASE WHEN grp = 4 THEN 1 ELSE 0 END) AS d4,
+             SUM(CASE WHEN grp = 5 THEN 1 ELSE 0 END) AS d5
+      FROM v GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents, d1, d2, d3, d4, d5,
+             SUM(d1) OVER (ORDER BY cents) AS c1,
+             SUM(d2) OVER (ORDER BY cents) AS c2,
+             SUM(d3) OVER (ORDER BY cents) AS c3,
+             SUM(d4) OVER (ORDER BY cents) AS c4,
+             SUM(d5) OVER (ORDER BY cents) AS c5
+      FROM pv
+    ),
+    folds AS (
+      SELECT
+        SUM(CAST((2 * d2 * (c1 - d1) + d1 * d2) + (2 * d3 * (c1 - d1) + d1 * d3) + (2 * d4 * (c1 - d1) + d1 * d4) + (2 * d5 * (c1 - d1) + d1 * d5) + (2 * d3 * (c2 - d2) + d2 * d3) + (2 * d4 * (c2 - d2) + d2 * d4) + (2 * d5 * (c2 - d2) + d2 * d5) + (2 * d4 * (c3 - d3) + d3 * d4) + (2 * d5 * (c3 - d3) + d3 * d5) + (2 * d5 * (c4 - d4) + d4 * d5) AS HUGEINT)) AS j2,
+        SUM(CAST(d1 + d2 + d3 + d4 + d5 AS HUGEINT)
+            * (d1 + d2 + d3 + d4 + d5 - 1)
+            * (2 * (d1 + d2 + d3 + d4 + d5) + 5)) AS t_a,
+        SUM(CAST(d1 + d2 + d3 + d4 + d5 AS HUGEINT)
+            * (d1 + d2 + d3 + d4 + d5 - 1)
+            * (d1 + d2 + d3 + d4 + d5 - 2)) AS t_b,
+        SUM(CAST(d1 + d2 + d3 + d4 + d5 AS HUGEINT)
+            * (d1 + d2 + d3 + d4 + d5 - 1)) AS t_c
+      FROM cum
+    ),
+    g AS (
+      SELECT SUM(CAST(n AS HUGEINT)) AS n,
+             COUNT(*) AS k,
+             SUM(CAST(n AS HUGEINT) * n) AS n2,
+             SUM(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)) AS g_a,
+             SUM(CAST(n AS HUGEINT) * (n - 1) * (n - 2)) AS g_b,
+             SUM(CAST(n AS HUGEINT) * (n - 1)) AS g_c
+      FROM (SELECT grp, COUNT(*) AS n FROM v GROUP BY grp) gg
+    )
+    SELECT CAST(g.k AS BIGINT) AS k_groups,
+           CAST(g.n AS BIGINT) AS n_rows,
+           ROUND(CAST(folds.j2 AS DOUBLE) / 2.0 + 1e-9, 1) AS j_stat,
+           CASE WHEN g.n >= 3
+                 AND (CAST(g.n AS HUGEINT) * (g.n - 1) * (2 * g.n + 5)
+                      - g_a - t_a) > 0 THEN
+             ROUND(
+               CAST(2 * folds.j2 - (g.n * g.n - g.n2) AS DOUBLE)
+               / (4.0 * SQRT(
+                   CAST(CAST(g.n AS HUGEINT) * (g.n - 1) * (2 * g.n + 5)
+                        - g_a - t_a AS DOUBLE) / 72.0
+                   + CAST(g_b * t_b AS DOUBLE)
+                     / (36.0 * CAST(CAST(g.n AS HUGEINT) * (g.n - 1)
+                                    * (g.n - 2) AS DOUBLE))
+                   + CAST(g_c * t_c AS DOUBLE)
+                     / (8.0 * CAST(CAST(g.n AS HUGEINT)
+                                   * (g.n - 1) AS DOUBLE))))
+               + 1e-9, 4)
+           ELSE 0.0 END AS z_stat
+    FROM folds, g
+    """,
+    doc="Jonckheere-Terpstra ordered-alternative trend test across "
+    "the FIVE priority levels in their natural order (Jonckheere "
+    "1954; Terpstra 1952): does o_totalprice shift monotonically "
+    "with priority? More powerful than Kruskal-Wallis when the "
+    "alternative is ordered - J = sum over group pairs i<j of the "
+    "Mann-Whitney count #(x_i < x_j) + half-ties. NO pairwise row "
+    "scan: all 10 pairwise U counts fold at VALUE grain from the "
+    "five per-group counters riding ONE multi-measure two-level "
+    "value_cumsum pass (2*U_ij per value = 2*d_j*cumlt_i + d_i*d_j, "
+    "exact integers doubled to clear the half-tie). Null mean/"
+    "variance with the Hollander-Wolfe tie correction fold from "
+    "the k=5 group counts + value-domain tie moments, combined in "
+    "arbitrary-precision driver ints; the single z division runs "
+    "the identical IEEE op sequence both engines.",
+)
+def q_orders_jonckheere_terpstra(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.quantiles import (
+        half_up,
+        value_cumsum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("grp"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    pv = (
+        v.groupBy("cents")
+        .agg(
+            *[
+                F.sum(F.when(F.col("grp") == g, 1).otherwise(0)).alias(
+                    f"d{g}"
+                )
+                for g in range(1, 6)
+            ]
+        )
+        .localCheckpoint(eager=True)
+    )
+    cum = value_cumsum(
+        pv, "cents", sum_cols={f"d{g}": f"c{g}" for g in range(1, 6)}
+    )
+    t = sum(F.col(f"d{g}") for g in range(1, 6))
+    td = t.cast(_DEC)
+    contrib = (
+        F.col("d2").cast(_DEC) * (2 * (F.col("c1") - F.col("d1"))) + F.col("d1").cast(_DEC) * F.col("d2")
+        + F.col("d3").cast(_DEC) * (2 * (F.col("c1") - F.col("d1"))) + F.col("d1").cast(_DEC) * F.col("d3")
+        + F.col("d4").cast(_DEC) * (2 * (F.col("c1") - F.col("d1"))) + F.col("d1").cast(_DEC) * F.col("d4")
+        + F.col("d5").cast(_DEC) * (2 * (F.col("c1") - F.col("d1"))) + F.col("d1").cast(_DEC) * F.col("d5")
+        + F.col("d3").cast(_DEC) * (2 * (F.col("c2") - F.col("d2"))) + F.col("d2").cast(_DEC) * F.col("d3")
+        + F.col("d4").cast(_DEC) * (2 * (F.col("c2") - F.col("d2"))) + F.col("d2").cast(_DEC) * F.col("d4")
+        + F.col("d5").cast(_DEC) * (2 * (F.col("c2") - F.col("d2"))) + F.col("d2").cast(_DEC) * F.col("d5")
+        + F.col("d4").cast(_DEC) * (2 * (F.col("c3") - F.col("d3"))) + F.col("d3").cast(_DEC) * F.col("d4")
+        + F.col("d5").cast(_DEC) * (2 * (F.col("c3") - F.col("d3"))) + F.col("d3").cast(_DEC) * F.col("d5")
+        + F.col("d5").cast(_DEC) * (2 * (F.col("c4") - F.col("d4"))) + F.col("d4").cast(_DEC) * F.col("d5")
+    )
+    folds = cum.agg(
+        F.sum(contrib).alias("j2"),
+        F.sum(td * (t - 1) * (2 * t + 5)).alias("t_a"),
+        F.sum(td * (t - 1) * (t - 2)).alias("t_b"),
+        F.sum(td * (t - 1)).alias("t_c"),
+    ).first()
+    grows = (
+        v.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    k = len(grows)
+    if k == 0:
+        # oracle: folds/g aggregates over empty frames -> NULL sums,
+        # CASE falls to ELSE 0.0; COUNT(*) k = 0
+        return spark.range(1).select(
+            F.lit(0).cast("long").alias("k_groups"),
+            F.lit(None).cast("long").alias("n_rows"),
+            F.lit(None).cast("double").alias("j_stat"),
+            F.lit(0.0).cast("double").alias("z_stat"),
+        )
+    ns = [int(r["n"]) for r in grows]
+    n = sum(ns)
+    n2 = sum(x * x for x in ns)
+    g_a = sum(x * (x - 1) * (2 * x + 5) for x in ns)
+    g_b = sum(x * (x - 1) * (x - 2) for x in ns)
+    g_c = sum(x * (x - 1) for x in ns)
+    j2 = int(folds["j2"])
+    t_a, t_b, t_c = (int(folds[c]) for c in ("t_a", "t_b", "t_c"))
+    a_term = n * (n - 1) * (2 * n + 5) - g_a - t_a
+    if n >= 3 and a_term > 0:
+        var = (
+            float(a_term) / 72.0
+            + float(g_b * t_b) / (36.0 * float(n * (n - 1) * (n - 2)))
+            + float(g_c * t_c) / (8.0 * float(n * (n - 1)))
+        )
+        num = 2 * j2 - (n * n - n2)
+        z_stat = half_up(float(num) / (4.0 * var**0.5) + 1e-9, 4)
+    else:
+        z_stat = 0.0
+    return spark.range(1).select(
+        F.lit(k).cast("long").alias("k_groups"),
+        F.lit(n).cast("long").alias("n_rows"),
+        F.lit(half_up(float(j2) / 2.0 + 1e-9, 1)).cast("double").alias(
+            "j_stat"
+        ),
+        F.lit(z_stat).cast("double").alias("z_stat"),
+    )

@@ -918,3 +918,13 @@ def test_bucketed_range_search_is_equijoin(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_jonckheere_folds_at_value_grain(spark, sf_dir):
+    """All 10 pairwise U counts fold from the five group counters on
+    the multi-measure value_cumsum frame — no per-row rank window, no
+    group-pair self-join of the fact table; final frame is a 1-row
+    driver-fold literal."""
+    plan = _plan(spark, sf_dir, "orders_jonckheere_terpstra")
+    assert "Scan OneRowRelation" in plan or "Range (0, 1" in plan
+    assert not _no_unpartitioned_window_on(plan, "cents")

@@ -129,3 +129,58 @@ def test_bucketed_range_search_is_verified_subset(spark, sf_dir):
         assert key in exact
         assert r["cosine_sim"] == exact[key]
         assert r["cosine_sim"] >= 0.40
+
+
+def test_jonckheere_terpstra_matches_bisect_bruteforce(spark, sf_dir):
+    """J via an independent code path: per group-pair U_ij counted
+    with bisect over sorted per-group lists (no value-histogram, no
+    SQL); z via the textbook Hollander-Wolfe tie-corrected normal
+    approximation."""
+    import bisect
+
+    rows = _con(sf_dir).execute(
+        "SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS INT),"
+        " CAST(ROUND(o_totalprice*100) AS BIGINT) FROM orders"
+    ).fetchall()
+    groups: dict[int, list[int]] = {}
+    for g, c in rows:
+        groups.setdefault(g, []).append(c)
+    for xs in groups.values():
+        xs.sort()
+    ks = sorted(groups)
+    j = 0.0
+    for a in range(len(ks)):
+        for b in range(a + 1, len(ks)):
+            gi, gj = groups[ks[a]], groups[ks[b]]
+            for y in gj:
+                lo = bisect.bisect_left(gi, y)
+                hi = bisect.bisect_right(gi, y)
+                j += lo + (hi - lo) / 2.0
+    n = len(rows)
+    ns = [len(groups[g]) for g in ks]
+    ties = Counter(c for _, c in rows)
+    e_j = (n * n - sum(x * x for x in ns)) / 4.0
+    a_term = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(x * (x - 1) * (2 * x + 5) for x in ns)
+        - sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    )
+    var = (
+        a_term / 72.0
+        + (
+            sum(x * (x - 1) * (x - 2) for x in ns)
+            * sum(t * (t - 1) * (t - 2) for t in ties.values())
+        )
+        / (36.0 * n * (n - 1) * (n - 2))
+        + (
+            sum(x * (x - 1) for x in ns)
+            * sum(t * (t - 1) for t in ties.values())
+        )
+        / (8.0 * n * (n - 1))
+    )
+    z = (j - e_j) / math.sqrt(var)
+    (r,) = _run(spark, sf_dir, "orders_jonckheere_terpstra")
+    assert r["k_groups"] == len(ks)
+    assert r["n_rows"] == n
+    assert r["j_stat"] == pytest.approx(j, abs=0.51)
+    assert r["z_stat"] == pytest.approx(z, abs=2e-4)
