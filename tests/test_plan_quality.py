@@ -96,6 +96,13 @@ SCALAR_BROADCASTS = {
     # the 1-row group-total pair broadcast onto the cumulative-rank
     # frame for the D-statistic scan — |values| × 1
     "ks_priority_totalprice",
+    # same frame, same 1-row (bounds + totals) broadcasts — the
+    # integrated-square ECDF twin of KS (r13)
+    "cvm_priority_totalprice",
+    # the 1-row (min, max) bounds broadcast feeding value_prefix_max's
+    # range bucketing over the distinct-cost frame (r13 two-level
+    # skyline sweep) — |values| × 1
+    "part_price_skyline",
     # the 1-row baseline-decile EDGES array + the 1-row bin totals,
     # each broadcast onto a bounded frame (fact scan for binning,
     # 10-row cell frame for the PSI terms) — |rows| × 1 products
