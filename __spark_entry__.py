@@ -339,6 +339,8 @@ _RECORD_LAST = [
     "cvm_priority_totalprice",
     "supplier_clustering_coefficient",
     "orders_jonckheere_terpstra",
+    "orders_welch_ttest",
+    "part_rich_club",
 ]
 
 

@@ -238,6 +238,8 @@ BENCH_QUERIES = [
     "cvm_priority_totalprice",  # integrated-square ECDF distance (KS frame)
     "supplier_clustering_coefficient",  # per-node Watts-Strogatz C_v (oriented wedges)
     "orders_jonckheere_terpstra",   # ordered-trend J/z, 10 pairwise U folds at value grain
+    "orders_welch_ttest",       # exact-moment Welch t + Satterthwaite dof, one fact pass
+    "part_rich_club",           # phi(k) hub-density curve, 5-row threshold broadcast
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

@@ -391,6 +391,8 @@ QUERIES = [
     # oriented-wedge triangle family (degree-bounded fan-out)
     "supplier_clustering_coefficient",
     "orders_jonckheere_terpstra",
+    "orders_welch_ttest",
+    "part_rich_club",
 ]
 
 

@@ -1768,3 +1768,117 @@ def q_trade_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("assortativity"),
     )
+
+
+def _richclub_body() -> str:
+    """Dialect-shared SQL over ``edges(u, v)``: rich-club coefficient
+    phi(k) = 2*E_k / (n_k*(n_k-1)) for degree thresholds k = 1..5."""
+    return """
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) both_ends GROUP BY node
+    ),
+    ks AS (SELECT UNNEST(GENERATE_SERIES(1, 5)) AS k),
+    nk AS (
+      SELECT k, COUNT(*) AS n_nodes
+      FROM ks JOIN deg ON deg.deg > ks.k GROUP BY k
+    ),
+    ek AS (
+      SELECT k, COUNT(*) AS n_edges
+      FROM ks
+      JOIN edges e ON TRUE
+      JOIN deg du ON du.node = e.u AND du.deg > ks.k
+      JOIN deg dv ON dv.node = e.v AND dv.deg > ks.k
+      GROUP BY k
+    )
+    SELECT CAST(ks.k AS INT) AS k,
+           CAST(COALESCE(nk.n_nodes, 0) AS BIGINT) AS n_nodes,
+           CAST(COALESCE(ek.n_edges, 0) AS BIGINT) AS n_edges,
+           CASE WHEN COALESCE(nk.n_nodes, 0) >= 2 THEN
+             ROUND(2.0 * COALESCE(ek.n_edges, 0)
+                   / (CAST(nk.n_nodes AS DOUBLE)
+                      * (CAST(nk.n_nodes AS DOUBLE) - 1)) + 1e-9, 6)
+           ELSE 0.0 END AS phi
+    FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
+    ORDER BY k
+    """
+
+
+@query(
+    "part_rich_club",
+    _PART_EDGES_DUCK
+    + ","
+    + _richclub_body().strip(),
+    doc="Rich-club coefficient curve phi(k) = 2*E_k/(n_k*(n_k-1)) "
+    "over the part co-purchase graph for degree thresholds k = 1..5 "
+    "(Zhou & Mondragon 2004): do high-degree parts preferentially "
+    "co-occur with each other — the core-periphery signal the "
+    "per-node clustering coefficient cannot see (C_v is local; phi "
+    "measures density WITHIN the hub set). Runs on the VOLUME-SCALED "
+    "co-purchase cut (the part_link_prediction graph — the supplier "
+    "co-fulfillment graph is near-complete at every committed SF, "
+    "phi identically 1, so the sparser part graph is where the curve "
+    "carries signal). One degree reduce + a 5-row constant threshold "
+    "frame broadcast onto the node and edge frames (|nodes|x5 and "
+    "|edges|x5 bounded fan-outs) — no iteration, no window; the "
+    "coefficient is an exact rational of two integer aggregates.",
+)
+def q_part_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    edges = _part_edges_spark(spark, sf_dir).cache()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        # feeds nk and BOTH endpoint filters of ek
+        .localCheckpoint(eager=True)
+    )
+    ks = edges.sparkSession.range(1, 6).select(
+        F.col("id").cast("int").alias("k")
+    )
+    nk = (
+        deg.crossJoin(F.broadcast(ks))
+        .filter(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ek = (
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    # broadcast the 5-row aggregates explicitly: the pre-AQE plan
+    # otherwise stages a sort-merge join for the k-keyed assembly
+    out = (
+        ks.join(F.broadcast(nk), "k", "left")
+        .join(F.broadcast(ek), "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_nodes", F.lit(0)).cast("long").alias("n_nodes"),
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.when(
+                F.coalesce("n_nodes", F.lit(0)) >= 2,
+                F.round(
+                    2.0 * F.coalesce("n_edges", F.lit(0))
+                    / (
+                        F.col("n_nodes").cast("double")
+                        * (F.col("n_nodes").cast("double") - 1)
+                    )
+                    + F.lit(1e-9),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("phi"),
+        )
+        .orderBy("k")
+    )
+    return out

@@ -2839,3 +2839,149 @@ def q_orders_jonckheere_terpstra(
         ),
         F.lit(z_stat).cast("double").alias("z_stat"),
     )
+
+
+@query(
+    "orders_welch_ttest",
+    """
+    WITH v AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    g AS (
+      SELECT grp, COUNT(*) AS n,
+             SUM(CAST(cents AS HUGEINT)) AS s,
+             SUM(CAST(cents AS HUGEINT) * cents) AS q
+      FROM v GROUP BY grp
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+        MAX(CASE WHEN grp = 2 THEN n END) AS n2,
+        MAX(CASE WHEN grp = 1 THEN s END) AS s1,
+        MAX(CASE WHEN grp = 2 THEN s END) AS s2,
+        MAX(CASE WHEN grp = 1 THEN q END) AS q1,
+        MAX(CASE WHEN grp = 2 THEN q END) AS q2
+      FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_urgent,
+           CAST(n2 AS BIGINT) AS n_low,
+           CASE WHEN n1 >= 2 AND n2 >= 2 THEN
+             ROUND(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) + 1e-9, 2)
+           ELSE 0.0 END AS mean_diff_cents,
+           CASE WHEN n1 >= 2 AND n2 >= 2 THEN
+             ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   / SQRT(
+                     CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                       / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1))
+                       / CAST(n1 AS DOUBLE)
+                     + CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+                       / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1))
+                       / CAST(n2 AS DOUBLE))
+                   + 1e-9, 4)
+           ELSE 0.0 END AS t_stat,
+           CASE WHEN n1 >= 2 AND n2 >= 2 THEN
+             ROUND(
+               ((CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1))
+                   / CAST(n1 AS DOUBLE)
+                 + CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+                   / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1))
+                   / CAST(n2 AS DOUBLE))
+                * (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1))
+                     / CAST(n1 AS DOUBLE)
+                   + CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+                     / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1))
+                     / CAST(n2 AS DOUBLE)))
+               / ((CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1))
+                     / CAST(n1 AS DOUBLE))
+                  * (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                       / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1))
+                       / CAST(n1 AS DOUBLE))
+                    / (CAST(n1 AS DOUBLE) - 1)
+                  + (CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+                       / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1))
+                       / CAST(n2 AS DOUBLE))
+                    * (CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+                         / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1))
+                         / CAST(n2 AS DOUBLE))
+                    / (CAST(n2 AS DOUBLE) - 1))
+               + 1e-9, 2)
+           ELSE 0.0 END AS welch_dof
+    FROM w
+    """,
+    doc="Welch's unequal-variance t-test between URGENT and LOW "
+    "order values (Welch 1947) — the parametric partner of the "
+    "mannwhitney/ks/cvm two-sample screens, with the "
+    "Welch-Satterthwaite effective dof. ONE map-side-combined fact "
+    "pass: per-group {n, Σx, Σx²} as exact HUGEINT/DECIMAL(38) "
+    "moments (cents² sums reach ~2e32 at sf1000 — far inside the "
+    "envelope); every mean/variance then derives from the exact "
+    "integers n·Q − S² in an IDENTICAL double op sequence on both "
+    "engines (variance via the n·Q−S² form — one division of exact "
+    "ints, no accumulated float), so the statistic is "
+    "accumulation-order-proof. The 2-row group frame folds with "
+    "conditional MAX — no window, no driver collect.",
+)
+def q_orders_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(2)
+        .alias("grp"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    g = v.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast(_DEC)).alias("s"),
+        F.sum(F.col("cents").cast(_DEC) * F.col("cents")).alias("q"),
+    )
+    w = g.agg(
+        *[
+            F.max(F.when(F.col("grp") == i, F.col(c))).alias(f"{c}{i}")
+            for i in (1, 2)
+            for c in ("n", "s", "q")
+        ]
+    )
+    def dbl(c):
+        return F.col(c).cast("double")
+    mean_diff = dbl("s1") / dbl("n1") - dbl("s2") / dbl("n2")
+    se1 = (
+        (F.col("n1").cast(_DEC) * F.col("q1")
+         - F.col("s1") * F.col("s1")).cast("double")
+        / (dbl("n1") * (dbl("n1") - 1))
+        / dbl("n1")
+    )
+    se2 = (
+        (F.col("n2").cast(_DEC) * F.col("q2")
+         - F.col("s2") * F.col("s2")).cast("double")
+        / (dbl("n2") * (dbl("n2") - 1))
+        / dbl("n2")
+    )
+    ok = (F.col("n1") >= 2) & (F.col("n2") >= 2)
+    # explicit multiplies, not pow(x, 2): libm pow is not guaranteed
+    # bit-identical cross-engine
+    dof = ((se1 + se2) * (se1 + se2)) / (
+        se1 * se1 / (dbl("n1") - 1) + se2 * se2 / (dbl("n2") - 1)
+    )
+    return w.select(
+        F.col("n1").cast("long").alias("n_urgent"),
+        F.col("n2").cast("long").alias("n_low"),
+        F.when(ok, F.round(mean_diff + F.lit(1e-9), 2))
+        .otherwise(F.lit(0.0))
+        .alias("mean_diff_cents"),
+        F.when(ok, F.round(mean_diff / F.sqrt(se1 + se2) + F.lit(1e-9), 4))
+        .otherwise(F.lit(0.0))
+        .alias("t_stat"),
+        F.when(ok, F.round(dof + F.lit(1e-9), 2))
+        .otherwise(F.lit(0.0))
+        .alias("welch_dof"),
+    )

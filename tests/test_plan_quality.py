@@ -124,6 +124,10 @@ SCALAR_BROADCASTS = {
     # the 7-row constant lag frame onto the day-grain aggregate —
     # |days| × 7 however large the fact table (the ccf twin)
     "daily_revenue_acf",
+    # the 5-row constant degree-threshold frame onto the node and
+    # edge frames — |nodes|×5 / |edges|×5 bounded fan-outs (r13
+    # rich-club curve)
+    "part_rich_club",
     # Theil-Sen's pairwise-slope i<j self-join over the MONTH-grain
     # frame — O(months²) pairs by definition, bounded by the time
     # span (~80 rows here), never by fact-table size
@@ -935,3 +939,20 @@ def test_jonckheere_folds_at_value_grain(spark, sf_dir):
     plan = _plan(spark, sf_dir, "orders_jonckheere_terpstra")
     assert "Scan OneRowRelation" in plan or "Range (0, 1" in plan
     assert not _no_unpartitioned_window_on(plan, "cents")
+
+
+def test_welch_is_single_fact_pass_no_window(spark, sf_dir):
+    """One map-side-combined groupBy; the 2-row group frame folds
+    with conditional MAX — no window, no join, no driver collect."""
+    plan = _plan(spark, sf_dir, "orders_welch_ttest")
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_rich_club_threshold_frame_broadcasts(spark, sf_dir):
+    """The 5-row k frame and the degree maps broadcast onto the node
+    and edge frames; no sort-merge join, no cartesian beyond the
+    bounded 5-row fan-out."""
+    plan = _plan(spark, sf_dir, "part_rich_club")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

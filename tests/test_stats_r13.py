@@ -184,3 +184,61 @@ def test_jonckheere_terpstra_matches_bisect_bruteforce(spark, sf_dir):
     assert r["n_rows"] == n
     assert r["j_stat"] == pytest.approx(j, abs=0.51)
     assert r["z_stat"] == pytest.approx(z, abs=2e-4)
+
+
+def test_welch_ttest_matches_textbook(spark, sf_dir):
+    rows = _con(sf_dir).execute(
+        "SELECT o_orderpriority,"
+        " CAST(ROUND(o_totalprice*100) AS BIGINT) FROM orders"
+        " WHERE o_orderpriority IN ('1-URGENT', '5-LOW')"
+    ).fetchall()
+    g1 = [c for p, c in rows if p == "1-URGENT"]
+    g2 = [c for p, c in rows if p == "5-LOW"]
+    n1, n2 = len(g1), len(g2)
+    m1, m2 = sum(g1) / n1, sum(g2) / n2
+    v1 = sum((x - m1) ** 2 for x in g1) / (n1 - 1)
+    v2 = sum((x - m2) ** 2 for x in g2) / (n2 - 1)
+    se1, se2 = v1 / n1, v2 / n2
+    t = (m1 - m2) / math.sqrt(se1 + se2)
+    dof = (se1 + se2) ** 2 / (se1**2 / (n1 - 1) + se2**2 / (n2 - 1))
+    (r,) = _run(spark, sf_dir, "orders_welch_ttest")
+    assert r["n_urgent"] == n1 and r["n_low"] == n2
+    assert r["mean_diff_cents"] == pytest.approx(m1 - m2, abs=0.02)
+    assert r["t_stat"] == pytest.approx(t, abs=2e-4)
+    assert r["welch_dof"] == pytest.approx(dof, rel=1e-4)
+
+
+def test_rich_club_matches_bruteforce(spark, sf_dir):
+    """phi(k) recomputed from a NetworkX-free adjacency build over
+    the same volume-scaled edge cut."""
+    from collections import defaultdict
+
+    con = _con(sf_dir)
+    n_orders = con.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    min_co = max(2, -(-n_orders // 75_000))
+    pairs = con.execute(
+        """
+        WITH ds AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey, b.l_partkey, COUNT(*) AS c
+        FROM ds a JOIN ds b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    edges = [(u, v) for u, v, c in pairs if c >= min_co]
+    deg: dict[int, int] = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    got = {r["k"]: r for r in _run(spark, sf_dir, "part_rich_club")}
+    assert sorted(got) == [1, 2, 3, 4, 5]
+    for k in range(1, 6):
+        nodes = {n for n, d in deg.items() if d > k}
+        ek = sum(1 for u, v in edges if u in nodes and v in nodes)
+        assert got[k]["n_nodes"] == len(nodes)
+        assert got[k]["n_edges"] == ek
+        if len(nodes) >= 2:
+            phi = 2.0 * ek / (len(nodes) * (len(nodes) - 1))
+            assert got[k]["phi"] == pytest.approx(phi, abs=2e-6)
+        else:
+            assert got[k]["phi"] == 0.0
