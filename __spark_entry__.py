@@ -341,6 +341,12 @@ _RECORD_LAST = [
     "orders_jonckheere_terpstra",
     "orders_welch_ttest",
     "part_rich_club",
+    "orders_anova_f",
+    "ad_priority_totalprice",
+    "daily_revenue_durbin_watson",
+    "daily_revenue_ljung_box",
+    "doc_perplexity_buckets",
+    "part_ktruss_peel",
 ]
 
 

@@ -985,3 +985,133 @@ def textrank_keywords(
         .orderBy(F.desc("rank_units"), F.asc("token"))
         .limit(topk)
     )
+
+
+@query(
+    "doc_perplexity_buckets",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), vocab AS (
+      SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_total FROM tok),
+    score AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               CAST(SUM(tf.tf * CAST(FLOOR(
+                      -log2(vocab.cnt / (SELECT n_total FROM n)) * 1e6)
+                      AS BIGINT)) AS DOUBLE)
+               / CAST(SUM(tf.tf) AS DOUBLE)) AS BIGINT) AS mb
+      FROM tf JOIN vocab USING (token)
+      GROUP BY tf.doc_id
+    ),
+    sl AS (
+      SELECT s.doc_id, d.lang, s.mb
+      FROM score s JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT lang, mb,
+             NTILE(3) OVER (PARTITION BY lang ORDER BY mb, doc_id) AS b
+      FROM sl
+    )
+    SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(mb) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+                 + 1e-9, 4) AS mean_bits
+    FROM ranked
+    GROUP BY lang, b
+    ORDER BY lang, b
+    """,
+    doc="CCNet-style per-language perplexity terciles (Wenzek et al. "
+    "2020: score every document with a self-trained LM, split each "
+    "language into head/middle/tail by score, keep the head for "
+    "training): documents score with the corpus-trained unigram LM "
+    "(the doc_unigram_logprob model) and rank WITHIN their language "
+    "so one language's verbosity doesn't flood another's head "
+    "bucket. Determinism: per-token surprisal floor-quantized to "
+    "micro-bits (the doc_bigram_logprob hardening — CR-identical "
+    "division into libm log2, <=1-ulp residual per DISTINCT vocab "
+    "count), the doc score is floor(exact-int sum / exact-int "
+    "count) with both operands < 2^53, and the tercile is an exact "
+    "integer function of (row_number, group count). Scale: the "
+    "per-language rank is a GROUPED two-phase window "
+    "(operators/rank.two_phase_window partition_by form — sampled "
+    "range buckets, per-bucket local row_number, constant-bounded "
+    "offset cumsum), so no task ever holds a language's whole doc "
+    "frame; the oracle states the same rank as NTILE(3) OVER "
+    "(PARTITION BY lang ORDER BY mb, doc_id), which the exact "
+    "integer formula replicates bit-for-bit.",
+)
+def q_doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.rank import two_phase_window
+    from teleco_etl_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    n_total = tok.agg(F.count(F.lit(1)).alias("n")).scalar()
+    bits_q = F.floor(-F.log2(F.col("cnt") / n_total) * F.lit(1e6))
+    score = (
+        tf.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.floor(
+                F.sum(F.col("tf") * bits_q).cast("double")
+                / F.sum("tf").cast("double")
+            ).alias("mb")
+        )
+    )
+    sl = score.join(docs.select("doc_id", "lang"), "doc_id")
+    ranked = two_phase_window(
+        sl,
+        order_by=[F.col("mb").asc(), F.col("doc_id").asc()],
+        partition_by=["lang"],
+        row_col="rn",
+    )
+    nl = sl.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+    j = ranked.join(F.broadcast(nl), "lang")
+    # Exact-integer NTILE(3) with a per-GROUP frame count column (the
+    # ntile_from_row_number formula with n as a Column): first n%3
+    # buckets get n//3 + 1 rows, the rest n//3.
+    qn = F.floor(F.col("nl") / 3)
+    rem = F.col("nl") % 3
+    thresh = rem * (qn + 1)
+    rn = F.col("rn")
+    b = (
+        F.when(rn <= thresh, F.floor((rn - 1) / (qn + 1)) + 1)
+        .otherwise(rem + F.floor((rn - thresh - 1) / F.greatest(qn, F.lit(1))) + 1)
+        .cast("int")
+    )
+    return (
+        j.withColumn("b", b)
+        .groupBy("lang", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("mb").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e6)
+                + F.lit(1e-9),
+                4,
+            ).alias("mean_bits"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("b") == 1, "head")
+            .when(F.col("b") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "mean_bits",
+        )
+        # 'head' < 'middle' < 'tail' alphabetically == bucket 1 < 2 < 3
+        .orderBy("lang", "bucket")
+    )

@@ -1882,3 +1882,195 @@ def q_part_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("k")
     )
     return out
+
+
+# --- k-truss peeling ----------------------------------------------------------
+#
+# Cohen 2008 ("Trusses: cohesive subgraphs for social network
+# analysis"): the k-truss is the maximal subgraph where every edge
+# sits in >= k-2 triangles OF THE SUBGRAPH — strictly stronger than
+# the k-core's degree threshold (a k-truss is always inside the
+# (k-1)-core) and the standard edge-grade cohesion primitive between
+# "has neighbors" (core) and "is a clique". Same unrolled-iteration
+# contract as supplier_kcore_peel: a FIXED round budget with the
+# (iter, n_nodes, n_edges) trajectory as the output, so both engines
+# compute the identical bounded plan and convergence is observable
+# rather than assumed. Runs on the volume-scaled PART co-purchase
+# graph (the supplier co-fulfillment graph is near-complete at every
+# committed SF — every edge sits in ~|V| triangles and nothing
+# peels; the sparser part graph is where truss grades separate).
+#
+# Scale: each round is one degree aggregate, the Suri-Vassilvitskii
+# degree-ordered wedge join (fan-out bounded by the LOW-degree
+# endpoint — the same hub guard as the triangle counts), one
+# per-edge support aggregate, and one equi-join filter; every frame
+# is edge-list- or triangle-list-sized, and each round's survivor
+# edge list is MATERIALIZED (eager localCheckpoint — the k-core
+# lesson: 4 consumers per round; lazy spellings recompute the wedge
+# join exponentially).
+
+_TRUSS_K = 4
+_TRUSS_ITERS = 3
+
+
+def _ktruss_body(k: int, iters: int) -> str:
+    """Unrolled k-truss peeling over ``edges(u, v)`` (u < v):
+    per round, keep edges with in-subgraph triangle support
+    >= k-2.
+
+    The per-round CTEs are AS MATERIALIZED: DuckDB inlines plain
+    CTEs per reference, and each round references the previous
+    round's survivors 3x (degree frame + both join sides), the
+    oriented list 3x (wedge self-join legs) and the triangle list
+    3x (per-edge support legs) — un-materialized, round 3's inline
+    expansion multiplies the base parquet scan thousands of times
+    over (observed: fd exhaustion before any row returns). The
+    Spark side materializes the identical frames (localCheckpoint /
+    cache), so MATERIALIZED is the honest oracle spelling, not a
+    hint."""
+    parts = []
+    prev = "edges"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+    td{i} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev}
+      ) be{i} GROUP BY node
+    ),
+    o{i} AS MATERIALIZED (
+      SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS a,
+             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS b
+      FROM {prev} e
+      JOIN td{i} du ON du.node = e.u
+      JOIN td{i} dv ON dv.node = e.v
+    ),
+    t{i} AS MATERIALIZED (
+      SELECT o1.a AS x, o1.b AS y, o2.b AS z
+      FROM o{i} o1
+      JOIN o{i} o2 ON o2.a = o1.b
+      JOIN o{i} o3 ON o3.a = o1.a AND o3.b = o2.b
+    ),
+    es{i} AS MATERIALIZED (
+      SELECT u, v, COUNT(*) AS supp FROM (
+        SELECT LEAST(x, y) AS u, GREATEST(x, y) AS v FROM t{i}
+        UNION ALL SELECT LEAST(y, z), GREATEST(y, z) FROM t{i}
+        UNION ALL SELECT LEAST(x, z), GREATEST(x, z) FROM t{i}
+      ) tt{i} GROUP BY u, v
+    ),
+    te{i} AS MATERIALIZED (
+      SELECT e.u, e.v FROM {prev} e
+      JOIN es{i} s ON s.u = e.u AND s.v = e.v
+      WHERE s.supp >= {k - 2}
+    )"""
+        )
+        prev = f"te{i}"
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {i} AS iter, "
+        f"CAST((SELECT COUNT(*) FROM (SELECT u AS node FROM te{i} "
+        f"UNION SELECT v FROM te{i}) nn{i}) AS BIGINT) AS n_nodes, "
+        f"CAST((SELECT COUNT(*) FROM te{i}) AS BIGINT) AS n_edges"
+        for i in range(1, iters + 1)
+    )
+    return ",".join(parts) + f"\n    {selects}\n    ORDER BY iter\n"
+
+
+@query(
+    "part_ktruss_peel",
+    _PART_EDGES_DUCK + "," + _ktruss_body(_TRUSS_K, _TRUSS_ITERS).strip(),
+    doc=f"Unrolled {_TRUSS_ITERS}-round k-truss peeling "
+    f"(k={_TRUSS_K}: every surviving edge must sit in >= "
+    f"{_TRUSS_K - 2} triangles of the surviving subgraph; Cohen "
+    "2008) over the volume-scaled part co-purchase graph — the "
+    "EDGE-grade cohesion primitive between supplier_kcore_peel's "
+    "degree threshold and a clique, and the co-purchase module "
+    "detector that ignores hub-spoke stars (a star has degree but "
+    "zero triangles). Per round: degree-ordered oriented wedge join "
+    "(Suri-Vassilvitskii — fan-out bounded by the low-degree "
+    "endpoint), per-edge support aggregate over the three triangle "
+    "legs, one equi-join filter; survivor edge lists materialize "
+    "per round (the k-core superstep rule). All-integer; the "
+    "(iter, n_nodes, n_edges) trajectory is the output.",
+)
+def q_part_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    prev = _part_edges_spark(spark, sf_dir).localCheckpoint(eager=True)
+    stats = None
+    for i in range(1, _TRUSS_ITERS + 1):
+        deg = (
+            prev.select(F.col("u").alias("node"))
+            .unionAll(prev.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        du, dv = deg.alias("du"), deg.alias("dv")
+        e = prev.alias("e")
+        low_first = (F.col("du.deg") < F.col("dv.deg")) | (
+            (F.col("du.deg") == F.col("dv.deg"))
+            & (F.col("e.u") < F.col("e.v"))
+        )
+        o = (
+            e.join(du, F.col("du.node") == F.col("e.u"))
+            .join(dv, F.col("dv.node") == F.col("e.v"))
+            .select(
+                F.when(low_first, F.col("e.u"))
+                .otherwise(F.col("e.v"))
+                .alias("a"),
+                F.when(low_first, F.col("e.v"))
+                .otherwise(F.col("e.u"))
+                .alias("b"),
+            )
+            .cache()
+        )
+        o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
+        tri = (
+            o1.join(o2, F.col("o2.a") == F.col("o1.b"))
+            .join(
+                o3,
+                (F.col("o3.a") == F.col("o1.a"))
+                & (F.col("o3.b") == F.col("o2.b")),
+            )
+            .select(
+                F.col("o1.a").alias("x"),
+                F.col("o1.b").alias("y"),
+                F.col("o2.b").alias("z"),
+            )
+            .cache()
+        )
+        legs = (
+            tri.select(
+                F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+            )
+            .unionAll(
+                tri.select(
+                    F.least("y", "z").alias("u"),
+                    F.greatest("y", "z").alias("v"),
+                )
+            )
+            .unionAll(
+                tri.select(
+                    F.least("x", "z").alias("u"),
+                    F.greatest("x", "z").alias("v"),
+                )
+            )
+        )
+        supp = (
+            legs.groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("supp"))
+            .filter(F.col("supp") >= _TRUSS_K - 2)
+            .select("u", "v")
+        )
+        nxt = prev.join(supp, ["u", "v"]).localCheckpoint(eager=True)
+        nodes = nxt.select(F.col("u").alias("node")).union(
+            nxt.select(F.col("v").alias("node"))
+        ).distinct()
+        row = nodes.agg(
+            F.lit(i).cast("long").alias("iter"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        ).crossJoin(nxt.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        stats = row if stats is None else stats.unionByName(row)
+        prev = nxt
+    return stats.orderBy("iter")

@@ -2985,3 +2985,605 @@ def q_orders_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("welch_dof"),
     )
+
+
+@query(
+    "orders_anova_f",
+    """
+    WITH v AS (
+      SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS (
+      SELECT grp, COUNT(*) AS n,
+             SUM(CAST(cents AS HUGEINT)) AS s,
+             SUM(CAST(cents AS HUGEINT) * cents) AS q
+      FROM v GROUP BY grp
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+        MAX(CASE WHEN grp = 1 THEN s END) AS s1,
+        MAX(CASE WHEN grp = 1 THEN q END) AS q1,
+        MAX(CASE WHEN grp = 2 THEN n END) AS n2,
+        MAX(CASE WHEN grp = 2 THEN s END) AS s2,
+        MAX(CASE WHEN grp = 2 THEN q END) AS q2,
+        MAX(CASE WHEN grp = 3 THEN n END) AS n3,
+        MAX(CASE WHEN grp = 3 THEN s END) AS s3,
+        MAX(CASE WHEN grp = 3 THEN q END) AS q3,
+        MAX(CASE WHEN grp = 4 THEN n END) AS n4,
+        MAX(CASE WHEN grp = 4 THEN s END) AS s4,
+        MAX(CASE WHEN grp = 4 THEN q END) AS q4,
+        MAX(CASE WHEN grp = 5 THEN n END) AS n5,
+        MAX(CASE WHEN grp = 5 THEN s END) AS s5,
+        MAX(CASE WHEN grp = 5 THEN q END) AS q5
+      FROM g
+    ),
+    e AS (
+      SELECT
+        COALESCE(n1, 0) + COALESCE(n2, 0) + COALESCE(n3, 0)
+          + COALESCE(n4, 0) + COALESCE(n5, 0) AS nn,
+        CAST(COALESCE(s1, 0) + COALESCE(s2, 0) + COALESCE(s3, 0)
+          + COALESCE(s4, 0) + COALESCE(s5, 0) AS HUGEINT) AS ss,
+        (CASE WHEN COALESCE(n1, 0) > 0
+              THEN CAST(n1 * q1 - s1 * s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              ELSE 0.0 END)
+        + (CASE WHEN COALESCE(n2, 0) > 0
+              THEN CAST(n2 * q2 - s2 * s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+              ELSE 0.0 END)
+        + (CASE WHEN COALESCE(n3, 0) > 0
+              THEN CAST(n3 * q3 - s3 * s3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+              ELSE 0.0 END)
+        + (CASE WHEN COALESCE(n4, 0) > 0
+              THEN CAST(n4 * q4 - s4 * s4 AS DOUBLE) / CAST(n4 AS DOUBLE)
+              ELSE 0.0 END)
+        + (CASE WHEN COALESCE(n5, 0) > 0
+              THEN CAST(n5 * q5 - s5 * s5 AS DOUBLE) / CAST(n5 AS DOUBLE)
+              ELSE 0.0 END) AS ssw,
+        (CASE WHEN COALESCE(n1, 0) > 0
+              THEN CAST(s1 * s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              ELSE 0.0 END)
+        + (CASE WHEN COALESCE(n2, 0) > 0
+              THEN CAST(s2 * s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+              ELSE 0.0 END)
+        + (CASE WHEN COALESCE(n3, 0) > 0
+              THEN CAST(s3 * s3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+              ELSE 0.0 END)
+        + (CASE WHEN COALESCE(n4, 0) > 0
+              THEN CAST(s4 * s4 AS DOUBLE) / CAST(n4 AS DOUBLE)
+              ELSE 0.0 END)
+        + (CASE WHEN COALESCE(n5, 0) > 0
+              THEN CAST(s5 * s5 AS DOUBLE) / CAST(n5 AS DOUBLE)
+              ELSE 0.0 END) AS bsum,
+        (CASE WHEN n1 IS NOT NULL THEN 1 ELSE 0 END)
+        + (CASE WHEN n2 IS NOT NULL THEN 1 ELSE 0 END)
+        + (CASE WHEN n3 IS NOT NULL THEN 1 ELSE 0 END)
+        + (CASE WHEN n4 IS NOT NULL THEN 1 ELSE 0 END)
+        + (CASE WHEN n5 IS NOT NULL THEN 1 ELSE 0 END) AS k
+      FROM w
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(nn AS BIGINT) AS n_rows,
+           CASE WHEN k >= 2 AND nn > k
+                 AND ssw > 0.0 THEN
+             ROUND(((bsum - CAST(ss * ss AS DOUBLE) / CAST(nn AS DOUBLE))
+                    / (CAST(k AS DOUBLE) - 1.0))
+                   / (ssw / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
+                   + 1e-9, 4)
+           ELSE 0.0 END AS f_stat,
+           CASE WHEN k >= 2 AND nn > k
+                 AND (bsum - CAST(ss * ss AS DOUBLE) / CAST(nn AS DOUBLE))
+                     + ssw > 0.0 THEN
+             ROUND((bsum - CAST(ss * ss AS DOUBLE) / CAST(nn AS DOUBLE))
+                   / ((bsum - CAST(ss * ss AS DOUBLE) / CAST(nn AS DOUBLE))
+                      + ssw)
+                   + 1e-9, 6)
+           ELSE 0.0 END AS eta_sq
+    FROM e
+    """,
+    doc="One-way ANOVA F across the five order priorities on "
+    "o_totalprice (Fisher 1925) — the parametric k-group partner of "
+    "orders_kruskal_wallis (and of orders_welch_ttest's two-group "
+    "contrast), plus the eta-squared effect size SSB/(SSB+SSW). ONE "
+    "map-side-combined fact pass to per-group exact {n, Sx, Sx^2} "
+    "HUGEINT/DECIMAL(38) moments (the Welch shape generalized to "
+    "k=5); the 5-row group frame pivots with conditional MAX and "
+    "every sum-of-squares derives from the exact integers n*Q - S*S "
+    "and S*S/n in a FIXED left-to-right op order — identical IEEE "
+    "sequence both engines, no float accumulating across rows. No "
+    "window, no join, no driver collect.",
+)
+def q_orders_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("grp"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    g = v.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast(_DEC)).alias("s"),
+        F.sum(F.col("cents").cast(_DEC) * F.col("cents")).alias("q"),
+    )
+    w = g.agg(
+        *[
+            F.max(F.when(F.col("grp") == i, F.col(c))).alias(f"{c}{i}")
+            for i in (1, 2, 3, 4, 5)
+            for c in ("n", "s", "q")
+        ]
+    )
+
+    def dbl(c):
+        return F.col(c).cast("double")
+
+    nn = sum(F.coalesce(F.col(f"n{i}"), F.lit(0)) for i in (1, 2, 3, 4, 5))
+    ss = sum(
+        (
+            F.coalesce(F.col(f"s{i}"), F.lit(0).cast(_DEC)).cast(_DEC)
+            for i in (1, 2, 3, 4, 5)
+        ),
+        F.lit(0).cast(_DEC),
+    )
+
+    def ssw_term(i):
+        return F.when(
+            F.coalesce(F.col(f"n{i}"), F.lit(0)) > 0,
+            (
+                F.col(f"n{i}").cast(_DEC) * F.col(f"q{i}")
+                - F.col(f"s{i}") * F.col(f"s{i}")
+            ).cast("double")
+            / dbl(f"n{i}"),
+        ).otherwise(F.lit(0.0))
+
+    def b_term(i):
+        return F.when(
+            F.coalesce(F.col(f"n{i}"), F.lit(0)) > 0,
+            (F.col(f"s{i}") * F.col(f"s{i}")).cast("double") / dbl(f"n{i}"),
+        ).otherwise(F.lit(0.0))
+
+    # FIXED left-to-right association — same IEEE sequence as the
+    # oracle's chained `+` (Python's sum() folds left-to-right too,
+    # but spell it explicitly for the parity reader):
+    ssw = (
+        ssw_term(1) + ssw_term(2) + ssw_term(3) + ssw_term(4) + ssw_term(5)
+    )
+    bsum = b_term(1) + b_term(2) + b_term(3) + b_term(4) + b_term(5)
+    k = sum(
+        F.when(F.col(f"n{i}").isNotNull(), 1).otherwise(0)
+        for i in (1, 2, 3, 4, 5)
+    )
+    e = w.select(
+        nn.alias("nn"),
+        ss.alias("ss"),
+        ssw.alias("ssw"),
+        bsum.alias("bsum"),
+        k.alias("k"),
+    )
+    nnd = F.col("nn").cast("double")
+    kd = F.col("k").cast("double")
+    ssb = F.col("bsum") - (F.col("ss") * F.col("ss")).cast("double") / nnd
+    ok_f = (F.col("k") >= 2) & (F.col("nn") > F.col("k")) & (
+        F.col("ssw") > 0.0
+    )
+    ok_e = (
+        (F.col("k") >= 2)
+        & (F.col("nn") > F.col("k"))
+        & (ssb + F.col("ssw") > 0.0)
+    )
+    return e.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_rows"),
+        F.when(
+            ok_f,
+            F.round(
+                (ssb / (kd - 1.0)) / (F.col("ssw") / (nnd - kd)) + F.lit(1e-9),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("f_stat"),
+        F.when(ok_e, F.round(ssb / (ssb + F.col("ssw")) + F.lit(1e-9), 6))
+        .otherwise(F.lit(0.0))
+        .alias("eta_sq"),
+    )
+
+
+@query(
+    "ad_priority_totalprice",
+    """
+    WITH v AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    pv AS (
+      SELECT cents,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS d1,
+             SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS d2
+      FROM v GROUP BY cents
+    ),
+    tot AS (
+      SELECT SUM(d1) AS n1, SUM(d2) AS n2, SUM(d1) + SUM(d2) AS nn
+      FROM pv
+    ),
+    cum AS (
+      SELECT cents, d1, d2,
+             SUM(d1) OVER (ORDER BY cents) AS c1,
+             SUM(d1 + d2) OVER (ORDER BY cents) AS ct
+      FROM pv
+    ),
+    terms AS (
+      SELECT SUM(
+               CAST(FLOOR(
+                 CAST((CAST(nn AS HUGEINT) * c1 - CAST(n1 AS HUGEINT) * ct)
+                      * (CAST(nn AS HUGEINT) * c1 - CAST(n1 AS HUGEINT) * ct)
+                      AS DOUBLE)
+                 / CAST(CAST(nn AS HUGEINT) * ct * (nn - ct) AS DOUBLE)
+                 * 1e6) AS HUGEINT)
+               * (d1 + d2)) AS sq
+      FROM cum, tot
+      WHERE ct < nn
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_urgent,
+           CAST(n2 AS BIGINT) AS n_low,
+           CASE WHEN n1 > 0 AND n2 > 0 AND sq IS NOT NULL THEN
+             ROUND(CAST(sq AS DOUBLE) / 1e6
+                   * CAST(nn AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                   + 1e-9, 4)
+           ELSE 0.0 END AS a2_stat
+    FROM tot, terms
+    """,
+    doc="Two-sample Anderson-Darling A^2 between URGENT and LOW "
+    "order values (Pettitt 1976; the k=2 case of Scholz & Stephens "
+    "1987's A^2_kN 'version 1' with ties, right-continuous ECDF) — "
+    "completes the two-sample screen family: KS sees the max ECDF "
+    "gap, CvM the mean-square gap, AD the TAIL-WEIGHTED mean-square "
+    "(each gap divided by H(1-H), so discrepancies near the extremes "
+    "count more). Same frame as ks/cvm_priority_totalprice: one "
+    "map-side-combined (cents, d1, d2) histogram, both cumulative "
+    "counters riding ONE multi-measure two-level value_cumsum pass. "
+    "Per-value term: exact-integer gap (N*M_j - n1*B_j)^2 and "
+    "denominator N*B_j*(N-B_j) in DECIMAL(38), ONE double division "
+    "floor-quantized to 1e-6 units BEFORE the tie multiply (identical "
+    "IEEE sequence both engines; 1e-6 not the CvM 1e-12 because the "
+    "AD ratio reaches O(n) near the tails — bias < |values|*1e-6 "
+    "* N/(n1*n2), far under the display grain). k=2 folding: "
+    "N*M_2j - n2*B_j = -(N*M_1j - n1*B_j), so one counter carries "
+    "both samples' terms and A^2 = N/(n1*n2) * sum.",
+)
+def q_ad_priority_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.quantiles import value_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(2)
+        .alias("grp"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    per_val = (
+        v.groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("d1"),
+            F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("d2"),
+        )
+        .withColumn("dt", F.col("d1") + F.col("d2"))
+        .localCheckpoint(eager=True)
+    )
+    tot = per_val.agg(
+        F.sum("d1").alias("n1"),
+        F.sum("d2").alias("n2"),
+        (F.sum("d1") + F.sum("d2")).alias("nn"),
+    )
+    cum = value_cumsum(per_val, "cents", sum_cols={"d1": "c1", "dt": "ct"})
+    j = cum.crossJoin(F.broadcast(tot)).filter(F.col("ct") < F.col("nn"))
+    gap = (
+        F.col("nn").cast(_DEC) * F.col("c1")
+        - F.col("n1").cast(_DEC) * F.col("ct")
+    )
+    den = (
+        F.col("nn").cast(_DEC)
+        * F.col("ct")
+        * (F.col("nn") - F.col("ct"))
+    )
+    term = F.floor(
+        (gap * gap).cast("double") / den.cast("double") * F.lit(1e6)
+    ).cast(_DEC) * F.col("dt")
+    # n1/n2 come from `tot`, NOT from the filtered frame — with all
+    # mass on one distinct value j is empty but the counts are real
+    # (mirrors the oracle's FROM tot, terms cross join).
+    agg = tot.crossJoin(j.agg(F.sum(term).alias("sq")))
+    a2 = (
+        F.col("sq").cast("double")
+        / F.lit(1e6)
+        * F.col("nn").cast("double")
+        / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_urgent"),
+        F.col("n2").cast("long").alias("n_low"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0) & F.col("sq").isNotNull(),
+            F.round(a2 + F.lit(1e-9), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("a2_stat"),
+    )
+
+
+@query(
+    "daily_revenue_durbin_watson",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(i AS HUGEINT)) AS si,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(i AS HUGEINT) * y) AS siy,
+             SUM(CAST(i AS HUGEINT) * i) AS sii
+      FROM seq
+    ),
+    fit AS (
+      SELECT n,
+             CAST(CAST(n AS HUGEINT) * siy - si * sy AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * sii - si * si AS DOUBLE) AS b,
+             si, sy
+      FROM m
+      WHERE n >= 3 AND CAST(n AS HUGEINT) * sii - si * si > 0
+    ),
+    res AS (
+      SELECT i,
+             CAST(FLOOR((CAST(y AS DOUBLE)
+                         - (CAST(sy AS DOUBLE) - b * CAST(si AS DOUBLE))
+                           / CAST(n AS DOUBLE)
+                         - b * CAST(i AS DOUBLE)) * 1e6) AS HUGEINT) AS eq
+      FROM seq, fit
+    ),
+    dsum AS (
+      SELECT SUM(CASE WHEN p.eq IS NOT NULL
+                      THEN (r.eq - p.eq) * (r.eq - p.eq) END) AS num,
+             SUM(r.eq * r.eq) AS den
+      FROM res r LEFT JOIN res p ON p.i = r.i - 1
+    )
+    SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days,
+           COALESCE(ROUND((SELECT b FROM fit) + 1e-9, 6), 0.0)
+             AS slope_cents_per_day,
+           CASE WHEN (SELECT COUNT(*) FROM fit) = 1 AND den > 0 THEN
+             ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) + 1e-9, 4)
+           ELSE 0.0 END AS dw_stat
+    FROM dsum
+    """,
+    doc="Durbin-Watson first-order autocorrelation test on the "
+    "residuals of an OLS linear detrend of daily order revenue "
+    "(Durbin & Watson 1950): DW = sum((e_t - e_{t-1})^2) / "
+    "sum(e_t^2), ~2 under independence, ->0 under positive serial "
+    "correlation — the residual-grade complement of "
+    "daily_revenue_acf (which correlates the RAW series; a trend "
+    "alone inflates raw ACF, DW tests what remains after the "
+    "trend). One fact-table day aggregate, then everything runs on "
+    "the ~2,400-row day frame (module-header sanctioned grain): "
+    "OLS slope/intercept from exact HUGEINT/DECIMAL(38) moments "
+    "via single CR divisions, residuals floor-quantized to "
+    "micro-cents (identical IEEE sequence both engines - the "
+    "double products b*i are exact-int multiplies), and DW is ONE "
+    "division of two exact integer sums. Micro-cent envelope: "
+    "|e|*1e6 < ~1e19 needs the HUGEINT/DECIMAL cast at sf1000 "
+    "day-revenue scale (~9e12 cents/day).",
+)
+def q_daily_revenue_durbin_watson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(_cents("o_totalprice")).alias("y")
+    )
+    seq = daily.select(
+        "y", F.row_number().over(Window.orderBy("day")).alias("i")
+    ).localCheckpoint(eager=True)
+    m = seq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("i").cast(_DEC)).alias("si"),
+        F.sum(F.col("y").cast(_DEC)).alias("sy"),
+        F.sum(F.col("i").cast(_DEC) * F.col("y")).alias("siy"),
+        F.sum(F.col("i").cast(_DEC) * F.col("i")).alias("sii"),
+    ).localCheckpoint(eager=True)
+    bden = F.col("n").cast(_DEC) * F.col("sii") - F.col("si") * F.col("si")
+    fit = m.filter((F.col("n") >= 3) & (bden > 0)).select(
+        "n",
+        (
+            (F.col("n").cast(_DEC) * F.col("siy") - F.col("si") * F.col("sy"))
+            .cast("double")
+            / bden.cast("double")
+        ).alias("b"),
+        "si",
+        "sy",
+    )
+    res = seq.crossJoin(F.broadcast(fit)).select(
+        "i",
+        F.floor(
+            (
+                F.col("y").cast("double")
+                - (
+                    F.col("sy").cast("double")
+                    - F.col("b") * F.col("si").cast("double")
+                )
+                / F.col("n").cast("double")
+                - F.col("b") * F.col("i").cast("double")
+            )
+            * F.lit(1e6)
+        )
+        .cast(_DEC)
+        .alias("eq"),
+    )
+    r, p = res.alias("r"), res.alias("p")
+    d = (F.col("r.eq") - F.col("p.eq"))
+    dsum = r.join(p, F.col("p.i") == F.col("r.i") - 1, "left").agg(
+        F.sum(F.when(F.col("p.eq").isNotNull(), d * d)).alias("num"),
+        F.sum(F.col("r.eq") * F.col("r.eq")).alias("den"),
+        F.count(F.lit(1)).alias("n_res"),
+    )
+    # Uncorrelated scalar subqueries (DataFrame.scalar, Spark 4) — no
+    # join node, no driver collect; mirror the oracle's (SELECT ...
+    # FROM m/fit) scalars, including the empty-fit NULL → 0.0 fold.
+    n_days = m.select("n").scalar()
+    slope = fit.select(F.round(F.col("b") + F.lit(1e-9), 6)).scalar()
+    fit_n = fit.select(F.count(F.lit(1))).scalar()
+    return dsum.select(
+        n_days.cast("long").alias("n_days"),
+        F.coalesce(slope, F.lit(0.0)).alias("slope_cents_per_day"),
+        F.when(
+            (fit_n == 1) & (F.col("den") > 0),
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double")
+                + F.lit(1e-9),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dw_stat"),
+    )
+
+
+@query(
+    "daily_revenue_ljung_box",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(y AS HUGEINT)) AS t,
+             SUM(CAST(y AS HUGEINT) * y) AS q2
+      FROM seq
+    ),
+    lagged AS (
+      SELECT k.lag AS lag,
+             SUM(CAST(a.y AS HUGEINT) * b.y) AS sxy,
+             SUM(CAST(b.y AS HUGEINT)) AS sx,
+             SUM(CAST(a.y AS HUGEINT)) AS sy
+      FROM (SELECT UNNEST(GENERATE_SERIES(1, 7)) AS lag) k
+      JOIN seq a ON TRUE
+      JOIN seq b ON b.i = a.i - k.lag
+      GROUP BY k.lag
+    ),
+    terms AS (
+      SELECT SUM(
+               CAST(FLOOR(
+                 (CAST(CAST(n AS HUGEINT) * n * sxy
+                       - CAST(n AS HUGEINT) * t * (sx + sy)
+                       + CAST(n - lag AS HUGEINT) * t * t AS DOUBLE)
+                  / CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * q2 - t * t)
+                         AS DOUBLE))
+                 * (CAST(CAST(n AS HUGEINT) * n * sxy
+                       - CAST(n AS HUGEINT) * t * (sx + sy)
+                       + CAST(n - lag AS HUGEINT) * t * t AS DOUBLE)
+                  / CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * q2 - t * t)
+                         AS DOUBLE))
+                 / CAST(n - lag AS DOUBLE) * 1e12) AS HUGEINT)) AS sq,
+             COUNT(*) AS h
+      FROM lagged, m
+      WHERE n > lag AND CAST(n AS HUGEINT) * q2 - t * t > 0
+    )
+    SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days,
+           CAST(COALESCE(h, 0) AS BIGINT) AS h_lags,
+           CASE WHEN h = 7 THEN
+             ROUND(CAST((SELECT n FROM m) AS DOUBLE)
+                   * (CAST((SELECT n FROM m) AS DOUBLE) + 2.0)
+                   * (CAST(sq AS DOUBLE) / 1e12) + 1e-9, 4)
+           ELSE 0.0 END AS q_stat
+    FROM terms
+    """,
+    doc="Ljung-Box portmanteau test on daily order revenue at lags "
+    "1-7 (Ljung & Box 1978): Q = n(n+2) * sum_k r_k^2/(n-k) over "
+    "the classical full-mean autocorrelations — the JOINT 'is there "
+    "ANY serial structure in the first week of lags' screen that "
+    "complements daily_revenue_acf's per-lag curve and "
+    "durbin_watson's lag-1 residual test. Alignment is by SERIES "
+    "index (row_number over the day frame), not calendar day, so "
+    "each lag has exactly n-k pairs — the textbook statistic. Each "
+    "r_k folds from exact HUGEINT/DECIMAL(38) moments via the "
+    "cross-multiplied identity n^2*Sxy' - n*T*(Sx'+Sy') + (n-k)*T^2 "
+    "over n*(n*Q2 - T^2) — ONE double division per lag (max "
+    "~1.2e36 at sf1000, inside DECIMAL(38)); the 7 per-lag terms "
+    "r_k^2/(n-k) are floor-quantized to 1e-12 units and summed "
+    "exactly (bias < 7e-12, far under display grain). Day-grain "
+    "frame throughout (module-header sanctioned).",
+)
+def q_daily_revenue_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(_cents("o_totalprice")).alias("y")
+    )
+    seq = daily.select(
+        "y", F.row_number().over(Window.orderBy("day")).alias("i")
+    ).localCheckpoint(eager=True)
+    m = seq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast(_DEC)).alias("t"),
+        F.sum(F.col("y").cast(_DEC) * F.col("y")).alias("q2"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a, b = seq.alias("a"), seq.alias("b")
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.i") == F.col("a.i") - F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("a.y").cast(_DEC) * F.col("b.y")).alias("sxy"),
+            F.sum(F.col("b.y").cast(_DEC)).alias("sx"),
+            F.sum(F.col("a.y").cast(_DEC)).alias("sy"),
+        )
+    )
+    j = lagged.crossJoin(F.broadcast(m)).filter(
+        (F.col("n") > F.col("lag"))
+        & (F.col("n").cast(_DEC) * F.col("q2") - F.col("t") * F.col("t") > 0)
+    )
+    num = (
+        F.col("n").cast(_DEC) * F.col("n") * F.col("sxy")
+        - F.col("n").cast(_DEC) * F.col("t") * (F.col("sx") + F.col("sy"))
+        + (F.col("n") - F.col("lag")).cast(_DEC) * F.col("t") * F.col("t")
+    )
+    den = F.col("n").cast(_DEC) * (
+        F.col("n").cast(_DEC) * F.col("q2") - F.col("t") * F.col("t")
+    )
+    r = num.cast("double") / den.cast("double")
+    termq = F.floor(
+        r * r / (F.col("n") - F.col("lag")).cast("double") * F.lit(1e12)
+    ).cast(_DEC)
+    terms = j.agg(F.sum(termq).alias("sq"), F.count(F.lit(1)).alias("h"))
+    # Uncorrelated scalar subquery (DataFrame.scalar, Spark 4) — no
+    # join node, no driver collect; mirrors the oracle's (SELECT n
+    # FROM m).
+    n_days = m.select("n").scalar()
+    nd = n_days.cast("double")
+    return terms.select(
+        n_days.cast("long").alias("n_days"),
+        F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("h_lags"),
+        F.when(
+            F.col("h") == 7,
+            F.round(
+                nd * (nd + F.lit(2.0))
+                * (F.col("sq").cast("double") / F.lit(1e12))
+                + F.lit(1e-9),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("q_stat"),
+    )

@@ -144,6 +144,20 @@ SCALAR_BROADCASTS = {
     # this list the same round: its normalizing totals are now
     # driver-scalar literals, so its plan is lint-clean again.
     "lineitem_spearman_matrix",
+    # the 1-row (n1, n2, N) totals onto the |values|-sized cumulative
+    # frame + the 1-row term sum back onto the totals — |values| × 1
+    # (r13: the tail-weighted third member of the KS/CvM family)
+    "ad_priority_totalprice",
+    # the ≤1-row OLS (n, slope, si, sy) fit broadcast onto the
+    # day-grain sequence for the residual projection — |days| × 1
+    "daily_revenue_durbin_watson",
+    # the 7-row constant lag frame onto the day-grain sequence (the
+    # acf/ccf shape) + the 1-row moment frame onto the 7-row lag
+    # aggregate — |days| × 7 and 7 × 1, constant fan-outs (r13)
+    "daily_revenue_ljung_box",
+    # per-round 1-row (nodes × edges) trajectory counts cross-joined
+    # into the convergence report — 1×1 products (the kcore shape)
+    "part_ktruss_peel",
 }
 
 

@@ -242,3 +242,202 @@ def test_rich_club_matches_bruteforce(spark, sf_dir):
             assert got[k]["phi"] == pytest.approx(phi, abs=2e-6)
         else:
             assert got[k]["phi"] == 0.0
+
+
+def test_anova_f_matches_textbook(spark, sf_dir):
+    rows = _con(sf_dir).execute(
+        "SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS INT),"
+        " CAST(ROUND(o_totalprice*100) AS BIGINT) FROM orders"
+    ).fetchall()
+    groups: dict[int, list[int]] = {}
+    for g, c in rows:
+        groups.setdefault(g, []).append(c)
+    n = len(rows)
+    k = len(groups)
+    grand = sum(c for _, c in rows) / n
+    ssb = sum(len(xs) * (sum(xs) / len(xs) - grand) ** 2 for xs in groups.values())
+    ssw = sum(
+        sum((x - sum(xs) / len(xs)) ** 2 for x in xs) for xs in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    eta = ssb / (ssb + ssw)
+    (r,) = _run(spark, sf_dir, "orders_anova_f")
+    assert r["k_groups"] == k
+    assert r["n_rows"] == n
+    assert r["f_stat"] == pytest.approx(f, abs=2e-4)
+    assert r["eta_sq"] == pytest.approx(eta, abs=2e-6)
+
+
+def test_anderson_darling_matches_scholz_stephens(spark, sf_dir):
+    """A^2_2N (Scholz & Stephens 1987 eq. 5, discrete/ties 'version
+    1') recomputed per-GROUP (no k=2 gap folding — the engine's
+    single-counter identity is exactly what this cross-checks)."""
+    rows = _con(sf_dir).execute(
+        "SELECT o_orderpriority,"
+        " CAST(ROUND(o_totalprice*100) AS BIGINT) FROM orders"
+        " WHERE o_orderpriority IN ('1-URGENT', '5-LOW')"
+    ).fetchall()
+    g1 = Counter(c for p, c in rows if p == "1-URGENT")
+    g2 = Counter(c for p, c in rows if p == "5-LOW")
+    n1, n2 = sum(g1.values()), sum(g2.values())
+    nn = n1 + n2
+    m1 = m2 = b = 0
+    a2 = 0.0
+    for v in sorted(set(g1) | set(g2)):
+        lj = g1.get(v, 0) + g2.get(v, 0)
+        m1 += g1.get(v, 0)
+        m2 += g2.get(v, 0)
+        b += lj
+        if b < nn:
+            a2 += (
+                (lj / nn)
+                * (
+                    (nn * m1 - n1 * b) ** 2 / n1
+                    + (nn * m2 - n2 * b) ** 2 / n2
+                )
+                / (b * (nn - b))
+            )
+    (r,) = _run(spark, sf_dir, "ad_priority_totalprice")
+    assert r["n_urgent"] == n1 and r["n_low"] == n2
+    # per-distinct-value 1e-6 floor quantization: total bias under
+    # |values| * 1e-6 * N/(n1*n2) ~ 4e-6 * |values|/N
+    assert r["a2_stat"] == pytest.approx(a2, abs=2e-4)
+
+
+def _daily_series(sf_dir):
+    rows = _con(sf_dir).execute(
+        "SELECT o_orderdate,"
+        " SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))"
+        " FROM orders GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    return [c for _, c in rows]
+
+
+def test_durbin_watson_matches_ols_bruteforce(spark, sf_dir):
+    ys = _daily_series(sf_dir)
+    n = len(ys)
+    idx = list(range(1, n + 1))
+    si, sy = sum(idx), sum(ys)
+    siy = sum(i * y for i, y in zip(idx, ys))
+    sii = sum(i * i for i in idx)
+    b = (n * siy - si * sy) / (n * sii - si * si)
+    a = (sy - b * si) / n
+    es = [y - a - b * i for i, y in zip(idx, ys)]
+    dw = sum((es[t] - es[t - 1]) ** 2 for t in range(1, n)) / sum(
+        e * e for e in es
+    )
+    (r,) = _run(spark, sf_dir, "daily_revenue_durbin_watson")
+    assert r["n_days"] == n
+    assert r["slope_cents_per_day"] == pytest.approx(b, abs=1e-5)
+    # micro-cent residual quantization: |e| ~ 1e6+ cents, bias
+    # vanishes at the 4-dp display grain
+    assert r["dw_stat"] == pytest.approx(dw, abs=2e-4)
+
+
+def test_ljung_box_matches_textbook_acf(spark, sf_dir):
+    ys = _daily_series(sf_dir)
+    n = len(ys)
+    mean = sum(ys) / n
+    den = sum((y - mean) ** 2 for y in ys)
+    q = 0.0
+    for k in range(1, 8):
+        rk = (
+            sum((ys[t] - mean) * (ys[t - k] - mean) for t in range(k, n))
+            / den
+        )
+        q += rk * rk / (n - k)
+    q *= n * (n + 2)
+    (r,) = _run(spark, sf_dir, "daily_revenue_ljung_box")
+    assert r["n_days"] == n
+    assert r["h_lags"] == 7
+    assert r["q_stat"] == pytest.approx(q, abs=2e-4)
+
+
+def test_perplexity_buckets_matches_bruteforce_lm(spark, sf_dir):
+    """Unigram-LM scores + exact integer tercile recomputed from the
+    raw documents in Python (same micro-bit floor quantization; the
+    only cross-engine freedom is last-ulp libm log2, absorbed by the
+    mean tolerance)."""
+    import math
+    import re
+
+    docs = _con(sf_dir).execute(
+        "SELECT doc_id, lang, text FROM documents"
+    ).fetchall()
+    tf: dict[str, Counter] = {}
+    vocab: Counter = Counter()
+    lang_of = {}
+    for doc_id, lang, text in docs:
+        toks = re.split(r"\s+", text.strip())
+        tf[doc_id] = Counter(toks)
+        vocab.update(toks)
+        lang_of[doc_id] = lang
+    n_total = sum(vocab.values())
+    bits_q = {
+        t: math.floor(-math.log2(c / n_total) * 1e6) for t, c in vocab.items()
+    }
+    mb = {
+        d: math.floor(
+            sum(c * bits_q[t] for t, c in cnt.items())
+            / sum(cnt.values())
+        )
+        for d, cnt in tf.items()
+    }
+    by_lang: dict[str, list] = {}
+    for d, s in mb.items():
+        by_lang.setdefault(lang_of[d], []).append((s, d))
+    expect = {}
+    for lang, xs in by_lang.items():
+        xs.sort()
+        nl = len(xs)
+        qn, rem = divmod(nl, 3)
+        sizes = [qn + (1 if i < rem else 0) for i in range(3)]
+        pos = 0
+        for bname, sz in zip(("head", "middle", "tail"), sizes):
+            chunk = xs[pos : pos + sz]
+            pos += sz
+            if sz:
+                expect[(lang, bname)] = (
+                    sz,
+                    sum(s for s, _ in chunk) / sz / 1e6,
+                )
+    got = _run(spark, sf_dir, "doc_perplexity_buckets")
+    assert len(got) == len(expect)
+    for r in got:
+        sz, mean_bits = expect[(r["lang"], r["bucket"])]
+        assert r["n_docs"] == sz
+        assert r["mean_bits"] == pytest.approx(mean_bits, abs=2e-3)
+
+
+def test_ktruss_matches_adjacency_bruteforce(spark, sf_dir):
+    """3 rounds of k=4 truss peeling recomputed with set-intersection
+    triangle support over the same volume-scaled part edge cut."""
+    con = _con(sf_dir)
+    n_orders = con.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    min_co = max(2, -(-n_orders // 75_000))
+    pairs = con.execute(
+        """
+        WITH ds AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey, b.l_partkey, COUNT(*) AS c
+        FROM ds a JOIN ds b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    edges = {(u, v) for u, v, c in pairs if c >= min_co}
+    expect = []
+    for i in range(1, 4):
+        adj: dict[int, set] = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        edges = {
+            (u, v) for u, v in edges if len(adj[u] & adj[v]) >= 2
+        }
+        nodes = {u for u, _ in edges} | {v for _, v in edges}
+        expect.append((i, len(nodes), len(edges)))
+    got = [
+        (r["iter"], r["n_nodes"], r["n_edges"])
+        for r in _run(spark, sf_dir, "part_ktruss_peel")
+    ]
+    assert got == expect
