@@ -240,6 +240,12 @@ BENCH_QUERIES = [
     "orders_jonckheere_terpstra",   # ordered-trend J/z, 10 pairwise U folds at value grain
     "orders_welch_ttest",       # exact-moment Welch t + Satterthwaite dof, one fact pass
     "part_rich_club",           # phi(k) hub-density curve, 5-row threshold broadcast
+    "orders_anova_f",           # one-way F + eta^2 from one exact-moment fact pass
+    "ad_priority_totalprice",   # tail-weighted ECDF distance (KS/CvM family frame)
+    "daily_revenue_durbin_watson",  # lag-1 residual autocorr on OLS-detrended days
+    "daily_revenue_ljung_box",  # joint lag-1..7 portmanteau Q (acf lag-join shape)
+    "doc_perplexity_buckets",   # per-language unigram-LM terciles, grouped 2-phase rank
+    "part_ktruss_peel",         # 3-round k=4 truss peel, degree-ordered wedge joins
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

@@ -3587,3 +3587,552 @@ def q_daily_revenue_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("q_stat"),
     )
+
+
+# --- normality / variance-homogeneity / outlier screens (round 14) ----------
+
+
+@query(
+    "orders_jarque_bera",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(CAST(ROUND(o_totalprice) AS BIGINT) AS DECIMAL(38,0))) AS s1,
+             SUM(CAST(CAST(ROUND(o_totalprice) AS BIGINT) AS DECIMAL(38,0))
+                 * CAST(ROUND(o_totalprice) AS BIGINT)) AS s2,
+             SUM(CAST(CAST(ROUND(o_totalprice) AS BIGINT) AS DECIMAL(38,0))
+                 * CAST(ROUND(o_totalprice) AS BIGINT)
+                 * CAST(ROUND(o_totalprice) AS BIGINT)) AS s3,
+             SUM(CAST(CAST(ROUND(o_totalprice) AS BIGINT) AS DECIMAL(38,0))
+                 * CAST(ROUND(o_totalprice) AS BIGINT)
+                 * CAST(ROUND(o_totalprice) AS BIGINT)
+                 * CAST(ROUND(o_totalprice) AS BIGINT)) AS s4
+      FROM orders
+    ),
+    c AS (
+      SELECT n,
+             CAST(s1 AS DOUBLE) / n AS m1,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM m
+    ),
+    k AS (
+      SELECT n, m1,
+             r2 - m1 * m1 AS mu2,
+             r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS mu3,
+             r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+                - 3.0 * m1 * m1 * m1 * m1 AS mu4
+      FROM c
+    ),
+    sk AS (
+      SELECT n,
+             mu3 / (SQRT(mu2) * mu2) AS s,
+             mu4 / (mu2 * mu2) - 3.0 AS ek
+      FROM k WHERE n >= 2 AND mu2 > 0.0
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND(s + 1e-9, 4) AS skewness,
+           ROUND(ek + 1e-9, 4) AS excess_kurtosis,
+           ROUND(CAST(n AS DOUBLE) / 6.0 * (s * s + ek * ek / 4.0)
+                 + 1e-9, 4) AS jb_stat
+    FROM sk
+    """,
+    doc="Jarque-Bera normality test on order value (Jarque & Bera "
+    "1980): JB = n/6 * (S^2 + K^2/4) from the whole-series skewness "
+    "S and excess kurtosis K — the moment-based is-it-Gaussian "
+    "screen that decides whether the z-score outlier budget and the "
+    "parametric tests (welch/anova) are even applicable. Same "
+    "DECIMAL(38,0) whole-dollar raw power sums as "
+    "priority_moments_profile (x^4 cents would overflow at sf1000; "
+    "dollars keep ~1.4e32 inside DECIMAL(38)), ONE map-side-combined "
+    "fact pass, central-moment algebra on exact sums with a fixed "
+    "left-to-right float order only in the 1-row display frame. No "
+    "window, no join, no driver collect.",
+)
+def q_orders_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.round(F.col("o_totalprice"), 0).cast("long")
+    dd = d.cast(_DEC)
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dd).alias("s1"),
+        F.sum(dd * d).alias("s2"),
+        F.sum(dd * d * d).alias("s3"),
+        F.sum(dd * d * d * d).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    mu2 = r2 - m1 * m1
+    mu3 = r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1
+    mu4 = r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 - 3.0 * m1 * m1 * m1 * m1
+    s = mu3 / (F.sqrt(mu2) * mu2)
+    ek = mu4 / (mu2 * mu2) - 3.0
+    return m.filter((F.col("n") >= 2) & (mu2 > 0.0)).select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(s + F.lit(1e-9), 4).alias("skewness"),
+        F.round(ek + F.lit(1e-9), 4).alias("excess_kurtosis"),
+        F.round(nd / 6.0 * (s * s + ek * ek / 4.0) + F.lit(1e-9), 4).alias(
+            "jb_stat"
+        ),
+    )
+
+@query(
+    "priority_bartlett_test",
+    """
+    WITH v AS (
+      SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS (
+      SELECT grp, COUNT(*) AS n,
+             SUM(CAST(cents AS HUGEINT)) AS s,
+             SUM(CAST(cents AS HUGEINT) * cents) AS q
+      FROM v GROUP BY grp
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+        MAX(CASE WHEN grp = 1 THEN s END) AS s1,
+        MAX(CASE WHEN grp = 1 THEN q END) AS q1,
+        MAX(CASE WHEN grp = 2 THEN n END) AS n2,
+        MAX(CASE WHEN grp = 2 THEN s END) AS s2,
+        MAX(CASE WHEN grp = 2 THEN q END) AS q2,
+        MAX(CASE WHEN grp = 3 THEN n END) AS n3,
+        MAX(CASE WHEN grp = 3 THEN s END) AS s3,
+        MAX(CASE WHEN grp = 3 THEN q END) AS q3,
+        MAX(CASE WHEN grp = 4 THEN n END) AS n4,
+        MAX(CASE WHEN grp = 4 THEN s END) AS s4,
+        MAX(CASE WHEN grp = 4 THEN q END) AS q4,
+        MAX(CASE WHEN grp = 5 THEN n END) AS n5,
+        MAX(CASE WHEN grp = 5 THEN s END) AS s5,
+        MAX(CASE WHEN grp = 5 THEN q END) AS q5
+      FROM g
+    ),
+    e AS (
+      SELECT
+        COALESCE(n1, 0) + COALESCE(n2, 0) + COALESCE(n3, 0)
+          + COALESCE(n4, 0) + COALESCE(n5, 0) AS nn,
+        CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+          / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+        CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+          / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) AS v2,
+        CAST(n3 * q3 - s3 * s3 AS DOUBLE)
+          / (CAST(n3 AS DOUBLE) * (CAST(n3 AS DOUBLE) - 1.0)) AS v3,
+        CAST(n4 * q4 - s4 * s4 AS DOUBLE)
+          / (CAST(n4 AS DOUBLE) * (CAST(n4 AS DOUBLE) - 1.0)) AS v4,
+        CAST(n5 * q5 - s5 * s5 AS DOUBLE)
+          / (CAST(n5 AS DOUBLE) * (CAST(n5 AS DOUBLE) - 1.0)) AS v5,
+        n1, n2, n3, n4, n5
+      FROM w
+    ),
+    f AS (
+      SELECT nn, n1, n2, n3, n4, n5, v1, v2, v3, v4, v5,
+        (CASE WHEN COALESCE(n1, 0) >= 2 AND v1 > 0.0 THEN 1 ELSE 0 END)
+        + (CASE WHEN COALESCE(n2, 0) >= 2 AND v2 > 0.0 THEN 1 ELSE 0 END)
+        + (CASE WHEN COALESCE(n3, 0) >= 2 AND v3 > 0.0 THEN 1 ELSE 0 END)
+        + (CASE WHEN COALESCE(n4, 0) >= 2 AND v4 > 0.0 THEN 1 ELSE 0 END)
+        + (CASE WHEN COALESCE(n5, 0) >= 2 AND v5 > 0.0 THEN 1 ELSE 0 END)
+          AS kq
+      FROM e
+    )
+    SELECT CAST(nn AS BIGINT) AS n_rows,
+           CAST(kq AS BIGINT) AS k_groups,
+           CASE WHEN kq = 5 AND nn > 5 THEN
+             ROUND((
+               (CAST(nn AS DOUBLE) - 5.0)
+               * LN(((CAST(n1 AS DOUBLE) - 1.0) * v1
+                     + (CAST(n2 AS DOUBLE) - 1.0) * v2
+                     + (CAST(n3 AS DOUBLE) - 1.0) * v3
+                     + (CAST(n4 AS DOUBLE) - 1.0) * v4
+                     + (CAST(n5 AS DOUBLE) - 1.0) * v5)
+                    / (CAST(nn AS DOUBLE) - 5.0))
+               - ((CAST(n1 AS DOUBLE) - 1.0) * LN(v1)
+                  + (CAST(n2 AS DOUBLE) - 1.0) * LN(v2)
+                  + (CAST(n3 AS DOUBLE) - 1.0) * LN(v3)
+                  + (CAST(n4 AS DOUBLE) - 1.0) * LN(v4)
+                  + (CAST(n5 AS DOUBLE) - 1.0) * LN(v5))
+             ) / (1.0 + (1.0 / (CAST(n1 AS DOUBLE) - 1.0)
+                         + 1.0 / (CAST(n2 AS DOUBLE) - 1.0)
+                         + 1.0 / (CAST(n3 AS DOUBLE) - 1.0)
+                         + 1.0 / (CAST(n4 AS DOUBLE) - 1.0)
+                         + 1.0 / (CAST(n5 AS DOUBLE) - 1.0)
+                         - 1.0 / (CAST(nn AS DOUBLE) - 5.0)) / 12.0)
+             + 1e-9, 4)
+           ELSE 0.0 END AS bartlett_t
+    FROM f
+    """,
+    doc="Bartlett's test for homogeneity of variances across the "
+    "five order priorities (Bartlett 1937): T = [(N-k) ln sp^2 - "
+    "sum (n_i-1) ln s_i^2] / C with the small-sample correction C — "
+    "the sensitive-but-normality-assuming partner of "
+    "priority_brownforsythe (run both: disagreement localizes "
+    "non-normality vs heteroscedasticity; jarque_bera arbitrates). "
+    "Same ONE map-side-combined pass to per-group exact {n, Sx, "
+    "Sx^2} HUGEINT/DECIMAL(38) cents moments as orders_anova_f; the "
+    "5-row group frame pivots with conditional MAX and every sample "
+    "variance derives from the exact integer n*Q - S*S, so the only "
+    "floats are the FIXED left-to-right display expression (LN is "
+    "libm on both engines; the shared round-4 + 1e-9 guard absorbs "
+    "the last-ulp risk). No window, no join, no driver collect; the "
+    "stat folds to 0.0 unless all five groups qualify (n_i >= 2, "
+    "s_i^2 > 0), mirrored in the oracle.",
+)
+def q_priority_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("grp"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    g = v.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast(_DEC)).alias("s"),
+        F.sum(F.col("cents").cast(_DEC) * F.col("cents")).alias("q"),
+    )
+    w = g.agg(
+        *[
+            F.max(F.when(F.col("grp") == i, F.col(c))).alias(f"{c}{i}")
+            for i in range(1, 6)
+            for c in ("n", "s", "q")
+        ]
+    )
+
+    def dbl(c):
+        return F.col(c).cast("double")
+
+    def var_i(i):
+        return (
+            F.col(f"n{i}").cast(_DEC) * F.col(f"q{i}")
+            - F.col(f"s{i}") * F.col(f"s{i}")
+        ).cast("double") / (dbl(f"n{i}") * (dbl(f"n{i}") - 1.0))
+
+    vs = {i: var_i(i) for i in range(1, 6)}
+    nn = sum(
+        (F.coalesce(F.col(f"n{i}"), F.lit(0)) for i in range(2, 6)),
+        F.coalesce(F.col("n1"), F.lit(0)),
+    )
+    kq = sum(
+        (
+            F.when(
+                (F.coalesce(F.col(f"n{i}"), F.lit(0)) >= 2)
+                & (vs[i] > 0.0),
+                1,
+            ).otherwise(0)
+            for i in range(2, 6)
+        ),
+        F.when(
+            (F.coalesce(F.col("n1"), F.lit(0)) >= 2) & (vs[1] > 0.0), 1
+        ).otherwise(0),
+    )
+    nnd = nn.cast("double")
+    # fixed left-to-right term order, mirroring the oracle exactly
+    pooled_num = (
+        (dbl("n1") - 1.0) * vs[1]
+        + (dbl("n2") - 1.0) * vs[2]
+        + (dbl("n3") - 1.0) * vs[3]
+        + (dbl("n4") - 1.0) * vs[4]
+        + (dbl("n5") - 1.0) * vs[5]
+    )
+    lsum = (
+        (dbl("n1") - 1.0) * F.log(vs[1])
+        + (dbl("n2") - 1.0) * F.log(vs[2])
+        + (dbl("n3") - 1.0) * F.log(vs[3])
+        + (dbl("n4") - 1.0) * F.log(vs[4])
+        + (dbl("n5") - 1.0) * F.log(vs[5])
+    )
+    isum = (
+        1.0 / (dbl("n1") - 1.0)
+        + 1.0 / (dbl("n2") - 1.0)
+        + 1.0 / (dbl("n3") - 1.0)
+        + 1.0 / (dbl("n4") - 1.0)
+        + 1.0 / (dbl("n5") - 1.0)
+    )
+    t = (
+        (nnd - 5.0) * F.log(pooled_num / (nnd - 5.0)) - lsum
+    ) / (1.0 + (isum - 1.0 / (nnd - 5.0)) / 12.0)
+    return w.select(
+        nn.cast("long").alias("n_rows"),
+        kq.cast("long").alias("k_groups"),
+        F.when((kq == 5) & (nn > 5), F.round(t + F.lit(1e-9), 4))
+        .otherwise(F.lit(0.0))
+        .alias("bartlett_t"),
+    )
+
+@query(
+    "daily_revenue_pettitt",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT day, y,
+             2 * RANK() OVER (ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY y) - 1 AS tr
+      FROM daily
+    ),
+    m AS (SELECT COUNT(*) AS n FROM daily),
+    seq AS (
+      SELECT day,
+             ROW_NUMBER() OVER (ORDER BY day) AS i,
+             SUM(tr) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM ranked
+    ),
+    u AS (
+      SELECT day, cum - i * (n + 1) AS ut
+      FROM seq, m WHERE i < n
+    ),
+    k AS (SELECT MAX(ABS(ut)) AS kk FROM u)
+    SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days,
+           CAST(kk AS BIGINT) AS k_stat,
+           STRFTIME(MIN(day), '%Y-%m-%d') AS change_day,
+           ROUND(2.0 * EXP(-6.0 * CAST(kk AS DOUBLE) * CAST(kk AS DOUBLE)
+                 / (CAST((SELECT n FROM m) AS DOUBLE)
+                    * CAST((SELECT n FROM m) AS DOUBLE)
+                    * CAST((SELECT n FROM m) AS DOUBLE)
+                    + CAST((SELECT n FROM m) AS DOUBLE)
+                      * CAST((SELECT n FROM m) AS DOUBLE)))
+                 + 1e-9, 6) AS p_approx
+    FROM u, k WHERE ABS(ut) = kk
+    GROUP BY kk
+    """,
+    doc="Pettitt change-point test on daily order revenue (Pettitt "
+    "1979): U_t = 2*sum_{i<=t} R_i - t(N+1) over the day-ordered "
+    "series' average ranks, K = max|U_t|, argmax day = the single "
+    "most probable abrupt-shift location, with the classical "
+    "approximation p ~ 2 exp(-6K^2/(n^3+n^2)) — the nonparametric "
+    "partner of orders_cusum_shift (rank-based, so a heavy-tailed "
+    "revenue day can't fake a shift). The fact table reduces to DAY "
+    "grain first (calendar-bounded ~2.4k rows at ANY sf — the "
+    "module-header sanctioned frame), twice-average-ranks stay "
+    "integral via 2*RANK + tiecount - 1, and U_t is exact integer "
+    "end to end; the only float is the 1-row p display. Argmax ties "
+    "break to the earliest day on both engines.",
+)
+def q_daily_revenue_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(_cents("o_totalprice")).alias("y"))
+    ranked = daily.select(
+        "day",
+        (
+            2 * F.rank().over(Window.orderBy("y"))
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            - 1
+        ).alias("tr"),
+    )
+    seq = ranked.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.sum("tr")
+        .over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+    )
+    m = daily.agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        seq.crossJoin(F.broadcast(m))
+        .filter(F.col("i") < F.col("n"))
+        .select("day", (F.col("cum") - F.col("i") * (F.col("n") + 1)).alias("ut"))
+    )
+    k = u.agg(F.max(F.abs(F.col("ut"))).alias("kk"))
+    n_days = m.select("n").scalar()
+    nd = n_days.cast("double")
+    kd = F.col("kk").cast("double")
+    return (
+        u.crossJoin(F.broadcast(k))
+        .filter(F.abs(F.col("ut")) == F.col("kk"))
+        .groupBy("kk")
+        .agg(F.min("day").alias("cday"))
+        .select(
+            n_days.cast("long").alias("n_days"),
+            F.col("kk").cast("long").alias("k_stat"),
+            F.date_format("cday", "yyyy-MM-dd").alias("change_day"),
+            F.round(
+                2.0
+                * F.exp(-6.0 * kd * kd / (nd * nd * nd + nd * nd))
+                + F.lit(1e-9),
+                6,
+            ).alias("p_approx"),
+        )
+    )
+
+
+@query(
+    "priority_cochran_armitage",
+    """
+    WITH v AS (
+      SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS grp,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f
+      FROM orders
+    ),
+    m AS (
+      SELECT COUNT(*) AS nn,
+             SUM(f) AS r,
+             SUM(CAST(grp AS HUGEINT)) AS b,
+             SUM(CAST(grp AS HUGEINT) * f) AS a,
+             SUM(CAST(grp AS HUGEINT) * grp) AS c
+      FROM v
+    ),
+    e AS (
+      SELECT nn, r,
+             CAST(nn AS HUGEINT) * a - CAST(r AS HUGEINT) * b AS tp,
+             CAST(nn AS HUGEINT) * c - b * b AS d1
+      FROM m
+    )
+    SELECT CAST(nn AS BIGINT) AS n_rows,
+           CAST(r AS BIGINT) AS n_success,
+           CASE WHEN r > 0 AND r < nn AND d1 > 0 THEN
+             ROUND(CAST(tp AS DOUBLE)
+                   / SQRT(CAST(r AS DOUBLE) * (CAST(nn AS DOUBLE)
+                          - CAST(r AS DOUBLE))
+                          * CAST(d1 AS DOUBLE) / CAST(nn AS DOUBLE))
+                   + 1e-9, 4)
+           ELSE 0.0 END AS z_trend
+    FROM e
+    """,
+    doc="Cochran-Armitage trend test (Cochran 1954, Armitage 1955): "
+    "is the fraction of FINISHED ('F'-status) orders monotonically "
+    "associated with the ordered priority scale 1-URGENT..5-LOW? "
+    "The proportions partner of orders_jonckheere_terpstra (ordered "
+    "k-group means) and events_variant_ztest (2-group proportions), "
+    "using the priority digit itself as the score vector. Because "
+    "the scores ARE the group labels, the whole statistic needs no "
+    "group frame at all: ONE map-side-combined fact pass to five "
+    "exact integer sums {N, R, sum(s), sum(s*f), sum(s^2)}, the "
+    "cross-multiplied T' = N*sum(sf) - R*sum(s) and variance "
+    "R(N-R)(N*sum(s^2) - sum(s)^2)/N stay exact "
+    "HUGEINT/DECIMAL(38) (~5e36 at sf1000), one double division at "
+    "display. No window, no join, no driver collect.",
+)
+def q_priority_cochran_armitage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("grp"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("f"),
+    )
+    m = v.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("f").alias("r"),
+        F.sum(F.col("grp").cast(_DEC)).alias("b"),
+        F.sum(F.col("grp").cast(_DEC) * F.col("f")).alias("a"),
+        F.sum(F.col("grp").cast(_DEC) * F.col("grp")).alias("c"),
+    )
+    tp = F.col("nn").cast(_DEC) * F.col("a") - F.col("r").cast(_DEC) * F.col(
+        "b"
+    )
+    d1 = F.col("nn").cast(_DEC) * F.col("c") - F.col("b") * F.col("b")
+    rd = F.col("r").cast("double")
+    nnd = F.col("nn").cast("double")
+    ok = (F.col("r") > 0) & (F.col("r") < F.col("nn")) & (d1 > 0)
+    return m.select(
+        F.col("nn").cast("long").alias("n_rows"),
+        F.col("r").cast("long").alias("n_success"),
+        F.when(
+            ok,
+            F.round(
+                tp.cast("double")
+                / F.sqrt(rd * (nnd - rd) * d1.cast("double") / nnd)
+                + F.lit(1e-9),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z_trend"),
+    )
+
+
+@query(
+    "customer_grubbs_acctbal",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS HUGEINT)) AS s,
+             SUM(CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS HUGEINT)
+                 * CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS q,
+             MIN(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS mn,
+             MAX(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS mx
+      FROM customer
+    ),
+    e AS (
+      SELECT n, mn, mx,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN CAST(mx AS DOUBLE) - mean >= mean - CAST(mn AS DOUBLE)
+                THEN mx ELSE mn END AS extreme_cents,
+           CASE WHEN CAST(mx AS DOUBLE) - mean >= mean - CAST(mn AS DOUBLE)
+                THEN 'max' ELSE 'min' END AS side,
+           CASE WHEN n >= 3 AND var > 0.0 THEN
+             ROUND((CASE WHEN CAST(mx AS DOUBLE) - mean
+                              >= mean - CAST(mn AS DOUBLE)
+                         THEN CAST(mx AS DOUBLE) - mean
+                         ELSE mean - CAST(mn AS DOUBLE) END)
+                   / SQRT(var) + 1e-9, 4)
+           ELSE 0.0 END AS g_stat
+    FROM e
+    """,
+    doc="Grubbs' extreme-outlier statistic on customer account "
+    "balance (Grubbs 1950): G = max(x_max - mean, mean - x_min)/s — "
+    "the single-most-extreme-value screen that decides whether the "
+    "balance domain has a data-entry-scale anomaly before the "
+    "winsorize/z-score stages trust mean and sd (two-sided form; "
+    "jarque_bera arbitrates the normality G's critical value "
+    "assumes). ONE map-side-combined pass over customer to exact "
+    "{n, Sx, Sx^2, min, max} HUGEINT/DECIMAL(38) cents moments; "
+    "sample variance from the exact n*Q - S*S integer; the extreme "
+    "side ties break to 'max' on both engines. No window, no join, "
+    "no driver collect.",
+)
+def q_customer_grubbs_acctbal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cents = _cents("c_acctbal")
+    m = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents.cast(_DEC)).alias("s"),
+        F.sum(cents.cast(_DEC) * cents).alias("q"),
+        F.min(cents).alias("mn"),
+        F.max(cents).alias("mx"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = (
+        F.col("n").cast(_DEC) * F.col("q") - F.col("s") * F.col("s")
+    ).cast("double") / (nd * (nd - 1.0))
+    devmax = F.col("mx").cast("double") - mean
+    devmin = mean - F.col("mn").cast("double")
+    is_max = devmax >= devmin
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.when(is_max, F.col("mx")).otherwise(F.col("mn")).alias(
+            "extreme_cents"
+        ),
+        F.when(is_max, F.lit("max")).otherwise(F.lit("min")).alias("side"),
+        F.when(
+            (F.col("n") >= 3) & (var > 0.0),
+            F.round(
+                F.when(is_max, devmax).otherwise(devmin) / F.sqrt(var)
+                + F.lit(1e-9),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("g_stat"),
+    )

@@ -441,3 +441,119 @@ def test_ktruss_matches_adjacency_bruteforce(spark, sf_dir):
         for r in _run(spark, sf_dir, "part_ktruss_peel")
     ]
     assert got == expect
+
+
+def test_jarque_bera_matches_textbook(spark, sf_dir):
+    vals = [
+        v
+        for (v,) in _con(sf_dir)
+        .execute("SELECT CAST(ROUND(o_totalprice) AS BIGINT) FROM orders")
+        .fetchall()
+    ]
+    n = len(vals)
+    m1 = sum(vals) / n
+    mu2 = sum((v - m1) ** 2 for v in vals) / n
+    mu3 = sum((v - m1) ** 3 for v in vals) / n
+    mu4 = sum((v - m1) ** 4 for v in vals) / n
+    s = mu3 / mu2**1.5
+    ek = mu4 / mu2**2 - 3.0
+    jb = n / 6.0 * (s * s + ek * ek / 4.0)
+    (r,) = _run(spark, sf_dir, "orders_jarque_bera")
+    assert r["n_rows"] == n
+    assert r["skewness"] == pytest.approx(s, abs=2e-3)
+    assert r["excess_kurtosis"] == pytest.approx(ek, abs=2e-3)
+    assert r["jb_stat"] == pytest.approx(jb, rel=1e-3)
+
+
+def test_bartlett_matches_textbook(spark, sf_dir):
+    rows = _con(sf_dir).execute(
+        "SELECT CAST(SUBSTR(o_orderpriority,1,1) AS INT),"
+        " CAST(ROUND(o_totalprice*100) AS BIGINT) FROM orders"
+    ).fetchall()
+    groups: dict[int, list[int]] = {}
+    for g, c in rows:
+        groups.setdefault(g, []).append(c)
+    assert set(groups) == {1, 2, 3, 4, 5}
+    n = len(rows)
+    k = 5
+    var = {}
+    for g, xs in groups.items():
+        m = sum(xs) / len(xs)
+        var[g] = sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+    sp2 = sum((len(groups[g]) - 1) * var[g] for g in groups) / (n - k)
+    t_num = (n - k) * math.log(sp2) - sum(
+        (len(groups[g]) - 1) * math.log(var[g]) for g in groups
+    )
+    c = 1.0 + (
+        sum(1.0 / (len(groups[g]) - 1) for g in groups) - 1.0 / (n - k)
+    ) / (3.0 * (k - 1))
+    (r,) = _run(spark, sf_dir, "priority_bartlett_test")
+    assert r["n_rows"] == n and r["k_groups"] == 5
+    assert r["bartlett_t"] == pytest.approx(t_num / c, rel=1e-4, abs=1e-3)
+
+
+def test_pettitt_matches_bruteforce(spark, sf_dir):
+    rows = _con(sf_dir).execute(
+        "SELECT CAST(o_orderdate AS DATE) AS day,"
+        " SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) FROM orders"
+        " GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    days = [d for d, _ in rows]
+    ys = [y for _, y in rows]
+    n = len(ys)
+    ranks, _ = _avg_ranks(ys)
+    rseq = [ranks[y] for y in ys]
+    best_k, best_day = -1, None
+    cum = 0.0
+    for t in range(1, n):  # t = 1 .. n-1
+        cum += rseq[t - 1]
+        ut = 2 * cum - t * (n + 1)
+        if abs(ut) > best_k:
+            best_k, best_day = abs(ut), days[t - 1]
+    p = 2.0 * math.exp(-6.0 * best_k * best_k / (n**3 + n**2))
+    (r,) = _run(spark, sf_dir, "daily_revenue_pettitt")
+    assert r["n_days"] == n
+    assert r["k_stat"] == int(round(best_k))
+    assert r["change_day"] == best_day.strftime("%Y-%m-%d")
+    assert r["p_approx"] == pytest.approx(p, abs=2e-6)
+
+
+def test_cochran_armitage_matches_textbook(spark, sf_dir):
+    rows = _con(sf_dir).execute(
+        "SELECT CAST(SUBSTR(o_orderpriority,1,1) AS INT),"
+        " CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END FROM orders"
+    ).fetchall()
+    n = len(rows)
+    r_tot = sum(f for _, f in rows)
+    t_stat = sum(g * (f - r_tot / n) for g, f in rows)
+    sbar = sum(g for g, _ in rows) / n
+    var = (
+        (r_tot / n)
+        * (1 - r_tot / n)
+        * sum((g - sbar) ** 2 for g, _ in rows)
+    )
+    z = t_stat / math.sqrt(var)
+    (r,) = _run(spark, sf_dir, "priority_cochran_armitage")
+    assert r["n_rows"] == n and r["n_success"] == r_tot
+    assert r["z_trend"] == pytest.approx(z, abs=2e-3)
+
+
+def test_grubbs_matches_bruteforce(spark, sf_dir):
+    vals = [
+        v
+        for (v,) in _con(sf_dir)
+        .execute("SELECT CAST(ROUND(c_acctbal*100) AS BIGINT) FROM"
+                 f" '{sf_dir}/customer.parquet'")
+        .fetchall()
+    ]
+    n = len(vals)
+    m = sum(vals) / n
+    sd = math.sqrt(sum((v - m) ** 2 for v in vals) / (n - 1))
+    devmax, devmin = max(vals) - m, m - min(vals)
+    side = "max" if devmax >= devmin else "min"
+    g = max(devmax, devmin) / sd
+    (r,) = _run(spark, sf_dir, "customer_grubbs_acctbal")
+    assert r["n_rows"] == n
+    assert r["side"] == side
+    assert r["extreme_cents"] == (max(vals) if side == "max" else min(vals))
+    assert r["g_stat"] == pytest.approx(g, abs=2e-3)
