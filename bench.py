@@ -246,6 +246,12 @@ BENCH_QUERIES = [
     "daily_revenue_ljung_box",  # joint lag-1..7 portmanteau Q (acf lag-join shape)
     "doc_perplexity_buckets",   # per-language unigram-LM terciles, grouped 2-phase rank
     "part_ktruss_peel",         # 3-round k=4 truss peel, degree-ordered wedge joins
+    "orders_jarque_bera",       # moment normality screen, one guarded quartic pass
+    "priority_bartlett_test",   # variance homogeneity, ANOVA-shaped pivot + LN
+    "daily_revenue_pettitt",    # rank change-point, integer U_t at day grain
+    "priority_cochran_armitage",  # proportion-trend z from five integer sums
+    "customer_grubbs_acctbal",  # extreme-outlier G, one pass with min/max
+    "doc_bm25_topk",            # Okapi BM25 inverted-index top-k, micro-unit exact
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

@@ -390,7 +390,7 @@ def bigram_logprob_score(
     SELECT tfb.doc_id,
            CAST(SUM(tfb.tf * FLOOR(-log2(CAST(c12.c12 AS DOUBLE) / c1.c1)
                                    * 1000000.0)) AS DOUBLE)
-             / CAST(SUM(tfb.tf) * 1000000 AS DOUBLE) AS mean_bits
+             / CAST(SUM(tfb.tf) * 1000 AS DOUBLE) AS mean_bits
     FROM tfb JOIN c12 USING (bg) JOIN c1 USING (w1)
     GROUP BY tfb.doc_id
     ORDER BY tfb.doc_id
@@ -496,7 +496,7 @@ def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
            (CAST(sy AS DOUBLE)
             - (CAST(n * sxy - sx * sy AS DOUBLE)
                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-             / CAST(n * 1000000 AS DOUBLE) AS zipf_intercept,
+             / CAST(n * 1000 AS DOUBLE) AS zipf_intercept,
            (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
              / (CAST(n * sxx - sx * sx AS DOUBLE)
                 * CAST(n * syy - sy * sy AS DOUBLE)) AS zipf_r2
@@ -1115,3 +1115,154 @@ def q_doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 'head' < 'middle' < 'tail' alphabetically == bucket 1 < 2 < 3
         .orderBy("lang", "bucket")
     )
+
+
+# --- BM25 lexical retrieval --------------------------------------------------
+
+_BM25_TOPK = 10
+_D38 = "decimal(38,0)"
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_doc_id: int = 0,
+    top_k: int = _BM25_TOPK,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval (Robertson et al., TREC-3 1994;
+    the Lucene-smoothed idf variant): score(q,d) = sum over query
+    tokens of idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) with
+    k1=1.2, b=0.75 — the production lexical-retrieval standard that
+    doc_sparse_tfidf_topk's plain cosine approximates (BM25 adds tf
+    SATURATION and doc-length normalization, the two effects that
+    matter on real corpora).
+
+    Scale shape: identical to the tfidf inverted index — the
+    corpus-side postings join only against the QUERY's tokens (a
+    |q|-row broadcast), doc lengths join per CANDIDATE doc, never a
+    corpus x corpus product; final ranking is TakeOrdered top-k.
+
+    Determinism by construction (the tfidf playbook): idf =
+    ln((N-df+0.5)/(df+0.5)+1) quantizes to milli-units per DISTINCT
+    df value (one libm ln each side, floor-boundary risk ~1e-13 per
+    distinct df). With k1=1.2, b=0.75 the per-term denominator
+    tf + 0.3 + 0.9*dl*N/T becomes the exact integer
+    10*T*tf + 3*T + 9*dl*N after cross-multiplying by 10T (T = total
+    corpus tokens, N = docs, dl = doc length), and the numerator
+    idf_q * 22*tf * T * 1e3 stays an exact DECIMAL(38) (~2e22 at
+    sf1000); ONE double division per (candidate, query-token) pair is
+    floor-quantized to integer micro-units and the per-doc sum runs
+    exact int64/HUGEINT — summation order can never perturb the
+    ranking.
+    """
+    from teleco_etl_pipeline_spark.sources.tables import ensure_min_splits
+
+    docs = ensure_min_splits(docs, id_col)
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfr = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).scalar()
+    t_total = tok.agg(F.count(F.lit(1)).alias("t")).scalar()
+    qw = (
+        tf.filter(F.col("doc_id") == query_doc_id)
+        .join(dfr, "token")
+        .select(
+            "token",
+            F.floor(
+                (
+                    F.log(
+                        (n_docs.cast("double") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                        + 1.0
+                    )
+                )
+                * 1e3
+            ).alias("idf3"),
+        )
+    )
+    cand = (
+        tf.filter(F.col("doc_id") != query_doc_id)
+        .join(F.broadcast(qw), "token")
+        .join(dl, "doc_id")
+    )
+    num = (
+        F.col("idf3").cast(_D38)
+        * 22
+        * F.col("tf")
+        * t_total
+        * F.lit(1000)
+    )
+    den = (
+        F.lit(10).cast(_D38) * t_total * F.col("tf")
+        + F.lit(3).cast(_D38) * t_total
+        + F.lit(9).cast(_D38) * F.col("dl") * n_docs
+    )
+    term = F.floor(num.cast("double") / den.cast("double")).cast("long")
+    return (
+        cand.select("doc_id", term.alias("term"))
+        .groupBy("doc_id")
+        .agg(F.sum("term").alias("bm25_micro"))
+        .orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+
+
+@query(
+    "doc_bm25_topk",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), dl AS (
+      SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), nd AS (SELECT COUNT(*) AS n FROM documents),
+    tt AS (SELECT COUNT(*) AS t FROM tok),
+    qw AS (
+      SELECT tf.token,
+             CAST(FLOOR(LN((CAST(nd.n AS DOUBLE) - df.df + 0.5)
+                           / (df.df + 0.5) + 1.0) * 1000.0) AS BIGINT)
+               AS idf3
+      FROM tf JOIN df USING (token) CROSS JOIN nd
+      WHERE tf.doc_id = 0
+    ),
+    terms AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               CAST(CAST(qw.idf3 AS HUGEINT) * 22 * tf.tf * tt.t
+                    * 1000 AS DOUBLE)
+               / CAST(CAST(10 AS HUGEINT) * tt.t * tf.tf
+                      + CAST(3 AS HUGEINT) * tt.t
+                      + CAST(9 AS HUGEINT) * dl.dl * nd.n AS DOUBLE)
+             ) AS BIGINT) AS term
+      FROM tf
+      JOIN qw USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN nd CROSS JOIN tt
+      WHERE tf.doc_id <> 0
+    )
+    SELECT doc_id, CAST(SUM(term) AS BIGINT) AS bm25_micro
+    FROM terms GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id ASC
+    LIMIT 10
+    """,
+    doc="Okapi BM25 top-10 retrieval against doc 0's tokens "
+    "(Robertson TREC-3, Lucene-smoothed idf; k1=1.2, b=0.75) — the "
+    "tf-saturating, length-normalized production standard beside "
+    "doc_sparse_tfidf_topk's plain cosine. Inverted-index shape "
+    "(only query-token postings move); per-term scores are "
+    "floor-quantized micro-units from exact HUGEINT/DECIMAL(38) "
+    "cross-multiplied integers (denominator 10*T*tf + 3*T + 9*dl*N "
+    "clears the b/avgdl rational exactly), summed as exact integers "
+    "— no float accumulates across rows. See bm25_topk.",
+)
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(load_table(spark, sf_dir, "documents"))

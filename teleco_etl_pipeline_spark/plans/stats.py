@@ -1305,8 +1305,21 @@ def q_orders_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order — one map-side-combined aggregate, no second pass.",
 )
 def q_priority_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.sources.tables import ensure_min_splits
+
     o = load_table(spark, sf_dir, "orders")
-    d = F.round(F.col("o_totalprice"), 0).cast("long")
+    # Same small-file cliff guard as orders_jarque_bera (the quartic
+    # DECIMAL(38) chain is the hot work; partial aggregation stays
+    # parallel because the repartition key is the high-cardinality
+    # value, not the 5-value group key). NO-OP at >= 1 split/core.
+    o = ensure_min_splits(
+        o.select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice"), 0).cast("long").alias("d"),
+        ),
+        "d",
+    )
+    d = F.col("d")
     dd = d.cast(_DEC)
     m = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -3651,10 +3664,23 @@ def q_daily_revenue_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window, no join, no driver collect.",
 )
 def q_orders_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.sources.tables import ensure_min_splits
+
     o = load_table(spark, sf_dir, "orders")
-    d = F.round(F.col("o_totalprice"), 0).cast("long")
+    # Small-file cliff guard BEFORE the CPU-bound x^3/x^4 DECIMAL(38)
+    # multiply chain (isolated r13 row pre-guard: x4.75 per 10x at
+    # sf1 — the 24.8 MB sf1 orders file scans as ONE split, so the
+    # whole power-sum pass ran on 1 of 32 cores; the x^2-only welch
+    # pass is flat, isolating the cause to the quartic chain).
+    # Projected to the single dollar column first, the conditional
+    # repartition moves ~8 B/row and is a NO-OP at >= 1 split/core.
+    v = ensure_min_splits(
+        o.select(F.round(F.col("o_totalprice"), 0).cast("long").alias("d")),
+        "d",
+    )
+    d = F.col("d")
     dd = d.cast(_DEC)
-    m = o.agg(
+    m = v.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dd).alias("s1"),
         F.sum(dd * d).alias("s2"),

@@ -99,6 +99,11 @@ SCALAR_BROADCASTS = {
     # same frame, same 1-row (bounds + totals) broadcasts — the
     # integrated-square ECDF twin of KS (r13)
     "cvm_priority_totalprice",
+    # the 1-row day-count scalar and the 1-row max|U_t| scalar
+    # broadcast onto the calendar-bounded day frame (~2.4k rows at
+    # ANY sf) for the U_t fold and the argmax filter — |days| × 1
+    # products, both constant-bounded (r13)
+    "daily_revenue_pettitt",
     # the 1-row (min, max) bounds broadcast feeding value_prefix_max's
     # range bucketing over the distinct-cost frame (r13 two-level
     # skyline sweep) — |values| × 1

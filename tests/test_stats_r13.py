@@ -557,3 +557,43 @@ def test_grubbs_matches_bruteforce(spark, sf_dir):
     assert r["side"] == side
     assert r["extreme_cents"] == (max(vals) if side == "max" else min(vals))
     assert r["g_stat"] == pytest.approx(g, abs=2e-3)
+
+
+def test_bm25_matches_textbook(spark, sf_dir):
+    """BM25 recomputed with plain floats (no quantization): the
+    micro-unit quantized ranking must agree on membership and order,
+    and each score must sit within quantization bias of the float
+    reference (|q| terms * 1e-6 each, plus idf milli-grain ~ tf-sum
+    * 1e-3 relative)."""
+    rows = _con(sf_dir).execute(
+        "SELECT doc_id, text FROM documents"
+    ).fetchall()
+    tfs: dict[int, Counter] = {}
+    for did, text in rows:
+        tfs[did] = Counter(text.strip().split())
+    n = len(rows)
+    df: Counter = Counter()
+    for c in tfs.values():
+        df.update(c.keys())
+    dl = {d: sum(c.values()) for d, c in tfs.items()}
+    avgdl = sum(dl.values()) / n
+    k1, b = 1.2, 0.75
+    q = tfs[0]
+    scores = {}
+    for d, c in tfs.items():
+        if d == 0:
+            continue
+        s = 0.0
+        for t in q:
+            tf = c.get(t, 0)
+            if not tf:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl[d] / avgdl))
+        if s > 0:
+            scores[d] = s
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = _run(spark, sf_dir, "doc_bm25_topk")
+    assert [r["doc_id"] for r in got] == [d for d, _ in expect]
+    for r, (_, s) in zip(got, expect):
+        assert r["bm25_micro"] / 1e6 == pytest.approx(s, rel=2e-3)
