@@ -252,6 +252,8 @@ BENCH_QUERIES = [
     "priority_cochran_armitage",  # proportion-trend z from five integer sums
     "customer_grubbs_acctbal",  # extreme-outlier G, one pass with min/max
     "doc_bm25_topk",            # Okapi BM25 inverted-index top-k, micro-unit exact
+    "embedding_jl_recall",      # ±1 random-projection recall curve, vector-local map
+    "lineitem_mahalanobis_outliers",  # closed-form 2x2 cov ellipse top-20
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

@@ -4117,3 +4117,191 @@ def q_embedding_query_range_search_bucketed(
         .filter(F.col("cosine_sim") >= F.lit(float(_RANGE_TAU)))
         .orderBy("anchor_id", "vec_id")
     )
+
+
+# --- Johnson-Lindenstrauss random-projection recall --------------------------
+
+_JL_DIMS = (8, 16, 32)
+_JL_K = 10
+_JL_NQ = 5
+_JL_IN_DIM = 64
+
+
+def _jl_signs(out_dim: int) -> list[list[float]]:
+    """Deterministic ±1 projection rows: sign(i, j) from the parity
+    of md5("jl:{i}:{j}")'s first hex digit — reproducible from the
+    string constants alone on any engine/host (the sign literals are
+    inlined into BOTH the Catalyst plan and the oracle SQL, so there
+    is no RNG state to share)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[0], 16)
+            % 2
+            == 0
+            else -1.0
+            for i in range(_JL_IN_DIM)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def _jl_oracle_sql() -> str:
+    ctes = [_mrl_topk_sql(None, "full")]
+    unions = []
+    for d in _JL_DIMS:
+        rows = _jl_signs(d)
+        proj = ", ".join(
+            "list_dot_product(q, ["
+            + ", ".join(str(int(s)) + ".0" for s in row)
+            + "])"
+            for row in rows
+        )
+        key = _sql_qkey(
+            "list_dot_product(e.p, qq.p)", "e.den", "qq.den"
+        )
+        ctes.append(f"""
+    jb_{d} AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> FLOOR(x * 1000.0)) AS q
+      FROM embeddings
+    ), jp_{d} AS (
+      SELECT vec_id, [{proj}] AS p FROM jb_{d}
+    ), jd_{d} AS (
+      SELECT vec_id, p, list_dot_product(p, p) AS den FROM jp_{d}
+    ), jtop_{d} AS (
+      SELECT qq.vec_id AS query_id, e.vec_id
+      FROM jd_{d} e JOIN jd_{d} qq
+        ON qq.vec_id < {_JL_NQ} AND e.vec_id <> qq.vec_id
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY qq.vec_id
+        ORDER BY {key} DESC, e.vec_id ASC) <= {_JL_K}
+    )""")
+        unions.append(f"""
+    SELECT {d} AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(f.vec_id) AS BIGINT) AS n_overlap,
+           ROUND(CAST(COUNT(f.vec_id) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) + 1e-9, 6) AS recall_at_k
+    FROM jtop_{d} t LEFT JOIN top_full f
+      ON t.query_id = f.query_id AND t.vec_id = f.vec_id""")
+    u = "\n    UNION ALL\n".join(unions)
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT * FROM ({u}) ORDER BY dim
+    """
+
+
+@query(
+    "embedding_jl_recall",
+    _jl_oracle_sql(),
+    doc="Johnson-Lindenstrauss random-projection recall (Achlioptas "
+    "2003 ±1 database-friendly projections): project the 64-dim "
+    "embeddings to 8/16/32 dims through a DETERMINISTIC ±1 sign "
+    "matrix (md5-derived literals, no RNG state) and measure cosine "
+    "top-10 recall of the projected ranking against the "
+    "full-dimension ranking — the random-rotation counterpart of "
+    "embedding_matryoshka_recall's prefix truncation (the two curves "
+    "together decide whether a 100 TB index can shrink its stored "
+    "dims by projection when the encoder was NOT MRL-trained; JL "
+    "mixes all input dims, so it dominates naive truncation on "
+    "non-Matryoshka embeddings). The projection is vector-LOCAL "
+    "whole-stage-codegen arithmetic (one zip_with fold per output "
+    "dim, NO explode, no shuffle: at 100 TB the projection is a "
+    "free map over the scan); inputs quantize at milli-grain so "
+    "every projected component, dot and norm is an EXACT integer "
+    "(<= ~2^45, far under the 2^53 double-exact bound even at the "
+    "32-dim output), ranking keys are the shared CR quantized-key "
+    "sequence with id tiebreaks, and the only float is the final "
+    "recall division. Baseline ranking reuses the "
+    "embedding_batch_topk machinery at full dimension.",
+)
+def q_embedding_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _JL_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    full = (
+        batch_topk(emb, queries, k=_JL_K)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    base = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1e3)).cast("double"),
+        ).alias("q"),
+    )
+    outs = []
+    for d in _JL_DIMS:
+        rows = _jl_signs(d)
+        proj = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q"),
+                        F.array(*[F.lit(s) for s in row]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for row in rows
+            ]
+        )
+        pd_ = base.select("vec_id", proj.alias("p")).select(
+            "vec_id", "p", quantized_den_col(F.col("p")).alias("den")
+        )
+        qs = pd_.filter(F.col("vec_id") < _JL_NQ).select(
+            F.col("vec_id").alias("_qid"),
+            F.col("p").alias("_qp"),
+            F.col("den").alias("_qden"),
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("vec_id")
+        )
+        t = (
+            pd_.join(F.broadcast(qs), F.col("vec_id") != F.col("_qid"))
+            .select(
+                F.col("_qid").alias("query_id"),
+                "vec_id",
+                quantized_key(
+                    _dot(F.col("p"), F.col("_qp")),
+                    F.col("den") * F.col("_qden"),
+                ).alias("sim"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _JL_K)
+            .select("query_id", "vec_id")
+        )
+        f2 = full.select(
+            F.col("query_id").alias("fq"), F.col("vec_id").alias("fv")
+        )
+        outs.append(
+            t.join(
+                f2,
+                (t["query_id"] == f2["fq"]) & (t["vec_id"] == f2["fv"]),
+                "left",
+            ).agg(
+                F.lit(d).cast("int").alias("dim"),
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.count("fv").cast("long").alias("n_overlap"),
+                F.round(
+                    F.count("fv").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    + F.lit(1e-9),
+                    6,
+                ).alias("recall_at_k"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("dim")

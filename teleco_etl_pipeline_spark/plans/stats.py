@@ -4162,3 +4162,122 @@ def q_customer_grubbs_acctbal(
         .otherwise(F.lit(0.0))
         .alias("g_stat"),
     )
+
+
+@query(
+    "lineitem_mahalanobis_outliers",
+    """
+    WITH v AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM v
+    ),
+    c AS (
+      SELECT n,
+             sx, sy,
+             CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS a,
+             CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS b,
+             CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS cc
+      FROM m
+    ),
+    d AS (
+      SELECT v.l_orderkey, v.l_linenumber, v.x, v.y,
+             (c.b * (CAST(CAST(c.n AS HUGEINT) * v.x - c.sx AS DOUBLE)
+                     * CAST(CAST(c.n AS HUGEINT) * v.x - c.sx AS DOUBLE))
+              - 2.0 * c.cc
+                * (CAST(CAST(c.n AS HUGEINT) * v.x - c.sx AS DOUBLE)
+                   * CAST(CAST(c.n AS HUGEINT) * v.y - c.sy AS DOUBLE))
+              + c.a * (CAST(CAST(c.n AS HUGEINT) * v.y - c.sy AS DOUBLE)
+                       * CAST(CAST(c.n AS HUGEINT) * v.y - c.sy AS DOUBLE)))
+             / (c.a * c.b - c.cc * c.cc) AS d2
+      FROM v, c
+      WHERE c.a * c.b - c.cc * c.cc > 0.0
+    )
+    SELECT l_orderkey, l_linenumber, x AS quantity, y AS price_cents,
+           ROUND(d2 + 1e-9, 4) AS mahal_sq
+    FROM d
+    ORDER BY d2 DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 20
+    """,
+    doc="Top-20 bivariate Mahalanobis outliers on (quantity, "
+    "extended price) (Mahalanobis 1936): the correlation-aware "
+    "multivariate partner of the per-column z-score/Grubbs screens — "
+    "a row can be unremarkable on each axis yet far outside the "
+    "covariance ellipse (high quantity at a low price), which is "
+    "exactly the data-entry anomaly univariate screens miss. ONE "
+    "map-side-combined pass to six exact HUGEINT/DECIMAL(38) "
+    "moments; the 2x2 covariance inverts in closed form, so d^2 = "
+    "(B dx^2 - 2C dx dy + A dy^2)/(AB - C^2) over the N-scaled "
+    "integer deviations dx = N*x - Sx — every input to the float "
+    "expression is an exact integer, the op sequence is FIXED and "
+    "identical cross-engine, and the 1-row moment frame broadcasts "
+    "onto the fact scan (no second shuffle). Ranking is "
+    "TakeOrdered top-20 with (orderkey, linenumber) tiebreaks; "
+    "display rounds, the ranking key does not.",
+)
+def q_lineitem_mahalanobis_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("x"),
+        _cents("l_extendedprice").alias("y"),
+    )
+    m = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(_DEC)).alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).alias("sy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(_DEC) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("y")).alias("sxy"),
+    )
+    a = (F.col("n").cast(_DEC) * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    b = (F.col("n").cast(_DEC) * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    cc = (
+        F.col("n").cast(_DEC) * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    c1 = m.select("n", "sx", "sy", a.alias("a"), b.alias("b"), cc.alias("cc"))
+    dx = (F.col("n").cast(_DEC) * F.col("x") - F.col("sx")).cast("double")
+    dy = (F.col("n").cast(_DEC) * F.col("y") - F.col("sy")).cast("double")
+    det = F.col("a") * F.col("b") - F.col("cc") * F.col("cc")
+    d2 = (
+        F.col("b") * (dx * dx)
+        - 2.0 * F.col("cc") * (dx * dy)
+        + F.col("a") * (dy * dy)
+    ) / det
+    return (
+        v.crossJoin(F.broadcast(c1))
+        .filter(det > 0.0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("x").alias("quantity"),
+            F.col("y").alias("price_cents"),
+            d2.alias("_d2"),
+        )
+        .orderBy(F.desc("_d2"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(20)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "quantity",
+            "price_cents",
+            F.round(F.col("_d2") + F.lit(1e-9), 4).alias("mahal_sq"),
+        )
+    )

@@ -31,6 +31,10 @@ ALLPAIRS_BASELINES = {
     # the truncation-recall eval runs batch_topk per truncated slice
     # (3 sliced corpus scans, Q=5 anchors) — same sanctioned shape
     "embedding_matryoshka_recall",
+    # the JL projection-recall eval is the same shape: batch_topk's
+    # broadcast Q×N scan per projected width (projection itself is a
+    # vector-local map, no extra join) — Q=5 anchors (r13)
+    "embedding_jl_recall",
     # the EXACT side of the recall evaluation is definitionally the
     # batch_topk broadcast scan — the approx side it grades is the
     # bucketed candidate join
@@ -104,6 +108,10 @@ SCALAR_BROADCASTS = {
     # ANY sf) for the U_t fold and the argmax filter — |days| × 1
     # products, both constant-bounded (r13)
     "daily_revenue_pettitt",
+    # the 1-row six-moment covariance frame broadcast onto the fact
+    # scan for the closed-form 2x2 Mahalanobis distance — |fact| × 1,
+    # a map-side enrich feeding TakeOrdered top-20 (r13)
+    "lineitem_mahalanobis_outliers",
     # the 1-row (min, max) bounds broadcast feeding value_prefix_max's
     # range bucketing over the distinct-cost frame (r13 two-level
     # skyline sweep) — |values| × 1

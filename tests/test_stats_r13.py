@@ -597,3 +597,25 @@ def test_bm25_matches_textbook(spark, sf_dir):
     assert [r["doc_id"] for r in got] == [d for d, _ in expect]
     for r, (_, s) in zip(got, expect):
         assert r["bm25_micro"] / 1e6 == pytest.approx(s, rel=2e-3)
+
+
+def test_mahalanobis_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = _con(sf_dir).execute(
+        "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT),"
+        " CAST(ROUND(l_extendedprice*100) AS BIGINT) FROM lineitem"
+    ).fetchall()
+    xy = np.array([(x, y) for _, _, x, y in rows], dtype=np.float64)
+    mean = xy.mean(0)
+    cov = np.cov(xy.T, bias=True)
+    inv = np.linalg.inv(cov)
+    d2 = np.einsum("ij,jk,ik->i", xy - mean, inv, xy - mean)
+    order = sorted(
+        range(len(rows)), key=lambda i: (-d2[i], rows[i][0], rows[i][1])
+    )[:20]
+    expect = [(rows[i][0], rows[i][1]) for i in order]
+    got = _run(spark, sf_dir, "lineitem_mahalanobis_outliers")
+    assert [(r["l_orderkey"], r["l_linenumber"]) for r in got] == expect
+    for r, i in zip(got, order):
+        assert r["mahal_sq"] == pytest.approx(d2[i], rel=1e-6, abs=1e-3)

@@ -466,3 +466,70 @@ def test_matryoshka_perfect_recall_when_tail_dims_are_zero(spark):
         for r in batch_topk(sl, qs8, k=5).collect()
     }
     assert trunc == full
+
+
+def test_jl_recall_matches_numpy_bruteforce(spark, sf_dir):
+    """Third-way check: the JL projection, quantization, ranking and
+    recall recomputed with numpy over the raw parquet (no shared SQL,
+    no shared Spark plan)."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+        " ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+
+    def topk(mat, k=10, nq=5):
+        den = (mat * mat).sum(1)
+        out = {}
+        for qi in range(nq):
+            qrow = mat[ids == qi][0]
+            qden = den[ids == qi][0]
+            sims = []
+            for j in range(len(ids)):
+                if ids[j] == qi:
+                    continue
+                dp = qden * den[j]
+                s = (qrow @ mat[j]) / np.sqrt(dp) if dp > 0 else -2.0
+                sims.append((-s, ids[j]))
+            sims.sort()
+            out[qi] = [v for _, v in sims[:k]]
+        return out
+
+    full = topk(np.floor(x * 1e6))
+    q = np.floor(x * 1e3)
+    expect = []
+    for d in (8, 16, 32):
+        s = np.array(
+            [
+                [
+                    1.0
+                    if int(
+                        hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[0],
+                        16,
+                    )
+                    % 2
+                    == 0
+                    else -1.0
+                    for i in range(64)
+                ]
+                for j in range(d)
+            ]
+        )
+        t = topk(q @ s.T)
+        n_over = sum(len(set(t[qi]) & set(full[qi])) for qi in range(5))
+        expect.append((d, 50, n_over))
+    got = [
+        (r.dim, r.n_pairs, r.n_overlap)
+        for r in all_queries()["embedding_jl_recall"]
+        .build(spark, sf_dir)
+        .collect()
+    ]
+    assert got == expect
