@@ -254,6 +254,8 @@ BENCH_QUERIES = [
     "doc_bm25_topk",            # Okapi BM25 inverted-index top-k, micro-unit exact
     "embedding_jl_recall",      # ±1 random-projection recall curve, vector-local map
     "lineitem_mahalanobis_outliers",  # closed-form 2x2 cov ellipse top-20
+    "embedding_mmr_rerank",     # diversity greedy over a constant 20-row pool
+    "embedding_cluster_quality",  # silhouette + DB over the IVF map pass
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

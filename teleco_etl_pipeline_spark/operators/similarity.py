@@ -4305,3 +4305,417 @@ def q_embedding_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("dim")
+
+
+# --- MMR diversified re-ranking ----------------------------------------------
+
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle_sql() -> str:
+    key_q = _sql_qkey(
+        "list_dot_product(bb.q, (SELECT q FROM qq))",
+        "bb.den",
+        "(SELECT den FROM qq)",
+    )
+    key_p = _sql_qkey(
+        "list_dot_product(a.q, b.q)", "a.den", "b.den"
+    )
+    lam, mu = _MMR_LAMBDA, round(1.0 - _MMR_LAMBDA, 10)
+    steps = []
+    prev = "s1"
+    for k in range(2, _MMR_K + 1):
+        steps.append(f""",
+    c{k} AS (
+      SELECT p.vec_id, p.simq,
+             {lam} * p.simq - {mu} * MAX(pr.s) AS score
+      FROM pool p
+      JOIN pair pr ON pr.va = p.vec_id
+        AND pr.vb IN (SELECT vec_id FROM {prev})
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+      GROUP BY p.vec_id, p.simq
+    ), p{k} AS (
+      SELECT {k} AS rank, vec_id, score
+      FROM c{k} ORDER BY score DESC, vec_id ASC LIMIT 1
+    ), s{k} AS (
+      SELECT vec_id FROM {prev} UNION ALL SELECT vec_id FROM p{k}
+    )""")
+        prev = f"s{k}"
+    unions = "\n    UNION ALL\n".join(
+        f"SELECT rank, vec_id, score FROM p{k}"
+        for k in range(2, _MMR_K + 1)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, {_sql_qvec("embedding")} AS q FROM embeddings
+    ), bb AS (
+      SELECT vec_id, q, list_dot_product(q, q) AS den FROM b
+    ), qq AS (SELECT q, den FROM bb WHERE vec_id = 0),
+    pool AS (
+      SELECT bb.vec_id, bb.q, bb.den, {key_q} AS simq
+      FROM bb WHERE vec_id <> 0
+      ORDER BY simq DESC, vec_id ASC
+      LIMIT {_MMR_POOL}
+    ),
+    pair AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, {key_p} AS s
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    ),
+    p1 AS (
+      SELECT 1 AS rank, vec_id, {lam} * simq AS score
+      FROM pool ORDER BY simq DESC, vec_id ASC LIMIT 1
+    ),
+    s1 AS (SELECT vec_id FROM p1){"".join(steps)}
+    SELECT CAST(rank AS INT) AS rank, vec_id,
+           ROUND(score + 1e-9, 6) AS mmr_score
+    FROM (SELECT rank, vec_id, score FROM p1
+          UNION ALL
+          {unions})
+    ORDER BY rank
+    """
+
+
+@query(
+    "embedding_mmr_rerank",
+    _mmr_oracle_sql(),
+    doc="Maximal Marginal Relevance diversified re-ranking "
+    "(Carbonell & Goldstein SIGIR'98): greedily pick 5 of the top-20 "
+    "cosine candidates for query vec 0, each step maximizing "
+    "lambda*sim(q,d) - (1-lambda)*max_{s in S} sim(d,s) with "
+    "lambda=0.7 — the diversity-aware re-rank every RAG retrieval "
+    "stack bolts onto plain top-k (near-duplicate passages crowd out "
+    "coverage; MMR trades a little relevance for marginal "
+    "information). Scale shape: ONE corpus scan builds the top-20 "
+    "pool (TakeOrdered, the embedding_topk machinery); everything "
+    "after runs on the CONSTANT 20-row pool — the 20x20 pairwise "
+    "frame and 4 greedy supersteps are data-volume-independent, "
+    "eagerly materialized like the k-center loop. Similarities are "
+    "the shared CR quantized-key sequence; score combination is one "
+    "fixed-order float expression per step; ties break to the "
+    "smaller vec_id on both engines.",
+)
+def q_embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", quantized_vec_col(F.col("embedding")).alias("q")
+    ).select("vec_id", "q", quantized_den_col(F.col("q")).alias("den"))
+    qq = base.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("_qv"), F.col("den").alias("_qden")
+    )
+    pool = (
+        base.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qq))
+        .select(
+            "vec_id",
+            "q",
+            "den",
+            quantized_key(
+                _dot(F.col("q"), F.col("_qv")),
+                F.col("den") * F.col("_qden"),
+            ).alias("simq"),
+        )
+        .orderBy(F.desc("simq"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
+    a = pool.select(
+        F.col("vec_id").alias("va"), F.col("q").alias("qa"),
+        F.col("den").alias("da"),
+    )
+    b = pool.select(
+        F.col("vec_id").alias("vb"), F.col("q").alias("qb"),
+        F.col("den").alias("db"),
+    )
+    pair = (
+        a.join(b, F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            quantized_key(
+                _dot(F.col("qa"), F.col("qb")), F.col("da") * F.col("db")
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lam = float(_MMR_LAMBDA)
+    mu = round(1.0 - _MMR_LAMBDA, 10)
+    picks = (
+        pool.select(
+            F.lit(1).alias("rank"),
+            "vec_id",
+            (F.lit(lam) * F.col("simq")).alias("score"),
+        )
+        .orderBy(F.desc("simq"), F.asc("vec_id"))
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    sel = picks.select("vec_id")
+    for k in range(2, _MMR_K + 1):
+        cand = (
+            pool.join(sel, "vec_id", "left_anti")
+            .join(
+                pair.join(
+                    sel.select(F.col("vec_id").alias("vb")), "vb"
+                ).select(F.col("va").alias("vec_id"), "s"),
+                "vec_id",
+            )
+            .groupBy("vec_id", "simq")
+            .agg(F.max("s").alias("msel"))
+            .select(
+                "vec_id",
+                (
+                    F.lit(lam) * F.col("simq")
+                    - F.lit(mu) * F.col("msel")
+                ).alias("score"),
+            )
+        )
+        pk = (
+            cand.orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+            .select(F.lit(k).alias("rank"), "vec_id", "score")
+            .localCheckpoint(eager=True)
+        )
+        picks = picks.unionAll(pk)
+        sel = picks.select("vec_id")
+    return picks.select(
+        F.col("rank").cast("int").alias("rank"),
+        "vec_id",
+        F.round(F.col("score") + F.lit(1e-9), 6).alias("mmr_score"),
+    ).orderBy("rank")
+
+
+# --- cluster-quality evaluation over the IVF assignment ----------------------
+
+_CQ_K = 8
+_CQ_SEED = 42
+_CQ_FIT_SAMPLE = 4096
+_CQ_MAX_ITER = 10
+
+
+def _cq_qcents(cents: np.ndarray) -> np.ndarray:
+    """Centroids quantized at the shared micro-grain: integer-valued
+    float64, the exact-dot carrier (same floor(x*1e6) as
+    quantized_vec_col, applied to the fitted float64 centroids)."""
+    return np.floor(cents * 1e6)
+
+
+def cluster_quality(
+    emb: DataFrame,
+    cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster quality report over a fitted coarse quantizer:
+    simplified silhouette (Hruschka et al. 2004 — distances to
+    CENTROIDS, not all points: the O(nk) form that scales where the
+    classic O(n^2) silhouette cannot) and the Davies-Bouldin
+    component max_j (S_i+S_j)/D_ij (Davies & Bouldin 1979).
+
+    Determinism: vectors and centroids quantize to micro-grain
+    integers, so every squared distance d2_j = den_v - 2*v.c_j +
+    den_c_j is an EXACT integer — the Arrow/BLAS batch matmul in the
+    assignment UDF sums integer-valued doubles far below 2^53, so
+    accumulation order cannot perturb it, and argmin/first-min ties
+    are exact integer comparisons (no BLAS-ulp fragility — this is
+    the quantized upgrade of the raw-double IVF assignment's
+    documented near-tie caveat). Per-point sqrt is correctly rounded
+    on identical integers; the silhouette and scatter fold to
+    per-point floor-quantized integers (1e-6 / 1e-3 grain) summed
+    exactly, so the per-cluster means are single CR divisions.
+
+    Scale shape: ONE corpus map pass (k dots per row inside one BLAS
+    matmul per Arrow batch), one k-row groupBy; the Davies-Bouldin
+    max runs on the k x k constant frame with baked centroid-pair
+    distances. No corpus self-join, no window.
+    """
+    qc = np.ascontiguousarray(_cq_qcents(cents))
+    qc_sq = (qc * qc).sum(axis=1)
+
+    @F.pandas_udf(
+        "struct<ivf_list: int, a2: double, b2: double>"
+    )
+    def assign(v: pd.Series) -> pd.DataFrame:
+        x = np.floor(np.vstack(v.to_numpy()).astype(np.float64) * 1e6)
+        d = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ qc.T)
+            + qc_sq[None, :]
+        )
+        srt = np.sort(d, axis=1)
+        return pd.DataFrame(
+            {
+                "ivf_list": d.argmin(axis=1).astype(np.int32),
+                "a2": srt[:, 0],
+                "b2": srt[:, 1],
+            }
+        )
+
+    pt = emb.select(assign(F.col(vec_col)).alias("r")).select(
+        F.col("r.ivf_list").alias("cluster_id"),
+        F.col("r.a2").alias("a2"),
+        F.col("r.b2").alias("b2"),
+    )
+    sa = F.sqrt(F.col("a2"))
+    sb = F.sqrt(F.col("b2"))
+    sil_q = F.when(
+        F.col("b2") > 0.0, F.floor((sb - sa) / sb * F.lit(1e6))
+    ).otherwise(F.lit(0.0))
+    dist_q = F.floor(sa * F.lit(1e-3))
+    per = pt.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(dist_q).alias("dq"),
+        F.sum(sil_q).alias("sq"),
+    )
+    # scatter S_i in raw embedding units: q-grain divides back out
+    # (floor(d_q * 1e-3) sums to milli-raw units exactly)
+    scatter = F.col("dq") / F.col("n_vecs").cast("double") / F.lit(1e3)
+    per = per.select(
+        "cluster_id",
+        "n_vecs",
+        scatter.alias("s_i"),
+        (F.col("sq") / F.col("n_vecs").cast("double") / F.lit(1e6)).alias(
+            "sil"
+        ),
+    )
+    k = len(cents)
+    pair_rows = []
+    for i in range(k):
+        for j in range(k):
+            if i != j:
+                m = float(np.sqrt(((qc[i] - qc[j]) ** 2).sum()) / 1e6)
+                pair_rows.append((i, j, m))
+    pairs = emb.sparkSession.createDataFrame(
+        pair_rows, "i int, j int, d_ij double"
+    )
+    other = per.select(
+        F.col("cluster_id").alias("j"), F.col("s_i").alias("s_j")
+    )
+    db = (
+        per.join(F.broadcast(pairs), per["cluster_id"] == pairs["i"])
+        .join(F.broadcast(other), "j")
+        .groupBy("cluster_id")
+        .agg(
+            F.max(
+                (F.col("s_i") + F.col("s_j")) / F.col("d_ij")
+            ).alias("db_i")
+        )
+    )
+    return (
+        per.join(db, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.round(F.col("s_i") + F.lit(1e-9), 6).alias("mean_dist"),
+            F.round(F.col("sil") + F.lit(1e-9), 6).alias(
+                "mean_silhouette"
+            ),
+            F.round(F.coalesce(F.col("db_i"), F.lit(0.0)) + F.lit(1e-9), 4)
+            .alias("db_component"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _cluster_quality_oracle_sql() -> str | None:
+    try:
+        _ids, _vecs, cents = _ivf_fit_replica(
+            _ORACLE_SF_DIR, _CQ_K, _CQ_SEED, _CQ_FIT_SAMPLE, _CQ_MAX_ITER
+        )
+    except Exception:  # noqa: BLE001 — no testdata ⇒ rows-only row
+        return None
+    qc = _cq_qcents(cents)
+    qc_sq = (qc * qc).sum(axis=1)
+    dists = ",\n           ".join(
+        f"den - 2 * list_dot_product(qz, {_sql_vec(c)}) + {_sql_f(cs)}"
+        for cs, c in zip(qc_sq, qc)
+    )
+    k = len(cents)
+    pair_rows = ",\n      ".join(
+        f"({i}, {j}, {_sql_f(float(np.sqrt(((qc[i] - qc[j]) ** 2).sum()) / 1e6))})"
+        for i in range(k)
+        for j in range(k)
+        if i != j
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, {_sql_qvec("embedding")} AS qz,
+             list_dot_product({_sql_qvec("embedding")},
+                              {_sql_qvec("embedding")}) AS den
+      FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id,
+          [{dists}] AS dists
+      FROM v
+    ),
+    pt AS (
+      SELECT list_indexof(dists, list_sort(dists)[1]) - 1 AS cluster_id,
+             list_sort(dists)[1] AS a2,
+             list_sort(dists)[2] AS b2
+      FROM d
+    ),
+    q AS (
+      SELECT cluster_id,
+             CASE WHEN b2 > 0.0 THEN
+               FLOOR((SQRT(b2) - SQRT(a2)) / SQRT(b2) * 1e6)
+             ELSE 0.0 END AS sil_q,
+             FLOOR(SQRT(a2) * 1e-3) AS dist_q
+      FROM pt
+    ),
+    per AS (
+      SELECT cluster_id, COUNT(*) AS n_vecs,
+             SUM(dist_q) / CAST(COUNT(*) AS DOUBLE) / 1e3 AS s_i,
+             SUM(sil_q) / CAST(COUNT(*) AS DOUBLE) / 1e6 AS sil
+      FROM q GROUP BY cluster_id
+    ),
+    pairs(i, j, d_ij) AS (VALUES
+      {pair_rows}
+    ),
+    db AS (
+      SELECT p.cluster_id,
+             MAX((p.s_i + o.s_j) / pr.d_ij) AS db_i
+      FROM per p
+      JOIN pairs pr ON pr.i = p.cluster_id
+      JOIN (SELECT cluster_id AS j, s_i AS s_j FROM per) o
+        ON o.j = pr.j
+      GROUP BY p.cluster_id
+    )
+    SELECT per.cluster_id,
+           CAST(per.n_vecs AS BIGINT) AS n_vecs,
+           ROUND(per.s_i + 1e-9, 6) AS mean_dist,
+           ROUND(per.sil + 1e-9, 6) AS mean_silhouette,
+           ROUND(COALESCE(db.db_i, 0.0) + 1e-9, 4) AS db_component
+    FROM per LEFT JOIN db ON db.cluster_id = per.cluster_id
+    ORDER BY per.cluster_id
+    """
+
+
+@query(
+    "embedding_cluster_quality",
+    _cluster_quality_oracle_sql(),
+    doc="Per-cluster quality report over the IVF coarse quantizer "
+    "(k=8, the shared seeded sample-fit): simplified silhouette "
+    "(Hruschka 2004 centroid form — the O(nk) silhouette that "
+    "scales where the O(n^2) classic cannot) and the Davies-Bouldin "
+    "component max_j (S_i+S_j)/D_ij — the is-the-index-well-shaped "
+    "screen that decides whether the IVF partitioning (and any "
+    "k-means data curation built on it) actually separates the "
+    "corpus. Micro-quantized integer vectors AND centroids make "
+    "every squared distance an exact integer (the BLAS batch matmul "
+    "sums integer-valued doubles < 2^53 — order-free; argmin ties "
+    "are exact integer compares, removing the raw-double IVF "
+    "assignment's documented near-tie caveat), per-point silhouette "
+    "and scatter floor-quantize then sum exactly, and the "
+    "Davies-Bouldin max runs on the constant k-row frame with baked "
+    "centroid-pair distances. One corpus map pass, one 8-row "
+    "groupBy, no corpus self-join. See cluster_quality.",
+)
+def q_embedding_cluster_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = _fit_sample(emb, "vec_id", "embedding", _CQ_FIT_SAMPLE)
+    cents = _lloyd_fit(x, _CQ_K, _CQ_SEED, _CQ_MAX_ITER)
+    return cluster_quality(emb, cents)

@@ -112,6 +112,11 @@ SCALAR_BROADCASTS = {
     # scan for the closed-form 2x2 Mahalanobis distance — |fact| × 1,
     # a map-side enrich feeding TakeOrdered top-20 (r13)
     "lineitem_mahalanobis_outliers",
+    # the 1-row query-vector broadcast onto the corpus scan (the
+    # embedding_topk shape) plus the CONSTANT 20-row pool's 20x20
+    # pairwise frame and 1-row greedy picks — every product after
+    # the pool is data-volume-independent (r13)
+    "embedding_mmr_rerank",
     # the 1-row (min, max) bounds broadcast feeding value_prefix_max's
     # range bucketing over the distinct-cost frame (r13 two-level
     # skyline sweep) — |values| × 1

@@ -533,3 +533,112 @@ def test_jl_recall_matches_numpy_bruteforce(spark, sf_dir):
         .collect()
     ]
     assert got == expect
+
+
+def test_mmr_rerank_matches_numpy_greedy(spark, sf_dir):
+    """Third-way check: the MMR greedy selection recomputed with
+    numpy floats over the raw parquet — pool membership, pick order
+    and scores must agree."""
+    import duckdb
+    import numpy as np
+
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+        " ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    q = np.floor(
+        np.array([r[1] for r in rows], dtype=np.float64) * 1e6
+    )
+    den = (q * q).sum(1)
+    qi = int(np.where(ids == 0)[0][0])
+
+    def sim(i, j):
+        dp = den[i] * den[j]
+        return (q[i] @ q[j]) / np.sqrt(dp) if dp > 0 else -2.0
+
+    simq = {
+        j: sim(qi, j) for j in range(len(ids)) if ids[j] != 0
+    }
+    pool = sorted(simq, key=lambda j: (-simq[j], ids[j]))[:20]
+    lam, mu = 0.7, 0.3
+    sel = [min(pool, key=lambda j: (-simq[j], ids[j]))]
+    expect = [(1, ids[sel[0]], lam * simq[sel[0]])]
+    for k in range(2, 6):
+        best = None
+        for c in pool:
+            if c in sel:
+                continue
+            score = lam * simq[c] - mu * max(sim(c, s) for s in sel)
+            key = (-score, ids[c])
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        sel.append(best[1])
+        expect.append((k, ids[best[1]], best[2]))
+    import pytest
+
+    got = [
+        (r.rank, r.vec_id, r.mmr_score)
+        for r in all_queries()["embedding_mmr_rerank"]
+        .build(spark, sf_dir)
+        .collect()
+    ]
+    assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in expect]
+    for g, e in zip(got, expect):
+        assert g[2] == pytest.approx(e[2], abs=2e-6)
+
+
+def test_cluster_quality_matches_numpy(spark, sf_dir):
+    """Third-way check: fit replica + silhouette/scatter/DB recomputed
+    with plain numpy floats (no quantized fold, no shared SQL)."""
+    import duckdb
+    import numpy as np
+    import pytest
+
+    from teleco_etl_pipeline_spark.operators.similarity import (
+        _CQ_FIT_SAMPLE,
+        _CQ_K,
+        _CQ_MAX_ITER,
+        _CQ_SEED,
+        _ivf_fit_replica,
+        _cq_qcents,
+    )
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    _ids, vecs, cents = _ivf_fit_replica(
+        sf_dir, _CQ_K, _CQ_SEED, _CQ_FIT_SAMPLE, _CQ_MAX_ITER
+    )
+    qc = _cq_qcents(cents)
+    x = np.floor(vecs * 1e6)
+    d = ((x[:, None, :] - qc[None, :, :]) ** 2).sum(axis=-1)
+    lab = d.argmin(axis=1)
+    srt = np.sort(d, axis=1)
+    sa, sb = np.sqrt(srt[:, 0]), np.sqrt(srt[:, 1])
+    sil = np.where(srt[:, 1] > 0, (sb - sa) / np.where(sb > 0, sb, 1), 0.0)
+    rows = (
+        all_queries()["embedding_cluster_quality"]
+        .build(spark, sf_dir)
+        .collect()
+    )
+    assert [r.cluster_id for r in rows] == sorted(set(lab.tolist()))
+    scat = {}
+    for r in rows:
+        m = lab == r.cluster_id
+        assert r.n_vecs == int(m.sum())
+        assert r.mean_dist == pytest.approx(
+            sa[m].mean() / 1e6, abs=2e-3
+        )
+        assert r.mean_silhouette == pytest.approx(sil[m].mean(), abs=2e-4)
+        scat[r.cluster_id] = sa[m].mean()
+    for r in rows:
+        db = max(
+            (scat[r.cluster_id] + scat[j])
+            / np.sqrt(((qc[r.cluster_id] - qc[j]) ** 2).sum())
+            for j in scat
+            if j != r.cluster_id
+        )
+        # scatter floors at milli-q grain per point; the DB ratio
+        # sums two scatters, so its bias bound doubles
+        assert r.db_component == pytest.approx(db, abs=8e-3)
