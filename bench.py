@@ -256,6 +256,8 @@ BENCH_QUERIES = [
     "lineitem_mahalanobis_outliers",  # closed-form 2x2 cov ellipse top-20
     "embedding_mmr_rerank",     # diversity greedy over a constant 20-row pool
     "embedding_cluster_quality",  # silhouette + DB over the IVF map pass
+    "events_variant_logrank",   # censored survival contrast, 1e-9 quantized folds
+    "daily_revenue_periodogram",  # DFT power via the baked 464-row trig table
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

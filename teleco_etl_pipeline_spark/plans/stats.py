@@ -4281,3 +4281,314 @@ def q_lineitem_mahalanobis_outliers(
             F.round(F.col("_d2") + F.lit(1e-9), 4).alias("mahal_sq"),
         )
     )
+
+
+@query(
+    "events_variant_logrank",
+    """
+    WITH lt AS (
+      SELECT user_id,
+             CASE WHEN CAST(concat('0x',
+                    substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 1000000 < 500000
+                  THEN 'A' ELSE 'B' END AS variant,
+             (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000 AS t_days,
+             ((SELECT MAX(epoch_us(ts)) FROM events) - MAX(epoch_us(ts)))
+               < 43200000000 AS censored
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT t_days,
+             COUNT(*) FILTER (WHERE variant = 'A' AND NOT censored) AS da,
+             COUNT(*) FILTER (WHERE NOT censored) AS d,
+             COUNT(*) FILTER (WHERE variant = 'A') AS ta,
+             COUNT(*) FILTER (WHERE variant = 'B') AS tb
+      FROM lt GROUP BY t_days
+    ),
+    risk AS (
+      SELECT t_days, da, d,
+             SUM(ta) OVER (ORDER BY t_days DESC
+                           ROWS UNBOUNDED PRECEDING) AS na,
+             SUM(tb) OVER (ORDER BY t_days DESC
+                           ROWS UNBOUNDED PRECEDING) AS nb
+      FROM cells
+    ),
+    terms AS (
+      SELECT SUM(CAST(FLOOR((CAST(da AS DOUBLE)
+                             - CAST(d AS DOUBLE) * CAST(na AS DOUBLE)
+                               / CAST(na + nb AS DOUBLE)) * 1e9)
+                      AS BIGINT)) AS oe_q,
+             SUM(CAST(FLOOR(CAST(d AS DOUBLE)
+                            * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                            * (CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                            * (CAST(na + nb - d AS DOUBLE)
+                               / CAST(na + nb - 1 AS DOUBLE)) * 1e9)
+                      AS BIGINT)) AS v_q,
+             SUM(d) AS deaths
+      FROM risk
+      WHERE d > 0 AND na + nb >= 2
+    ),
+    counts AS (
+      SELECT COUNT(*) FILTER (WHERE variant = 'A') AS n_a,
+             COUNT(*) FILTER (WHERE variant = 'B') AS n_b
+      FROM lt
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(COALESCE(deaths, 0) AS BIGINT) AS n_deaths,
+           CASE WHEN v_q > 0 THEN
+             ROUND((CAST(oe_q AS DOUBLE) / 1e9)
+                   / SQRT(CAST(v_q AS DOUBLE) / 1e9) + 1e-9, 4)
+           ELSE 0.0 END AS logrank_z
+    FROM counts, terms
+    """,
+    doc="Log-rank test (Mantel 1966) between the md5 experiment "
+    "variants on user activity-lifetime survival: at each distinct "
+    "lifetime day, observed-minus-expected A-arm churn under the "
+    "hypergeometric null given the at-risk margins, z = sum(O-E) / "
+    "sqrt(sum Var) — the survival-curve partner of "
+    "events_variant_ztest (the z-test compares one binary endpoint; "
+    "the log-rank compares the WHOLE time-to-churn distribution "
+    "with censoring handled, the clinical/churn-analysis standard). "
+    "Same per-user reduce and censoring rule as user_survival_curve, "
+    "same shared hash_bucket assignment as the CUPED/z-test family; "
+    "the at-risk suffix sums and per-day terms run on the "
+    "calendar-bounded day frame (module-sanctioned), each day's "
+    "O-E and variance are ONE fixed-order float expression "
+    "floor-quantized to 1e-9 and summed as exact integers "
+    "(the Ljung-Box pattern — engine summation order can never "
+    "perturb the statistic), and the final z is two divisions and a "
+    "sqrt on identical inputs.",
+)
+def q_events_variant_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.functions import epoch_us
+    from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    us = epoch_us("ts")
+    frontier = ev.agg(F.max(us).alias("_f")).scalar()
+    lt = ev.groupBy("user_id").agg(
+        ((F.max(us) - F.min(us)) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("t_days"),
+        ((frontier - F.max(us)) < F.lit(43_200_000_000)).alias("censored"),
+    ).select(
+        F.when(hash_bucket("user_id") < 500000, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+        "t_days",
+        "censored",
+    )
+    lt = lt.localCheckpoint(eager=True)
+    cells = lt.groupBy("t_days").agg(
+        F.sum(
+            F.when((F.col("variant") == "A") & ~F.col("censored"), 1)
+            .otherwise(0)
+        ).alias("da"),
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("ta"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("tb"),
+    )
+    wdesc = Window.orderBy(F.desc("t_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = cells.select(
+        "t_days",
+        "da",
+        "d",
+        F.sum("ta").over(wdesc).alias("na"),
+        F.sum("tb").over(wdesc).alias("nb"),
+    )
+    dad = F.col("da").cast("double")
+    dd = F.col("d").cast("double")
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    nd = (F.col("na") + F.col("nb")).cast("double")
+    oe_q = F.floor((dad - dd * nad / nd) * F.lit(1e9)).cast("long")
+    v_q = F.floor(
+        dd
+        * (nad / nd)
+        * (nbd / nd)
+        * (
+            (F.col("na") + F.col("nb") - F.col("d")).cast("double")
+            / (F.col("na") + F.col("nb") - 1).cast("double")
+        )
+        * F.lit(1e9)
+    ).cast("long")
+    terms = (
+        risk.filter((F.col("d") > 0) & (F.col("na") + F.col("nb") >= 2))
+        .agg(
+            F.sum(oe_q).alias("oe_q"),
+            F.sum(v_q).alias("v_q"),
+            F.sum("d").alias("deaths"),
+        )
+    )
+    counts = lt.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("n_b"),
+    )
+    return counts.crossJoin(F.broadcast(terms)).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.coalesce(F.col("deaths"), F.lit(0)).cast("long").alias("n_deaths"),
+        F.when(
+            F.col("v_q") > 0,
+            F.round(
+                (F.col("oe_q").cast("double") / F.lit(1e9))
+                / F.sqrt(F.col("v_q").cast("double") / F.lit(1e9))
+                + F.lit(1e-9),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("logrank_z"),
+    )
+
+
+_PGRAM_PERIODS = range(2, 31)
+
+
+def _pgram_table() -> list[tuple[int, int, int, int]]:
+    """The (period, phase) -> quantized cos/sin table: cos(2*pi*i/p)
+    depends only on i mod p, so the whole trig surface is a CONSTANT
+    sum(p)=464-row table computed ONCE driver-side (python libm) and
+    baked as identical integer literals into both engines — trig is
+    not correctly rounded on either engine and measured differences
+    exceed one result-ulp at day-scale arguments (the near-zero
+    sin(pi*i) rows flip a floor between -1 and 0), so neither
+    engine's own trig can appear in the plan."""
+    import math
+
+    out = []
+    for pp in _PGRAM_PERIODS:
+        for r in range(pp):
+            a = 2.0 * math.pi * r / pp
+            out.append(
+                (
+                    pp,
+                    r,
+                    int(math.floor(math.cos(a) * 1e6)),
+                    int(math.floor(math.sin(a) * 1e6)),
+                )
+            )
+    return out
+
+
+def _pgram_oracle_sql() -> str:
+    trig_rows = ",\n      ".join(
+        f"({pp}, {r}, {c6}, {s6})" for pp, r, c6, s6 in _pgram_table()
+    )
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(CAST(y AS HUGEINT)) AS t FROM seq
+    ),
+    trig(p, r, c6, s6) AS (VALUES
+      {trig_rows}
+    ),
+    terms AS (
+      SELECT trig.p,
+             SUM((CAST(m.n AS HUGEINT) * s.y - m.t) * trig.c6) AS cq,
+             SUM((CAST(m.n AS HUGEINT) * s.y - m.t) * trig.s6) AS sq
+      FROM seq s
+      JOIN trig ON trig.r = s.i % trig.p
+      CROSS JOIN m
+      GROUP BY trig.p
+    )"""
+
+@query(
+    "daily_revenue_periodogram",
+    _pgram_oracle_sql() + """
+    SELECT CAST(p AS INT) AS period_days,
+           ROUND(((CAST(cq AS DOUBLE) / 1e6) * (CAST(cq AS DOUBLE) / 1e6)
+                  + (CAST(sq AS DOUBLE) / 1e6) * (CAST(sq AS DOUBLE) / 1e6))
+                 / (CAST((SELECT n FROM m) AS DOUBLE)
+                    * CAST((SELECT n FROM m) AS DOUBLE)
+                    * CAST((SELECT n FROM m) AS DOUBLE)) + 1e-9, 2)
+             AS power_norm
+    FROM terms
+    ORDER BY CAST(cq AS DOUBLE) * CAST(cq AS DOUBLE)
+             + CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) DESC, p ASC
+    LIMIT 5
+    """,
+    doc="Daily-revenue periodogram: discrete-Fourier power at trial "
+    "periods 2-30 days on the mean-removed day series, top-5 periods "
+    "by spectral power (Schuster 1898) — the frequency-domain "
+    "seasonality screen that names the cadence daily_revenue_acf's "
+    "lag curve only hints at (a weekly cycle shows as the p=7 "
+    "power spike). Day-grain frame throughout (module-sanctioned); "
+    "the mean removes exactly via the cross-multiplied integer "
+    "n*y_t - T; the cos/sin surface collapses by periodicity to the "
+    "CONSTANT 464-row (period, i mod p) table, quantized to 1e-6 "
+    "integers ONCE driver-side and baked as identical literals into "
+    "both engines (measured: engine trig differs by more than one "
+    "result-ulp at day-scale arguments and near-zero sin rows flip "
+    "a floor — no engine trig appears in the plan), so every term "
+    "is an exact HUGEINT/DECIMAL(38) integer product and C, S sum "
+    "exactly; the ranking key C^2+S^2 folds the exact sums through "
+    "one identical double sequence with smaller-period tie-break; "
+    "power displays normalized by n^3, one fixed-order float "
+    "expression.",
+)
+def q_daily_revenue_periodogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice"), 0).cast("long")).alias("y")
+    )
+    seq = daily.select(
+        "y", F.row_number().over(Window.orderBy("day")).alias("i")
+    ).localCheckpoint(eager=True)
+    m = seq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast(_DEC)).alias("t"),
+    )
+    trig = spark.createDataFrame(
+        _pgram_table(), "p int, r int, c6 long, s6 long"
+    )
+    dev = F.col("n").cast(_DEC) * F.col("y") - F.col("t")
+    terms = (
+        seq.join(
+            F.broadcast(trig), F.col("r") == F.col("i") % F.col("p")
+        )
+        .crossJoin(F.broadcast(m))
+        .groupBy("p")
+        .agg(
+            F.sum(dev * F.col("c6")).alias("cq"),
+            F.sum(dev * F.col("s6")).alias("sq"),
+        )
+    )
+    n_days = m.select("n").scalar()
+    nd = n_days.cast("double")
+    return (
+        terms.orderBy(
+            F.desc(
+                F.col("cq").cast("double") * F.col("cq").cast("double")
+                + F.col("sq").cast("double") * F.col("sq").cast("double")
+            ),
+            F.asc("p"),
+        )
+        .limit(5)
+        .select(
+            F.col("p").cast("int").alias("period_days"),
+            F.round(
+                (
+                    (F.col("cq").cast("double") / F.lit(1e6))
+                    * (F.col("cq").cast("double") / F.lit(1e6))
+                    + (F.col("sq").cast("double") / F.lit(1e6))
+                    * (F.col("sq").cast("double") / F.lit(1e6))
+                )
+                / (nd * nd * nd)
+                + F.lit(1e-9),
+                2,
+            ).alias("power_norm"),
+        )
+    )

@@ -117,6 +117,13 @@ SCALAR_BROADCASTS = {
     # pairwise frame and 1-row greedy picks — every product after
     # the pool is data-volume-independent (r13)
     "embedding_mmr_rerank",
+    # the 1-row (O-E, Var, deaths) fold broadcast onto the 1-row
+    # user-count frame — a 1×1 product (r13)
+    "events_variant_logrank",
+    # the CONSTANT 464-row baked trig table joined by the r = i%p
+    # expression onto the calendar-bounded day frame, plus the 1-row
+    # moment scalar — |days| × 464 at ANY sf (r13)
+    "daily_revenue_periodogram",
     # the 1-row (min, max) bounds broadcast feeding value_prefix_max's
     # range bucketing over the distinct-cost frame (r13 two-level
     # skyline sweep) — |values| × 1

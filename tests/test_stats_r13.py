@@ -619,3 +619,71 @@ def test_mahalanobis_matches_numpy(spark, sf_dir):
     assert [(r["l_orderkey"], r["l_linenumber"]) for r in got] == expect
     for r, i in zip(got, order):
         assert r["mahal_sq"] == pytest.approx(d2[i], rel=1e-6, abs=1e-3)
+
+
+def test_logrank_matches_textbook(spark, sf_dir):
+    """Mantel log-rank recomputed in plain Python floats: per-user
+    lifetimes + censoring from the raw parquet, hypergeometric O-E
+    and variance per distinct day, no quantization."""
+    import hashlib
+
+    rows = _con(sf_dir).execute(
+        "SELECT user_id,"
+        " (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000,"
+        " ((SELECT MAX(epoch_us(ts)) FROM events) - MAX(epoch_us(ts)))"
+        "   < 43200000000"
+        " FROM events GROUP BY user_id"
+    ).fetchall()
+
+    def variant(uid):
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16)
+        return "A" if h % 1_000_000 < 500_000 else "B"
+
+    lt = [(variant(u), t, c) for u, t, c in rows]
+    days = sorted({t for _, t, _ in lt})
+    oe = vv = 0.0
+    deaths = 0
+    for t in days:
+        da = sum(1 for v, tt, c in lt if v == "A" and tt == t and not c)
+        d = sum(1 for _, tt, c in lt if tt == t and not c)
+        na = sum(1 for v, tt, _ in lt if v == "A" and tt >= t)
+        nb = sum(1 for v, tt, _ in lt if v == "B" and tt >= t)
+        n = na + nb
+        if d > 0 and n >= 2:
+            oe += da - d * na / n
+            vv += d * (na / n) * (nb / n) * ((n - d) / (n - 1))
+            deaths += d
+    z = oe / math.sqrt(vv)
+    (r,) = _run(spark, sf_dir, "events_variant_logrank")
+    assert r["n_a"] == sum(1 for v, _, _ in lt if v == "A")
+    assert r["n_b"] == sum(1 for v, _, _ in lt if v == "B")
+    assert r["n_deaths"] == deaths
+    assert r["logrank_z"] == pytest.approx(z, abs=2e-3)
+
+
+def test_periodogram_matches_dft_bruteforce(spark, sf_dir):
+    """Plain-float DFT over the day series (no quantized trig table):
+    top-5 period set and order must agree, and power within the
+    trig-quantization bias."""
+    rows = _con(sf_dir).execute(
+        "SELECT CAST(o_orderdate AS DATE) AS day,"
+        " SUM(CAST(ROUND(o_totalprice) AS BIGINT)) FROM orders"
+        " GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    ys = [y for _, y in rows]
+    n = len(ys)
+    mean = sum(ys) / n
+    powers = {}
+    for p in range(2, 31):
+        c = sum((y - mean) * math.cos(2 * math.pi * i / p)
+                for i, y in enumerate(ys, start=1))
+        s = sum((y - mean) * math.sin(2 * math.pi * i / p)
+                for i, y in enumerate(ys, start=1))
+        powers[p] = (c * c + s * s) / n
+    top = sorted(powers, key=lambda p: (-powers[p], p))[:5]
+    got = _run(spark, sf_dir, "daily_revenue_periodogram")
+    assert [r["period_days"] for r in got] == top
+    for r in got:
+        assert r["power_norm"] == pytest.approx(
+            powers[r["period_days"]], rel=1e-4
+        )
