@@ -258,6 +258,8 @@ BENCH_QUERIES = [
     "embedding_cluster_quality",  # silhouette + DB over the IVF map pass
     "events_variant_logrank",   # censored survival contrast, 1e-9 quantized folds
     "daily_revenue_periodogram",  # DFT power via the baked 464-row trig table
+    "monthly_peak_gumbel",      # block-maxima EV fit, month-grain moments
+    "score_brier_decomposition",  # Murphy REL/RES/UNC over the decile bins
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

@@ -2082,3 +2082,178 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "score_brier_decomposition",
+    """
+    WITH nt AS (SELECT COUNT(*) AS n_tot FROM customer),
+    scored AS (
+      SELECT c.c_custkey,
+             ROW_NUMBER() OVER (ORDER BY c.c_acctbal, c.c_custkey) AS rn,
+             CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+      FROM customer c
+      LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        ON o.o_custkey = c.c_custkey
+    ),
+    g0 AS (
+      SELECT (SELECT n_tot FROM nt) AS n,
+             SUM(y) AS o,
+             SUM(CAST(rn - 1 AS HUGEINT) * y) AS b
+      FROM scored
+    ),
+    bins AS (
+      SELECT LEAST(CAST(FLOOR(
+               CASE WHEN (SELECT n_tot FROM nt) > 1 THEN
+                 CAST(rn - 1 AS DOUBLE)
+                 / CAST((SELECT n_tot FROM nt) - 1 AS DOUBLE)
+               ELSE 0.0 END * 10) AS INT), 9) AS bin,
+             COUNT(*) AS nk,
+             SUM(CAST(rn - 1 AS HUGEINT)) AS rk,
+             SUM(y) AS ok
+      FROM scored GROUP BY 1
+    ),
+    terms AS (
+      SELECT
+        SUM(CAST(FLOOR(CAST(nk AS DOUBLE)
+              * (CAST(rk AS DOUBLE)
+                 / (CAST(g.n - 1 AS DOUBLE) * CAST(nk AS DOUBLE))
+                 - CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE))
+              * (CAST(rk AS DOUBLE)
+                 / (CAST(g.n - 1 AS DOUBLE) * CAST(nk AS DOUBLE))
+                 - CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE))
+              * 1e12) AS HUGEINT)) AS rel_q,
+        SUM(CAST(FLOOR(CAST(nk AS DOUBLE)
+              * (CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE)
+                 - CAST(g.o AS DOUBLE) / CAST(g.n AS DOUBLE))
+              * (CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE)
+                 - CAST(g.o AS DOUBLE) / CAST(g.n AS DOUBLE))
+              * 1e12) AS HUGEINT)) AS res_q
+      FROM bins, g0 g
+    )
+    SELECT CAST(g.n AS BIGINT) AS n_rows,
+           CASE WHEN g.n > 1 THEN
+             ROUND(CAST(CAST(g.n - 1 AS HUGEINT) * g.n * (2 * g.n - 1) / 6
+                        - 2 * CAST(g.n - 1 AS HUGEINT) * g.b
+                        + CAST(g.n - 1 AS HUGEINT) * (g.n - 1) * g.o
+                        AS DOUBLE)
+                   / (CAST(g.n - 1 AS DOUBLE) * CAST(g.n - 1 AS DOUBLE)
+                      * CAST(g.n AS DOUBLE)) + 1e-9, 6)
+           ELSE 0.0 END AS brier,
+           ROUND(CAST(t.rel_q AS DOUBLE) / 1e12 / CAST(g.n AS DOUBLE)
+                 + 1e-9, 6) AS reliability,
+           ROUND(CAST(t.res_q AS DOUBLE) / 1e12 / CAST(g.n AS DOUBLE)
+                 + 1e-9, 6) AS resolution,
+           ROUND((CAST(g.o AS DOUBLE) / CAST(g.n AS DOUBLE))
+                 * (1.0 - CAST(g.o AS DOUBLE) / CAST(g.n AS DOUBLE))
+                 + 1e-9, 6) AS uncertainty
+    FROM g0 g, terms t
+    """,
+    doc="Murphy (1973) decomposition of the Brier score over the "
+    "decile calibration bins: reliability (calibration error), "
+    "resolution (how much the bins separate the outcome) and "
+    "uncertainty (outcome variance), plus the RAW Brier score — "
+    "completing score_calibration_bins (the bins show WHERE "
+    "calibration fails; the decomposition prices it, and "
+    "brier ~ reliability - resolution + uncertainty up to binning). "
+    "Same two-phase global rank and semi-join outcome as the bins "
+    "query; the raw Brier folds ENTIRELY from exact integers (the "
+    "rank-square sum is the closed form (N-1)N(2N-1)/6, the cross "
+    "term one HUGEINT/DECIMAL(38) aggregate) through one division, "
+    "and the 10 per-bin decomposition terms are fixed-order float "
+    "expressions floor-quantized to 1e-12 and summed exactly "
+    "(Ljung-Box pattern). Everything after the rank runs on 10 "
+    "bins + two 1-row frames.",
+)
+def q_score_brier_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.rank import two_phase_window
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    buyers = orders.select(F.col("o_custkey")).distinct()
+    n_tot = cust.agg(F.count(F.lit(1)).alias("n_tot")).scalar()
+    joined = cust.join(
+        buyers, cust["c_custkey"] == buyers["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("y"),
+    )
+    ranked = two_phase_window(
+        joined, [F.asc("c_acctbal"), F.asc("c_custkey")], row_col="rn"
+    ).localCheckpoint(eager=True)
+    glob = ranked.agg(
+        F.sum("y").alias("o"),
+        F.sum((F.col("rn") - 1).cast("decimal(38,0)") * F.col("y")).alias("b"),
+    )
+    score = F.when(
+        n_tot > F.lit(1),
+        (F.col("rn") - 1).cast("double") / (n_tot - F.lit(1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    bins = ranked.groupBy(
+        F.least(F.floor(score * 10).cast("int"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.sum((F.col("rn") - 1).cast("decimal(38,0)")).alias("rk"),
+        F.sum("y").alias("ok"),
+    )
+    nd = n_tot.cast("double")
+    nkd = F.col("nk").cast("double")
+    pbar = F.col("rk").cast("double") / (
+        (n_tot - F.lit(1)).cast("double") * nkd
+    )
+    obar_k = F.col("ok").cast("double") / nkd
+    obar = F.col("o").cast("double") / nd
+    terms = (
+        bins.crossJoin(F.broadcast(glob))
+        .agg(
+            F.sum(
+                F.floor(
+                    nkd * (pbar - obar_k) * (pbar - obar_k) * F.lit(1e12)
+                ).cast("decimal(38,0)")
+            ).alias("rel_q"),
+            F.sum(
+                F.floor(
+                    nkd * (obar_k - obar) * (obar_k - obar) * F.lit(1e12)
+                ).cast("decimal(38,0)")
+            ).alias("res_q"),
+        )
+    )
+    nn = n_tot.cast("decimal(38,0)")
+    a_sum = (nn - 1) * n_tot * (2 * n_tot - 1) / 6
+    brier = (
+        (
+            a_sum
+            - F.lit(2).cast("decimal(38,0)") * (nn - 1) * F.col("b")
+            + (nn - 1) * (n_tot - 1) * F.col("o")
+        ).cast("double")
+        / (
+            (n_tot - F.lit(1)).cast("double")
+            * (n_tot - F.lit(1)).cast("double")
+            * nd
+        )
+    )
+    return (
+        glob.crossJoin(F.broadcast(terms))
+        .select(
+            n_tot.cast("long").alias("n_rows"),
+            F.when(n_tot > F.lit(1), F.round(brier + F.lit(1e-9), 6))
+            .otherwise(F.lit(0.0))
+            .alias("brier"),
+            F.round(
+                F.col("rel_q").cast("double") / F.lit(1e12) / nd
+                + F.lit(1e-9),
+                6,
+            ).alias("reliability"),
+            F.round(
+                F.col("res_q").cast("double") / F.lit(1e12) / nd
+                + F.lit(1e-9),
+                6,
+            ).alias("resolution"),
+            F.round(obar * (1.0 - obar) + F.lit(1e-9), 6).alias(
+                "uncertainty"
+            ),
+        )
+    )

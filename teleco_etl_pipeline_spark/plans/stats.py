@@ -4592,3 +4592,113 @@ def q_daily_revenue_periodogram(
             ).alias("power_norm"),
         )
     )
+
+
+@query(
+    "monthly_peak_gumbel",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ),
+    blocks AS (
+      SELECT STRFTIME(CAST(day AS DATE), '%Y-%m') AS month,
+             MAX(y) AS peak
+      FROM daily GROUP BY 1
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(peak AS HUGEINT)) AS s,
+             SUM(CAST(peak AS HUGEINT) * peak) AS q
+      FROM blocks
+    ),
+    e AS (
+      SELECT n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             SQRT(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+               AS sd
+      FROM m
+    ),
+    f AS (
+      SELECT n, mean, sd,
+             sd * 2.449489742783178 / 3.141592653589793 AS beta
+      FROM e
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CASE WHEN n >= 2 AND sd > 0.0 THEN
+             ROUND(mean - 0.5772156649015329 * beta + 1e-9, 2)
+           ELSE 0.0 END AS mu_cents,
+           CASE WHEN n >= 2 AND sd > 0.0 THEN
+             ROUND(beta + 1e-9, 2)
+           ELSE 0.0 END AS beta_cents,
+           CASE WHEN n >= 2 AND sd > 0.0 THEN
+             ROUND(mean - 0.5772156649015329 * beta
+                   + beta * 4.600149226776579 + 1e-9, 2)
+           ELSE 0.0 END AS rl99_cents,
+           CASE WHEN n >= 2 AND sd > 0.0 THEN
+             ROUND(mean - 0.5772156649015329 * beta
+                   + beta * 6.907255070523716 + 1e-9, 2)
+           ELSE 0.0 END AS rl999_cents
+    FROM f
+    """,
+    doc="Gumbel extreme-value fit on MONTHLY BLOCK MAXIMA of daily "
+    "revenue (Gumbel 1958, method-of-moments: beta = s*sqrt(6)/pi, "
+    "mu = mean - gamma*beta) with the 99% and 99.9% return levels "
+    "mu - beta*ln(-ln p) — the how-big-is-the-once-in-N-months-peak "
+    "statistic capacity planning reads (complements "
+    "events_powerlaw_tail_fit's Hill index: Hill grades the tail "
+    "SHAPE, the return level prices a concrete exceedance). Fact "
+    "reduces to day grain then to the ~84-row month-max frame "
+    "(calendar-bounded at any sf); {n, S, S^2} are exact "
+    "HUGEINT/DECIMAL(38) cents moments, and sqrt(6)/pi, the "
+    "Euler-Mascheroni gamma and -ln(-ln p) are BAKED double "
+    "literals (no in-plan libm beyond sqrt), so the display "
+    "expressions are one fixed IEEE sequence.",
+)
+def q_monthly_peak_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(_cents("o_totalprice")).alias("y")
+    )
+    blocks = daily.groupBy(
+        F.date_format(F.col("day").cast("date"), "yyyy-MM").alias("month")
+    ).agg(F.max("y").alias("peak"))
+    m = blocks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("peak").cast(_DEC)).alias("s"),
+        F.sum(F.col("peak").cast(_DEC) * F.col("peak")).alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    sd = F.sqrt(
+        (F.col("n").cast(_DEC) * F.col("q") - F.col("s") * F.col("s")).cast(
+            "double"
+        )
+        / (nd * (nd - 1.0))
+    )
+    beta = sd * F.lit(2.449489742783178) / F.lit(3.141592653589793)
+    mu = mean - F.lit(0.5772156649015329) * beta
+    ok = (F.col("n") >= 2) & (sd > 0.0)
+    return m.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.when(ok, F.round(mu + F.lit(1e-9), 2))
+        .otherwise(F.lit(0.0))
+        .alias("mu_cents"),
+        F.when(ok, F.round(beta + F.lit(1e-9), 2))
+        .otherwise(F.lit(0.0))
+        .alias("beta_cents"),
+        F.when(
+            ok,
+            F.round(mu + beta * F.lit(4.600149226776579) + F.lit(1e-9), 2),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rl99_cents"),
+        F.when(
+            ok,
+            F.round(mu + beta * F.lit(6.907255070523716) + F.lit(1e-9), 2),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rl999_cents"),
+    )

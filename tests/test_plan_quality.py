@@ -124,6 +124,9 @@ SCALAR_BROADCASTS = {
     # expression onto the calendar-bounded day frame, plus the 1-row
     # moment scalar — |days| × 464 at ANY sf (r13)
     "daily_revenue_periodogram",
+    # the 1-row (O, B) moment frame onto the 10-bin frame and the
+    # 1-row decomposition fold — 10×1 and 1×1 products (r13)
+    "score_brier_decomposition",
     # the 1-row (min, max) bounds broadcast feeding value_prefix_max's
     # range bucketing over the distinct-cost frame (r13 two-level
     # skyline sweep) — |values| × 1

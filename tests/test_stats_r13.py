@@ -687,3 +687,70 @@ def test_periodogram_matches_dft_bruteforce(spark, sf_dir):
         assert r["power_norm"] == pytest.approx(
             powers[r["period_days"]], rel=1e-4
         )
+
+
+def test_gumbel_matches_textbook(spark, sf_dir):
+    rows = _con(sf_dir).execute(
+        "SELECT STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m') AS m,"
+        " CAST(o_orderdate AS DATE) AS d,"
+        " CAST(ROUND(o_totalprice*100) AS BIGINT) AS c FROM orders"
+    ).fetchall()
+    daily: dict = {}
+    for m, d, c in rows:
+        daily[d] = daily.get(d, 0) + c
+    peaks: dict = {}
+    for d, y in daily.items():
+        m = d.strftime("%Y-%m")
+        peaks[m] = max(peaks.get(m, 0), y)
+    xs = list(peaks.values())
+    n = len(xs)
+    mean = sum(xs) / n
+    sd = math.sqrt(sum((x - mean) ** 2 for x in xs) / (n - 1))
+    beta = sd * math.sqrt(6) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    rl99 = mu - beta * math.log(-math.log(0.99))
+    (r,) = _run(spark, sf_dir, "monthly_peak_gumbel")
+    assert r["n_months"] == n
+    assert r["mu_cents"] == pytest.approx(mu, rel=1e-9)
+    assert r["beta_cents"] == pytest.approx(beta, rel=1e-9)
+    assert r["rl99_cents"] == pytest.approx(rl99, rel=1e-9)
+
+
+def test_brier_decomposition_matches_textbook(spark, sf_dir):
+    rows = _con(sf_dir).execute(
+        f"""
+        SELECT c.c_custkey, c.c_acctbal,
+               CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END
+        FROM '{sf_dir}/customer.parquet' c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+          ON o.o_custkey = c.c_custkey
+        """
+    ).fetchall()
+    rows.sort(key=lambda r: (r[1], r[0]))
+    n = len(rows)
+    scored = [((i) / (n - 1), y) for i, (_, _, y) in enumerate(rows)]
+    brier = sum((s - y) ** 2 for s, y in scored) / n
+    obar = sum(y for _, y in scored) / n
+    bins: dict = {}
+    for s, y in scored:
+        b = min(int(s * 10), 9)
+        bins.setdefault(b, []).append((s, y))
+    rel = sum(
+        len(v)
+        * (sum(s for s, _ in v) / len(v) - sum(y for _, y in v) / len(v))
+        ** 2
+        for v in bins.values()
+    ) / n
+    res = sum(
+        len(v) * (sum(y for _, y in v) / len(v) - obar) ** 2
+        for v in bins.values()
+    ) / n
+    (r,) = _run(spark, sf_dir, "score_brier_decomposition")
+    assert r["n_rows"] == n
+    assert r["brier"] == pytest.approx(brier, abs=2e-6)
+    assert r["reliability"] == pytest.approx(rel, abs=2e-6)
+    assert r["resolution"] == pytest.approx(res, abs=2e-6)
+    assert r["uncertainty"] == pytest.approx(obar * (1 - obar), abs=2e-6)
+    # Murphy identity holds up to binning error
+    assert abs(r["brier"] - (r["reliability"] - r["resolution"]
+               + r["uncertainty"])) < 0.02
