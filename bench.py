@@ -260,6 +260,10 @@ BENCH_QUERIES = [
     "daily_revenue_periodogram",  # DFT power via the baked 464-row trig table
     "monthly_peak_gumbel",      # block-maxima EV fit, month-grain moments
     "score_brier_decomposition",  # Murphy REL/RES/UNC over the decile bins
+    "embedding_covariance_drift",  # quadratic-MMD Gram delta, 4096-cell shuffle
+    "variant_qini_curve",       # uplift deciles, two-phase rank + exact NTILE
+    "fd_violation_report",      # four FD g3-error legs, countDistinct at key grain
+    "part_demand_xyz",          # per-part monthly-demand CV classes
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

@@ -185,3 +185,95 @@ def fk_edge_report(
         .cast("long")
         .alias("n_orphans"),
     )
+
+
+@query(
+    "fd_violation_report",
+    """
+    WITH checks AS (
+      SELECT 'orders: o_custkey -> o_orderpriority' AS fd, lhs, n_rhs
+      FROM (
+        SELECT o_custkey AS lhs, COUNT(DISTINCT o_orderpriority) AS n_rhs
+        FROM orders GROUP BY 1
+      )
+      UNION ALL
+      SELECT 'lineitem: l_partkey -> l_suppkey', lhs, n_rhs
+      FROM (
+        SELECT l_partkey AS lhs, COUNT(DISTINCT l_suppkey) AS n_rhs
+        FROM lineitem GROUP BY 1
+      )
+      UNION ALL
+      SELECT 'lineitem: l_orderkey -> l_returnflag', lhs, n_rhs
+      FROM (
+        SELECT l_orderkey AS lhs, COUNT(DISTINCT l_returnflag) AS n_rhs
+        FROM lineitem GROUP BY 1
+      )
+      UNION ALL
+      SELECT 'nation: n_nationkey -> n_regionkey', lhs, n_rhs
+      FROM (
+        SELECT n_nationkey AS lhs, COUNT(DISTINCT n_regionkey) AS n_rhs
+        FROM nation GROUP BY 1
+      )
+    )
+    SELECT fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_per_lhs,
+           ROUND(CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) + 1e-9, 6) AS violation_rate
+    FROM checks GROUP BY fd ORDER BY fd
+    """,
+    doc="Approximate-functional-dependency violation report "
+    "(Huhtala et al. TANE 1999's g3-style error, per candidate FD): "
+    "for each declared candidate dependency lhs -> rhs, how many "
+    "lhs values map to MORE than one rhs value, the worst fan-out, "
+    "and the violation rate — the schema-drift/denormalization "
+    "screen the reference's existence/range DQ checks "
+    "(DWH_Quality_Checks.sql) cannot express (a silently "
+    "multi-sourced part or a customer spread across priorities is "
+    "invisible to null/range tests). Four candidate FDs across the "
+    "star schema, each ONE map-side-combined groupBy + exact "
+    "COUNT(DISTINCT rhs) at lhs grain, reduced to a 4-row report — "
+    "per-FD legs are independent scans unioned at summary grain, "
+    "all counts exact integers, one CR division for the rate.",
+)
+def q_fd_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    checks = [
+        ("orders: o_custkey -> o_orderpriority", "orders", "o_custkey",
+         "o_orderpriority"),
+        ("lineitem: l_partkey -> l_suppkey", "lineitem", "l_partkey",
+         "l_suppkey"),
+        ("lineitem: l_orderkey -> l_returnflag", "lineitem", "l_orderkey",
+         "l_returnflag"),
+        ("nation: n_nationkey -> n_regionkey", "nation", "n_nationkey",
+         "n_regionkey"),
+    ]
+    outs = []
+    for fd, table, lhs, rhs in checks:
+        t = load_table(spark, sf_dir, table)
+        g = t.groupBy(F.col(lhs).alias("lhs")).agg(
+            F.countDistinct(rhs).alias("n_rhs")
+        )
+        outs.append(
+            g.agg(
+                F.lit(fd).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_lhs"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+                F.max("n_rhs").cast("long").alias("max_rhs_per_lhs"),
+                F.round(
+                    F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)).cast("double")
+                    + F.lit(1e-9),
+                    6,
+                ).alias("violation_rate"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("fd")

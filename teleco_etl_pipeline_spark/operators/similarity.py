@@ -4719,3 +4719,163 @@ def q_embedding_cluster_quality(
     x = _fit_sample(emb, "vec_id", "embedding", _CQ_FIT_SAMPLE)
     cents = _lloyd_fit(x, _CQ_K, _CQ_SEED, _CQ_MAX_ITER)
     return cluster_quality(emb, cents)
+
+
+# --- covariance-discrepancy drift (quadratic-kernel MMD) ---------------------
+
+_COVD_DIM = 64
+
+
+def _covd_oracle_sql() -> str:
+    return f"""
+    WITH f AS (
+      SELECT CASE WHEN CAST(concat('0x',
+                    substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 1000000 < 800000 THEN 'train'
+                  WHEN CAST(concat('0x',
+                    substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 1000000 >= 900000 THEN 'test'
+             END AS split,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> FLOOR(x * 1000.0)) AS q
+      FROM embeddings
+    ),
+    v AS (SELECT split, q FROM f WHERE split IS NOT NULL),
+    cnt AS (
+      SELECT SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_t,
+             SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_s
+      FROM v
+    ),
+    cells AS (
+      SELECT split, i.i, j.j,
+             SUM(CAST(q[i.i] AS HUGEINT) * CAST(q[j.j] AS BIGINT)) AS s
+      FROM v
+      CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {_COVD_DIM})) AS i) i
+      CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {_COVD_DIM})) AS j) j
+      GROUP BY split, i.i, j.j
+    ),
+    piv AS (
+      SELECT i, j,
+             MAX(CASE WHEN split = 'train' THEN s END) AS st,
+             MAX(CASE WHEN split = 'test' THEN s END) AS ss
+      FROM cells GROUP BY i, j
+    ),
+    terms AS (
+      SELECT SUM(CAST(FLOOR(
+               (CAST(COALESCE(st, 0) AS DOUBLE) / CAST(c.n_t AS DOUBLE)
+                - CAST(COALESCE(ss, 0) AS DOUBLE) / CAST(c.n_s AS DOUBLE))
+               * (CAST(COALESCE(st, 0) AS DOUBLE) / CAST(c.n_t AS DOUBLE)
+                  - CAST(COALESCE(ss, 0) AS DOUBLE) / CAST(c.n_s AS DOUBLE))
+               * 1e6) AS HUGEINT)) AS jq
+      FROM piv, cnt c
+      WHERE c.n_t > 0 AND c.n_s > 0
+    )
+    SELECT CAST(c.n_t AS BIGINT) AS n_train,
+           CAST(c.n_s AS BIGINT) AS n_test,
+           CASE WHEN c.n_t > 0 AND c.n_s > 0 THEN
+             ROUND(SQRT(CAST(t.jq AS DOUBLE) / 1e6) / 1e6 + 1e-9, 6)
+           ELSE 0.0 END AS cov_frob_dist
+    FROM cnt c, terms t
+    """
+
+
+@query(
+    "embedding_covariance_drift",
+    _covd_oracle_sql(),
+    doc="Second-moment distribution drift between the train and test "
+    "embedding splits: Frobenius distance of the per-split "
+    "second-moment matrices ||X_t'X_t/n_t - X_s'X_s/n_s||_F — "
+    "exactly the quadratic-kernel MMD (Gretton et al. 2012: for "
+    "k(x,y)=(x.y)^2, MMD^2 = ||E[xx']-E[yy']||_F^2), the "
+    "SHAPE-drift partner of embedding_centroid_drift's mean test (a "
+    "distribution can keep its mean and still rotate or stretch — "
+    "this catches what the mean test cannot). Vectors quantize at "
+    "milli-grain so every outer-product cell is an exact integer: "
+    "the Arrow mapInPandas stage emits per-BATCH partial 64x64 "
+    "Gram matrices via one BLAS rank-k update each (integer-valued, "
+    "< 2^53 per partial — order-free), Spark reduces them as exact "
+    "DECIMAL(38) (the map-side-combine shape: 4096 cells move per "
+    "batch, never rows), and the 4096 per-cell difference terms "
+    "floor-quantize to 1e-6 and sum exactly. One corpus pass, "
+    "shuffle bounded by 4096 cells x partitions.",
+)
+def q_embedding_covariance_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = hash_bucket("vec_id")
+    f = emb.select(
+        F.when(b < 800000, F.lit("train"))
+        .when(b >= 900000, F.lit("test"))
+        .alias("split"),
+        F.col("embedding"),
+    ).filter(F.col("split").isNotNull())
+    dim = _COVD_DIM
+
+    def gram_parts(it):
+        import numpy as np  # self-contained closure (cloudpickle)
+        import pandas as pd
+
+        for pdf in it:
+            for split in ("train", "test"):
+                sub = pdf[pdf["split"] == split]
+                if len(sub) == 0:
+                    continue
+                x = np.floor(
+                    np.vstack(sub["embedding"].to_numpy()).astype(
+                        np.float64
+                    )
+                    * 1e3
+                )
+                c = x.T @ x
+                yield pd.DataFrame(
+                    {
+                        "split": split,
+                        "idx": np.arange(dim * dim, dtype=np.int64),
+                        "s": c.ravel(),
+                    }
+                )
+
+    cells = (
+        f.mapInPandas(gram_parts, "split string, idx long, s double")
+        .groupBy("split", "idx")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
+    )
+    piv = cells.groupBy("idx").agg(
+        F.max(F.when(F.col("split") == "train", F.col("s"))).alias("st"),
+        F.max(F.when(F.col("split") == "test", F.col("s"))).alias("ss"),
+    )
+    cnt = f.groupBy().agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("n_t"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_s"),
+    )
+    diff = F.coalesce(F.col("st"), F.lit(0)).cast("double") / F.col(
+        "n_t"
+    ).cast("double") - F.coalesce(F.col("ss"), F.lit(0)).cast(
+        "double"
+    ) / F.col("n_s").cast("double")
+    terms = (
+        piv.crossJoin(F.broadcast(cnt))
+        .filter((F.col("n_t") > 0) & (F.col("n_s") > 0))
+        .agg(
+            F.sum(
+                F.floor(diff * diff * F.lit(1e6)).cast("decimal(38,0)")
+            ).alias("jq")
+        )
+    )
+    return cnt.crossJoin(F.broadcast(terms)).select(
+        F.col("n_t").cast("long").alias("n_train"),
+        F.col("n_s").cast("long").alias("n_test"),
+        F.when(
+            (F.col("n_t") > 0) & (F.col("n_s") > 0),
+            F.round(
+                F.sqrt(F.col("jq").cast("double") / F.lit(1e6)) / F.lit(1e6)
+                + F.lit(1e-9),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cov_frob_dist"),
+    )

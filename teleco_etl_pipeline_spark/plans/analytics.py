@@ -2257,3 +2257,257 @@ def q_score_brier_decomposition(
             ),
         )
     )
+
+
+@query(
+    "variant_qini_curve",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN CAST(concat('0x',
+                    substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 1000000 < 500000
+                  THEN 'A' ELSE 'B' END AS variant,
+             COUNT(*) AS n_events,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT variant, converted,
+             NTILE(10) OVER (ORDER BY n_events DESC, user_id) AS decile
+      FROM u
+    ),
+    cells AS (
+      SELECT decile,
+             SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS nt,
+             SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS nc,
+             SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS ct,
+             SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS cc
+      FROM d GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile,
+             SUM(nt) OVER w AS nt_c, SUM(nc) OVER w AS nc_c,
+             SUM(ct) OVER w AS ct_c, SUM(cc) OVER w AS cc_c
+      FROM cells
+      WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(nt_c AS BIGINT) AS n_treat_cum,
+           CAST(nc_c AS BIGINT) AS n_ctrl_cum,
+           CAST(ct_c AS BIGINT) AS conv_treat_cum,
+           CAST(cc_c AS BIGINT) AS conv_ctrl_cum,
+           CASE WHEN nc_c > 0 THEN
+             ROUND(CAST(ct_c AS DOUBLE)
+                   - CAST(cc_c AS DOUBLE)
+                     * (CAST(nt_c AS DOUBLE) / CAST(nc_c AS DOUBLE))
+                   + 1e-9, 4)
+           ELSE 0.0 END AS qini
+    FROM cum ORDER BY decile
+    """,
+    doc="Qini uplift curve (Radcliffe 2007) for the md5 experiment "
+    "variants: users ranked by engagement (event count, the "
+    "targeting score), cumulative incremental conversions "
+    "conv_T - conv_C * (N_T/N_C) per decile — the uplift-model "
+    "evaluation standard that model_lift_gains cannot express "
+    "(lift ranks ONE outcome; Qini prices the treatment-control "
+    "DELTA down the targeting order, the would-they-convert-anyway "
+    "correction). Same shared hash_bucket variants as the "
+    "z-test/CUPED/log-rank family; ranking is the two-phase global "
+    "row_number with the exact integer NTILE fold (no "
+    "single-partition window); everything after runs on 10 decile "
+    "rows, all counts exact integers, qini ONE fixed-order float "
+    "expression per row.",
+)
+def q_variant_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.rank import (
+        ntile_from_row_number,
+        two_phase_window,
+    )
+    from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    ).select(
+        "user_id",
+        "n_events",
+        "converted",
+        F.when(hash_bucket("user_id") < 500000, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+    )
+    n = u.count()  # bounded driver statistic (entity count) for NTILE
+    ranked = two_phase_window(
+        u, [F.desc("n_events"), F.asc("user_id")], row_col="rn"
+    )
+    d = ranked.select(
+        "variant",
+        "converted",
+        ntile_from_row_number(F.col("rn"), n, 10).alias("decile"),
+    )
+    cells = d.groupBy("decile").agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("nc"),
+        F.sum(
+            F.when(F.col("variant") == "A", F.col("converted")).otherwise(0)
+        ).alias("ct"),
+        F.sum(
+            F.when(F.col("variant") == "B", F.col("converted")).otherwise(0)
+        ).alias("cc"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "decile",
+        F.sum("nt").over(w).alias("nt_c"),
+        F.sum("nc").over(w).alias("nc_c"),
+        F.sum("ct").over(w).alias("ct_c"),
+        F.sum("cc").over(w).alias("cc_c"),
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("nt_c").cast("long").alias("n_treat_cum"),
+        F.col("nc_c").cast("long").alias("n_ctrl_cum"),
+        F.col("ct_c").cast("long").alias("conv_treat_cum"),
+        F.col("cc_c").cast("long").alias("conv_ctrl_cum"),
+        F.when(
+            F.col("nc_c") > 0,
+            F.round(
+                F.col("ct_c").cast("double")
+                - F.col("cc_c").cast("double")
+                * (
+                    F.col("nt_c").cast("double")
+                    / F.col("nc_c").cast("double")
+                )
+                + F.lit(1e-9),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("qini"),
+    ).orderBy("decile")
+
+
+@query(
+    "part_demand_xyz",
+    """
+    WITH pm AS (
+      SELECT l_partkey,
+             STRFTIME(CAST(o.o_orderdate AS DATE), '%Y-%m') AS month,
+             SUM(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    mm AS (SELECT COUNT(DISTINCT month) AS n_months FROM pm),
+    p AS (
+      SELECT l_partkey,
+             COUNT(*) AS n,
+             SUM(CAST(qty AS HUGEINT)) AS s,
+             SUM(CAST(qty AS HUGEINT) * qty) AS q
+      FROM pm GROUP BY 1
+    ),
+    cv AS (
+      SELECT CASE WHEN n >= 2 THEN
+               SQRT(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+               / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             ELSE 0.0 END AS cv,
+             n
+      FROM p WHERE s > 0
+    ),
+    cls AS (
+      SELECT CASE WHEN cv < 0.5 THEN 'X'
+                  WHEN cv < 1.0 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class,
+             cv, n
+      FROM cv
+    )
+    SELECT xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(CAST(FLOOR(cv * 1e9) AS HUGEINT)) / 1e9
+                 / COUNT(*) + 1e-9, 6) AS mean_cv,
+           ROUND(CAST(SUM(n) AS DOUBLE)
+                 / (COUNT(*) * (SELECT n_months FROM mm)) + 1e-9, 6)
+             AS mean_activity
+    FROM cls GROUP BY 1 ORDER BY 1
+    """,
+    doc="XYZ demand-variability classification (the supply-chain "
+    "planning standard paired with Pareto-ABC: X = steady demand "
+    "you forecast, Z = erratic demand you buffer): per-part sample "
+    "coefficient of variation of monthly demand over the part's "
+    "ACTIVE months — cv = sqrt((n*Q - S^2)/(n*(n-1)))/(S/n) from "
+    "exact integer month-grain moments, no float mean subtraction — "
+    "bucketed at the classical 0.5/1.0 thresholds, with the "
+    "mean ACTIVITY fraction (active months / calendar months) "
+    "reported beside it (on intermittent demand the calendar-"
+    "population cv degenerates to all-Z — measured on this corpus — "
+    "so variability-among-selling-months and intermittency are "
+    "reported as separate axes, the standard Syntetos-Boylan "
+    "critique). One fact join + (part, month) reduce, one "
+    "part-grain reduce; the class report folds per-part cv "
+    "floor-quantized to 1e-9 and summed exactly (threshold "
+    "comparisons are on CR-identical doubles).",
+)
+def q_part_demand_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    pm = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            "l_partkey",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+            .alias("month"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    n_months = pm.agg(F.countDistinct("month").alias("m")).scalar()
+    p = pm.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qty").cast(dec)).alias("s"),
+        F.sum(F.col("qty").cast(dec) * F.col("qty")).alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    cv_expr = F.when(
+        F.col("n") >= 2,
+        F.sqrt(
+            (F.col("n").cast(dec) * F.col("q") - F.col("s") * F.col("s"))
+            .cast("double")
+            / (nd * (nd - 1.0))
+        )
+        / (F.col("s").cast("double") / nd),
+    ).otherwise(F.lit(0.0))
+    cls = p.filter(F.col("s") > 0).select(
+        F.when(cv_expr < 0.5, "X")
+        .when(cv_expr < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+        cv_expr.alias("cv"),
+        "n",
+    )
+    return (
+        cls.groupBy("xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(
+                F.sum(F.floor(F.col("cv") * F.lit(1e9)).cast(dec))
+                / F.lit(1e9)
+                / F.count(F.lit(1))
+                + F.lit(1e-9),
+                6,
+            ).alias("mean_cv"),
+            F.round(
+                F.sum("n").cast("double")
+                / (F.count(F.lit(1)) * n_months).cast("double")
+                + F.lit(1e-9),
+                6,
+            ).alias("mean_activity"),
+        )
+        .orderBy("xyz_class")
+    )

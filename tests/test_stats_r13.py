@@ -754,3 +754,131 @@ def test_brier_decomposition_matches_textbook(spark, sf_dir):
     # Murphy identity holds up to binning error
     assert abs(r["brier"] - (r["reliability"] - r["resolution"]
                + r["uncertainty"])) < 0.02
+
+
+def test_covariance_drift_matches_numpy(spark, sf_dir):
+    import hashlib
+
+    import numpy as np
+
+    rows = _con(sf_dir).execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1_000_000
+
+    tr = np.floor(np.array(
+        [e for i, e in rows if bucket(i) < 800000], dtype=np.float64) * 1e3)
+    te = np.floor(np.array(
+        [e for i, e in rows if bucket(i) >= 900000], dtype=np.float64) * 1e3)
+    d = tr.T @ tr / len(tr) - te.T @ te / len(te)
+    frob = float(np.sqrt((d * d).sum())) / 1e6
+    (r,) = _run(spark, sf_dir, "embedding_covariance_drift")
+    assert r["n_train"] == len(tr) and r["n_test"] == len(te)
+    assert r["cov_frob_dist"] == pytest.approx(frob, rel=1e-5)
+
+
+def test_qini_matches_bruteforce(spark, sf_dir):
+    import hashlib
+
+    rows = _con(sf_dir).execute(
+        "SELECT user_id, COUNT(*),"
+        " MAX(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)"
+        " FROM events GROUP BY user_id"
+    ).fetchall()
+
+    def variant(u):
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16)
+        return "A" if h % 1_000_000 < 500_000 else "B"
+
+    users = sorted(rows, key=lambda r: (-r[1], r[0]))
+    n = len(users)
+    q, rem = divmod(n, 10)
+    sizes = [q + 1] * rem + [q] * (10 - rem)
+    got = _run(spark, sf_dir, "variant_qini_curve")
+    idx = 0
+    nt = nc = ct = cc = 0
+    for d, size in enumerate(sizes, start=1):
+        for u, _, conv in users[idx:idx + size]:
+            if variant(u) == "A":
+                nt += 1
+                ct += conv
+            else:
+                nc += 1
+                cc += conv
+        idx += size
+        r = got[d - 1]
+        assert (r["decile"], r["n_treat_cum"], r["n_ctrl_cum"],
+                r["conv_treat_cum"], r["conv_ctrl_cum"]) == (d, nt, nc, ct, cc)
+        if nc > 0:
+            assert r["qini"] == pytest.approx(ct - cc * (nt / nc), abs=2e-3)
+
+
+def test_fd_violations_match_bruteforce(spark, sf_dir):
+    con = _con(sf_dir)
+    con.execute(
+        f"CREATE VIEW nation AS SELECT * FROM '{sf_dir}/nation.parquet'"
+    )
+    for fd, table, lhs, rhs in [
+        ("orders: o_custkey -> o_orderpriority", "orders", "o_custkey",
+         "o_orderpriority"),
+        ("lineitem: l_partkey -> l_suppkey", "lineitem", "l_partkey",
+         "l_suppkey"),
+        ("lineitem: l_orderkey -> l_returnflag", "lineitem", "l_orderkey",
+         "l_returnflag"),
+        ("nation: n_nationkey -> n_regionkey", "nation", "n_nationkey",
+         "n_regionkey"),
+    ]:
+        pairs = con.execute(
+            f"SELECT {lhs}, {rhs} FROM {table}"
+        ).fetchall()
+        m: dict = {}
+        for a, b in pairs:
+            m.setdefault(a, set()).add(b)
+        (r,) = [
+            x for x in _run(spark, sf_dir, "fd_violation_report")
+            if x["fd"] == fd
+        ]
+        assert r["n_lhs"] == len(m)
+        assert r["n_violating"] == sum(1 for v in m.values() if len(v) > 1)
+        assert r["max_rhs_per_lhs"] == max(len(v) for v in m.values())
+
+
+def test_xyz_matches_bruteforce(spark, sf_dir):
+    rows = _con(sf_dir).execute(
+        """
+        SELECT l_partkey, STRFTIME(CAST(o.o_orderdate AS DATE), '%Y-%m'),
+               SUM(CAST(l_quantity AS BIGINT))
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    months = {m for _, m, _ in rows}
+    per: dict = {}
+    for pk, _, q in rows:
+        per.setdefault(pk, []).append(q)
+    cls: dict = {}
+    for pk, qs in per.items():
+        if sum(qs) <= 0:
+            continue
+        n = len(qs)
+        if n >= 2:
+            mean = sum(qs) / n
+            sd = math.sqrt(sum((q - mean) ** 2 for q in qs) / (n - 1))
+            cv = sd / mean
+        else:
+            cv = 0.0
+        c = "X" if cv < 0.5 else ("Y" if cv < 1.0 else "Z")
+        cls.setdefault(c, []).append((cv, n))
+    got = _run(spark, sf_dir, "part_demand_xyz")
+    assert [r["xyz_class"] for r in got] == sorted(cls)
+    for r in got:
+        v = cls[r["xyz_class"]]
+        assert r["n_parts"] == len(v)
+        assert r["mean_cv"] == pytest.approx(
+            sum(c for c, _ in v) / len(v), abs=2e-6
+        )
+        assert r["mean_activity"] == pytest.approx(
+            sum(n for _, n in v) / (len(v) * len(months)), abs=2e-6
+        )
