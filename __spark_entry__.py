@@ -132,6 +132,28 @@ _R8_LEFT_FOR_R14 = [
 # (asserted in queries()). True sketches without oracles sort last
 # (tier 3).
 _RECORD_LAST = [
+    # r13-session registrations (never driver-recorded — staler than
+    # any vintage; r14 rotation targets alongside _R8_LEFT_FOR_R14):
+    "orders_jarque_bera",
+    "priority_bartlett_test",
+    "daily_revenue_pettitt",
+    "priority_cochran_armitage",
+    "customer_grubbs_acctbal",
+    "doc_bm25_topk",
+    "embedding_jl_recall",
+    "lineitem_mahalanobis_outliers",
+    "embedding_mmr_rerank",
+    "embedding_cluster_quality",
+    "events_variant_logrank",
+    "daily_revenue_periodogram",
+    "monthly_peak_gumbel",
+    "score_brier_decomposition",
+    "embedding_covariance_drift",
+    "variant_qini_curve",
+    "fd_violation_report",
+    "part_demand_xyz",
+    "variant_sprt_trace",
+    "embedding_margin_pairs",
     "priority_revenue_trend",
     "priority_status_mutual_info",
     "priority_view_refresh",

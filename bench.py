@@ -264,6 +264,8 @@ BENCH_QUERIES = [
     "variant_qini_curve",       # uplift deciles, two-phase rank + exact NTILE
     "fd_violation_report",      # four FD g3-error legs, countDistinct at key grain
     "part_demand_xyz",          # per-part monthly-demand CV classes
+    "variant_sprt_trace",       # Wald sequential LLR trace at day grain
+    "embedding_margin_pairs",   # ratio-margin kNN rescoring, 2 bounded scans
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

@@ -4879,3 +4879,119 @@ def q_embedding_covariance_drift(
         .otherwise(F.lit(0.0))
         .alias("cov_frob_dist"),
     )
+
+
+# --- ratio-margin kNN scoring (bitext-mining style) --------------------------
+
+_MARGIN_NQ = 5
+_MARGIN_K = 8
+
+
+def _margin_oracle_sql() -> str:
+    key_a = _sql_qkey(
+        "list_dot_product(e.q, qq.q)", "e.den", "qq.den"
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, {_sql_qvec("embedding")} AS q FROM embeddings
+    ), bb AS (
+      SELECT vec_id, q, list_dot_product(q, q) AS den FROM b
+    ),
+    t1 AS (
+      SELECT qq.vec_id AS query_id, e.vec_id, {key_a} AS sim
+      FROM bb e JOIN bb qq
+        ON qq.vec_id < {_MARGIN_NQ} AND e.vec_id <> qq.vec_id
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY qq.vec_id
+        ORDER BY {key_a} DESC, e.vec_id ASC) <= {_MARGIN_K}
+    ),
+    qmean AS (
+      SELECT query_id,
+             SUM(CAST(FLOOR(sim * 1e9) AS BIGINT)) AS qs
+      FROM t1 GROUP BY query_id
+    ),
+    cand AS (SELECT DISTINCT vec_id FROM t1),
+    t2 AS (
+      SELECT qq.vec_id AS cand_id, {key_a} AS sim
+      FROM bb e
+      JOIN (SELECT bb.* FROM bb JOIN cand USING (vec_id)) qq
+        ON e.vec_id <> qq.vec_id
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY qq.vec_id
+        ORDER BY {key_a} DESC, e.vec_id ASC) <= {_MARGIN_K}
+    ),
+    cmean AS (
+      SELECT cand_id, SUM(CAST(FLOOR(sim * 1e9) AS BIGINT)) AS cs
+      FROM t2 GROUP BY cand_id
+    )
+    SELECT t1.query_id, t1.vec_id,
+           ROUND(t1.sim
+                 / ((CAST(q.qs AS DOUBLE) / {_MARGIN_K}.0 / 1e9
+                     + CAST(c.cs AS DOUBLE) / {_MARGIN_K}.0 / 1e9)
+                    / 2.0) + 1e-9, 6) AS margin
+    FROM t1
+    JOIN qmean q USING (query_id)
+    JOIN cmean c ON c.cand_id = t1.vec_id
+    ORDER BY t1.query_id, margin DESC, t1.vec_id
+    """
+
+
+@query(
+    "embedding_margin_pairs",
+    _margin_oracle_sql(),
+    doc="Ratio-margin kNN scoring (Artetxe & Schwenk ACL'19 — the "
+    "bitext/parallel-pair mining standard): each (anchor, neighbor) "
+    "cosine is rescored by the margin cos(x,y) / mean of the two "
+    "sides' top-k cosine neighborhoods — absolute cosine thresholds "
+    "miss that 'hubs' are close to EVERYTHING; the margin keeps "
+    "only pairs closer than their neighborhoods predict. Scale "
+    "shape: TWO bounded corpus scans — the anchors' top-8 lists "
+    "(Q=5 broadcast), then top-8 lists for the <= Q*k candidates "
+    "those contain (a second bounded broadcast); no corpus kNN "
+    "graph is ever built. The per-side neighborhood means fold "
+    "from per-edge cosines floor-quantized to 1e-9 and summed as "
+    "exact integers (8-term float sums would be engine-order-"
+    "dependent); the margin itself is one fixed-order division of "
+    "CR-identical doubles with id tiebreaks.",
+)
+def q_embedding_margin_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < _MARGIN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    t1 = batch_topk(emb, anchors, k=_MARGIN_K).localCheckpoint(eager=True)
+    qmean = t1.groupBy("query_id").agg(
+        F.sum(F.floor(F.col("cosine_sim") * F.lit(1e9)).cast("long")).alias(
+            "qs"
+        )
+    )
+    cand = t1.select("vec_id").distinct()
+    cand_queries = emb.join(cand, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    t2 = batch_topk(emb, cand_queries, k=_MARGIN_K)
+    cmean = t2.groupBy("query_id").agg(
+        F.sum(F.floor(F.col("cosine_sim") * F.lit(1e9)).cast("long")).alias(
+            "cs"
+        )
+    ).select(F.col("query_id").alias("cand_id"), "cs")
+    denom = (
+        F.col("qs").cast("double") / F.lit(float(_MARGIN_K)) / F.lit(1e9)
+        + F.col("cs").cast("double") / F.lit(float(_MARGIN_K)) / F.lit(1e9)
+    ) / 2.0
+    return (
+        t1.join(qmean, "query_id")
+        .join(cmean, t1["vec_id"] == F.col("cand_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("cosine_sim") / denom + F.lit(1e-9), 6).alias(
+                "margin"
+            ),
+        )
+        .orderBy("query_id", F.desc("margin"), F.asc("vec_id"))
+    )

@@ -4702,3 +4702,154 @@ def q_monthly_peak_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("rl999_cents"),
     )
+
+
+@query(
+    "variant_sprt_trace",
+    """
+    WITH fe AS (
+      SELECT user_id, event_type, ts,
+             MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS first_us
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             CASE WHEN CAST(concat('0x',
+                    substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 1000000 < 500000
+                  THEN 'A' ELSE 'B' END AS variant,
+             CAST(MIN(ts) AS DATE) AS enter_day,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND epoch_us(ts) - first_us < 86400000000
+                      THEN 1 ELSE 0 END) AS converted
+      FROM fe GROUP BY user_id
+    ),
+    pool AS (
+      SELECT CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS p0 FROM u
+    ),
+    consts AS (
+      SELECT p0,
+             LEAST(p0 * 1.1, 0.999999) AS p1,
+             LN(LEAST(p0 * 1.1, 0.999999) / p0) AS lr1,
+             LN((1.0 - LEAST(p0 * 1.1, 0.999999)) / (1.0 - p0)) AS lr0
+      FROM pool WHERE p0 > 0.0 AND p0 < 1.0
+    ),
+    daily AS (
+      SELECT enter_day AS day,
+             SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS nb,
+             SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS cb
+      FROM u GROUP BY 1
+    ),
+    cum AS (
+      SELECT day,
+             SUM(nb) OVER w AS nb_c,
+             SUM(cb) OVER w AS cb_c
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    llr AS (
+      SELECT day, nb_c, cb_c,
+             CAST(cb_c AS DOUBLE) * c.lr1
+               + CAST(nb_c - cb_c AS DOUBLE) * c.lr0 AS llr
+      FROM cum, consts c
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+           CAST(nb_c AS BIGINT) AS n_b_cum,
+           CAST(cb_c AS BIGINT) AS conv_b_cum,
+           ROUND(llr + 1e-9, 4) AS llr,
+           CASE WHEN llr >= 2.9444389791664403 THEN 'reject_h0'
+                WHEN llr <= -2.9444389791664403 THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr ORDER BY day
+    """,
+    doc="Wald SPRT trace (Wald 1945) for the B arm of the md5 "
+    "experiment on 24h-activation (purchase within a day of the user's first event — the bounded-horizon outcome; ever-purchase saturates to 1.0 on this corpus): per enrollment day, the cumulative log-likelihood "
+    "ratio of H1 'B converts at 1.1x the pooled rate' against H0 "
+    "'B converts at the pooled rate', with the classical "
+    "alpha=beta=0.05 boundaries +/-ln(19) — the "
+    "peek-as-often-as-you-like sequential companion of "
+    "events_variant_ztest's fixed-horizon test (the trace shows "
+    "WHEN the experiment could have stopped). One user-grain "
+    "reduce (enrollment day = first event), one day-grain cumsum "
+    "(module-sanctioned frame); the two log-likelihood increments "
+    "are computed ONCE in a 1-row frame (the only in-plan libm, "
+    "the Bartlett LN precedent) and every day's LLR is one "
+    "fixed-order multiply-add on exact cumulative integers; the "
+    "boundary ln(19) is a baked literal.",
+)
+def q_variant_sprt_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
+
+    from teleco_etl_pipeline_spark.functions import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    fe = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(epoch_us("ts"))
+        .over(Window.partitionBy("user_id"))
+        .alias("first_us"),
+    )
+    u = fe.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("enter_day"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (epoch_us("ts") - F.col("first_us") < F.lit(86_400_000_000)),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+    ).select(
+        F.when(hash_bucket("user_id") < 500000, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+        "enter_day",
+        "converted",
+    )
+    u = u.localCheckpoint(eager=True)
+    pool = u.agg(
+        (
+            F.sum("converted").cast("double") / F.count(F.lit(1))
+        ).alias("p0")
+    )
+    p1 = F.least(F.col("p0") * 1.1, F.lit(0.999999))
+    consts = pool.filter(
+        (F.col("p0") > 0.0) & (F.col("p0") < 1.0)
+    ).select(
+        F.log(p1 / F.col("p0")).alias("lr1"),
+        F.log((1.0 - p1) / (1.0 - F.col("p0"))).alias("lr0"),
+    )
+    daily = u.groupBy(F.col("enter_day").alias("day")).agg(
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("nb"),
+        F.sum(
+            F.when(F.col("variant") == "B", F.col("converted")).otherwise(0)
+        ).alias("cb"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day",
+        F.sum("nb").over(w).alias("nb_c"),
+        F.sum("cb").over(w).alias("cb_c"),
+    )
+    llr = (
+        F.col("cb_c").cast("double") * F.col("lr1")
+        + (F.col("nb_c") - F.col("cb_c")).cast("double") * F.col("lr0")
+    )
+    bound = 2.9444389791664403
+    return (
+        cum.crossJoin(F.broadcast(consts))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("nb_c").cast("long").alias("n_b_cum"),
+            F.col("cb_c").cast("long").alias("conv_b_cum"),
+            F.round(llr + F.lit(1e-9), 4).alias("llr"),
+            F.when(llr >= F.lit(bound), "reject_h0")
+            .when(llr <= F.lit(-bound), "accept_h0")
+            .otherwise("continue")
+            .alias("decision"),
+        )
+        .orderBy("day")
+    )

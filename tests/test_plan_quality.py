@@ -35,6 +35,10 @@ ALLPAIRS_BASELINES = {
     # broadcast Q×N scan per projected width (projection itself is a
     # vector-local map, no extra join) — Q=5 anchors (r13)
     "embedding_jl_recall",
+    # ratio-margin rescoring: two bounded batch_topk broadcast scans
+    # (Q=5 anchors, then their <= Q*k candidates) — same sanctioned
+    # Q≪N shape, no corpus kNN graph (r13)
+    "embedding_margin_pairs",
     # the EXACT side of the recall evaluation is definitionally the
     # batch_topk broadcast scan — the approx side it grades is the
     # bucketed candidate join
@@ -127,6 +131,13 @@ SCALAR_BROADCASTS = {
     # the 1-row (O, B) moment frame onto the 10-bin frame and the
     # 1-row decomposition fold — 10×1 and 1×1 products (r13)
     "score_brier_decomposition",
+    # the 1-row log-likelihood-increment constants broadcast onto
+    # the calendar-bounded day cumsum frame — |days| × 1 (r13)
+    "variant_sprt_trace",
+    # the 1-row split-count frame broadcast onto the CONSTANT
+    # 4096-cell Gram frame and the 1-row Frobenius fold — 4096×1
+    # and 1×1 products (r13)
+    "embedding_covariance_drift",
     # the 1-row (min, max) bounds broadcast feeding value_prefix_max's
     # range bucketing over the distinct-cost frame (r13 two-level
     # skyline sweep) — |values| × 1

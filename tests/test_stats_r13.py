@@ -882,3 +882,48 @@ def test_xyz_matches_bruteforce(spark, sf_dir):
         assert r["mean_activity"] == pytest.approx(
             sum(n for _, n in v) / (len(v) * len(months)), abs=2e-6
         )
+
+
+def test_sprt_matches_textbook(spark, sf_dir):
+    import hashlib
+
+    rows = _con(sf_dir).execute(
+        """
+        SELECT user_id, CAST(MIN(ts) AS DATE),
+               MAX(CASE WHEN event_type = 'purchase'
+                         AND epoch_us(ts) - first_us < 86400000000
+                        THEN 1 ELSE 0 END)
+        FROM (SELECT user_id, event_type, ts,
+                     MIN(epoch_us(ts)) OVER (PARTITION BY user_id)
+                       AS first_us
+              FROM events)
+        GROUP BY user_id
+        """
+    ).fetchall()
+    p0 = sum(c for _, _, c in rows) / len(rows)
+    p1 = min(p0 * 1.1, 0.999999)
+    lr1, lr0 = math.log(p1 / p0), math.log((1 - p1) / (1 - p0))
+
+    def variant(u):
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16)
+        return "A" if h % 1_000_000 < 500_000 else "B"
+
+    daily: dict = {}
+    for u, d, c in rows:
+        if variant(u) == "B":
+            nb, cb = daily.get(d, (0, 0))
+            daily[d] = (nb + 1, cb + c)
+    got = _run(spark, sf_dir, "variant_sprt_trace")
+    nb_c = cb_c = 0
+    assert len(got) == len(daily)
+    for r, d in zip(got, sorted(daily)):
+        nb, cb = daily[d]
+        nb_c += nb
+        cb_c += cb
+        assert r["day"] == d.strftime("%Y-%m-%d")
+        assert (r["n_b_cum"], r["conv_b_cum"]) == (nb_c, cb_c)
+        llr = cb_c * lr1 + (nb_c - cb_c) * lr0
+        assert r["llr"] == pytest.approx(llr, abs=2e-3)
+        want = ("reject_h0" if llr >= math.log(19)
+                else "accept_h0" if llr <= -math.log(19) else "continue")
+        assert r["decision"] == want

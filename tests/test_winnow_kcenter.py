@@ -642,3 +642,53 @@ def test_cluster_quality_matches_numpy(spark, sf_dir):
         # scatter floors at milli-q grain per point; the DB ratio
         # sums two scatters, so its bias bound doubles
         assert r.db_component == pytest.approx(db, abs=8e-3)
+
+
+def test_margin_pairs_matches_numpy(spark, sf_dir):
+    """Ratio-margin rescoring recomputed with plain numpy floats."""
+    import duckdb
+    import numpy as np
+    import pytest
+
+    from teleco_etl_pipeline_spark.plans.registry import all_queries
+
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+        " ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    q = np.floor(np.array([r[1] for r in rows], dtype=np.float64) * 1e6)
+    den = (q * q).sum(1)
+
+    def topk(qi, k=8):
+        i = int(np.where(ids == qi)[0][0])
+        sims = []
+        for j in range(len(ids)):
+            if ids[j] == qi:
+                continue
+            dp = den[i] * den[j]
+            s = (q[i] @ q[j]) / np.sqrt(dp) if dp > 0 else -2.0
+            sims.append((-s, ids[j]))
+        sims.sort()
+        return [(v, -s) for s, v in sims[:k]]
+
+    t1 = {a: topk(a) for a in range(5)}
+    cands = sorted({v for lst in t1.values() for v, _ in lst})
+    cmean = {c: sum(s for _, s in topk(c)) / 8 for c in cands}
+    qmean = {a: sum(s for _, s in lst) / 8 for a, lst in t1.items()}
+    expect = []
+    for a in range(5):
+        scored = [
+            (v, s / ((qmean[a] + cmean[v]) / 2)) for v, s in t1[a]
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        expect += [(a, v, m) for v, m in scored]
+    got = [
+        (r.query_id, r.vec_id, r.margin)
+        for r in all_queries()["embedding_margin_pairs"]
+        .build(spark, sf_dir)
+        .collect()
+    ]
+    assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in expect]
+    for g, e in zip(got, expect):
+        assert g[2] == pytest.approx(e[2], abs=2e-5)
