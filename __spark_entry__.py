@@ -154,6 +154,7 @@ _RECORD_LAST = [
     "part_demand_xyz",
     "variant_sprt_trace",
     "embedding_margin_pairs",
+    "events_markov_perplexity",
     "priority_revenue_trend",
     "priority_status_mutual_info",
     "priority_view_refresh",

@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     "part_demand_xyz",          # per-part monthly-demand CV classes
     "variant_sprt_trace",       # Wald sequential LLR trace at day grain
     "embedding_margin_pairs",   # ratio-margin kNN rescoring, 2 bounded scans
+    "events_markov_perplexity",  # held-out transition cross-entropy, 25-cell model
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

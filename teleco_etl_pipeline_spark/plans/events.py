@@ -1328,3 +1328,146 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("state").alias("event_type"),
         F.col("units").alias("stationary_units"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_markov_perplexity",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             CASE WHEN CAST(concat('0x',
+                    substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 1000000 < 500000
+                  THEN 'A' ELSE 'B' END AS variant,
+             event_type AS cur_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT variant, cur_type, next_type, COUNT(*) AS cnt
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    states AS (SELECT DISTINCT cur_type AS st FROM pairs),
+    v AS (SELECT COUNT(*) AS n_states FROM states),
+    grid AS (
+      SELECT a.st AS cur_type, b.st AS next_type FROM states a, states b
+    ),
+    train AS (
+      SELECT g.cur_type, g.next_type,
+             COALESCE(p.cnt, 0) + 1 AS c1
+      FROM grid g
+      LEFT JOIN (SELECT * FROM pairs WHERE variant = 'A') p
+        ON p.cur_type = g.cur_type AND p.next_type = g.next_type
+    ),
+    rows_ AS (
+      SELECT cur_type, SUM(c1) AS r FROM train GROUP BY cur_type
+    ),
+    model AS (
+      SELECT t.cur_type, t.next_type,
+             CAST(FLOOR(-LN(CAST(t.c1 AS DOUBLE) / CAST(r.r AS DOUBLE))
+                        * 1e12) AS HUGEINT) AS nll_q
+      FROM train t JOIN rows_ r ON r.cur_type = t.cur_type
+    ),
+    test AS (
+      SELECT cur_type, next_type, cnt
+      FROM pairs WHERE variant = 'B'
+    ),
+    ce AS (
+      SELECT SUM(CAST(t.cnt AS HUGEINT) * m.nll_q) AS nll_sum,
+             SUM(t.cnt) AS n_trans
+      FROM test t
+      JOIN model m
+        ON m.cur_type = t.cur_type AND m.next_type = t.next_type
+    )
+    SELECT CAST((SELECT n_states FROM v) AS BIGINT) AS n_states,
+           CAST(n_trans AS BIGINT) AS n_test_transitions,
+           ROUND(CAST(nll_sum AS DOUBLE) / 1e12
+                 / CAST(n_trans AS DOUBLE) + 1e-9, 6) AS cross_entropy,
+           ROUND(EXP(CAST(nll_sum AS DOUBLE) / 1e12
+                     / CAST(n_trans AS DOUBLE)) + 1e-9, 4) AS perplexity
+    FROM ce
+    """,
+    doc="First-order Markov sequence-model evaluation: train an "
+    "add-one-smoothed event-transition model on the A-variant "
+    "users' sequences and score the held-out B users' transitions "
+    "by cross-entropy and perplexity — the sequence twin of "
+    "doc_perplexity_buckets' unigram LM (does user behavior "
+    "generalize across the experiment split, and how predictable is "
+    "the next event?). The model is a CONSTANT |states|^2 grid "
+    "(~25 cells however large the fact table): per-cell -ln p "
+    "computes ONCE on that grid and floor-quantizes to 1e-12 "
+    "integers (the only libm, at model grain, not data grain), so "
+    "the test-side fold is an exact integer weighted sum — engine "
+    "summation order can never perturb it. One LEAD window per user "
+    "sequence (the transition-matrix shape), two bounded reduces.",
+)
+def q_events_markov_perplexity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        epoch_us("ts"), F.col("event_id")
+    )
+    seq = ev.select(
+        F.when(hash_bucket("user_id") < 500000, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("variant", "cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    states = pairs.select(F.col("cur_type").alias("st")).distinct()
+    n_states = states.agg(F.count(F.lit(1)).alias("n")).scalar()
+    grid = states.select(F.col("st").alias("cur_type")).crossJoin(
+        states.select(F.col("st").alias("next_type"))
+    )
+    train = grid.join(
+        pairs.filter(F.col("variant") == "A").select(
+            "cur_type", "next_type", "cnt"
+        ),
+        ["cur_type", "next_type"],
+        "left",
+    ).select(
+        "cur_type",
+        "next_type",
+        (F.coalesce(F.col("cnt"), F.lit(0)) + 1).alias("c1"),
+    )
+    rows_ = train.groupBy("cur_type").agg(F.sum("c1").alias("r"))
+    model = train.join(rows_, "cur_type").select(
+        "cur_type",
+        "next_type",
+        F.floor(
+            -F.log(F.col("c1").cast("double") / F.col("r").cast("double"))
+            * F.lit(1e12)
+        )
+        .cast("decimal(38,0)")
+        .alias("nll_q"),
+    )
+    test = pairs.filter(F.col("variant") == "B").select(
+        "cur_type", "next_type", "cnt"
+    )
+    ce = test.join(model, ["cur_type", "next_type"]).agg(
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("nll_q")).alias(
+            "nll_sum"
+        ),
+        F.sum("cnt").alias("n_trans"),
+    )
+    ced = F.col("nll_sum").cast("double") / F.lit(1e12) / F.col(
+        "n_trans"
+    ).cast("double")
+    return ce.select(
+        n_states.cast("long").alias("n_states"),
+        F.col("n_trans").cast("long").alias("n_test_transitions"),
+        F.round(ced + F.lit(1e-9), 6).alias("cross_entropy"),
+        F.round(F.exp(ced) + F.lit(1e-9), 4).alias("perplexity"),
+    )

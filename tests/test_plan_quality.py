@@ -138,6 +138,10 @@ SCALAR_BROADCASTS = {
     # 4096-cell Gram frame and the 1-row Frobenius fold — 4096×1
     # and 1×1 products (r13)
     "embedding_covariance_drift",
+    # the |states|x|states| (~25-cell) model grid built by crossing
+    # the CONSTANT state list with itself — data-volume-independent
+    # (r13)
+    "events_markov_perplexity",
     # the 1-row (min, max) bounds broadcast feeding value_prefix_max's
     # range bucketing over the distinct-cost frame (r13 two-level
     # skyline sweep) — |values| × 1

@@ -927,3 +927,44 @@ def test_sprt_matches_textbook(spark, sf_dir):
         want = ("reject_h0" if llr >= math.log(19)
                 else "accept_h0" if llr <= -math.log(19) else "continue")
         assert r["decision"] == want
+
+
+def test_markov_perplexity_matches_bruteforce(spark, sf_dir):
+    import hashlib
+
+    rows = _con(sf_dir).execute(
+        """
+        SELECT user_id, cur_type, next_type FROM (
+          SELECT user_id, event_type AS cur_type,
+                 LEAD(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS next_type
+          FROM events) WHERE next_type IS NOT NULL
+        """
+    ).fetchall()
+
+    def variant(u):
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16)
+        return "A" if h % 1_000_000 < 500_000 else "B"
+
+    train: Counter = Counter()
+    test: Counter = Counter()
+    for u, c, nx in rows:
+        (train if variant(u) == "A" else test)[(c, nx)] += 1
+    # states = cur_types observed in pairs (either split)
+    states = sorted({c for (c, _), _ in (train | test).items()})
+    rowsum = {
+        c: sum(train.get((c, nx), 0) + 1 for nx in states) for c in states
+    }
+    nll = 0.0
+    n = 0
+    for (c, nx), cnt in test.items():
+        p = (train.get((c, nx), 0) + 1) / rowsum[c]
+        nll += cnt * -math.log(p)
+        n += cnt
+    ce = nll / n
+    (r,) = _run(spark, sf_dir, "events_markov_perplexity")
+    assert r["n_states"] == len(states)
+    assert r["n_test_transitions"] == n
+    assert r["cross_entropy"] == pytest.approx(ce, abs=2e-6)
+    assert r["perplexity"] == pytest.approx(math.exp(ce), abs=2e-3)
