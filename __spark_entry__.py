@@ -155,6 +155,8 @@ _RECORD_LAST = [
     "variant_sprt_trace",
     "embedding_margin_pairs",
     "events_markov_perplexity",
+    "order_line_reconciliation",
+    "qq_priority_totalprice",
     "priority_revenue_trend",
     "priority_status_mutual_info",
     "priority_view_refresh",

@@ -267,6 +267,8 @@ BENCH_QUERIES = [
     "variant_sprt_trace",       # Wald sequential LLR trace at day grain
     "embedding_margin_pairs",   # ratio-margin kNN rescoring, 2 bounded scans
     "events_markov_perplexity",  # held-out transition cross-entropy, 25-cell model
+    "order_line_reconciliation",  # header-vs-detail exact-cents band report
+    "qq_priority_totalprice",   # two-sample vigintile QQ table
 ]
 # Deliberately EXCLUDED from the headline set (not silently — the
 # costs are declared here and measured in SCALING_r0N.json):

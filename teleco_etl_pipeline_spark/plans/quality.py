@@ -12,10 +12,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from teleco_etl_pipeline_spark.functions.scalars import error_details
+from teleco_etl_pipeline_spark.plans.registry import query
+from teleco_etl_pipeline_spark.sources.tables import load_table
 
 # Valid domains (dags/Reprocessing.py:41-44).
 VALID_GENDERS = ("Male", "Female")
@@ -249,3 +251,111 @@ def split_write_observed(
     total, bad = int(got["total"]), int(got["bad"])
     pct = (100.0 * bad / total) if total else 0.0
     return total, bad, pct
+
+
+@query(
+    "order_line_reconciliation",
+    """
+    WITH j AS (
+      SELECT o.o_orderkey,
+             CAST(ROUND(o.o_totalprice * 100 + 1e-9) AS BIGINT) AS oc,
+             COALESCE(SUM(CAST(ROUND(l.l_extendedprice
+                   * (1 - l.l_discount) * (1 + l.l_tax) * 100
+                   + 1e-9) AS BIGINT)), 0) AS lc,
+             COUNT(l.l_orderkey) AS n_lines
+      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT CASE
+               WHEN n_lines = 0 THEN '4_no_lines'
+               WHEN oc = lc THEN '0_exact'
+               WHEN ABS(oc - lc) * 1000 <= oc THEN '1_within_0.1pct'
+               WHEN ABS(oc - lc) * 100 <= oc THEN '2_within_1pct'
+               ELSE '3_over_1pct'
+             END AS band,
+             ABS(oc - lc) AS adiff,
+             oc
+      FROM j
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(adiff) AS BIGINT) AS max_abs_diff_cents,
+           ROUND(SUM(CAST(FLOOR(CAST(adiff AS DOUBLE)
+                                / CAST(oc AS DOUBLE) * 1e9)
+                          AS HUGEINT)) / 1e9
+                 / COUNT(*) + 1e-9, 6) AS mean_rel_diff
+    FROM banded GROUP BY band ORDER BY band
+    """,
+    doc="Fact-to-detail reconciliation report (the classic "
+    "header/detail consistency check — TPC-H defines o_totalprice "
+    "as the line-level sum(extprice*(1-disc)*(1+tax))): per order, "
+    "the header total vs the recomputed line sum in EXACT integer "
+    "cents, bucketed into exact / 0.1% / 1% / worse relative-error "
+    "bands plus a no-lines orphan band — the DQ family's "
+    "aggregate-consistency screen that the existence/range checks "
+    "(DWH_Quality_Checks.sql) cannot express (on this synthetic "
+    "corpus the header totals are NOT line-derived, which is "
+    "exactly the finding such a report exists to surface). One "
+    "fact join + order-grain reduce; band edges are exact integer "
+    "cross-multiplications (|diff|*1000 <= total, no float "
+    "thresholds), per-order rounding carries the shared 1e-9 "
+    "half-tie nudge on both engines, and the mean relative error "
+    "folds from 1e-9-quantized integers.",
+)
+def q_order_line_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    line_amt = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+        + F.lit(1e-9),
+        0,
+    ).cast("long")
+    j = (
+        orders.join(li, li["l_orderkey"] == orders["o_orderkey"], "left")
+        .groupBy(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100 + F.lit(1e-9), 0)
+            .cast("long")
+            .alias("oc"),
+        )
+        .agg(
+            F.coalesce(F.sum(line_amt), F.lit(0)).alias("lc"),
+            F.count("l_orderkey").alias("n_lines"),
+        )
+    )
+    adiff = F.abs(F.col("oc") - F.col("lc"))
+    band = (
+        F.when(F.col("n_lines") == 0, "4_no_lines")
+        .when(F.col("oc") == F.col("lc"), "0_exact")
+        .when(adiff * 1000 <= F.col("oc"), "1_within_0.1pct")
+        .when(adiff * 100 <= F.col("oc"), "2_within_1pct")
+        .otherwise("3_over_1pct")
+    )
+    return (
+        j.select(band.alias("band"), adiff.alias("adiff"), "oc")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.max("adiff").cast("long").alias("max_abs_diff_cents"),
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("adiff").cast("double")
+                        / F.col("oc").cast("double")
+                        * F.lit(1e9)
+                    ).cast("decimal(38,0)")
+                )
+                / F.lit(1e9)
+                / F.count(F.lit(1))
+                + F.lit(1e-9),
+                6,
+            ).alias("mean_rel_diff"),
+        )
+        .orderBy("band")
+    )

@@ -49,6 +49,7 @@ def all_queries() -> dict[str, Query]:
     from teleco_etl_pipeline_spark.plans import drift  # noqa: F401
     from teleco_etl_pipeline_spark.plans import events  # noqa: F401
     from teleco_etl_pipeline_spark.plans import ml  # noqa: F401
+    from teleco_etl_pipeline_spark.plans import quality  # noqa: F401
     from teleco_etl_pipeline_spark.plans import relational  # noqa: F401
     from teleco_etl_pipeline_spark.plans import stats  # noqa: F401
     from teleco_etl_pipeline_spark.plans import tpch_extra  # noqa: F401

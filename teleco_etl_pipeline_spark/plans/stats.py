@@ -4853,3 +4853,83 @@ def q_variant_sprt_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_QQ_PS = [round(0.05 * i, 2) for i in range(1, 20)]
+
+
+@query(
+    "qq_priority_totalprice",
+    """
+    WITH u AS (
+      SELECT quantile_cont(c, [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]) AS qs
+      FROM (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders WHERE o_orderpriority = '1-URGENT')
+    ),
+    l AS (
+      SELECT quantile_cont(c, [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]) AS qs
+      FROM (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders WHERE o_orderpriority = '5-LOW')
+    ),
+    uu AS (
+      SELECT UNNEST(qs) AS q, GENERATE_SUBSCRIPTS(qs, 1) AS i FROM u
+    ),
+    ll AS (
+      SELECT UNNEST(qs) AS q, GENERATE_SUBSCRIPTS(qs, 1) AS i FROM l
+    )
+    SELECT ROUND(0.05 * uu.i, 2) AS p,
+           ROUND(uu.q + 1e-9, 4) AS q_urgent_cents,
+           ROUND(ll.q + 1e-9, 4) AS q_low_cents,
+           CASE WHEN uu.q > 0 THEN ROUND(ll.q / uu.q + 1e-9, 6)
+                ELSE 0.0 END AS qq_ratio
+    FROM uu JOIN ll ON ll.i = uu.i
+    ORDER BY p
+    """,
+    doc="Two-sample quantile-quantile table between URGENT and LOW "
+    "order values at the 19 vigintiles — the distribution-VIEW "
+    "companion of the KS/CvM/AD/Mann-Whitney two-sample screens "
+    "(the tests say WHETHER the distributions differ; the QQ table "
+    "shows WHERE along the value range, as the per-quantile ratio). "
+    "Both quantile sets come from the shared bounded-memory exact "
+    "percentile machinery (value histogram + targeted brackets — "
+    "never a sorted frame in one task; the driver folds <= 2*|qs| "
+    "bracket rows, the sanctioned collect class), and the oracle's "
+    "PERCENTILE_CONT interpolation matches bit-for-bit by that "
+    "machinery's existing contract. 19-row output, one CR division "
+    "per row.",
+)
+def q_qq_priority_totalprice(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from teleco_etl_pipeline_spark.operators.quantiles import (
+        exact_percentiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    u = exact_percentiles(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+        _cents("o_totalprice"),
+        _QQ_PS,
+    )
+    lo = exact_percentiles(
+        orders.filter(F.col("o_orderpriority") == "5-LOW"),
+        _cents("o_totalprice"),
+        _QQ_PS,
+    )
+    rows = []
+    for p, qu, ql in zip(_QQ_PS, u, lo):
+        if qu is None or ql is None:
+            continue
+        rows.append(
+            (
+                float(p),
+                round(qu + 1e-9, 4),
+                round(ql + 1e-9, 4),
+                round(ql / qu + 1e-9, 6) if qu > 0 else 0.0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "p double, q_urgent_cents double, q_low_cents double,"
+        " qq_ratio double",
+    ).orderBy("p")

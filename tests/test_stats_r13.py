@@ -968,3 +968,65 @@ def test_markov_perplexity_matches_bruteforce(spark, sf_dir):
     assert r["n_test_transitions"] == n
     assert r["cross_entropy"] == pytest.approx(ce, abs=2e-6)
     assert r["perplexity"] == pytest.approx(math.exp(ce), abs=2e-3)
+
+
+def test_reconciliation_matches_bruteforce(spark, sf_dir):
+    rows = _con(sf_dir).execute(
+        """
+        SELECT o.o_orderkey,
+               CAST(ROUND(o.o_totalprice * 100 + 1e-9) AS BIGINT),
+               l.l_extendedprice, l.l_discount, l.l_tax
+        FROM orders o LEFT JOIN lineitem l
+          ON l.l_orderkey = o.o_orderkey
+        """
+    ).fetchall()
+    per: dict = {}
+    for ok, oc, ep, disc, tax in rows:
+        lc, n = per.get(ok, (0, 0))
+        if ep is not None:
+            lc += int(round(ep * (1 - disc) * (1 + tax) * 100 + 1e-9))
+            n += 1
+        per[ok] = (lc, n)
+        per.setdefault((ok, "oc"), oc)
+    bands: dict = {}
+    for ok, v in per.items():
+        if isinstance(ok, tuple):
+            continue
+        lc, n = v
+        oc = per[(ok, "oc")]
+        d = abs(oc - lc)
+        band = ("4_no_lines" if n == 0 else "0_exact" if oc == lc
+                else "1_within_0.1pct" if d * 1000 <= oc
+                else "2_within_1pct" if d * 100 <= oc
+                else "3_over_1pct")
+        bands.setdefault(band, []).append((d, oc))
+    got = _run(spark, sf_dir, "order_line_reconciliation")
+    assert [r["band"] for r in got] == sorted(bands)
+    for r in got:
+        v = bands[r["band"]]
+        assert r["n_orders"] == len(v)
+        assert r["max_abs_diff_cents"] == max(d for d, _ in v)
+        assert r["mean_rel_diff"] == pytest.approx(
+            sum(d / oc for d, oc in v) / len(v), abs=2e-6
+        )
+
+
+def test_qq_table_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    con = _con(sf_dir)
+    u = np.array([c for (c,) in con.execute(
+        "SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) FROM orders"
+        " WHERE o_orderpriority = '1-URGENT'").fetchall()])
+    lo = np.array([c for (c,) in con.execute(
+        "SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) FROM orders"
+        " WHERE o_orderpriority = '5-LOW'").fetchall()])
+    ps = [round(0.05 * i, 2) for i in range(1, 20)]
+    got = _run(spark, sf_dir, "qq_priority_totalprice")
+    assert [r["p"] for r in got] == ps
+    for r, p in zip(got, ps):
+        qu = float(np.percentile(u, p * 100, method="linear"))
+        ql = float(np.percentile(lo, p * 100, method="linear"))
+        assert r["q_urgent_cents"] == pytest.approx(qu, abs=2e-3)
+        assert r["q_low_cents"] == pytest.approx(ql, abs=2e-3)
+        assert r["qq_ratio"] == pytest.approx(ql / qu, abs=2e-5)
