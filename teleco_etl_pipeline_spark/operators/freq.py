@@ -390,7 +390,7 @@ def bigram_logprob_score(
     SELECT tfb.doc_id,
            CAST(SUM(tfb.tf * FLOOR(-log2(CAST(c12.c12 AS DOUBLE) / c1.c1)
                                    * 1000000.0)) AS DOUBLE)
-             / CAST(SUM(tfb.tf) * 1000 AS DOUBLE) AS mean_bits
+             / CAST(SUM(tfb.tf) * 1000000 AS DOUBLE) AS mean_bits
     FROM tfb JOIN c12 USING (bg) JOIN c1 USING (w1)
     GROUP BY tfb.doc_id
     ORDER BY tfb.doc_id
@@ -496,7 +496,7 @@ def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
            (CAST(sy AS DOUBLE)
             - (CAST(n * sxy - sx * sy AS DOUBLE)
                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-             / CAST(n * 1000 AS DOUBLE) AS zipf_intercept,
+             / CAST(n * 1000000 AS DOUBLE) AS zipf_intercept,
            (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
              / (CAST(n * sxx - sx * sx AS DOUBLE)
                 * CAST(n * syy - sy * sy AS DOUBLE)) AS zipf_r2

@@ -4877,7 +4877,7 @@ _QQ_PS = [round(0.05 * i, 2) for i in range(1, 20)]
     ll AS (
       SELECT UNNEST(qs) AS q, GENERATE_SUBSCRIPTS(qs, 1) AS i FROM l
     )
-    SELECT ROUND(0.05 * uu.i, 2) AS p,
+    SELECT CAST(ROUND(0.05 * uu.i, 2) AS DOUBLE) AS p,
            ROUND(uu.q + 1e-9, 4) AS q_urgent_cents,
            ROUND(ll.q + 1e-9, 4) AS q_low_cents,
            CASE WHEN uu.q > 0 THEN ROUND(ll.q / uu.q + 1e-9, 6)
