@@ -951,6 +951,12 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Driver union-find gate for neardup_clusters (module-level so tests
+# can force the superstep path): the sized-default bound on how many
+# near-dup edges one driver comfortably resolves in-memory.
+_DRIVER_CC_MAX_EDGES = 65536
+
+
 def neardup_clusters(
     pairs: DataFrame,
     docs: DataFrame,
@@ -996,7 +1002,53 @@ def neardup_clusters(
     labels was the measured sf1 bottleneck (r13: the loop was ~80 of
     neardup_clusters' 84 s with a guarded pair stage).
     """
-    sym = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    spark = pairs.sparkSession
+    # ONE materialization of the candidate-pair pipeline: the gate
+    # count, the collect (driver path) or the per-round edge scans
+    # (loop path) must not each re-run the guarded shingle self-join
+    # behind a lazy `pairs`. Pair lists are the SMALL output of that
+    # pipeline (bounded by the dedup rate), the same frame the
+    # previous shape cached as `edges` at 2x the rows.
+    sym = pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    # SIZED default (r13 optimization; the PPJoin df-cap / sized-ANN
+    # pattern): the label loop below costs ~5 scheduled jobs per
+    # round regardless of graph size — at real dedup rates the
+    # edge-induced subgraph is a few hundred to a few thousand edges
+    # and the loop is pure orchestration latency (measured 2.4 s for
+    # a 258-edge graph at sf0.1). When one bounded count shows the
+    # edge list fits comfortably on the driver, resolve the
+    # components with a union-find over the collected edges — the
+    # SAME min-label-per-component result (pinned by
+    # test_neardup_cc_driver_matches_superstep_loop) — and skip the
+    # loop; graphs past the gate take the superstep path unchanged.
+    n_edges = sym.count()
+    if n_edges <= _DRIVER_CC_MAX_EDGES:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in sym.collect():
+            u, v = int(row["src"]), int(row["dst"])
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        comp_min: dict[int, int] = {}
+        for node in parent:
+            r = find(node)
+            comp_min[r] = min(comp_min.get(r, node), node)
+        lab_rows = [(node, comp_min[find(node)]) for node in sorted(parent)]
+        labels = spark.createDataFrame(lab_rows, "node long, label long")
+        return _neardup_cluster_report(labels, docs, id_col)
     # Symmetrize: min-labels must flow both directions of each edge.
     edges = sym.union(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1059,6 +1111,15 @@ def neardup_clusters(
             "raise max_iter"
         )
     edges.unpersist()
+    return _neardup_cluster_report(labels, docs, id_col)
+
+
+def _neardup_cluster_report(
+    labels: DataFrame, docs: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared tail of :func:`neardup_clusters` over a converged
+    ``(node, label)`` frame (from either the driver union-find or the
+    superstep loop): singleton re-join + size/keeper projection."""
     from pyspark.sql import Window
 
     # Singletons re-join: every document outside the edge-induced

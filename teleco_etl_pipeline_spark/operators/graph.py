@@ -230,9 +230,17 @@ def q_trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"),
         F.lit(r0_units).cast("long").alias("rank_units"),
     ).localCheckpoint(eager=True)
+    # Superstep join side: a checkpointed rank is a LogicalRDD with
+    # UNKNOWN size, so the planner sort-merges and the wedge list
+    # pays an exchange per iteration. n is already a bounded driver
+    # statistic, so gate a plan-time broadcast on it — fires at every
+    # committed SF, falls back to the shuffled join when the node set
+    # outgrows a sane broadcast (same sizing as the PPR core).
+    bcast_ranks = n <= 2_000_000
     for _ in range(_ITERS):
+        rside = F.broadcast(rank) if bcast_ranks else rank
         rank = (
-            wedges.join(rank, wedges["src"] == rank["node"])
+            wedges.join(rside, wedges["src"] == rank["node"])
             .select(
                 "dst", F.expr("rank_units div outdeg").alias("contrib")
             )
@@ -375,20 +383,50 @@ def q_trade_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # ONE materialization of the expensive lineitem⋈orders distinct:
+    # it feeds the seed statistic, both union legs of the edge list,
+    # and (through them) the outdeg aggregate. The previous shape
+    # checkpointed EDGES (2x the rows) and then ran the seed .first()
+    # off the LAZY pairs lineage — a second full join+distinct pass
+    # over the fact tables for one driver literal (r13 optimization:
+    # guide §2.4, recompute removal; measured 8.7 s -> see
+    # OPTIMIZATION_r13.md).
     pairs = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select("o_custkey", "l_suppkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    # Seed = busiest customer: ONE bounded 1-row statistic (driver
+    # literal), exact integer count with an ASC key tie-break — reads
+    # the materialized pairs blocks, not the fact tables.
+    seed_row = (
+        pairs.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("o_custkey"))
+        .first()
+    )
+    seed = 2 * int(seed_row["o_custkey"])
+    # Exact node count (one bounded statistic over the materialized
+    # pairs): the rank frontier never exceeds it, so it gates the
+    # superstep broadcast — fires here and at every committed SF
+    # (sf1: ~160k nodes), falls back to the shuffled join when a
+    # 100 TB graph's node set outgrows a sane broadcast.
+    nrow = pairs.agg(
+        F.countDistinct("o_custkey").alias("nc"),
+        F.countDistinct("l_suppkey").alias("ns"),
+    ).first()
+    n_nodes = int(nrow["nc"]) + int(nrow["ns"])
     # Integer node encoding (customer k -> 2k, supplier k -> 2k+1),
     # decoded to the oracle's C/S labels only in the final top-k —
-    # same trick as trade_graph_pagerank.
+    # same trick as trade_graph_pagerank. Both legs are narrow
+    # projections of the checkpointed pairs, so no second
+    # materialization is needed before the degree fold.
     edges = pairs.selectExpr(
         "2 * o_custkey AS src", "2 * l_suppkey + 1 AS dst"
     ).unionAll(
         pairs.selectExpr("2 * l_suppkey + 1 AS src", "2 * o_custkey AS dst")
     )
-    edges = edges.localCheckpoint(eager=True)
     outdeg = edges.groupBy("src").agg(
         F.count(F.lit(1)).alias("outdeg")
     )
@@ -397,16 +435,9 @@ def q_trade_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "outdeg")
         .localCheckpoint(eager=True)
     )
-    # Seed = busiest customer: ONE bounded 1-row statistic (driver
-    # literal), exact integer count with an ASC key tie-break.
-    seed_row = (
-        pairs.groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), F.asc("o_custkey"))
-        .first()
+    rank = personalized_pagerank_units(
+        spark, wedges, seed, _ITERS, broadcast_ranks=n_nodes <= 2_000_000
     )
-    seed = 2 * int(seed_row["o_custkey"])
-    rank = personalized_pagerank_units(spark, wedges, seed, _ITERS)
     label = F.when(
         F.col("inode") % 2 == 0,
         F.concat(F.lit("C"), F.expr("inode div 2").cast("string")),
@@ -429,12 +460,24 @@ def personalized_pagerank_units(
     scale: int = _SCALE,
     d_num: int = _D_NUM,
     d_den: int = _D_DEN,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Superstep core of :func:`q_trade_graph_ppr` over a weighted
     edge list ``wedges(src, dst, outdeg)`` — separated so unit tests
     can drive it on exact fixtures against a pure-Python mirror of
     the integer recurrence. Returns ``(node, rank_units)`` for the
-    reached frontier after ``iters`` rounds."""
+    reached frontier after ``iters`` rounds.
+
+    ``broadcast_ranks``: a checkpointed rank frame is a LogicalRDD
+    with UNKNOWN size, so the planner sort-merges every superstep
+    join and the full wedge list pays an exchange per iteration (AQE
+    converts to broadcast at runtime, but only after the wedge
+    shuffle stage has already materialized). When the CALLER can
+    bound the frontier (rank rows ≤ node count, known from one
+    bounded statistic), passing True pins the broadcast at plan time
+    and the wedge list is never shuffled — the sized-default pattern
+    (caller gates on the bound; values identical either way,
+    measured ~1.3 s/run at sf0.1 in OPTIMIZATION_r13.md)."""
     from pyspark.sql import functions as F
 
     base = ((d_den - d_num) * scale) // d_den
@@ -442,8 +485,9 @@ def personalized_pagerank_units(
         [(seed, scale)], "node long, rank_units long"
     )
     for _ in range(iters):
+        rside = F.broadcast(rank) if broadcast_ranks else rank
         contrib = (
-            wedges.join(rank, wedges["src"] == rank["node"])
+            wedges.join(rside, wedges["src"] == rank["node"])
             .select("dst", F.expr("rank_units div outdeg").alias("contrib"))
             .groupBy(F.col("dst").alias("node"))
             .agg(
@@ -1473,17 +1517,33 @@ def q_trade_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels = [frontier]
     visited = frontier
     for _ in range(_BFS_HOPS):
+        f = levels[-1]
+        # Frontier/visited are materialized (checkpointed) and
+        # node-bounded, so their counts are cheap driver statistics;
+        # gate a plan-time broadcast on them — a checkpointed frame
+        # is a LogicalRDD with UNKNOWN size, so the planner would
+        # otherwise sort-merge and shuffle the full edge list every
+        # hop (the PPR superstep lesson, OPTIMIZATION_r13.md). Falls
+        # back to the shuffled join when a frontier outgrows a sane
+        # broadcast.
+        fb = F.broadcast(f) if f.count() <= 2_000_000 else f
+        vb = (
+            F.broadcast(visited)
+            if visited.count() <= 2_000_000
+            else visited
+        )
         nxt = (
-            edges.join(levels[-1], edges["src"] == levels[-1]["node"])
+            edges.join(fb, edges["src"] == f["node"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited, ["node"], "left_anti")
+            .join(vb, ["node"], "left_anti")
             .localCheckpoint(eager=True)
         )
         levels.append(nxt)
-        visited = (
-            visited.unionByName(nxt).distinct().localCheckpoint(eager=True)
-        )
+        # No distinct: `nxt` is anti-joined against `visited`, so the
+        # two legs are disjoint and each is internally distinct — the
+        # union already is.
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
     counts = None
     for lvl, nodes in enumerate(levels):
         c = nodes.agg(

@@ -62,7 +62,10 @@ def _range_bucket(col: str) -> "F.Column":
 
 
 def value_cumsum(
-    vc: DataFrame, col: str, sum_cols: dict[str, str] | None = None
+    vc: DataFrame,
+    col: str,
+    sum_cols: dict[str, str] | None = None,
+    bounds: tuple | None = None,
 ) -> DataFrame:
     """Inclusive cumulative count ``__cum`` over a distinct-value
     histogram ``vc(col, __c)`` via the two-level bucketed cumsum (see
@@ -72,13 +75,27 @@ def value_cumsum(
     ``sum_cols`` (source → output, default ``{"__c": "__cum"}``)
     cumsums SEVERAL histogram measure columns in the one two-level
     pass — the KS statistic's per-group (d1, d2) pair rides the same
-    bucketing instead of paying it twice."""
+    bucketing instead of paying it twice.
+
+    ``bounds``: optional ``(lo, hi)`` of ``col`` already known to the
+    caller (e.g. folded into the same aggregate that computed the row
+    count) — skips this function's own min/max job. Bucket placement
+    is identical for any valid bounds, so this is a pure job-count
+    optimization (r13)."""
     sum_cols = sum_cols or {"__c": "__cum"}
     srcs = list(sum_cols)
-    mm = vc.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
-    vcb = vc.crossJoin(F.broadcast(mm)).select(
-        col, *srcs, _range_bucket(col).alias("__b")
-    )
+    if bounds is not None:
+        vcb = vc.select(
+            col,
+            *srcs,
+            F.lit(bounds[0]).alias("__lo"),
+            F.lit(bounds[1]).alias("__hi"),
+        ).select(col, *srcs, _range_bucket(col).alias("__b"))
+    else:
+        mm = vc.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
+        vcb = vc.crossJoin(F.broadcast(mm)).select(
+            col, *srcs, _range_bucket(col).alias("__b")
+        )
     w_in = (
         Window.partitionBy("__b")
         .orderBy(col)
@@ -187,7 +204,15 @@ def exact_percentiles(df: DataFrame, col, qs: list[float]) -> list[float]:
         .agg(F.count(F.lit(1)).alias("__c"))
         .localCheckpoint(eager=True)
     )
-    nrow = vc.agg(F.sum("__c").alias("n")).first()
+    # One statistics job instead of two: the row count AND the value
+    # bounds ride the same aggregate, and the bounds feed
+    # value_cumsum as literals so it skips its own min/max pass
+    # (r13: one fewer job per exact-percentile call, ~18 call sites).
+    nrow = vc.agg(
+        F.sum("__c").alias("n"),
+        F.min(cname).alias("__lo"),
+        F.max(cname).alias("__hi"),
+    ).first()
     n = int(nrow["n"] or 0)
     if n == 0:
         return [None] * len(qs)
@@ -198,7 +223,7 @@ def exact_percentiles(df: DataFrame, col, qs: list[float]) -> list[float]:
         targets.add(i0)
         targets.add(min(i0 + 1, n - 1))
     tlist = sorted(targets)
-    cum = value_cumsum(vc, cname)
+    cum = value_cumsum(vc, cname, bounds=(nrow["__lo"], nrow["__hi"]))
     tarr = F.lit(tlist)
     brk = cum.filter(
         F.exists(

@@ -46,6 +46,23 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- Shuffle sizing (pre-AQE bound) ---
         .config("spark.sql.shuffle.partitions", str(parts))
+        # --- Joins: allow shuffled-hash when its size conditions are
+        #     met instead of always sort-merging (no sort on either
+        #     side; the standard batch-ETL baseline), and let AQE
+        #     rewrite a planned sort-merge to shuffled-hash at
+        #     runtime when every post-shuffle partition is under
+        #     64 MB (default 0 = never). Join RESULTS are identical
+        #     either way; measured r13 on the 25-query join slice:
+        #     41.2 s -> 33.9 s sum-of-medians (fk_integrity_report
+        #     3.98 -> 2.31 s, market_share 2.41 -> 1.85 s). Build
+        #     sides stay bounded: the planner's own size conditions
+        #     gate the static choice, the 64 MB threshold gates the
+        #     AQE rewrite. ---
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64m",
+        )
         # --- Broadcast: dims in the star schema are tiny; let
         #     Catalyst broadcast them (10 MB default is fine, raise a
         #     bit for the 9-column services dim at high SF) ---
@@ -60,6 +77,24 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         # Quiet timezone semantics: store/compare in UTC everywhere.
         .config("spark.sql.session.timeZone", "UTC")
+        # --- Periodic driver GC: Spark's ContextCleaner frees
+        #     shuffle files, broadcast blocks and localCheckpoint
+        #     RDDs only after the DRIVER JVM collects their weak
+        #     references; the 30min default lets hundreds of
+        #     checkpoint-heavy queries accumulate uncollected state,
+        #     and the next Python-exchange stage then stalls inside
+        #     the induced full GCs (measured r13: after 18
+        #     graph-family queries, multimodal_resize_exec ran
+        #     39.2 s / 16.8 s / 1.2 s; with periodic GC or one
+        #     explicit System.gc() the same runs are 2.9 s / 0.8 s /
+        #     0.8 s — OPTIMIZATION_r13.md). 45s is cheap on any
+        #     deployment (the trigger is driver-side System.gc();
+        #     per-query suites this short-cycled are exactly the
+        #     long-running-driver case the knob exists for). ---
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "45s"),
+        )
         # --- Driver heap: in local mode the driver JVM IS every
         #     executor; Spark's 1g default is laptop-sized and a
         #     long bench/parity session (hundreds of queries of

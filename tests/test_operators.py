@@ -499,17 +499,20 @@ def test_chunk_documents_rejects_bad_overlap(spark):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
 
 
-def test_neardup_clusters_raises_on_nonconvergence(spark):
+def test_neardup_clusters_raises_on_nonconvergence(spark, monkeypatch):
     import pytest
 
-    from teleco_etl_pipeline_spark.operators.dedup import neardup_clusters
+    from teleco_etl_pipeline_spark.operators import dedup
 
+    # Force the superstep path (the driver union-find always
+    # converges); the loud nonconvergence guard is loop behavior.
+    monkeypatch.setattr(dedup, "_DRIVER_CC_MAX_EDGES", -1)
     docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(5)], ["doc_id_a", "doc_id_b"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        neardup_clusters(chain, docs, max_iter=2)
+        dedup.neardup_clusters(chain, docs, max_iter=2)
 
 
 def test_day_partition_overwrite_and_pruned_read(spark, tmp_path):
@@ -1963,3 +1966,28 @@ def test_ivf_index_artifact_roundtrip_and_stored_query(spark, sf_dir):
     stored = [tuple(r) for r in q_embedding_ivf_topk_stored(spark, sf_dir).collect()]
     inplan = [tuple(r) for r in q_embedding_ivf_topk(spark, sf_dir).collect()]
     assert stored == inplan
+
+
+def test_neardup_cc_driver_matches_superstep_loop(spark, monkeypatch):
+    """The sized driver union-find (r13 optimization) must produce the
+    EXACT frame the superstep min-label loop produces — chain (tests
+    transitivity), clique, pair, and singleton shapes."""
+    from teleco_etl_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 12)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, clique 5-6-7, pair 8-9; 10, 11 singletons
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7), (8, 9)],
+        ["doc_id_a", "doc_id_b"],
+    )
+    driver = sorted(
+        tuple(r) for r in dedup.neardup_clusters(pairs, docs).collect()
+    )
+    monkeypatch.setattr(dedup, "_DRIVER_CC_MAX_EDGES", -1)
+    loop = sorted(
+        tuple(r) for r in dedup.neardup_clusters(pairs, docs).collect()
+    )
+    assert driver == loop
+    assert {t[0]: t[1] for t in driver} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8, 9: 8, 10: 10, 11: 11
+    }
