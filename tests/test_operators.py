@@ -1991,3 +1991,35 @@ def test_neardup_cc_driver_matches_superstep_loop(spark, monkeypatch):
     assert {t[0]: t[1] for t in driver} == {
         1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8, 9: 8, 10: 10, 11: 11
     }
+
+
+def test_ktruss_driver_matches_superstep_loop(spark, monkeypatch, tmp_path):
+    """The sized driver peel (r13) must produce the exact trajectory
+    the distributed oriented-wedge rounds produce on the same data."""
+    from teleco_etl_pipeline_spark.operators import graph
+
+    sf_dir = "/root/testdata/sf0.001"
+    driver = [
+        tuple(r) for r in graph.q_part_ktruss_peel(spark, sf_dir).collect()
+    ]
+    monkeypatch.setattr(graph, "_DRIVER_GRAPH_MAX_EDGES", -1)
+    loop = [
+        tuple(r) for r in graph.q_part_ktruss_peel(spark, sf_dir).collect()
+    ]
+    assert driver == loop and len(driver) == 3
+
+
+def test_kcore_driver_matches_superstep_loop(spark, monkeypatch):
+    """The sized driver k-core peel (r13) must produce the exact
+    trajectory the distributed rounds produce on the same data."""
+    from teleco_etl_pipeline_spark.operators import graph
+
+    sf_dir = "/root/testdata/sf0.001"
+    driver = [
+        tuple(r) for r in graph.q_supplier_kcore_peel(spark, sf_dir).collect()
+    ]
+    monkeypatch.setattr(graph, "_DRIVER_GRAPH_MAX_EDGES", -1)
+    loop = [
+        tuple(r) for r in graph.q_supplier_kcore_peel(spark, sf_dir).collect()
+    ]
+    assert driver == loop and len(driver) == 3
