@@ -1024,7 +1024,17 @@ def neardup_clusters(
     # test_neardup_cc_driver_matches_superstep_loop) — and skip the
     # loop; graphs past the gate take the superstep path unchanged.
     n_edges = sym.count()
-    if n_edges <= _DRIVER_CC_MAX_EDGES:
+    # Driver path requires an INTEGRAL id column (the union-find
+    # coerces with int() and rebuilds the label frame in the input's
+    # own type); non-integer id frames fall through to the superstep
+    # loop, which is type-generic (r13 ADVICE).
+    _id_type = sym.schema["src"].dataType.simpleString()
+    if n_edges <= _DRIVER_CC_MAX_EDGES and _id_type in {
+        "tinyint",
+        "smallint",
+        "int",
+        "bigint",
+    }:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -1047,7 +1057,9 @@ def neardup_clusters(
             r = find(node)
             comp_min[r] = min(comp_min.get(r, node), node)
         lab_rows = [(node, comp_min[find(node)]) for node in sorted(parent)]
-        labels = spark.createDataFrame(lab_rows, "node long, label long")
+        labels = spark.createDataFrame(
+            lab_rows, f"node {_id_type}, label {_id_type}"
+        )
         return _neardup_cluster_report(labels, docs, id_col)
     # Symmetrize: min-labels must flow both directions of each edge.
     edges = sym.union(
@@ -1055,6 +1067,14 @@ def neardup_clusters(
     ).cache()
     touched = edges.select(F.col("src").alias("node")).distinct()
     labels = touched.select("node", F.col("node").alias("label"))
+    # Per-round broadcast hints on the label-side frames were
+    # MEASURED AND REJECTED here (r14, like the kcore/ktruss peels):
+    # ABBA-interleaved forced-distributed probes read a wash at both
+    # SFs (sf0.1 broadcast [7.3, 6.3, 6.7, 6.2] vs shuffled
+    # [6.2, 5.7, 6.1, 6.0] s; sf0.01 equally flat) — four
+    # broadcast-build driver barriers per round cost what the avoided
+    # node-sized exchanges save, and AQE's runtime conversion covers
+    # the genuinely-large-edge-list regime. See OPTIMIZATION_r14.md.
     changed = -1
     for _ in range(max_iter):
         nbr_min = (

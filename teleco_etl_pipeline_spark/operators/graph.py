@@ -45,6 +45,27 @@ _D_NUM, _D_DEN = 85, 100  # damping 0.85 as an exact rational
 _ITERS = 3
 _TOPK = 20
 
+# Shared byte-aware broadcast gate (r14, replacing the r13 inline
+# `n <= 2_000_000` row constants — r13 verdict issue #2): a superstep
+# frame that the planner cannot size (LogicalRDD after localCheckpoint)
+# is broadcast only while rows × payload bytes stays under a sane
+# build-relation bound. 32 MiB keeps the old behaviour EXACTLY for the
+# (long, long) frames the constant was tuned on (2M × 16 B = 32 MiB)
+# while a wider frame behind the same gate now trips proportionally
+# earlier — the §3.1 guidance the row-count constant could not honour.
+_BCAST_CAP_BYTES = 32 * 1024 * 1024
+
+
+def _fits_broadcast(n_rows: int, row_bytes: int) -> bool:
+    """True when a bounded driver count says an unsized (checkpointed)
+    frame of ``n_rows`` rows at ``row_bytes`` payload bytes per row is
+    safe to pin as the broadcast side of a superstep join; callers fall
+    back to the shuffled join past the gate (the sized-default
+    pattern). ``row_bytes`` is the caller's per-row payload width: 16
+    for the (long, long) rank/label/edge frames, 8 for node-only
+    frontier sets."""
+    return n_rows * row_bytes <= _BCAST_CAP_BYTES
+
 
 def _pagerank_sql(iters: int, scale: int, d_num: int, d_den: int, topk: int) -> str:
     """Unrolled integer PageRank over CTEs ``edges(src, dst)``.
@@ -236,7 +257,7 @@ def q_trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # statistic, so gate a plan-time broadcast on it — fires at every
     # committed SF, falls back to the shuffled join when the node set
     # outgrows a sane broadcast (same sizing as the PPR core).
-    bcast_ranks = n <= 2_000_000
+    bcast_ranks = _fits_broadcast(n, 16)  # (node, rank_units) longs
     for _ in range(_ITERS):
         rside = F.broadcast(rank) if bcast_ranks else rank
         rank = (
@@ -436,7 +457,12 @@ def q_trade_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     rank = personalized_pagerank_units(
-        spark, wedges, seed, _ITERS, broadcast_ranks=n_nodes <= 2_000_000
+        spark,
+        wedges,
+        seed,
+        _ITERS,
+        # (node, rank_units) longs — byte-aware sized gate (r14)
+        broadcast_ranks=_fits_broadcast(n_nodes, 16),
     )
     label = F.when(
         F.col("inode") % 2 == 0,
@@ -718,6 +744,50 @@ def _degree_and_corners(edges):
     return deg, corners
 
 
+def _driver_triangle_stats(
+    es: list[tuple[int, int]],
+) -> tuple[dict[int, int], dict[int, int]]:
+    """Exact per-node (degree, triangle-membership count) over a
+    collected undirected edge list (u < v, no duplicates) — the
+    driver twin of :func:`_degree_and_corners`'s corner aggregate,
+    used under the ``_DRIVER_GRAPH_MAX_EDGES`` gate (the ktruss /
+    kcore r13 pattern). All integers, so equality with the
+    distributed enumeration is exact (pinned by
+    test_triangle_driver_matches_distributed).
+
+    Two regimes: a dense float64 adjacency matmul when the node set
+    is small (the co-fulfillment graph is near-complete, so per-node
+    T via diag(A³)/2 — BLAS, exact: every count ≤ n < 2⁵³), else
+    per-node neighbor-set intersections (T_v = ½ Σ_{x∈adj v}
+    |adj(v) ∩ adj(x)|, linear in Σ deg intersections — right for the
+    sparse volume-scaled graphs)."""
+    import numpy as np
+
+    deg: dict[int, int] = {}
+    for u, v in es:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    nodes = sorted(deg)
+    if len(nodes) <= 4096:
+        idx = {n: i for i, n in enumerate(nodes)}
+        a = np.zeros((len(nodes), len(nodes)))
+        for u, v in es:
+            a[idx[u], idx[v]] = 1.0
+            a[idx[v], idx[u]] = 1.0
+        # ((A²)∘A)·1 = 2·T_v: integer-valued float64 throughout
+        t2 = ((a @ a) * a).sum(axis=1)
+        tri = {n: int(t2[idx[n]]) // 2 for n in nodes}
+    else:
+        adj: dict[int, set[int]] = {n: set() for n in nodes}
+        for u, v in es:
+            adj[u].add(v)
+            adj[v].add(u)
+        tri = {
+            n: sum(len(adj[n] & adj[x]) for x in adj[n]) // 2 for n in nodes
+        }
+    return deg, tri
+
+
 @query(
     "supplier_triangle_count",
     _COFULFILL_EDGES_DUCK.format(min_co=_MIN_CO)
@@ -735,6 +805,23 @@ def q_supplier_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     edges = _cofulfill_edges_spark(spark, sf_dir).cache()
+    # SIZED default (r14, the ktruss/kcore r13 pattern): the
+    # distributed path materializes the full triangle list (~|V|³/6
+    # rows on this near-complete graph — 4.9M rows at sf0.1) to count
+    # corners; under the gate one collected edge list yields the
+    # identical integer counts without enumerating a single triangle.
+    # Distributed path unchanged past the gate.
+    if edges.count() <= _DRIVER_GRAPH_MAX_EDGES:
+        es = [(int(r["u"]), int(r["v"])) for r in edges.collect()]
+        edges.unpersist()
+        _, tri = _driver_triangle_stats(es)
+        rows = sorted(
+            ((n, t) for n, t in tri.items() if t > 0),
+            key=lambda r: (-r[1], r[0]),
+        )[:_TRI_TOPK]
+        return spark.createDataFrame(
+            rows, "s_suppkey long, n_triangles long"
+        ).orderBy(F.desc("n_triangles"), "s_suppkey")
     _, corners = _degree_and_corners(edges)
     return (
         corners.groupBy("node")
@@ -816,6 +903,32 @@ def q_supplier_clustering_coefficient(
     from pyspark.sql import functions as F
 
     edges = _cofulfill_edges_spark(spark, sf_dir).cache()
+    # SIZED default (r14): same gate + exact integer (deg, T_v) twin
+    # as supplier_triangle_count; the double coefficient mirrors the
+    # Spark expression op-for-op (2.0·T / (d·(d−1)) + 1e-9, then the
+    # half-up ROUND replica from operators/quantiles.half_up), so the
+    # emitted doubles are bit-identical (pinned by
+    # test_clustering_driver_matches_distributed).
+    if edges.count() <= _DRIVER_GRAPH_MAX_EDGES:
+        from teleco_etl_pipeline_spark.operators.quantiles import half_up
+
+        es = [(int(r["u"]), int(r["v"])) for r in edges.collect()]
+        edges.unpersist()
+        dg, tri = _driver_triangle_stats(es)
+        rows = []
+        for n, d in dg.items():
+            if d < 2:
+                continue
+            t = tri.get(n, 0)
+            c = half_up(
+                (2.0 * float(t)) / (float(d) * (float(d) - 1)) + 1e-9, 6
+            )
+            rows.append((n, d, t, c))
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        return spark.createDataFrame(
+            rows[:_TRI_TOPK],
+            "s_suppkey long, degree long, n_triangles long, clustering double",
+        ).orderBy(F.desc("clustering"), "s_suppkey")
     deg, corners = _degree_and_corners(edges)
     per_node = corners.groupBy("node").agg(F.count(F.lit(1)).alias("t"))
     degd = F.col("deg").cast("double")
@@ -874,7 +987,8 @@ def q_supplier_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (iter, |keep|, |edges'|): the identical integers the
     # distributed rounds below compute (pinned by
     # test_kcore_driver_matches_superstep_loop).
-    if edges.count() <= _DRIVER_GRAPH_MAX_EDGES:
+    n_edges0 = edges.count()
+    if n_edges0 <= _DRIVER_GRAPH_MAX_EDGES:
         es = [(int(r["u"]), int(r["v"])) for r in edges.collect()]
         edges.unpersist()
         rows = []
@@ -891,6 +1005,15 @@ def q_supplier_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("iter")
     prev = edges
     stats = None
+    # Per-round broadcast hints on `keep` were MEASURED AND REJECTED
+    # here (r14): ABBA-interleaved forced-distributed probes at sf0.1
+    # read broadcast [7.8, 5.3, 5.2, 5.0] vs shuffled
+    # [4.4, 3.8, 4.4, 3.5] s — each broadcast build is a per-round
+    # driver barrier, and at any scale this fallback is actually
+    # reachable from, the surviving edge list's exchange is small
+    # enough that AQE's runtime SMJ→broadcast conversion already
+    # covers the win the hint was meant to pin. See
+    # OPTIMIZATION_r14.md and SCALING_r14.json's forced rows.
     for i in range(1, _KCORE_ITERS + 1):
         deg = (
             prev.select(F.col("u").alias("node"))
@@ -1121,7 +1244,7 @@ def q_part_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the planner would otherwise sort-merge and exchange BOTH
     # sides per round (the PPR superstep lesson, OPTIMIZATION_r13.md);
     # shuffled join remains the fallback past the gate.
-    bcast_labels = labels.count() <= 2_000_000
+    bcast_labels = _fits_broadcast(labels.count(), 16)  # (node, lab) longs
     w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
     for _ in range(_LPA_ITERS):
         lside = F.broadcast(labels) if bcast_labels else labels
@@ -1306,7 +1429,12 @@ def resource_allocation_scores(edges: DataFrame, topk: int) -> DataFrame:
     with ``u < v``: identical enumeration shape to
     :func:`common_neighbor_scores`, with the per-center weight
     ``floor(10⁶ / deg(z))`` attached before the explode so the score
-    aggregate is one integer SUM alongside the CN COUNT."""
+    aggregate is one integer SUM alongside the CN COUNT.
+
+    ``edges`` is expected MATERIALIZED (localCheckpoint/cache): the
+    broadcast gate below runs ``edges.count()``, which would re-run a
+    lazy edge-build lineage as an extra job (every in-repo caller
+    checkpoints first — r13 ADVICE)."""
     from pyspark.sql import functions as F
 
     und = edges.select(
@@ -1344,7 +1472,7 @@ def resource_allocation_scores(edges: DataFrame, topk: int) -> DataFrame:
     # has unknown size to the planner, so gate a plan-time broadcast
     # on one bounded count — otherwise the whole wedge stream pays a
     # sort-merge exchange (fallback past the gate unchanged).
-    eb = F.broadcast(edges) if edges.count() <= 2_000_000 else edges
+    eb = F.broadcast(edges) if _fits_broadcast(edges.count(), 16) else edges
     cand = wedges.join(
         eb,
         (wedges["x"] == edges["u"]) & (wedges["y"] == edges["v"]),
@@ -1380,7 +1508,12 @@ def common_neighbor_scores(edges: DataFrame, topk: int) -> DataFrame:
     """Wedge-enumeration + anti-join core of the link predictor over
     an undirected edge list ``(u, v)`` with ``u < v`` — separated
     from the edge builder so unit tests can drive it on exact
-    fixtures (e.g. the 1-2-3-4 path graph)."""
+    fixtures (e.g. the 1-2-3-4 path graph).
+
+    ``edges`` is expected MATERIALIZED (localCheckpoint/cache): the
+    broadcast gate below runs ``edges.count()``, which would re-run a
+    lazy edge-build lineage as an extra job (every in-repo caller
+    checkpoints first — r13 ADVICE)."""
     from pyspark.sql import functions as F
 
     und = edges.select(
@@ -1412,7 +1545,7 @@ def common_neighbor_scores(edges: DataFrame, topk: int) -> DataFrame:
     # Same sized broadcast gate as resource_allocation_scores: the
     # cut edge list is the small anti-join side, the wedge fan-out
     # the big one; a checkpointed edge frame has unknown planner size.
-    eb = F.broadcast(edges) if edges.count() <= 2_000_000 else edges
+    eb = F.broadcast(edges) if _fits_broadcast(edges.count(), 16) else edges
     cand = wedges.join(
         eb,
         (wedges["x"] == edges["u"]) & (wedges["y"] == edges["v"]),
@@ -1566,10 +1699,10 @@ def q_trade_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hop (the PPR superstep lesson, OPTIMIZATION_r13.md). Falls
         # back to the shuffled join when a frontier outgrows a sane
         # broadcast.
-        fb = F.broadcast(f) if f.count() <= 2_000_000 else f
+        fb = F.broadcast(f) if _fits_broadcast(f.count(), 8) else f
         vb = (
             F.broadcast(visited)
-            if visited.count() <= 2_000_000
+            if _fits_broadcast(visited.count(), 8)  # node-only frames
             else visited
         )
         nxt = (
@@ -1710,7 +1843,7 @@ def q_trade_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # feeds every superstep twice
     )
 
-    def _norm(scored, key: str, raw: str, out: str):
+    def _norm(scored, key: str, raw: str, out: str) -> tuple[DataFrame, int]:
         # Checkpoint the RAW aggregate, not the normalized projection:
         # `scored` has two consumers (the normalizing-total aggregate
         # and the select), so a lazy frame would re-run the whole
@@ -1726,9 +1859,18 @@ def q_trade_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-round driver barriers either way (the next superstep
         # cannot start before the total exists).
         scored = scored.localCheckpoint(eager=True)
-        tot = scored.agg(F.sum(raw).alias("__t")).first()[0] or 0
+        # The row count rides the SAME 1-row aggregate as the total
+        # (zero extra jobs): it is the score frame's exact node count,
+        # which gates that side's superstep broadcast below.
+        trow = scored.agg(
+            F.sum(raw).alias("__t"), F.count(F.lit(1)).alias("__n")
+        ).first()
+        tot = trow["__t"] or 0
         denom = max(1, tot // _HITS_SCALE)
-        return scored.select(key, F.expr(f"{raw} div {denom}").alias(out))
+        return (
+            scored.select(key, F.expr(f"{raw} div {denom}").alias(out)),
+            int(trow["__n"]),
+        )
 
     hub = pairs.select("c").distinct().select(
         "c", F.lit(_HITS_SCALE).cast("long").alias("h")
@@ -1738,20 +1880,28 @@ def q_trade_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the materialized pair list is never shuffled (the PPR
     # superstep lesson — a post-_norm frame is projection over a
     # LogicalRDD, unknown size to the planner). Shuffled-join
-    # fallback past the gate.
-    bcast_scores = hub.count() <= 2_000_000
+    # fallback past the gate. PER-SIDE gates (r13 ADVICE): the hub
+    # side is gated on the customer count, the auth side on the
+    # supplier count from its own first normalization aggregate
+    # (free — it rides the total's 1-row agg), so a graph whose
+    # suppliers outnumber customers can never broadcast an oversized
+    # auth frame through the hub-side gate.
+    bcast_hub = _fits_broadcast(hub.count(), 16)  # (c, h) longs
+    bcast_auth: bool | None = None  # known after the first auth _norm
     auth = None
     for _ in range(_HITS_ITERS):
-        hside = F.broadcast(hub) if bcast_scores else hub
+        hside = F.broadcast(hub) if bcast_hub else hub
         araw = (
             pairs.join(hside, "c").groupBy("s").agg(F.sum("h").alias("r"))
         )
-        auth = _norm(araw, "s", "r", "a")
-        aside = F.broadcast(auth) if bcast_scores else auth
+        auth, n_auth = _norm(araw, "s", "r", "a")
+        if bcast_auth is None:
+            bcast_auth = _fits_broadcast(n_auth, 16)  # (s, a) longs
+        aside = F.broadcast(auth) if bcast_auth else auth
         hraw = (
             pairs.join(aside, "s").groupBy("c").agg(F.sum("a").alias("r"))
         )
-        hub = _norm(hraw, "c", "r", "h")
+        hub, _n_hub = _norm(hraw, "c", "r", "h")
     top_a = (
         auth.orderBy(F.desc("a"), F.asc("s"))
         .limit(_HITS_TOPK)
@@ -1848,10 +1998,19 @@ def q_trade_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     degc = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("cd"))
     degs = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("sd"))
-    n_nodes = degc.count() + degs.count()
+    # The two side counts were already needed for n_nodes; reuse them
+    # to gate plan-time broadcasts of the degree frames (r14): both
+    # are aggregates over a checkpointed LogicalRDD, so the planner
+    # cannot size them and the moment join otherwise sort-merges the
+    # full pair list TWICE (the superstep-broadcast lesson). Shuffled
+    # joins remain the fallback past the gate.
+    n_c, n_s = degc.count(), degs.count()
+    n_nodes = n_c + n_s
+    dcside = F.broadcast(degc) if _fits_broadcast(n_c, 16) else degc
+    dsside = F.broadcast(degs) if _fits_broadcast(n_s, 16) else degs
     e = (
-        pairs.join(degc, "c")
-        .join(degs, "s")
+        pairs.join(dcside, "c")
+        .join(dsside, "s")
         .select(
             F.col("cd").cast("decimal(19,0)").alias("cd"),
             F.col("sd").cast("decimal(19,0)").alias("sd"),
@@ -1937,6 +2096,40 @@ def q_part_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     edges = _part_edges_spark(spark, sf_dir).cache()
+    # SIZED default (r14, the ktruss/kcore pattern): below the gate
+    # the whole phi(k) curve is five integer folds over one collected
+    # edge list — the distributed path's ×5 node and edge fan-outs
+    # plus two joins are pure orchestration at volume-scaled sizes.
+    # phi mirrors the Spark expression op-for-op with the half-up
+    # ROUND replica; distributed path unchanged past the gate
+    # (pinned by test_richclub_driver_matches_distributed).
+    if edges.count() <= _DRIVER_GRAPH_MAX_EDGES:
+        from teleco_etl_pipeline_spark.operators.quantiles import half_up
+
+        es = [(int(r["u"]), int(r["v"])) for r in edges.collect()]
+        edges.unpersist()
+        dg: dict[int, int] = {}
+        for u, v in es:
+            dg[u] = dg.get(u, 0) + 1
+            dg[v] = dg.get(v, 0) + 1
+        rows = []
+        for k in range(1, 6):
+            nn = sum(1 for d in dg.values() if d > k)
+            ne = sum(1 for u, v in es if dg[u] > k and dg[v] > k)
+            phi = (
+                half_up(
+                    (2.0 * float(ne))
+                    / (float(nn) * (float(nn) - 1))
+                    + 1e-9,
+                    6,
+                )
+                if nn >= 2
+                else 0.0
+            )
+            rows.append((k, nn, ne, phi))
+        return spark.createDataFrame(
+            rows, "k int, n_nodes long, n_edges long, phi double"
+        ).orderBy("k")
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -2121,7 +2314,8 @@ def q_part_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oriented-wedge enumeration counts; pinned by
     # test_ktruss_driver_matches_superstep_loop); past the gate, the
     # distributed rounds below are unchanged.
-    if prev.count() <= _DRIVER_GRAPH_MAX_EDGES:
+    n_edges0 = prev.count()
+    if n_edges0 <= _DRIVER_GRAPH_MAX_EDGES:
         edges = {(int(r["u"]), int(r["v"])) for r in prev.collect()}
         rows = []
         for i in range(1, _TRUSS_ITERS + 1):
@@ -2140,6 +2334,12 @@ def q_part_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows, "iter long, n_nodes long, n_edges long"
         ).orderBy("iter")
     stats = None
+    # Per-round broadcast hints (deg / supp sides) were MEASURED AND
+    # REJECTED here, like supplier_kcore_peel's: ABBA-interleaved
+    # forced-distributed probes at sf0.1 read a wash (broadcast
+    # [4.6, 4.5, 4.2, 4.2] vs shuffled [4.6, 4.6, 4.1, 4.2] s) — the
+    # per-round broadcast-build barriers buy nothing the AQE runtime
+    # conversion doesn't already provide. See OPTIMIZATION_r14.md.
     for i in range(1, _TRUSS_ITERS + 1):
         deg = (
             prev.select(F.col("u").alias("node"))

@@ -1147,7 +1147,14 @@ def _assign_nearest(
         d = cents_sq[None, :] - 2.0 * (x @ cents.T)
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
-    return df.withColumn(out_col, nearest(F.col(vec_col)))
+    # asNondeterministic: guide §4.4 — a probe filter on the UDF-derived
+    # column (ivf_topk's `ivf_list IN (...)`) otherwise makes Catalyst
+    # evaluate the UDF TWICE (once under the pushed filter, once in the
+    # projection), shipping every vector across the Python boundary two
+    # times per scan (r14: two ArrowEvalPython nodes in the before-plan).
+    # The function is pure, so results are identical; the flag only stops
+    # the optimizer duplicating/reordering it.
+    return df.withColumn(out_col, nearest.asNondeterministic()(F.col(vec_col)))
 
 
 def _fit_sample(
@@ -2154,7 +2161,11 @@ def ivfpq_assign(
             {"ivf_list": lst.astype(np.int32), "codes": list(out)}
         )
 
-    return emb.withColumn("_enc", enc(F.col(vec_col))).select(
+    # asNondeterministic: the _assign_nearest rationale (guide §4.4) —
+    # ivfpq_topk filters on the UDF-derived ivf_list, and without the
+    # flag the before-plan evaluated `enc` twice (two ArrowEvalPython
+    # passes over every vector). Pure function, identical results.
+    return emb.withColumn("_enc", enc.asNondeterministic()(F.col(vec_col))).select(
         *emb.columns,
         F.col("_enc.ivf_list").alias("ivf_list"),
         F.col("_enc.codes").alias("codes"),

