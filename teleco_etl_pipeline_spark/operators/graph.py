@@ -662,24 +662,27 @@ def _cofulfill_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("l_suppkey")).alias("supps"))
         .filter(F.size("supps") >= 2)
     )
-    pairs = baskets.select(
+    # Pair enumeration as two codegen'd generators (posexplode +
+    # explode over a slice) instead of the nested higher-order
+    # transform lambdas, which Catalyst evaluates INTERPRETED per
+    # element (r14, guide §4.1/§1.2 per-task work): identical 47,703
+    # edges at sf0.1, ABBA-interleaved [1.58, 1.42, 1.65, 1.75] →
+    # [1.22, 1.30, 1.08, 1.38] s for the full edge build — and the
+    # interpreted-lambda cost this removes scales with the PAIR
+    # count, exactly what grows at 100 TB.
+    p = baskets.select(
+        F.col("supps"), F.posexplode("supps").alias("i", "u")
+    )
+    pairs = p.select(
+        "u",
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("supps") - 2),
-                    lambda i: F.transform(
-                        F.slice(
-                            F.col("supps"), i + 2, F.size("supps") - i - 1
-                        ),
-                        lambda y: F.struct(
-                            F.element_at(F.col("supps"), i + 1).alias("u"),
-                            y.alias("v"),
-                        ),
-                    ),
-                )
+            F.slice(
+                F.col("supps"),
+                F.col("i") + 2,
+                F.size("supps") - F.col("i") - 1,
             )
-        ).alias("p")
-    ).select("p.u", "p.v")
+        ).alias("v"),
+    )
     return (
         pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n_co"))
@@ -1182,22 +1185,18 @@ def _part_edges_spark(
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .filter(F.size("ps") >= 2)
     )
-    pairs = baskets.select(
+    # Codegen'd generator pair enumeration — see the
+    # _cofulfill_edges_spark comment (r14; identical edges, the
+    # interpreted nested-transform lambdas removed).
+    p = baskets.select(F.col("ps"), F.posexplode("ps").alias("i", "u"))
+    pairs = p.select(
+        "u",
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ps") - 2),
-                    lambda i: F.transform(
-                        F.slice(F.col("ps"), i + 2, F.size("ps") - i - 1),
-                        lambda y: F.struct(
-                            F.element_at(F.col("ps"), i + 1).alias("u"),
-                            y.alias("v"),
-                        ),
-                    ),
-                )
+            F.slice(
+                F.col("ps"), F.col("i") + 2, F.size("ps") - F.col("i") - 1
             )
-        ).alias("p")
-    ).select("p.u", "p.v")
+        ).alias("v"),
+    )
     return (
         pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n_co"))
@@ -1449,23 +1448,20 @@ def resource_allocation_scores(edges: DataFrame, topk: int) -> DataFrame:
         # floor differently than the oracle's integer division.
         .withColumn("wz", F.expr("1000000 div size(nb)").cast("long"))
     )
-    wedges = adj.select(
-        F.col("wz"),
+    # Codegen'd generator wedge enumeration — the
+    # _cofulfill_edges_spark rationale (r14).
+    pw = adj.select(
+        "wz", F.col("nb"), F.posexplode("nb").alias("i", "x")
+    )
+    wedges = pw.select(
+        "x",
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("nb") - 2),
-                    lambda i: F.transform(
-                        F.slice(F.col("nb"), i + 2, F.size("nb") - i - 1),
-                        lambda y: F.struct(
-                            F.element_at(F.col("nb"), i + 1).alias("x"),
-                            y.alias("y"),
-                        ),
-                    ),
-                )
+            F.slice(
+                F.col("nb"), F.col("i") + 2, F.size("nb") - F.col("i") - 1
             )
-        ).alias("p"),
-    ).select("p.x", "p.y", "wz")
+        ).alias("y"),
+        "wz",
+    )
     # The existing-edge list is the SMALL side of the anti-join (the
     # volume-scaled cut keeps it roughly constant across SFs) while
     # the wedge fan-out is the big side; a checkpointed edge frame
@@ -1526,22 +1522,17 @@ def common_neighbor_scores(edges: DataFrame, topk: int) -> DataFrame:
         # sequence(0, size-2) ascending (size=1 would flip it).
         .filter(F.size("nb") >= 2)
     )
-    wedges = adj.select(
+    # Codegen'd generator wedge enumeration — the
+    # _cofulfill_edges_spark rationale (r14).
+    pw = adj.select(F.col("nb"), F.posexplode("nb").alias("i", "x"))
+    wedges = pw.select(
+        "x",
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("nb") - 2),
-                    lambda i: F.transform(
-                        F.slice(F.col("nb"), i + 2, F.size("nb") - i - 1),
-                        lambda y: F.struct(
-                            F.element_at(F.col("nb"), i + 1).alias("x"),
-                            y.alias("y"),
-                        ),
-                    ),
-                )
+            F.slice(
+                F.col("nb"), F.col("i") + 2, F.size("nb") - F.col("i") - 1
             )
-        ).alias("p")
-    ).select("p.x", "p.y")
+        ).alias("y"),
+    )
     # Same sized broadcast gate as resource_allocation_scores: the
     # cut edge list is the small anti-join side, the wedge fan-out
     # the big one; a checkpointed edge frame has unknown planner size.

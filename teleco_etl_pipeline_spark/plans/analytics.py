@@ -1045,6 +1045,14 @@ def q_part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         io.withColumn("_bsz", F.count(F.lit(1)).over(wb))
         .filter(F.col("_bsz") <= 100)
         .drop("_bsz")
+        # Materialize ONCE (r14, guide §2.4): four consumers (the
+        # n_orders scalar subquery, pn, and both self-join legs) each
+        # carried their own copy of the distinct + basket-cap window —
+        # the executed plan showed FIVE independent lineitem scans and
+        # no ReusedExchange (plans/r14/part_basket_lift_before.txt).
+        # The frame is distinct (order, part) incidence grain — the
+        # same rows every downstream shuffle already moves.
+        .localCheckpoint(eager=True)
     )
     n_orders = io.agg(
         F.countDistinct("l_orderkey").alias("n_orders")
@@ -1249,7 +1257,13 @@ def q_customer_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
-    )
+        # Materialize ONCE (r14, guide §2.4): the total scalar
+        # subqueries and the two-phase rank each carried their own
+        # copy of the customer-grain aggregate — the executed plan
+        # showed FIVE independent orders scans and no ReusedExchange
+        # (plans/r14/customer_pareto_abc_before.txt). Customer-grain,
+        # bounded.
+    ).localCheckpoint(eager=True)
     total = spend.agg(F.sum("spend").alias("t")).scalar()
     cum = two_phase_window(
         spend,
@@ -2466,6 +2480,14 @@ def q_part_demand_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("month"),
         )
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        # Materialize ONCE (r14, guide §2.4): the n_months scalar
+        # subquery below otherwise carries its own copy of the full
+        # lineitem⋈orders join + (part, month) aggregate — the
+        # executed plan showed TWO independent fact scans with no
+        # ReusedExchange (plans/r14/part_demand_xyz_before.txt,
+        # subquery at op 22/24). The frame is (part, month)-grain —
+        # bounded by parts × calendar months, never fact-sized.
+        .localCheckpoint(eager=True)
     )
     n_months = pm.agg(F.countDistinct("month").alias("m")).scalar()
     p = pm.groupBy("l_partkey").agg(

@@ -228,6 +228,11 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id")
         .agg(F.min(epoch_us("ts")).alias("first_click_us"))
+        # Materialize ONCE (r14, guide §2.4): the n_click scalar
+        # subquery and the converted-side join each carried their own
+        # copy of this user-grain aggregate (three independent events
+        # scans in plans/r14/events_funnel_before.txt, no reuse).
+        .localCheckpoint(eager=True)
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", epoch_us("ts").alias("p_us")
@@ -695,6 +700,12 @@ def q_events_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.expr(f"({_TS_US}) div {DAY_US}").alias("day_bucket")
     ).agg(F.count(F.lit(1)).alias("n_events"))
+    # Materialize ONCE (r14, guide §2.4): the med and mad subqueries
+    # and the main projection each carried their own copy of the
+    # events scan + day aggregate (distinct subquery instances are
+    # result-reused per subquery, but the THREE different plans each
+    # re-scan events). Day-grain, tiny.
+    daily = daily.localCheckpoint(eager=True)
     # med/mad as scalar subqueries: the plan prints one subquery
     # instance per reference, which LOOKS like repeated execution —
     # measured, it is not (the runtime reuses each subquery's result;

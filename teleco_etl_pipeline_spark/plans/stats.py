@@ -580,7 +580,11 @@ def q_orders_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.count(F.lit(1)).alias("c")
-    )
+        # Materialize ONCE (r14, guide §2.4): the n/t scalar
+        # subqueries below each carried their own copy of the orders
+        # scan + day aggregate (the sibling daily_revenue_* queries
+        # already checkpoint their seq frames). Day-grain, tiny.
+    ).localCheckpoint(eager=True)
     tot = daily.agg(
         F.count(F.lit(1)).alias("n"), F.sum("c").alias("t")
     )
@@ -3964,8 +3968,15 @@ def q_daily_revenue_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("cum"),
-    )
-    m = daily.agg(F.count(F.lit(1)).alias("n"))
+        # Materialize ONCE (r14, guide §2.4): u's two consumers (the
+        # k aggregate and the final filter) and the m/n_days scalars
+        # otherwise each re-ran the orders scan + day aggregate +
+        # rank windows (the durbin_watson/ljung_box siblings already
+        # checkpoint their seq frames). Day-grain, tiny.
+    ).localCheckpoint(eager=True)
+    # row count is preserved by the select+windows, so the count can
+    # read the materialized seq instead of re-scanning via daily
+    m = seq.agg(F.count(F.lit(1)).alias("n"))
     u = (
         seq.crossJoin(F.broadcast(m))
         .filter(F.col("i") < F.col("n"))
