@@ -36,79 +36,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # evidence. _RECORD_ORDER is the explicit 50-slot recording window,
 # rotated every round toward the weakest current evidence.
 #
-# Round-13 rotation (r12 verdict ask #1): slots 1-9 are the nine
-# r12-new operators that have never had a driver row (judge-rerun
-# exact-bit at both SFs, but the driver's hard signal is the bar).
-# Slots 10-15 are the six queries whose PLANS changed after their
-# newest driver row: the r12 rank rewrites customer_rfm_segments
-# (row r10) and segment_gini_spend (r8), plus the four r13 rewrites
-# — ks_priority_totalprice / part_price_skyline (the last two
-# single-level value-grain cumsum windows swept onto the two-level
-# value_cumsum / value_prefix_max machinery) and neardup_clusters /
-# neardup_keep_best (candidate pairs now from the frequency-GUARDED
-# generator, r12 verdict weak #1). Slots 16-27 are the twelve
-# r7-vintage leftovers (_R7_LEFT_FOR_R13 in round 12 — the r11
-# judge's own rerun covered each). Slots 28-50 fill with the 23
-# alphabetically-first r8-vintage rows; the 14 r8 rows left over
-# (_R8_LEFT_FOR_R14 below) take r14 slots first. After this round
-# no driver row should predate r8 and none should predate its
-# query's current plan.
+# Round-14 rotation (r13 verdict ask #10): slots 1-14 are the
+# fourteen r8-vintage leftovers promised as _R8_LEFT_FOR_R14 in the
+# r13 window comment (four of them — kcore, triangle, bfs, hits —
+# also had their plans touched this round). Slots 15-40 are every
+# query whose EXECUTED PLAN changed in the r14 optimization round
+# (driver twins: clustering/rich-club; broadcast-gated joins:
+# assortativity/pagerank/ppr/lpa/linkpred/hits; codegen pair
+# enumeration: every co-fulfillment/part graph query; UDF
+# de-duplication: the ivf/ivfpq family; checkpoint fixes:
+# demand_xyz/basket_lift/pareto/funnel/mad/cusum/pettitt; typed
+# driver union-find: neardup ×2) so their driver rows post-date
+# their plans. Slots 41-42 are the two r13 plan changes whose rows
+# still predate their plans (winsorize, qq). Slots 43-50 drain the
+# oldest never-driver-recorded r13 registrations alphabetic-head
+# (jarque_bera … mmr_rerank); the remaining never-recorded r13/r14
+# vintages head _RECORD_LAST for the r15 window.
 _RECORD_ORDER = [
-    "lineitem_kendall_tau",
-    "orders_mood_median",
-    "priority_brownforsythe",
-    "daily_revenue_runs_test",
-    "events_variant_ztest",
-    "doc_gopher_rules",
-    "doc_dsir_importance",
-    "embedding_query_range_search",
-    "segment_theil_spend",
-    "customer_rfm_segments",
-    "segment_gini_spend",
-    "ks_priority_totalprice",
-    "part_price_skyline",
-    "neardup_clusters",
-    "neardup_keep_best",
-    "asof_nearest_purchase",
-    "benford_first_digit",
-    "cube_summary",
-    "doc_hybrid_rrf",
-    "embedding_pq_topk",
-    "events_cohort_retention",
-    "events_user_streaks",
-    "forecast_revenue",
-    "lineitem_corr_matrix",
-    "priority_woe_iv",
-    "scd2_user_value",
-    "value_histogram",
-    "ams_join_size_estimate",
-    "bpe_encode_docs",
-    "bpe_learn_merges",
-    "cms_frequency_estimates",
-    "collocation_pmi_topk",
-    "daily_revenue_acf",
-    "doc_novelty_scores",
-    "embedding_kcenter_coreset",
-    "event_sequence_patterns",
-    "fk_integrity_report",
-    "funnel_latency_quantiles",
-    "histogram_quantile_sketch",
-    "hll_sketch_estimate",
-    "kmv_set_cardinality",
-    "lineitem_pruned_window",
-    "minhash_recall_eval",
-    "ml_inference_contract",
-    "orders_column_profile",
-    "orders_cusum_shift",
-    "orders_snapshot_diff",
-    "poisson_bootstrap_ci",
-    "pricing_summary",
-    "priority_moments_profile",
-]
-# The 14 r8-vintage rows deliberately left for the r14 window (the
-# alphabetical tail; every one is sweep-verified at both SFs every
-# round since r8):
-_R8_LEFT_FOR_R14 = [
     "priority_revenue_trend",
     "priority_status_mutual_info",
     "priority_view_refresh",
@@ -123,6 +67,42 @@ _R8_LEFT_FOR_R14 = [
     "trade_graph_hits",
     "user_survival_curve",
     "winnowing_fingerprint_pairs",
+    "supplier_clustering_coefficient",
+    "part_rich_club",
+    "trade_graph_assortativity",
+    "trade_graph_pagerank",
+    "trade_graph_ppr",
+    "part_lpa_communities",
+    "part_ktruss_peel",
+    "part_link_prediction",
+    "part_link_prediction_ra",
+    "part_link_prediction_fixed2",
+    "neardup_clusters",
+    "neardup_keep_best",
+    "embedding_ivf_topk",
+    "embedding_ivf_topk_stored",
+    "embedding_ivfpq_topk",
+    "embedding_semantic_dedup",
+    "ivf_balance_report",
+    "corpus_semantic_prune",
+    "embedding_cluster_quality",
+    "part_demand_xyz",
+    "part_basket_lift",
+    "customer_pareto_abc",
+    "events_funnel",
+    "events_daily_anomaly_mad",
+    "orders_cusum_shift",
+    "daily_revenue_pettitt",
+    "price_winsorize_report",
+    "qq_priority_totalprice",
+    "orders_jarque_bera",
+    "priority_bartlett_test",
+    "priority_cochran_armitage",
+    "customer_grubbs_acctbal",
+    "doc_bm25_topk",
+    "embedding_jl_recall",
+    "lineitem_mahalanobis_outliers",
+    "embedding_mmr_rerank",
 ]
 # Past-window ordering if the driver ever widens its window: stalest
 # driver evidence first (the r14-priority leftovers above, then
@@ -132,18 +112,6 @@ _R8_LEFT_FOR_R14 = [
 # (asserted in queries()). True sketches without oracles sort last
 # (tier 3).
 _RECORD_LAST = [
-    # r13-session registrations (never driver-recorded — staler than
-    # any vintage; r14 rotation targets alongside _R8_LEFT_FOR_R14):
-    "orders_jarque_bera",
-    "priority_bartlett_test",
-    "daily_revenue_pettitt",
-    "priority_cochran_armitage",
-    "customer_grubbs_acctbal",
-    "doc_bm25_topk",
-    "embedding_jl_recall",
-    "lineitem_mahalanobis_outliers",
-    "embedding_mmr_rerank",
-    "embedding_cluster_quality",
     "events_variant_logrank",
     "daily_revenue_periodogram",
     "monthly_peak_gumbel",
@@ -151,26 +119,10 @@ _RECORD_LAST = [
     "embedding_covariance_drift",
     "variant_qini_curve",
     "fd_violation_report",
-    "part_demand_xyz",
     "variant_sprt_trace",
     "embedding_margin_pairs",
     "events_markov_perplexity",
     "order_line_reconciliation",
-    "qq_priority_totalprice",
-    "priority_revenue_trend",
-    "priority_status_mutual_info",
-    "priority_view_refresh",
-    "revenue_orders_ccf",
-    "revenue_seasonal_decompose",
-    "revenue_theilsen_trend",
-    "split_token_jsd",
-    "supplier_kcore_peel",
-    "supplier_triangle_count",
-    "token_skipgram_counts",
-    "trade_graph_bfs_levels",
-    "trade_graph_hits",
-    "user_survival_curve",
-    "winnowing_fingerprint_pairs",
     "asof_last_purchase",
     "banded_price_join",
     "bpe_pair_counts",
@@ -211,7 +163,6 @@ _RECORD_LAST = [
     "star_join",
     "supplier_class_counts",
     "topk_orders",
-    "trade_graph_pagerank",
     "train_test_contamination",
     "upsert_merge",
     "anti_join",
@@ -222,14 +173,10 @@ _RECORD_LAST = [
     "customer_linkage_blocked",
     "delete_then_insert",
     "doc_unigram_logprob",
-    "embedding_ivf_topk",
-    "embedding_ivf_topk_stored",
     "embedding_knn_classify_fixed4",
     "embedding_lsh_multiprobe_fixed6",
     "embedding_lsh_pairs_fixed6",
     "embedding_neardup",
-    "embedding_semantic_dedup",
-    "events_funnel",
     "events_locf_daily",
     "events_sessionize",
     "events_transition_matrix",
@@ -245,11 +192,6 @@ _RECORD_LAST = [
     "multimodal_resize_exec",
     "multimodal_video_probe",
     "nullsafe_join",
-    "part_basket_lift",
-    "part_link_prediction",
-    "part_link_prediction_fixed2",
-    "part_link_prediction_ra",
-    "part_lpa_communities",
     "simhash_neardup",
     "surrogate_keys",
     "tfidf_top_terms",
@@ -278,7 +220,6 @@ _RECORD_LAST = [
     "error_rate",
     "events_attribution_first_last",
     "events_cohort_ltv",
-    "events_daily_anomaly_mad",
     "events_hopping_counts",
     "events_json_props",
     "events_ohlc_hourly",
@@ -295,7 +236,6 @@ _RECORD_LAST = [
     "ngram_jaccard_pairs",
     "orders_hbos_outliers",
     "pivot_status_matrix",
-    "price_winsorize_report",
     "product_profit",
     "returned_item_report",
     "rollup_summary",
@@ -311,9 +251,7 @@ _RECORD_LAST = [
     "bloom_pruned_join",
     "conditional_projection",
     "contamination_ngram_overlap",
-    "corpus_semantic_prune",
     "count_distinct",
-    "customer_pareto_abc",
     "customer_spend_percentile",
     "distinct_values",
     "doc_char_entropy",
@@ -323,7 +261,6 @@ _RECORD_LAST = [
     "doc_textrank_keywords",
     "embedding_batch_topk",
     "embedding_hard_negatives",
-    "embedding_ivfpq_topk",
     "embedding_knn_classify_total_fixed8",
     "embedding_matryoshka_recall",
     "embedding_pca_label_stats",
@@ -342,7 +279,6 @@ _RECORD_LAST = [
     "events_type_weekday_chi2",
     "events_variant_shred",
     "grouped_counts",
-    "ivf_balance_report",
     "lineitem_zonemap_report",
     "mannwhitney_priority",
     "model_lift_gains",
@@ -351,27 +287,67 @@ _RECORD_LAST = [
     "score_calibration_bins",
     "supplier_fulfillment_concurrency",
     "topk_per_group",
-    "trade_graph_assortativity",
-    "trade_graph_ppr",
     "union_summary",
     "unpivot_metrics",
     "zorder_layout_report",
-    # r13 new registrations (parity-verified this round; with
-    # _R8_LEFT_FOR_R14 they take r14 window slots first):
     "embedding_query_range_search_bucketed",
     "orders_kruskal_wallis",
     "daily_revenue_mann_kendall",
     "cvm_priority_totalprice",
-    "supplier_clustering_coefficient",
     "orders_jonckheere_terpstra",
     "orders_welch_ttest",
-    "part_rich_club",
     "orders_anova_f",
     "ad_priority_totalprice",
     "daily_revenue_durbin_watson",
     "daily_revenue_ljung_box",
     "doc_perplexity_buckets",
-    "part_ktruss_peel",
+    "lineitem_kendall_tau",
+    "orders_mood_median",
+    "priority_brownforsythe",
+    "daily_revenue_runs_test",
+    "events_variant_ztest",
+    "doc_gopher_rules",
+    "doc_dsir_importance",
+    "embedding_query_range_search",
+    "segment_theil_spend",
+    "customer_rfm_segments",
+    "segment_gini_spend",
+    "ks_priority_totalprice",
+    "part_price_skyline",
+    "asof_nearest_purchase",
+    "benford_first_digit",
+    "cube_summary",
+    "doc_hybrid_rrf",
+    "embedding_pq_topk",
+    "events_cohort_retention",
+    "events_user_streaks",
+    "forecast_revenue",
+    "lineitem_corr_matrix",
+    "priority_woe_iv",
+    "scd2_user_value",
+    "value_histogram",
+    "ams_join_size_estimate",
+    "bpe_encode_docs",
+    "bpe_learn_merges",
+    "cms_frequency_estimates",
+    "collocation_pmi_topk",
+    "daily_revenue_acf",
+    "doc_novelty_scores",
+    "embedding_kcenter_coreset",
+    "event_sequence_patterns",
+    "fk_integrity_report",
+    "funnel_latency_quantiles",
+    "histogram_quantile_sketch",
+    "hll_sketch_estimate",
+    "kmv_set_cardinality",
+    "lineitem_pruned_window",
+    "minhash_recall_eval",
+    "ml_inference_contract",
+    "orders_column_profile",
+    "orders_snapshot_diff",
+    "poisson_bootstrap_ci",
+    "pricing_summary",
+    "priority_moments_profile",
 ]
 
 
